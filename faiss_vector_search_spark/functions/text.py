@@ -1,0 +1,55 @@
+"""Text primitives shared by dedup / text-analysis operators.
+
+All are pure Column expressions (split/transform/filter) — the 100 TB
+scan stays in whole-stage codegen. Regexes are restricted to the subset
+with identical semantics in Java regex (Spark) and RE2 (DuckDB):
+character classes, ``+``, no lookaround.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tokenization: lowercase, split on runs of non-alphanumerics.
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def tokens(text: Column) -> Column:
+    """lowercased word tokens, empty strings removed."""
+    return F.filter(
+        F.split(F.lower(text), TOKEN_SPLIT_RE), lambda t: t != ""
+    )
+
+
+def tokens_sql(expr: str) -> str:
+    """DuckDB rendering of :func:`tokens`."""
+    return (
+        f"list_filter(regexp_split_to_array(lower({expr}), '{TOKEN_SPLIT_RE}'),"
+        f" t -> t <> '')"
+    )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles joined by a single space."""
+    toks = tokens(text)
+    k = F.size(toks) - (n - 1)
+    joined = F.transform(
+        # sequence(0, k-1) would count DOWN for k<=0 — guard to empty.
+        F.when(k <= 0, F.array().cast("array<int>")).otherwise(
+            F.sequence(F.lit(0), k - 1)
+        ),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.array_distinct(joined)
+
+
+def shingles_sql(expr: str, n: int = 3) -> str:
+    """DuckDB rendering of :func:`shingles` (empty list when too short)."""
+    toks = tokens_sql(expr)
+    return (
+        f"(WITH t AS (SELECT {toks} AS toks) "
+        f"SELECT CASE WHEN len(toks) < {n} THEN [] ELSE "
+        f"list_distinct(list_transform(generate_series(1, len(toks) - {n - 1}),"
+        f" i -> array_to_string(toks[i:i+{n - 1}], ' '))) END FROM t)"
+    )

@@ -1,0 +1,180 @@
+"""Brute-force kNN search — the Spark re-expression of FAISS flat
+indexes (reference components/core/index_service.py:84-98, 205-235 and
+components/core/search_service.py:41-184, 246-349).
+
+Design for scale
+----------------
+The corpus never shuffles. Queries (one row or a small set) are
+broadcast; scoring is a map over corpus partitions inside whole-stage
+codegen; ``ORDER BY score LIMIT k`` compiles to TakeOrderedAndProject —
+each partition keeps its local top-k and only ``k × numPartitions``
+rows reach the driver-side merge. That is exactly the plan you want on
+a 1000-executor scan of 100 TB of vectors.
+
+Scores are rounded to 6 decimals *before* ranking so that top-k
+boundary ties resolve identically in Spark and the DuckDB oracle
+(tie-break: ascending id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vector as V
+
+SCORE_DECIMALS = 6
+
+
+def _score_col(metric: str, a, b):
+    if metric == "ip":
+        return V.ip_score(a, b)
+    if metric == "l2":
+        return V.l2_score(a, b)
+    if metric == "cosine":
+        return V.cosine(a, b)
+    raise ValueError(f"unknown metric: {metric}")
+
+
+def score_corpus(
+    corpus: DataFrame,
+    query: DataFrame,
+    metric: str = "ip",
+    vec_col: str = "embedding",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Cross the (broadcast) single-row query onto the corpus and score.
+
+    Returns corpus columns + ``score`` (rounded). ``query`` must have
+    exactly one row; pulling the query from a table keeps the whole
+    plan declarative (no collect round-trip).
+    """
+    q = F.broadcast(query.select(F.col(query_vec_col)))
+    scored = corpus.crossJoin(q).withColumn(
+        "score",
+        F.round(_score_col(metric, F.col(vec_col), F.col(query_vec_col)), SCORE_DECIMALS),
+    )
+    return scored.drop(query_vec_col)
+
+
+def topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    metric: str = "ip",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float | None = None,
+) -> DataFrame:
+    """FAISS ``index.search`` + optional fixed similarity threshold
+    (reference search_service.py:300-302).
+
+    The threshold filter sits *below* the top-k so Catalyst evaluates
+    it during the scan — fewer rows ever enter the ordering.
+    """
+    scored = score_corpus(corpus, query, metric=metric, vec_col=vec_col)
+    if threshold is not None:
+        scored = scored.where(F.col("score") >= threshold)
+    return (
+        scored.select(id_col, "score")
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def topk_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    metric: str = "ip",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Batch retrieval: per-query top-k for a broadcastable query set
+    (reference components2/faiss_retriever.py:82-192 serves queries one
+    at a time; at scale you fan them out in one pass).
+
+    Broadcast-nested-loop of Q queries × N corpus rows, then a window
+    ranked per query. The corpus-side shuffle is on ``query_id`` after
+    scoring — at 100 TB you cap Q per pass so Q×N stays scan-bound.
+    """
+    q = F.broadcast(queries.select(query_id_col, query_vec_col))
+    scored = corpus.crossJoin(q).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(
+            _score_col(metric, F.col(vec_col), F.col(query_vec_col)), SCORE_DECIMALS
+        ).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )
+
+
+def dynamic_threshold_search(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 20,
+    hit_target: int = 3,
+    step: float = 0.05,
+    metric: str = "ip",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Set-based re-expression of the reference's iterative
+    dynamic-threshold search (search_service.py:41-184).
+
+    Reference semantics: take the top-k candidates, then walk the
+    threshold down from 1.0 by ``step``; stop at the first threshold
+    with ≥ ``hit_target`` hits, else keep the highest threshold that
+    maximized hits. Return the candidates at that final threshold.
+
+    The loop is data-independent given the candidate scores, so ONE
+    pass computes it: build the threshold grid, count hits per
+    threshold, pick the final threshold with an aggregate, filter.
+    No iteration, no repeated scans — O(k × grid) work after the
+    single corpus scan that produced the candidates.
+    """
+    n_steps = int(round(1.0 / step))
+    cand = topk(corpus, query, k=k, metric=metric, id_col=id_col, vec_col=vec_col)
+
+    # Threshold grid 1.0, 1-step, ..., 0.0 — i/n_steps in double, same
+    # arithmetic as the DuckDB oracle.
+    grid = (
+        cand.sparkSession.range(0, n_steps + 1)
+        .select((F.col("id") / F.lit(float(n_steps))).alias("t"))
+    )
+    hits = (
+        cand.crossJoin(F.broadcast(grid))
+        .where(F.col("score") >= F.col("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("hits"))
+    )
+    # Final threshold: highest t reaching the target, else the highest
+    # t among those with maximal hits (reference keeps the FIRST best
+    # while walking DOWN, i.e. the highest such t).
+    final = F.broadcast(
+        hits.select(
+            F.coalesce(
+                F.max(F.when(F.col("hits") >= hit_target, F.col("t"))),
+                F.max_by(F.col("t"), F.struct(F.col("hits"), F.col("t"))),
+            ).alias("final_t")
+        )
+    )
+    return (
+        cand.crossJoin(final)
+        .where(F.col("score") >= F.col("final_t"))
+        .select(
+            id_col,
+            "score",
+            F.round(F.col("final_t"), SCORE_DECIMALS).alias("final_threshold"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+    )

@@ -1,0 +1,24 @@
+from __future__ import annotations
+
+import pytest
+
+from faiss_vector_search_spark.session import get_spark
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_MEDIUM = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="fvs-tests", master="local[8]", shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_small() -> str:
+    return SF_SMALL
+
+
+@pytest.fixture(scope="session")
+def sf_medium() -> str:
+    return SF_MEDIUM
