@@ -14,7 +14,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from faiss_vector_search_spark import io as fio
-from faiss_vector_search_spark.operators import embed, index_store, ivf, knn
+from faiss_vector_search_spark.operators import (
+    dedup,
+    embed,
+    index_store,
+    ivf,
+    knn,
+)
 
 DEC = "decimal(18,6)"
 
@@ -149,6 +155,42 @@ def q_embed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").cast("int").alias("bucket"),
         F.col("cnt").cast("int").alias("cnt"),
     )
+
+
+# --- §2b dedup family -----------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs)
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    return out.select("doc_a", "doc_b", F.col("jaccard").cast(DEC).alias("jaccard"))
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.minhash_lsh_pairs(
+        docs, n=3, num_hashes=16, bands=4, threshold=0.8, hash_fn="md5"
+    )
+    return out.select("doc_a", "doc_b", F.col("jaccard").cast(DEC).alias("jaccard"))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.simhash_pairs(docs, max_hamming=3, bands=4, hash_fn="md5")
+    return out.select(
+        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    out = dedup.embedding_cosine_pairs(emb, threshold=0.45)
+    return out.select("id_a", "id_b", F.col("cosine").cast(DEC).alias("cosine"))
 
 
 # --- oracle SQL -----------------------------------------------------------
@@ -315,6 +357,123 @@ FROM ranked WHERE rank <= 3
 }
 
 
+def _md5i(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+_SH_CTE = f"""
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                      i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+  WHERE len(toks) >= 3
+)"""
+
+_JAC = (
+    "ROUND(len(list_intersect({a}, {b}))::DOUBLE / "
+    "(len({a}) + len({b}) - len(list_intersect({a}, {b}))), 6)"
+)
+
+_SIG_AGGS = ",\n         ".join(
+    "min({h}) AS sig_{i}".format(h=_md5i(f"'s{i}:' || s"), i=i) for i in range(16)
+)
+
+_BAND_SELECTS = "\n  UNION ALL\n".join(
+    "  SELECT doc_id, shingles, {b} AS band, ".format(b=b)
+    + _md5i(
+        "'s{seed}:' || "
+        + " || '_' || ".join(f"sig_{b * 4 + r}::VARCHAR" for r in range(4))
+    ).format(seed=100 + b)
+    + " AS bval FROM sig"
+    for b in range(4)
+)
+
+_SIMHASH_BANDS = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, simhash, {b} AS band, "
+    f"(simhash >> {b * 15}) & 32767 AS bval FROM sim"
+    for b in range(4)
+)
+
+ORACLES.update(
+    {
+        "dedup_exact": """
+SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY md5(text)
+""",
+        "dedup_ngram_jaccard": f"""
+WITH {_SH_CTE}
+SELECT * FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST({_JAC.format(a='a.shingles', b='b.shingles')} AS DECIMAL(18,6)) AS jaccard
+  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+) WHERE jaccard >= 0.8
+""",
+        "dedup_minhash_lsh": f"""
+WITH {_SH_CTE},
+ex AS (SELECT doc_id, shingles, unnest(shingles) AS s FROM sh),
+sig AS (
+  SELECT doc_id, shingles,
+         {_SIG_AGGS}
+  FROM ex GROUP BY doc_id, shingles
+),
+bands AS (
+{_BAND_SELECTS}
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         any_value(a.shingles) AS sh_a, any_value(b.shingles) AS sh_b
+  FROM bands a JOIN bands b USING (band, bval)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT * FROM (
+  SELECT doc_a, doc_b,
+         CAST({_JAC.format(a='sh_a', b='sh_b')} AS DECIMAL(18,6)) AS jaccard
+  FROM cand
+) WHERE jaccard >= 0.8
+""",
+        "dedup_simhash": f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents
+),
+h AS (SELECT doc_id, {_md5i("'s7:' || tok")} AS h FROM toks),
+bits AS (
+  SELECT doc_id, g.j, sum(((h >> g.j) & 1) * 2 - 1) AS s
+  FROM h, (SELECT unnest(generate_series(0, 59)) AS j) g
+  GROUP BY doc_id, g.j
+),
+sim AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+),
+bands AS (
+{_SIMHASH_BANDS}
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         any_value(a.simhash) AS sim_a, any_value(b.simhash) AS sim_b
+  FROM bands a JOIN bands b USING (band, bval)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+""",
+        "dedup_embedding_cosine": """
+SELECT * FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])), 6)
+              AS DECIMAL(18,6)) AS cosine
+  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+) WHERE cosine >= 0.45
+""",
+    }
+)
+
+
 # --- driver contract ------------------------------------------------------
 
 
@@ -335,6 +494,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_stats": q_index_stats,
         "add_documents": q_add_documents,
         "embed_text": q_embed_text,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
     }
 
 
