@@ -15,11 +15,14 @@ from pyspark.sql import functions as F
 
 from faiss_vector_search_spark import io as fio
 from faiss_vector_search_spark.operators import (
+    analytics,
+    chunking,
     dedup,
     embed,
     index_store,
     ivf,
     knn,
+    textstats,
 )
 
 DEC = "decimal(18,6)"
@@ -191,6 +194,66 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     out = dedup.embedding_cosine_pairs(emb, threshold=0.45)
     return out.select("id_a", "id_b", F.col("cosine").cast(DEC).alias("cosine"))
+
+
+# --- §2b text analysis + chunking ----------------------------------------
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = textstats.quality_score(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "n_tokens", F.col("quality").cast(DEC).alias("quality")
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_count(_t(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), k=8, w=4, hash_fn="md5"
+    )
+
+
+def q_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunking.chunk_fixed(
+        _t(spark, sf_dir, "documents"), size=200, overlap=50
+    )
+
+
+# --- §2c analytics --------------------------------------------------------
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.pricing_summary(_t(spark, sf_dir, "lineitem"))
+
+
+def q_top_customers_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.top_customers_by_nation(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "nation"),
+        top_n=3,
+    )
+
+
+def q_part_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.part_revenue_share(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.sessionize(_t(spark, sf_dir, "events"))
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.tumbling_window_agg(_t(spark, sf_dir, "events"))
 
 
 # --- oracle SQL -----------------------------------------------------------
@@ -474,6 +537,153 @@ SELECT * FROM (
 )
 
 
+_LEX_VALUES = ", ".join(
+    f"('{lang}', '{w}')" for lang, w in textstats.LANG_LEXICON
+)
+_EN_STOP = ", ".join(
+    f"'{w}'" for lang, w in textstats.LANG_LEXICON if lang == "en"
+)
+
+ORACLES.update(
+    {
+        "lang_id": f"""
+WITH lex(lex_lang, word) AS (VALUES {_LEX_VALUES}),
+toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+hits AS (
+  SELECT doc_id, lex_lang, count(*) AS c
+  FROM toks JOIN lex ON tok = word GROUP BY doc_id, lex_lang
+),
+best AS (
+  SELECT doc_id, lex_lang, c FROM hits
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, lex_lang ASC) = 1
+)
+SELECT d.doc_id,
+       coalesce(b.lex_lang, 'und') AS pred_lang,
+       CAST(coalesce(b.c, 0) AS BIGINT) AS n_hits
+FROM documents d LEFT JOIN best b USING (doc_id)
+""",
+        "quality_score": f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+         len(text)::DOUBLE AS n_chars,
+         len(toks)::DOUBLE AS n_toks,
+         len(list_filter(toks, x -> list_contains([{_EN_STOP}], x)))::DOUBLE AS n_stop,
+         len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE AS n_punct,
+         list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks) AS mean_wl
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id, CAST(n_toks AS BIGINT) AS n_tokens,
+       CAST(ROUND((least(n_chars / 500.0, 1.0)
+                 + least(n_stop / n_toks * 5.0, 1.0)
+                 + greatest(0.0, 1.0 - n_punct / n_chars * 10.0)
+                 + CASE WHEN mean_wl >= 3.0 AND mean_wl <= 8.0 THEN 1.0 ELSE 0.5 END
+                  ) / 4.0, 6) AS DECIMAL(18,6)) AS quality
+FROM m
+""",
+        "token_count": f"""
+SELECT doc_id,
+       CAST(len({_TOKS}) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens,
+       CAST(len(list_distinct({_TOKS})) AS BIGINT) AS distinct_tokens
+FROM documents
+""",
+        "doc_fingerprint": f"""
+WITH g0 AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(len(text) - 7, 1))) AS pos
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, pos, {_md5i("'s11:' || substr(text, pos, 8)")} AS h FROM g0
+),
+wmin AS (
+  SELECT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM grams
+),
+fps AS (SELECT DISTINCT doc_id, fp FROM wmin)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints,
+       min(fp) AS min_fp, max(fp) AS max_fp
+FROM fps GROUP BY doc_id
+""",
+        "chunk_fixed": """
+WITH s AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(len(text), 1), 150)) AS start
+  FROM documents
+)
+SELECT doc_id,
+       CAST((start - 1) / 150 AS INT) AS chunk_id,
+       CAST(start AS INT) AS start,
+       substr(text, start, 200) AS chunk
+FROM s
+""",
+        "tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(sum(l_quantity), 2) AS DECIMAL(18,2)) AS sum_qty,
+       CAST(ROUND(sum(l_extendedprice), 2) AS DECIMAL(18,2)) AS sum_base_price,
+       CAST(ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS DECIMAL(18,2)) AS sum_disc_price,
+       CAST(ROUND(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS DECIMAL(18,2)) AS sum_charge,
+       CAST(ROUND(avg(l_quantity), 6) AS DECIMAL(18,6)) AS avg_qty,
+       CAST(ROUND(avg(l_extendedprice), 6) AS DECIMAL(18,6)) AS avg_price,
+       CAST(ROUND(avg(l_discount), 6) AS DECIMAL(18,6)) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+        "top_customers_by_nation": """
+WITH rev AS (
+  SELECT o_custkey, CAST(ROUND(sum(o_totalprice), 2) AS DECIMAL(18,2)) AS revenue
+  FROM orders GROUP BY o_custkey
+)
+SELECT n.n_name, c.c_custkey, r.revenue,
+       CAST(row_number() OVER (PARTITION BY n.n_name
+                               ORDER BY r.revenue DESC, c.c_custkey ASC) AS INT) AS rk
+FROM rev r
+JOIN customer c ON r.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+QUALIFY rk <= 3
+""",
+        "part_revenue_share": """
+WITH rev AS (
+  SELECT p_brand,
+         CAST(ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS DECIMAL(18,2)) AS revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand
+)
+SELECT p_brand, revenue,
+       CAST(ROUND(CAST(revenue AS DOUBLE) / CAST(sum(revenue) OVER () AS DOUBLE), 6)
+            AS DECIMAL(18,6)) AS share
+FROM rev
+""",
+        "events_sessionize": """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+w AS (
+  SELECT user_id,
+         CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                                            ORDER BY ts_us ASC, event_id ASC)
+                   > 1800000000 THEN 1 ELSE 0 END AS new_session
+  FROM e
+)
+SELECT user_id, CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM w GROUP BY user_id
+""",
+        "events_tumbling": """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(ROUND(sum(value), 2) AS DECIMAL(18,2)) AS sum_value,
+       CAST(ROUND(avg(value), 6) AS DECIMAL(18,6)) AS avg_value
+FROM events GROUP BY 1, 2
+""",
+    }
+)
+
+
 # --- driver contract ------------------------------------------------------
 
 
@@ -499,6 +709,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_count": q_token_count,
+        "doc_fingerprint": q_doc_fingerprint,
+        "chunk_fixed": q_chunk_fixed,
+        "tpch_q1": q_tpch_q1,
+        "top_customers_by_nation": q_top_customers_by_nation,
+        "part_revenue_share": q_part_revenue_share,
+        "events_sessionize": q_events_sessionize,
+        "events_tumbling": q_events_tumbling,
     }
 
 

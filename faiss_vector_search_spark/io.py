@@ -28,6 +28,11 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS), which Spark's reader
+        # rejects by default; read as long (ns since epoch). Runtime
+        # conf, set here so it works under the driver's own session.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -1,0 +1,166 @@
+"""Relational/analytics plans (SURVEY.md §2c): classic join/agg/window
+shapes over the TPC-H-ish tables plus event sessionization — the
+"rest of the engine" a reference user gets from a general query
+layer.
+
+Plan-shape notes (100 TB posture):
+- dims (nation, customer at rollup grain) broadcast; facts never
+  round-trip through the driver.
+- aggregations are partial (map-side combine) by construction of
+  groupBy + sum/count.
+- sessionization shuffles once on user_id and runs lag/sum windows
+  within the partition — the canonical Spark formulation.
+- money sums round to 2dp, ratios to 6dp, emitted as DECIMAL so the
+  oracle hash is fixed-point stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,6)"
+MONEY = "decimal(18,2)"
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1 shape: one wide partial-aggregable groupBy."""
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        lineitem.where(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).cast(MONEY).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).cast(MONEY).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast(MONEY).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast(MONEY).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).cast(DEC).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).cast(DEC).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).cast(DEC).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def top_customers_by_nation(
+    customer: DataFrame, orders: DataFrame, nation: DataFrame, top_n: int = 3
+) -> DataFrame:
+    """Revenue per customer, top-N per nation. Customer/nation joins
+    broadcast; fact aggregates before joining dims (agg-below-join
+    keeps the shuffle on the pre-aggregated, smaller side)."""
+    rev = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).cast(MONEY).alias("revenue")
+    )
+    joined = (
+        rev.join(
+            F.broadcast(customer.select("c_custkey", "c_name", "c_nationkey")),
+            rev["o_custkey"] == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("revenue").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= top_n)
+        .select(
+            "n_name",
+            "c_custkey",
+            "revenue",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+def part_revenue_share(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Revenue by brand with share-of-total window over the aggregate
+    (window input is ~|brands| rows — the expensive work happened in
+    the partial agg below it)."""
+    rev = (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            lineitem["l_partkey"] == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).cast(MONEY).alias("revenue")
+        )
+    )
+    total = Window.partitionBy()
+    # divide as doubles (exact decimal total → correctly-rounded double)
+    # so the ratio is bit-identical to the oracle's double division.
+    return rev.select(
+        "p_brand",
+        "revenue",
+        F.round(
+            F.col("revenue").cast("double")
+            / F.sum("revenue").over(total).cast("double"),
+            6,
+        ).cast(DEC).alias("share"),
+    )
+
+
+SESSION_GAP_MIN = 30
+
+
+def _ts_us(events: DataFrame):
+    """Event time in µs since epoch. The events parquet stores
+    TIMESTAMP(NANOS) which we read as long ns (see io.load_table);
+    ns→µs truncation matches DuckDB's micros-at-read truncation."""
+    if dict(events.dtypes)["ts"] == "bigint":
+        # integer div — ts ~1.7e18 exceeds double's 2^53 exact range,
+        # so float division would corrupt the low digits.
+        return F.expr("ts div 1000")
+    return F.unix_micros("ts")
+
+
+def event_hour(events: DataFrame):
+    """Tumbling-hour bucket as a timestamp, nanos-safe."""
+    if dict(events.dtypes)["ts"] == "bigint":
+        return F.date_trunc("hour", F.timestamp_micros(_ts_us(events)))
+    return F.date_trunc("hour", F.col("ts"))
+
+
+def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFrame:
+    """Gap-based sessionization: one shuffle on user_id, then
+    lag + running-sum windows inside each partition. Output: per-user
+    session count and event count."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").asc(), F.col("event_id").asc()
+    )
+    with_new = events.select(
+        "user_id",
+        "event_id",
+        _ts_us(events).alias("ts_us"),
+    ).withColumn(
+        "new_session",
+        F.when(
+            F.col("ts_us") - F.lag("ts_us").over(w) > gap_us, 1
+        ).otherwise(0),
+    )
+    return with_new.groupBy("user_id").agg(
+        (F.sum("new_session") + 1).cast("bigint").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def tumbling_window_agg(events: DataFrame) -> DataFrame:
+    """Hourly tumbling windows per event type (the batch equivalent of
+    the streaming windowed agg in streaming/)."""
+    return (
+        events.groupBy(
+            event_hour(events).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).cast(MONEY).alias("sum_value"),
+            F.round(F.avg("value"), 6).cast(DEC).alias("avg_value"),
+        )
+    )

@@ -1,0 +1,173 @@
+"""Document chunking (reference preprocessing/chunk_text_files.py).
+
+Two tiers:
+
+* :func:`chunk_fixed` — fixed-size/overlap chunking as pure built-ins
+  (`sequence` → `explode` → `substring`), the scale path: chunk
+  boundaries are data-independent, so Catalyst runs it at scan speed
+  with zero Python. This is the oracle-gated variant.
+* :func:`chunk_greedy` — the reference's greedy size-bounded chunker
+  (paragraph → sentence splits, 500-2000 chars, overlap; conversational
+  ``K:``/``V:`` turn splitting, chunk_text_files.py:85-273) as an
+  Arrow-batched ``applyInPandas`` — inherently sequential *within* a
+  document, embarrassingly parallel *across* documents. Gated by
+  pytest invariants (size bounds, coverage, turn integrity).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CHUNK_SCHEMA = "doc_id bigint, chunk_id int, start int, chunk string"
+
+
+def chunk_fixed(
+    docs: DataFrame,
+    size: int = 200,
+    overlap: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-stride chunks: start positions 1, 1+stride, … (1-based,
+    stride = size - overlap), last chunk may be short."""
+    stride = size - overlap
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length(text_col), F.lit(1)), F.lit(stride)
+    )
+    return docs.select(
+        F.col(id_col),
+        F.explode(starts).alias("start"),
+        F.col(text_col),
+    ).select(
+        F.col(id_col),
+        ((F.col("start") - 1) / stride).cast("int").alias("chunk_id"),
+        F.col("start").cast("int").alias("start"),
+        F.substring(F.col(text_col), F.col("start"), F.lit(size)).alias("chunk"),
+    )
+
+
+# --- greedy reference-style chunker (driver-side algorithm mirrored
+# from the *behavior* of chunk_text_files.py:167-273, re-implemented) --
+
+
+def _split_sentences(text: str) -> list[str]:
+    parts = re.split(r"[.!?]+\s+", text)
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _greedy_chunks(
+    text: str, min_size: int, max_size: int, overlap: int
+) -> list[str]:
+    """Greedy paragraph-first packing with sentence fallback and char
+    overlap — same contract as the reference's create_regular_chunks:
+    chunks between min_size and max_size chars where possible, overlap
+    carried from the previous chunk."""
+    if not text.strip():
+        return []
+    paragraphs = [p.strip() for p in text.split("\n\n") if p.strip()]
+    if not paragraphs:
+        paragraphs = [text.strip()]
+    chunks: list[str] = []
+    cur = ""
+    for para in paragraphs:
+        nxt = f"{cur}\n\n{para}" if cur else para
+        if cur and len(nxt) > max_size:
+            if len(cur) >= min_size:
+                chunks.append(cur)
+                cur = cur[-overlap:] + "\n\n" + para if overlap else para
+            else:
+                cur = nxt
+        else:
+            cur = nxt
+    if cur.strip():
+        if len(cur) < min_size and chunks:
+            chunks[-1] = chunks[-1] + "\n\n" + cur
+        else:
+            chunks.append(cur)
+    # sentence-split any oversized chunk
+    out: list[str] = []
+    for ch in chunks:
+        if len(ch) <= max_size:
+            out.append(ch)
+            continue
+        sub = ""
+        for sent in _split_sentences(ch):
+            cand = f"{sub} {sent}" if sub else sent
+            if sub and len(cand) > max_size:
+                if len(sub) >= min_size:
+                    out.append(sub)
+                    sub = sent
+                else:
+                    sub = cand
+            else:
+                sub = cand
+        if sub.strip():
+            out.append(sub)
+    return out
+
+
+CONV_RE = re.compile(r"(?=(?:^|\s)[KV]:)", re.MULTILINE)
+
+
+def _conversational_chunks(
+    text: str, min_size: int, max_size: int, overlap_turns: int = 1
+) -> list[str]:
+    """Split at K:/V: speaker turns, packing turns to the size band
+    with previous-turn overlap (reference chunk_text_files.py:85-164)."""
+    turns = [t.strip() for t in CONV_RE.split(text) if t.strip()]
+    if not turns:
+        return [text] if text.strip() else []
+    chunks: list[str] = []
+    cur = ""
+    for i, turn in enumerate(turns):
+        nxt = f"{cur}\n\n{turn}" if cur else turn
+        if cur and len(nxt) > max_size and len(cur) >= min_size:
+            chunks.append(cur)
+            start = max(0, i - overlap_turns)
+            cur = "\n\n".join(turns[start : i + 1])
+        else:
+            cur = nxt
+    if cur.strip():
+        if len(cur) < min_size and chunks:
+            chunks[-1] = chunks[-1] + "\n\n" + cur
+        else:
+            chunks.append(cur)
+    return chunks
+
+
+def chunk_greedy(
+    docs: DataFrame,
+    min_size: int = 500,
+    max_size: int = 2000,
+    overlap: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Reference-style greedy chunking over a corpus: Arrow-batched
+    ``applyInPandas`` keyed by document. Conversational docs (K:/V:
+    markers) use turn-aware splitting."""
+
+    def chunk_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, r in pdf.iterrows():
+            text = r[text_col] or ""
+            if re.search(r"(?:^|\s)[KV]:", text, re.MULTILINE):
+                chunks = _conversational_chunks(text, min_size, max_size)
+            else:
+                chunks = _greedy_chunks(text, min_size, max_size, overlap)
+            pos = 0
+            for i, ch in enumerate(chunks):
+                rows.append((r[id_col], i, pos, ch))
+                pos += len(ch)
+        return pd.DataFrame(rows, columns=["doc_id", "chunk_id", "start", "chunk"])
+
+    return (
+        docs.select(F.col(id_col), F.col(text_col))
+        .groupBy(id_col)
+        .applyInPandas(chunk_batch, schema=CHUNK_SCHEMA)
+    )

@@ -1,0 +1,169 @@
+"""Text-analysis operators for training-data pipelines
+(SURVEY.md §2b #25-28): language ID, quality scoring, token counting,
+winnowing fingerprints.
+
+Everything is built-in Column expressions — language ID is a broadcast
+lexicon join, fingerprinting is a window-min over k-gram hashes. No
+Python touches the hot path, so these run at scan speed on a 100 TB
+corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hashed
+from ..functions.text import tokens
+
+# Tiny per-language stopword lexicon for the n-gram/stopword-vote
+# language heuristic. Deliberately small and public-knowledge.
+LANG_LEXICON: list[tuple[str, str]] = [
+    ("en", "the"), ("en", "and"), ("en", "of"), ("en", "to"),
+    ("en", "a"), ("en", "in"), ("en", "is"),
+    ("es", "el"), ("es", "la"), ("es", "de"), ("es", "que"),
+    ("es", "y"), ("es", "los"),
+    ("de", "der"), ("de", "die"), ("de", "und"), ("de", "das"),
+    ("de", "ist"), ("de", "nicht"),
+    ("fr", "le"), ("fr", "les"), ("fr", "des"), ("fr", "et"),
+    ("fr", "est"), ("fr", "une"),
+]
+
+
+def lexicon_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(LANG_LEXICON, ["lex_lang", "word"])
+
+
+def lang_id(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Stopword-vote language ID: explode tokens, broadcast-join the
+    lexicon, argmax hits per doc (ties → lexicographic lang), docs
+    with no hits → 'und'."""
+    spark = docs.sparkSession
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    hits = (
+        toks.join(F.broadcast(lexicon_df(spark)), toks["tok"] == F.col("word"))
+        .groupBy(id_col, "lex_lang")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("c").desc(), F.col("lex_lang").asc())
+    best = (
+        hits.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col(id_col), F.col("lex_lang"), F.col("c"))
+    )
+    return docs.select(id_col).join(best, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("lex_lang"), F.lit("und")).alias("pred_lang"),
+        F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("n_hits"),
+    )
+
+
+def quality_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Heuristic quality score in [0,1]: length, stopword ratio,
+    punctuation penalty, mean-word-length band — the standard cheap
+    pre-filters an LLM data pipeline applies before expensive stages."""
+    en_stop = [w for lang, w in LANG_LEXICON if lang == "en"]
+    toks = tokens(F.col(text_col))
+    n_chars = F.length(F.col(text_col)).cast("double")
+    n_toks = F.size(toks).cast("double")
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin(*en_stop))
+    ).cast("double")
+    n_punct = F.length(
+        F.regexp_replace(F.lower(F.col(text_col)), "[a-z0-9 ]", "")
+    ).cast("double")
+    mean_wl = (
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / n_toks
+    )
+    len_score = F.least(n_chars / 500.0, F.lit(1.0))
+    stop_score = F.least(n_stop / n_toks * 5.0, F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - n_punct / n_chars * 10.0)
+    wl_score = F.when((mean_wl >= 3.0) & (mean_wl <= 8.0), 1.0).otherwise(0.5)
+    return docs.select(
+        F.col(id_col),
+        n_toks.cast("bigint").alias("n_tokens"),
+        F.round((len_score + stop_score + punct_pen + wl_score) / 4.0, 6).alias(
+            "quality"
+        ),
+    ).where(F.col("n_tokens") > 0)
+
+
+def token_count(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Whitespace tokens, BPE-ish regex tokens (letter runs / digit
+    runs / single symbols), and distinct token count."""
+    toks = tokens(F.col(text_col))
+    bpe_re = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(bpe_re), 0)
+        ).cast("bigint").alias("bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("distinct_tokens"),
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    hash every char k-gram, slide a w-window over the hash sequence,
+    keep each window's minimum. Returns one summary row per doc
+    (n_fingerprints / min / max) — join-able as a compact sketch.
+
+    The window-min is a partition-local window function (partitioned
+    by doc), so docs parallelize perfectly and nothing global
+    shuffles beyond the per-doc regroup."""
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(text_col) - (k - 1), F.lit(1))),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.col(text_col).substr(i, F.lit(k)).alias("gram"),
+                ),
+            )
+        ).alias("g"),
+    ).select(
+        F.col(id_col),
+        F.col("g.pos").alias("pos"),
+        hashed(F.col("g.gram"), seed=11, hash_fn=hash_fn).alias("h"),
+    )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy(F.col("pos").asc())
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    fps = grams.select(
+        F.col(id_col), F.min("h").over(win).alias("fp")
+    ).dropDuplicates([id_col, "fp"])
+    return fps.groupBy(id_col).agg(
+        F.count("*").alias("n_fingerprints"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+    )
