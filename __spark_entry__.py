@@ -22,6 +22,7 @@ from faiss_vector_search_spark.operators import (
     index_store,
     ivf,
     knn,
+    lsh,
     textstats,
 )
 
@@ -188,6 +189,22 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
     )
+
+
+def q_ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN top-10 (SURVEY §2b #23) — approximate, so
+    rows-only here; recall/precision gated by tests/test_lsh.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = lsh.ann_lsh_search(emb, _query_vec(emb), k=10, dim=64)
+    return out.select("vec_id", F.col("score").cast(DEC).alias("score"))
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale variant of dedup_embedding_cosine: LSH-bucket blocking +
+    exact in-bucket verify. Rows-only (approximate candidate gen)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = lsh.near_dup_lsh(emb, threshold=0.45, dim=64)
+    return out.select("id_a", "id_b", F.col("cosine").cast(DEC).alias("cosine"))
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -709,6 +726,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "ann_lsh_search": q_ann_lsh_search,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_count": q_token_count,

@@ -1,0 +1,166 @@
+"""Random-hyperplane LSH for cosine ANN — the 100 TB scale path for
+similarity search and embedding near-dup (SURVEY.md §2b #23).
+
+Charikar-style signatures: L tables × B hyperplane bits. A vector's
+bucket in table t is the sign-pattern of its dots with that table's
+planes. Near vectors collide in ≥1 table with high probability;
+within-bucket verification makes precision exact.
+
+Signature computation is a single Arrow-batched ``mapInPandas`` doing
+one (batch × dim) @ (dim × L·B) matmul per batch — the pattern a GPU
+embedder would use, and ~100× cheaper than per-element JVM folds for
+wide signature banks. Planes are deterministic (seeded Gaussian,
+broadcast via closure: L·B·dim doubles ≈ KBs).
+
+Bucket joins shuffle only (id, table, bucket) triples — never the
+vectors themselves; vectors re-join candidates by id afterwards.
+
+Parameter tuning: per-table collision probability for two vectors at
+angle θ is ``(1 - θ/π)^n_bits``; over L tables, ``1-(1-p)^L``. The
+defaults (4 bits × 24 tables for top-k, 5 × 24 for near-dup) target
+the *weak*-similarity regime of the test corpus (top-10 neighbors at
+cos 0.21-0.37). Real embedding corpora with near-dups at cos ≥ 0.8
+should raise n_bits to 10-16 (fewer, smaller buckets → candidate set
+~L·n/2^bits stays sublinear at 100 TB) and can drop tables to 4-8.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .knn import SCORE_DECIMALS
+
+
+def _planes(dim: int, n_tables: int, n_bits: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_tables * n_bits, dim))
+
+
+def lsh_buckets(
+    vectors: DataFrame,
+    dim: int = 64,
+    n_tables: int = 24,
+    n_bits: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, table, bucket): one row per (vector, table)."""
+    planes = _planes(dim, n_tables, n_bits, seed)
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+
+    def sigs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bits = (mat @ planes.T) > 0  # (n, L*B)
+            bits = bits.reshape(len(pdf), n_tables, n_bits)
+            buckets = bits @ weights  # (n, L)
+            out = pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy().repeat(n_tables),
+                    "table": np.tile(np.arange(n_tables), len(pdf)),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+            yield out
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        sigs, schema=f"{id_col} bigint, table int, bucket bigint"
+    )
+
+
+def ann_lsh_search(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    n_tables: int = 24,
+    n_bits: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: candidates = union of the query's buckets
+    across tables, then exact IP scoring of candidates only."""
+    from ..functions import vector as V
+
+    corpus_buckets = lsh_buckets(
+        corpus, dim, n_tables, n_bits, seed, id_col, vec_col
+    )
+    query_buckets = lsh_buckets(
+        query.select(
+            F.lit(-1).cast("bigint").alias(id_col),
+            F.col(query_vec_col).alias(vec_col),
+        ),
+        dim, n_tables, n_bits, seed, id_col, vec_col,
+    ).select("table", "bucket")
+
+    cand_ids = (
+        corpus_buckets.join(F.broadcast(query_buckets), ["table", "bucket"])
+        .select(id_col)
+        .distinct()
+    )
+    cands = corpus.join(cand_ids, id_col, "leftsemi")
+    return (
+        cands.crossJoin(F.broadcast(query.select(query_vec_col)))
+        .select(
+            F.col(id_col),
+            F.round(
+                V.ip_score(F.col(vec_col), F.col(query_vec_col)), SCORE_DECIMALS
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def near_dup_lsh(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    dim: int = 64,
+    n_tables: int = 24,
+    n_bits: int = 5,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs via bucket-blocked candidate
+    generation + exact cosine verification — the scale variant of
+    ``dedup.embedding_cosine_pairs`` (same output contract)."""
+    from ..functions import vector as V
+
+    buckets = lsh_buckets(emb, dim, n_tables, n_bits, seed, id_col, vec_col)
+    left = buckets.select(
+        F.col(id_col).alias("id_a"), "table", "bucket"
+    )
+    right = buckets.select(
+        F.col(id_col).alias("id_b"), "table", "bucket"
+    )
+    cand = (
+        left.join(right, ["table", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                V.ip_score(F.col("v_a"), F.col("v_b")), SCORE_DECIMALS
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,78 @@
+"""Property gates for the hyperplane-LSH ANN path (SURVEY.md §2b #23):
+recall vs the brute-force oracle, exact precision of the verify step.
+These are the rows-only checks standing in for a SQL oracle — the
+operator is approximate by design."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from faiss_vector_search_spark import io as fio
+from faiss_vector_search_spark.operators import dedup, knn, lsh
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_small):
+    return fio.load_table(spark, sf_small, "embeddings").cache()
+
+
+def _query(emb, vec_id):
+    return emb.where(F.col("vec_id") == vec_id).select(
+        F.col("embedding").alias("query_vec")
+    )
+
+
+def test_ann_lsh_recall_at_10(spark, emb):
+    """Mean recall@10 over several queries ≥ 0.9 vs brute force."""
+    recalls = []
+    for qid in (0, 7, 42, 99, 250):
+        q = _query(emb, qid)
+        exact = {r.vec_id for r in knn.topk(emb, q, k=10, metric="ip").collect()}
+        approx = {
+            r.vec_id
+            for r in lsh.ann_lsh_search(emb, q, k=10, dim=64).collect()
+        }
+        recalls.append(len(exact & approx) / len(exact))
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_ann_lsh_scores_are_exact_for_returned_ids(spark, emb):
+    """LSH only prunes candidates; scores of returned rows must equal
+    the brute-force scores (the verify step is exact)."""
+    q = _query(emb, 3)
+    exact = {
+        r.vec_id: r.score
+        for r in knn.topk(emb, q, k=500, metric="ip").collect()
+    }
+    for r in lsh.ann_lsh_search(emb, q, k=10, dim=64).collect():
+        assert abs(exact[r.vec_id] - r.score) < 1e-9
+
+
+def test_near_dup_lsh_recall_and_precision(spark, emb):
+    """Bucket-blocked near-dup vs the exact O(n²) pairs: perfect
+    precision (exact in-bucket verify) and recall ≥ 0.8."""
+    tau = 0.45
+    exact_pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_cosine_pairs(emb, threshold=tau).collect()
+    }
+    lsh_pairs = {
+        (r.id_a, r.id_b)
+        for r in lsh.near_dup_lsh(emb, threshold=tau, dim=64).collect()
+    }
+    assert exact_pairs, "test corpus must contain near-dup pairs"
+    assert lsh_pairs <= exact_pairs  # precision 1.0
+    assert len(lsh_pairs & exact_pairs) / len(exact_pairs) >= 0.8
+
+
+def test_lsh_buckets_shape(spark, emb):
+    """One (id, table, bucket) row per vector per table; buckets in
+    [0, 2^bits)."""
+    n = emb.count()
+    b = lsh.lsh_buckets(emb, dim=64, n_tables=4, n_bits=8).cache()
+    assert b.count() == n * 4
+    stats = b.agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    ).first()
+    assert stats.lo >= 0 and stats.hi < 256
