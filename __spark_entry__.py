@@ -101,6 +101,20 @@ def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_kmeans_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF over a Lloyd-trained quantizer (SURVEY §2a #7) — rows-only;
+    recall + objective gated by tests/test_ivf_kmeans.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ivf.ivf_kmeans_search(
+        emb, _query_vec(emb, vec_id=2), nlist=16, nprobe=12, k=10, iters=3
+    )
+    return out.select(
+        "vec_id",
+        F.col("list_id").cast("int").alias("list_id"),
+        F.col("score").cast(DEC).alias("score"),
+    )
+
+
 def q_vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """encode(normalize=True) parity (ref embedding_service.py:92-96):
     scale each vector by (label+1), re-normalize, emit components."""
@@ -717,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_dynamic_threshold": q_knn_dynamic_threshold,
         "knn_batch": q_knn_batch,
         "ivf_search": q_ivf_search,
+        "ivf_kmeans_search": q_ivf_kmeans_search,
         "vector_normalize": q_vector_normalize,
         "index_stats": q_index_stats,
         "add_documents": q_add_documents,

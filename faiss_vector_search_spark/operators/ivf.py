@@ -116,6 +116,56 @@ def probe_lists(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    nlist: int,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd-refined quantizer — the Spark analogue of FAISS
+    ``IndexIVFFlat.train`` (reference index_service.py:179-185 trains
+    when ≥ 100 vectors are available).
+
+    Each iteration is two distributed steps: (1) assignment = per-row
+    argmin over the *broadcast* centroid array (map-only, no corpus
+    shuffle), (2) new means via ``posexplode`` → partial-aggregated
+    ``groupBy(list_id, pos).avg`` — the shuffle carries only
+    nlist × dim aggregate cells, never vectors. The driver holds just
+    the model state (nlist × dim doubles), exactly like MLlib KMeans;
+    empty lists keep their previous centroid.
+    """
+    spark = corpus.sparkSession
+    cents = {
+        r.cid: [float(x) for x in r.cvec]
+        for r in seeded_centroids(corpus, nlist, id_col, vec_col).collect()
+    }
+    for _ in range(iters):
+        cents_df = spark.createDataFrame(
+            sorted(cents.items()), "cid int, cvec array<double>"
+        )
+        assigned = assign_lists(corpus, cents_df, vec_col=vec_col)
+        mean_rows = (
+            assigned.select(
+                "list_id",
+                F.posexplode(
+                    F.transform(F.col(vec_col), lambda x: x.cast("double"))
+                ).alias("pos", "x"),
+            )
+            .groupBy("list_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_list: dict[int, dict[int, float]] = {}
+        for r in mean_rows:
+            by_list.setdefault(r.list_id, {})[r.pos] = r.m
+        for cid, dims in by_list.items():
+            cents[cid] = [dims[p] for p in range(len(dims))]
+    return spark.createDataFrame(
+        sorted(cents.items()), "cid int, cvec array<double>"
+    )
+
+
 def ivf_search(
     corpus: DataFrame,
     query: DataFrame,
@@ -125,15 +175,21 @@ def ivf_search(
     metric: str = "ip",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """End-to-end IVF search with the seeded quantizer.
+    """End-to-end IVF search (seeded quantizer by default, or pass
+    ``centroids`` e.g. from :func:`kmeans_centroids`).
 
     Plan shape: broadcast centroids → map-side assignment → semi-join
     on the (broadcast) probe set → score only surviving rows → local
     top-k. With a persisted index the assignment step is replaced by
     partition pruning on ``list_id``.
     """
-    cents = seeded_centroids(corpus, nlist, id_col=id_col, vec_col=vec_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else seeded_centroids(corpus, nlist, id_col=id_col, vec_col=vec_col)
+    )
     assigned = assign_lists(corpus, cents, vec_col=vec_col)
     probes = probe_lists(query, cents, nprobe)
     candidates = assigned.join(
@@ -155,4 +211,23 @@ def ivf_search(
         )
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def ivf_kmeans_search(
+    corpus: DataFrame,
+    query: DataFrame,
+    nlist: int = 16,
+    nprobe: int = 4,
+    k: int = 10,
+    iters: int = 5,
+    metric: str = "ip",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search over a k-means-trained quantizer (SURVEY §2a #7).
+    Approximate — gated by recall tests, not the SQL oracle."""
+    cents = kmeans_centroids(corpus, nlist, iters, id_col, vec_col)
+    return ivf_search(
+        corpus, query, nlist, nprobe, k, metric, id_col, vec_col, centroids=cents
     )

@@ -1,0 +1,29 @@
+"""Driver-faithful verification (see .claude/skills/verify/SKILL.md):
+entry() smoke + every queries()/oracle_sql() pair vs DuckDB at sf0.01."""
+from pyspark.sql import SparkSession
+import __spark_entry__ as m
+import duckdb, decimal, hashlib
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.sql.shuffle.partitions", "8")
+         .config("spark.ui.enabled", "false").getOrCreate())
+print("entry rows:", len(m.entry(spark).collect()))
+sf = "/root/testdata/sf0.01"
+con = duckdb.connect()
+for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+def vhash(pdf):
+    cols = sorted(pdf.columns)
+    canon = sorted(repr(tuple(float(v) if isinstance(v, decimal.Decimal) else v for v in r))
+                   for r in pdf[cols].itertuples(index=False))
+    return hashlib.md5("\n".join(canon).encode()).hexdigest()[:12]
+qs, os_ = m.queries(), m.oracle_sql()
+bad = 0
+for k, fn in qs.items():
+    s = fn(spark, sf).toPandas()
+    if k not in os_:
+        print(f"{k}: rows-only {len(s)}"); continue
+    d = con.sql(os_[k]).df()
+    ok = len(s) == len(d) and vhash(s) == vhash(d)
+    bad += not ok
+    print(f"{k}: rows {len(s)}/{len(d)} -> {'MATCH' if ok else 'MISMATCH'}")
+print("FAIL" if bad else "ALL MATCH")

@@ -1,0 +1,71 @@
+"""Property gates for the k-means-trained IVF quantizer (SURVEY.md
+§2a #7) — approximate, so gated on recall and on the Lloyd objective
+rather than a SQL oracle.
+
+The test corpus is near-random (top-10 neighbors at cos 0.21-0.37),
+the worst case for any clustering index; real embedding corpora
+cluster far more tightly and reach the same recall at much lower
+nprobe/nlist ratios."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from faiss_vector_search_spark import io as fio
+from faiss_vector_search_spark.functions import vector as V
+from faiss_vector_search_spark.operators import ivf, knn
+
+NLIST = 16
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_small):
+    return fio.load_table(spark, sf_small, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def trained(emb):
+    c = ivf.kmeans_centroids(emb, NLIST, iters=5).cache()
+    c.count()
+    return c
+
+
+def _objective(emb, cents) -> float:
+    """Mean squared distance to the assigned centroid (Lloyd loss)."""
+    assigned = ivf.assign_lists(emb, cents)
+    joined = assigned.join(
+        F.broadcast(cents), assigned["list_id"] == cents["cid"]
+    )
+    return joined.agg(
+        F.avg(V.l2_sq(F.col("embedding"), F.col("cvec"))).alias("o")
+    ).first().o
+
+
+def test_kmeans_improves_quantizer(spark, emb, trained):
+    seeded = ivf.seeded_centroids(emb, NLIST)
+    assert _objective(emb, trained) < _objective(emb, seeded)
+
+
+def test_kmeans_centroid_shape(spark, trained):
+    rows = trained.collect()
+    assert len(rows) == NLIST
+    assert all(len(r.cvec) == 64 for r in rows)
+    assert sorted(r.cid for r in rows) == list(range(NLIST))
+
+
+def test_ivf_kmeans_recall_at_10(spark, emb, trained):
+    recalls = []
+    for qid in (0, 7, 42, 99, 250):
+        q = emb.where(F.col("vec_id") == qid).select(
+            F.col("embedding").alias("query_vec")
+        )
+        exact = {r.vec_id for r in knn.topk(emb, q, k=10, metric="ip").collect()}
+        approx = {
+            r.vec_id
+            for r in ivf.ivf_search(
+                emb, q, NLIST, nprobe=12, k=10, centroids=trained
+            ).collect()
+        }
+        recalls.append(len(exact & approx) / len(exact))
+    assert sum(recalls) / len(recalls) >= 0.85, recalls
