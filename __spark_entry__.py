@@ -251,6 +251,14 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-style greedy + conversational chunking (SURVEY §2a
+    #13/#15) — rows-only; invariants gated by tests/test_chunking.py."""
+    return chunking.chunk_greedy(
+        _t(spark, sf_dir, "documents"), min_size=100, max_size=250, overlap=20
+    )
+
+
 def q_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunking.chunk_fixed(
         _t(spark, sf_dir, "documents"), size=200, overlap=50
@@ -748,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
         "chunk_fixed": q_chunk_fixed,
+        "chunk_documents_greedy": q_chunk_documents_greedy,
         "tpch_q1": q_tpch_q1,
         "top_customers_by_nation": q_top_customers_by_nation,
         "part_revenue_share": q_part_revenue_share,

@@ -1,0 +1,135 @@
+"""Invariant gates for the greedy / conversational chunkers
+(SURVEY.md §2a #13/#15, reference chunk_text_files.py:85-273 behavior):
+size bounds, content coverage, overlap, turn integrity. These are the
+rows-only checks standing in for a SQL oracle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from faiss_vector_search_spark import io as fio
+from faiss_vector_search_spark.operators import chunking
+
+MIN, MAX, OVERLAP = 500, 2000, 100
+
+
+def _mk_paragraphs(n: int, size: int) -> str:
+    return "\n\n".join(
+        f"para{i:03d} " + ("word " * ((size - 8) // 5)).strip() for i in range(n)
+    )
+
+
+def _mk_sentences(n: int, size: int) -> str:
+    return " ".join(
+        f"Sentence {i:03d} " + ("w " * ((size - 16) // 2)).strip() + "."
+        for i in range(n)
+    )
+
+
+class TestGreedyUnit:
+    def test_size_bounds(self):
+        text = _mk_paragraphs(20, 300)
+        chunks = chunking._greedy_chunks(text, MIN, MAX, OVERLAP)
+        assert len(chunks) > 1
+        for ch in chunks:
+            assert len(ch) <= MAX
+        for ch in chunks[:-1]:
+            assert len(ch) >= MIN
+
+    def test_coverage_all_paragraphs_present(self):
+        text = _mk_paragraphs(20, 300)
+        joined = "".join(chunking._greedy_chunks(text, MIN, MAX, OVERLAP))
+        for i in range(20):
+            assert f"para{i:03d}" in joined
+
+    def test_overlap_carried(self):
+        text = _mk_paragraphs(20, 300)
+        chunks = chunking._greedy_chunks(text, MIN, MAX, OVERLAP)
+        for prev, nxt in zip(chunks, chunks[1:]):
+            assert nxt[:OVERLAP] in prev
+
+    def test_oversized_paragraph_sentence_split(self):
+        text = _mk_sentences(30, 200)  # one 6000-char "paragraph"
+        chunks = chunking._greedy_chunks(text, MIN, MAX, OVERLAP)
+        assert len(chunks) > 1
+        assert all(len(ch) <= MAX for ch in chunks)
+
+    def test_empty_and_tiny(self):
+        assert chunking._greedy_chunks("", MIN, MAX, OVERLAP) == []
+        assert chunking._greedy_chunks("tiny", MIN, MAX, OVERLAP) == ["tiny"]
+
+
+class TestConversationalUnit:
+    TEXT = "\n\n".join(
+        f"{'K' if i % 2 == 0 else 'V'}: turn {i:03d} " + "blah " * 60
+        for i in range(16)
+    )
+
+    def test_turn_integrity(self):
+        chunks = chunking._conversational_chunks(self.TEXT, MIN, MAX)
+        assert len(chunks) > 1
+        for ch in chunks:
+            assert ch.startswith(("K:", "V:"))
+        joined = "".join(chunks)
+        for i in range(16):
+            assert f"turn {i:03d}" in joined
+
+    def test_overlap_turn_shared(self):
+        chunks = chunking._conversational_chunks(self.TEXT, MIN, MAX)
+        for prev, nxt in zip(chunks, chunks[1:]):
+            first_turn = nxt.split("\n\n")[0]
+            assert first_turn in prev
+
+    def test_size_bounds(self):
+        chunks = chunking._conversational_chunks(self.TEXT, MIN, MAX)
+        for ch in chunks[:-1]:
+            assert MIN <= len(ch) <= MAX
+
+
+class TestOperator:
+    @pytest.fixture(scope="class")
+    def chunked(self, spark, sf_small):
+        docs = fio.load_table(spark, sf_small, "documents")
+        return chunking.chunk_greedy(
+            docs, min_size=100, max_size=250, overlap=20
+        ).cache()
+
+    def test_every_doc_chunked(self, spark, sf_small, chunked):
+        docs = fio.load_table(spark, sf_small, "documents")
+        n_docs = docs.where(F.length("text") > 0).count()
+        assert chunked.select("doc_id").distinct().count() == n_docs
+
+    def test_chunk_ids_contiguous_and_starts_monotone(self, chunked):
+        bad = chunked.groupBy("doc_id").agg(
+            F.count("*").alias("n"),
+            F.max("chunk_id").alias("mx"),
+            F.min("chunk_id").alias("mn"),
+            (
+                F.array_sort(F.collect_list(F.struct("chunk_id", "start")))
+            ).alias("seq"),
+        ).where(
+            (F.col("mn") != 0)
+            | (F.col("mx") != F.col("n") - 1)
+            | F.exists(
+                F.zip_with(
+                    F.col("seq"),
+                    F.slice(F.col("seq"), 2, 1_000_000),
+                    lambda a, b: b["start"] <= a["start"],
+                ),
+                lambda x: x,
+            )
+        )
+        assert bad.count() == 0
+
+    def test_no_empty_chunks(self, chunked):
+        assert chunked.where(F.length("chunk") == 0).count() == 0
+
+    def test_short_doc_round_trips(self, spark, sf_small, chunked):
+        """Docs that fit in one chunk come back verbatim."""
+        docs = fio.load_table(spark, sf_small, "documents")
+        small = docs.where(F.length("text") <= 250).select("doc_id", "text")
+        joined = small.join(chunked, "doc_id").where(
+            F.col("chunk") != F.col("text")
+        )
+        assert joined.count() == 0
