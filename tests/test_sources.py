@@ -1,0 +1,132 @@
+"""Plumbing gates for the ingestion sources (SURVEY.md §2a #16/#17,
+§2b #29): binaryFile scans, Arrow-batched decode operators, and the
+build-from-dir pipeline — decode kernels injected as deterministic
+fakes where the real libraries are absent from the container."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from faiss_vector_search_spark.sources import docx, multimodal, text_dir
+
+
+@pytest.fixture(scope="module")
+def text_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("txts")
+    for i in range(6):
+        body = "\n\n".join(
+            f"file{i} para{j} " + "lorem word text data " * 12 for j in range(8)
+        )
+        (d / f"doc_{i}.txt").write_text(body)
+    (d / "ignore.bin").write_bytes(b"\x00\x01")
+    return str(d)
+
+
+class TestTextDir:
+    def test_read_text_dir(self, spark, text_files):
+        df = text_dir.read_text_dir(spark, text_files).cache()
+        assert df.count() == 6  # glob pruned the .bin
+        row = df.orderBy("path").first()
+        assert row.text.startswith("file0 para0")
+        assert row.n_bytes == len(row.text.encode())
+        assert df.select("doc_id").distinct().count() == 6
+
+    def test_doc_ids_stable_across_reads(self, spark, text_files):
+        a = {r.doc_id for r in text_dir.read_text_dir(spark, text_files).collect()}
+        b = {r.doc_id for r in text_dir.read_text_dir(spark, text_files).collect()}
+        assert a == b
+
+    def test_build_index_from_dir(self, spark, text_files):
+        idx = text_dir.build_index_from_dir(
+            spark, text_files, dim=32, min_size=200, max_size=400, overlap=40
+        ).cache()
+        n = idx.count()
+        assert n >= 12  # >1 chunk per doc
+        assert idx.select("vec_id").distinct().count() == n
+        assert set(idx.columns) == {
+            "vec_id", "doc_id", "chunk_id", "chunk", "embedding",
+        }
+        norms = idx.select(
+            F.aggregate(
+                F.transform("embedding", lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("n2")
+        ).collect()
+        assert all(abs(r.n2 - 1.0) < 1e-9 for r in norms)
+
+
+class TestDocx:
+    def test_default_decoder_stubbed(self):
+        with pytest.raises(NotImplementedError):
+            docx.default_docx_decoder(b"PK\x03\x04fake")
+
+    def test_read_docx_dir_with_injected_decoder(self, spark, tmp_path):
+        for i in range(3):
+            (tmp_path / f"f{i}.docx").write_bytes(f"RAW{i}".encode() * 10)
+        (tmp_path / "other.txt").write_text("skip me")
+
+        def fake_decoder(data: bytes) -> str:
+            return f"decoded:{len(data)}"
+
+        df = docx.read_docx_dir(spark, str(tmp_path), decoder=fake_decoder).cache()
+        rows = df.orderBy("path").collect()
+        assert len(rows) == 3
+        assert all(r.text == f"decoded:{r.n_bytes}" for r in rows)
+        assert len({r.doc_id for r in rows}) == 3
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (i, "image", bytes(range(256)) * (i + 1), {"src": f"img{i}"})
+        for i in range(4)
+    ]
+    return spark.createDataFrame(rows, multimodal.ITEM_SCHEMA).cache()
+
+
+class TestMultimodal:
+    def test_read_media_dir(self, spark, tmp_path):
+        for i in range(3):
+            (tmp_path / f"a{i}.jpg").write_bytes(b"\xff\xd8" + bytes(100))
+        df = multimodal.read_media_dir(spark, str(tmp_path), "image", "*.jpg")
+        rows = df.collect()
+        assert len(rows) == 3
+        assert all(r.modality == "image" for r in rows)
+        assert all(r.meta["n_bytes"] == "102" for r in rows)
+
+    def test_decode_images_default_is_stubbed(self, spark, media):
+        with pytest.raises(Exception) as exc_info:
+            multimodal.decode_images(media).collect()
+        assert "NotImplementedError" in str(exc_info.value) or isinstance(
+            exc_info.value, NotImplementedError
+        )
+
+    def test_decode_images_with_fake_kernel(self, spark, media):
+        def fake_kernel(payload: bytes):
+            return len(payload) % 1000, len(payload) // 1000, 3
+
+        out = multimodal.decode_images(media, kernel=fake_kernel)
+        rows = {r.item_id: r for r in out.collect()}
+        assert len(rows) == 4
+        assert rows[1].width == 512 % 1000 and rows[1].channels == 3
+
+    def test_extract_features_deterministic(self, spark, media):
+        a = multimodal.extract_features(media, dim=16).orderBy("item_id").collect()
+        b = multimodal.extract_features(media, dim=16).orderBy("item_id").collect()
+        assert [r.features for r in a] == [r.features for r in b]
+        for r in a:
+            v = np.array(r.features)
+            assert v.shape == (16,)
+            assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+
+    def test_sample_frames_explode_shape(self, spark, media):
+        out = multimodal.sample_frames(media, frame_bytes=256, every_n=2)
+        rows = out.collect()
+        # item i has 256*(i+1) bytes → i+1 frames → ceil((i+1)/2) sampled
+        expect = sum((i + 1 + 1) // 2 for i in range(4))
+        assert len(rows) == expect
+        assert all(len(r.frame) == 256 for r in rows)
+        assert all(r.frame_idx % 2 == 0 for r in rows)
