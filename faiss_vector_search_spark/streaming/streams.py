@@ -1,0 +1,131 @@
+"""Structured Streaming operators (SURVEY.md §2c #35/#36).
+
+Two streaming shapes re-expressed from the engine's batch operators:
+
+* :func:`streaming_tumbling_agg` — the watermark + tumbling-window
+  event aggregation. Same result contract as
+  ``analytics.tumbling_window_agg`` on the union of all micro-batches
+  (the test gate); the watermark bounds state so a 100 TB/day stream
+  holds only (watermark / window) × |keys| aggregate cells per
+  executor, never raw events.
+
+* :func:`incremental_index_add` — the online version of the
+  reference's incremental adds (reference
+  components2/faiss_retriever.py:194-296 ``add_task_output`` /
+  ``add_knowledge_documents``: embed new payloads, append to the live
+  index). New vector batches stream in; ``foreachBatch`` applies the
+  same id-deduplicated append as ``index_store.add_vectors`` against
+  the parquet index. foreachBatch (vs a stateful operator) is the
+  right scale shape here: the index is a table, not per-key state, and
+  each micro-batch is one atomic parquet append driven by the batch
+  writer's committers.
+
+File-source streams (``readStream.parquet`` on a directory) are the
+test harness; in production the same plans bind to Kafka/queue sources
+unchanged — source choice is config, not code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+EVENT_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source event stream: every parquet file that lands in
+    ``events_dir`` becomes (part of) a micro-batch. The testdata
+    layout carries ``ts`` as int64 nanoseconds (see io.load_table);
+    a proper ``event_time`` timestamp is derived for watermarking."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def streaming_tumbling_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window counts/sums per event type.
+
+    Output contract matches ``analytics.tumbling_window_agg`` (hour =
+    window start). Events later than the watermark are dropped —
+    that's the documented late-data policy, traded for bounded state.
+    """
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).cast("decimal(18,2)").alias("sum_value"),
+            F.round(F.avg("value"), 6).cast("decimal(18,6)").alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("hour"), "event_type",
+                "n_events", "sum_value", "avg_value")
+    )
+
+
+def run_to_completion(stream: DataFrame, sink_table: str) -> None:
+    """Drain all available input into an in-memory sink (test helper):
+    Trigger.AvailableNow processes every pending file then stops."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete" if stream.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+VECTOR_SCHEMA = "vec_id bigint, embedding array<float>, label int"
+
+
+def incremental_index_add(
+    spark: SparkSession,
+    source_dir: str,
+    index_path: str,
+    id_col: str = "vec_id",
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """Stream new vector batches into the parquet index with the same
+    append + id-dedup semantics as ``index_store.add_vectors``.
+
+    Each micro-batch anti-joins against *current* indexed ids (a
+    column-pruned parquet scan of just ``id_col``) and appends only
+    fresh rows — append mode, never a rewrite of the existing index.
+    """
+    from ..operators import index_store  # noqa: F401 (semantics source)
+
+    new_vectors = (
+        spark.readStream.schema(VECTOR_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+    def add_batch(batch: DataFrame, batch_id: int) -> None:
+        try:
+            existing_ids = spark.read.parquet(index_path).select(id_col)
+        except Exception:  # first batch: index does not exist yet
+            batch.dropDuplicates([id_col]).write.mode("append").parquet(index_path)
+            return
+        fresh = batch.dropDuplicates([id_col]).join(
+            existing_ids, on=id_col, how="left_anti"
+        )
+        fresh.write.mode("append").parquet(index_path)
+
+    writer = new_vectors.writeStream.foreachBatch(add_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -1,0 +1,68 @@
+"""Streaming gates (SURVEY.md §2c #35/#36): the windowed streaming agg
+equals its batch twin over the same data, and the incremental index
+add applies id-deduplicated appends across micro-batches."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from faiss_vector_search_spark import io as fio
+from faiss_vector_search_spark.operators import analytics
+from faiss_vector_search_spark.streaming import streams
+
+
+@pytest.fixture()
+def events_stream_dir(spark, sf_small, tmp_path):
+    """Events split into 3 files so the file source sees multiple
+    micro-batches (maxFilesPerTrigger=1)."""
+    src = fio.load_table(spark, sf_small, "events")
+    out = tmp_path / "events_in"
+    src.repartition(3).write.parquet(str(out))
+    return str(out)
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_small, events_stream_dir):
+    stream = streams.stream_events(spark, events_stream_dir)
+    agg = streams.streaming_tumbling_agg(stream, watermark="100 days")
+    streams.run_to_completion(agg, "stream_agg")
+
+    got = {
+        (r.hour, r.event_type): (r.n_events, float(r.sum_value))
+        for r in spark.table("stream_agg").collect()
+    }
+    want = {
+        (r.hour, r.event_type): (r.n_events, float(r.sum_value))
+        for r in analytics.tumbling_window_agg(
+            fio.load_table(spark, sf_small, "events")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_incremental_index_add_dedups_across_batches(spark, sf_small, tmp_path):
+    emb = fio.load_table(spark, sf_small, "embeddings")
+    src = tmp_path / "incoming"
+    idx = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: ids 0-199; batch 2: ids 100-299 (100 dupes); batch 3:
+    # ids 250-299 again (all dupes)
+    emb.where("vec_id < 200").coalesce(1).write.parquet(str(src / "b1"))
+    shutil.move(str(next((src / "b1").glob("*.parquet"))), str(src / "f1.parquet"))
+    emb.where("vec_id >= 100 AND vec_id < 300").coalesce(1).write.parquet(str(src / "b2"))
+    shutil.move(str(next((src / "b2").glob("*.parquet"))), str(src / "f2.parquet"))
+    emb.where("vec_id >= 250 AND vec_id < 300").coalesce(1).write.parquet(str(src / "b3"))
+    shutil.move(str(next((src / "b3").glob("*.parquet"))), str(src / "f3.parquet"))
+    for d in ("b1", "b2", "b3"):
+        shutil.rmtree(str(src / d))
+
+    q = streams.incremental_index_add(spark, str(src), idx, checkpoint=ckpt)
+    q.awaitTermination()
+
+    final = spark.read.parquet(idx)
+    assert final.count() == 300
+    assert final.select("vec_id").distinct().count() == 300
+    assert final.agg(F.min("vec_id"), F.max("vec_id")).first() == (0, 299)
