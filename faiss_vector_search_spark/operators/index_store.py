@@ -64,3 +64,11 @@ def index_stats(
         F.round(F.avg(norm(F.col(vec_col))), 6).alias("avg_norm"),
         F.count_distinct(F.col(id_col)).alias("distinct_ids"),
     )
+
+
+def clear_index(spark: SparkSession, path: str) -> None:
+    """``clear``: overwrite with an empty frame of the same schema
+    (reference index_service.py:103-141 resets index + metadata). The
+    schema survives so a subsequent load/add still binds."""
+    schema = spark.read.parquet(path).schema
+    spark.createDataFrame([], schema).write.mode("overwrite").parquet(path)

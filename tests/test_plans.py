@@ -1,0 +1,101 @@
+"""Plan-shape gates (SURVEY.md §5.3): the physical plans Catalyst
+produces must be the plans the 100 TB design calls for — broadcasts
+where a side is small, predicate pushdown reaching the parquet scan,
+per-partition top-k instead of a global sort, and no corpus shuffle in
+the kNN path. A correctness-green operator with the wrong plan shape
+fails here."""
+
+from __future__ import annotations
+
+import contextlib
+import io as pyio
+
+import pytest
+from pyspark.sql import functions as F
+
+from faiss_vector_search_spark import io as fio
+from faiss_vector_search_spark.operators import analytics, ivf, knn
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = pyio.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def has_codegen(df) -> bool:
+    """Whole-stage-codegen spans only appear in the AQE *final* plan,
+    so execute first, then read the executed plan."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return "WholeStageCodegen" in plan or "*(" in plan
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_small):
+    return fio.load_table(spark, sf_small, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def query(emb):
+    return emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_vec")
+    )
+
+
+def test_knn_topk_is_take_ordered_no_corpus_shuffle(emb, query):
+    plan = plan_of(knn.topk(emb, query, k=10))
+    assert "TakeOrderedAndProject" in plan  # per-partition top-k + merge
+    assert "Exchange hashpartitioning" not in plan  # corpus never shuffles
+    assert "BroadcastNestedLoopJoin" in plan  # single-row query broadcast
+
+
+def test_knn_no_python_udf_in_scan_loop(emb, query):
+    plan = plan_of(knn.topk(emb, query, k=10))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert has_codegen(knn.topk(emb, query, k=10))
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_small):
+    # orders, not embeddings: other test modules cache() embeddings and
+    # a cache hit would replace the parquet scan we're asserting on.
+    df = fio.load_table(spark, sf_small, "orders").where(
+        F.col("o_orderkey") < 100
+    ).select("o_orderkey")
+    plan = plan_of(df)
+    assert (
+        "PushedFilters: [IsNotNull(o_orderkey), LessThan(o_orderkey,100)]"
+        in plan
+    )
+    # column pruning: only the filtered key column leaves the scan
+    assert "ReadSchema: struct<o_orderkey:bigint>" in plan
+
+
+def test_ivf_probe_set_is_broadcast(emb, query):
+    plan = plan_of(ivf.ivf_search(emb, query, nlist=8, nprobe=2, k=5))
+    assert "BroadcastExchange" in plan
+    assert plan.count("Exchange hashpartitioning") == 0  # map-side assign
+
+
+def test_small_dim_join_is_broadcast(spark, sf_small):
+    out = analytics.top_customers_by_nation(
+        fio.load_table(spark, sf_small, "customer"),
+        fio.load_table(spark, sf_small, "orders"),
+        fio.load_table(spark, sf_small, "nation"),
+        top_n=3,
+    )
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan  # nation (25 rows) must broadcast
+
+
+def test_tpch_q1_partial_aggregation(spark, sf_small):
+    plan = plan_of(
+        analytics.pricing_summary(fio.load_table(spark, sf_small, "lineitem"))
+    )
+    # map-side combine: a partial_ aggregate must run before the shuffle
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert has_codegen(
+        analytics.pricing_summary(fio.load_table(spark, sf_small, "lineitem"))
+    )
