@@ -30,18 +30,31 @@ def tokens_sql(expr: str) -> str:
     )
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles joined by a single space."""
-    toks = tokens(text)
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a (materialized) token
+    array. ``element_at`` per offset, not ``slice``: slice allocates
+    an array per position, element_at is O(1) reads."""
     k = F.size(toks) - (n - 1)
     joined = F.transform(
         # sequence(0, k-1) would count DOWN for k<=0 — guard to empty.
         F.when(k <= 0, F.array().cast("array<int>")).otherwise(
             F.sequence(F.lit(0), k - 1)
         ),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+        ),
     )
     return F.array_distinct(joined)
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles joined by a single space.
+
+    Prefer tokenizing into a real column first and calling
+    :func:`shingles_from_tokens` — referencing this whole expression
+    from a filter makes Catalyst substitute (and re-evaluate) it below
+    the projection."""
+    return shingles_from_tokens(tokens(text), n)
 
 
 def shingles_sql(expr: str, n: int = 3) -> str:

@@ -149,25 +149,29 @@ def chunk_greedy(
     text_col: str = "text",
 ) -> DataFrame:
     """Reference-style greedy chunking over a corpus: Arrow-batched
-    ``applyInPandas`` keyed by document. Conversational docs (K:/V:
-    markers) use turn-aware splitting."""
+    ``mapInPandas`` — chunking is per-document, so no grouping shuffle
+    is needed; each scan partition chunks its own documents.
+    Conversational docs (K:/V: markers) use turn-aware splitting."""
 
-    def chunk_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for _, r in pdf.iterrows():
-            text = r[text_col] or ""
-            if re.search(r"(?:^|\s)[KV]:", text, re.MULTILINE):
-                chunks = _conversational_chunks(text, min_size, max_size)
-            else:
-                chunks = _greedy_chunks(text, min_size, max_size, overlap)
-            pos = 0
-            for i, ch in enumerate(chunks):
-                rows.append((r[id_col], i, pos, ch))
-                pos += len(ch)
-        return pd.DataFrame(rows, columns=["doc_id", "chunk_id", "start", "chunk"])
+    conv_re = re.compile(r"(?:^|\s)[KV]:", re.MULTILINE)
 
-    return (
-        docs.select(F.col(id_col), F.col(text_col))
-        .groupBy(id_col)
-        .applyInPandas(chunk_batch, schema=CHUNK_SCHEMA)
+    def chunk_batches(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                text = text or ""
+                if conv_re.search(text):
+                    chunks = _conversational_chunks(text, min_size, max_size)
+                else:
+                    chunks = _greedy_chunks(text, min_size, max_size, overlap)
+                pos = 0
+                for i, ch in enumerate(chunks):
+                    rows.append((doc_id, i, pos, ch))
+                    pos += len(ch)
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "chunk_id", "start", "chunk"]
+            )
+
+    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        chunk_batches, schema=CHUNK_SCHEMA
     )

@@ -50,10 +50,20 @@ def exact_dedup(
 def _shingle_sets(
     docs: DataFrame, n: int, id_col: str, text_col: str
 ) -> DataFrame:
-    """(id, shingles) for docs with at least n tokens."""
-    return docs.select(
-        F.col(id_col), shingles(F.col(text_col), n).alias("shingles")
-    ).where(F.size("shingles") >= 1)
+    """(id, shingles) for docs with at least n tokens.
+
+    Tokens are materialized as a column and the length filter runs on
+    *them*, so the shingle transform is built once per row — filtering
+    on size(shingles) would substitute the whole shingle expression
+    into the filter and evaluate it twice."""
+    from ..functions.text import shingles_from_tokens, tokens
+
+    tokd = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("toks")
+    ).where(F.size("toks") >= n)
+    return tokd.select(
+        F.col(id_col), shingles_from_tokens(F.col("toks"), n).alias("shingles")
+    )
 
 
 def _jaccard(a, b):
@@ -98,18 +108,22 @@ def minhash_signatures(
     text_col: str = "text",
     hash_fn: str = "md5",
 ) -> DataFrame:
-    """(id, shingles, sig_0..sig_{H-1}): per-seed min-hash over the
-    doc's shingle set. One explode + H min-aggregations — map-side
-    combinable, shuffle carries H longs per doc."""
+    """(id, sig_0..sig_{H-1}): per-seed min-hash over the doc's
+    shingle set. One explode + H min-aggregations — map-side
+    combinable, and the grouping key is the bare id (grouping by the
+    shingle *array* would hash the whole array per exploded row);
+    shuffle carries H longs per doc."""
     sh = _shingle_sets(docs, n, id_col, text_col)
-    exploded = sh.select(
-        F.col(id_col), F.col("shingles"), F.explode("shingles").alias("s")
-    )
+    # explode_outer, NOT explode: plain explode makes Catalyst infer a
+    # `size(shingles) > 0 AND isnotnull(shingles)` filter and push it
+    # below the projection, re-evaluating the whole shingle transform
+    # 2-3× per row. The sets are already non-empty by construction.
+    exploded = sh.select(F.col(id_col), F.explode_outer("shingles").alias("s"))
     aggs = [
         F.min(hashed(F.col("s"), seed=i, hash_fn=hash_fn)).alias(f"sig_{i}")
         for i in range(num_hashes)
     ]
-    return exploded.groupBy(id_col, "shingles").agg(*aggs)
+    return exploded.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -149,35 +163,32 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
+    # Band join + pair dedup on (id, band, bval) triples ONLY — the
+    # shingle arrays would otherwise ride the shuffle 2×bands times
+    # per doc. Candidates re-join the (small) shingle table by id.
     banded = sig.select(
-        F.col(id_col), F.col("shingles"), F.explode(band_structs).alias("bs")
+        F.col(id_col), F.explode(band_structs).alias("bs")
     ).select(
         F.col(id_col),
-        F.col("shingles"),
         F.col("bs.band").alias("band"),
         F.col("bs.bval").alias("bval"),
     )
 
-    left = banded.select(
-        F.col(id_col).alias("doc_a"),
-        F.col("shingles").alias("sh_a"),
-        "band",
-        "bval",
-    )
-    right = banded.select(
-        F.col(id_col).alias("doc_b"),
-        F.col("shingles").alias("sh_b"),
-        "band",
-        "bval",
-    )
+    left = banded.select(F.col(id_col).alias("doc_a"), "band", "bval")
+    right = banded.select(F.col(id_col).alias("doc_b"), "band", "bval")
     cand = (
         left.join(right, ["band", "bval"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sh = _shingle_sets(docs, n, id_col, text_col)
     return (
-        cand.select(
+        cand.join(sh.select(F.col(id_col).alias("doc_a"),
+                            F.col("shingles").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col(id_col).alias("doc_b"),
+                        F.col("shingles").alias("sh_b")), "doc_b")
+        .select(
             "doc_a",
             "doc_b",
             F.round(
@@ -199,39 +210,40 @@ def simhash(
     hash_fn: str = "md5",
 ) -> DataFrame:
     """(id, simhash): 60-bit SimHash over the distinct-token set.
-    bit_j = sign of Σ_tokens (±1 by bit j of the token hash)."""
-    toks = docs.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
-    ).withColumn("h", hashed(F.col("tok"), seed=7, hash_fn=hash_fn))
-    # (j, 2^j) as literal pairs — shift amounts must be foldable, so
-    # carry the mask instead of shifting by a column.
-    bit_masks = F.array(
+    bit_j = sign of Σ_tokens (±1 by bit j of the token hash).
+
+    One aggregation with 60 conditional sums (one per bit), NOT a
+    per-bit explode: exploding 60 mask rows per token multiplies the
+    shuffle by 60×; conditional sums keep it at one row per token in
+    and one row per doc out, all map-side combinable.
+    ``explode_outer`` + null-filter on the token explode so Catalyst
+    doesn't re-evaluate the tokenizer inside an inferred pre-filter.
+    """
+    toks = (
+        docs.select(
+            F.col(id_col),
+            F.explode_outer(F.array_distinct(tokens(F.col(text_col)))).alias(
+                "tok"
+            ),
+        )
+        .where(F.col("tok").isNotNull())
+        .withColumn("h", hashed(F.col("tok"), seed=7, hash_fn=hash_fn))
+    )
+    bit_sums = toks.groupBy(id_col).agg(
         *[
-            F.struct(F.lit(j).alias("j"), F.lit(1 << j).alias("mask"))
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
+            ).alias(f"b{j}")
             for j in range(SIMHASH_BITS)
         ]
     )
-    per_bit = (
-        toks.select(F.col(id_col), F.col("h"), F.explode(bit_masks).alias("bm"))
-        .select(
-            F.col(id_col),
-            F.col("bm.j").alias("j"),
-            F.col("bm.mask").alias("mask"),
-            F.when(
-                F.col("h").bitwiseAND(F.col("bm.mask")) != 0, F.lit(1)
-            )
-            .otherwise(F.lit(-1))
-            .alias("contrib"),
+    sim = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
         )
-        .groupBy(id_col, "j", "mask")
-        .agg(F.sum("contrib").alias("s"))
-    )
-    return per_bit.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.col("mask")).otherwise(F.lit(0).cast("bigint"))
-        ).alias("simhash")
-    )
+        sim = term if sim is None else sim + term
+    return bit_sums.select(F.col(id_col), sim.alias("simhash"))
 
 
 def simhash_pairs(

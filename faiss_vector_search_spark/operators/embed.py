@@ -33,9 +33,12 @@ def token_buckets(
     hash_fn: str = "md5",
 ) -> DataFrame:
     """Long-form feature hashing: (doc_id, bucket, cnt)."""
+    # explode_outer + null-filter: plain explode infers a pre-filter
+    # that re-evaluates the tokenizer; the filter on the *generated*
+    # column cannot be pushed below the generate.
     toks = docs.select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
-    )
+        F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("tok")
+    ).where(F.col("tok").isNotNull())
     return (
         toks.withColumn("bucket", F.pmod(hashed(F.col("tok"), 0, hash_fn), dim))
         .groupBy(id_col, "bucket")

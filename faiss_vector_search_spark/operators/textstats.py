@@ -43,8 +43,11 @@ def lang_id(
     lexicon, argmax hits per doc (ties → lexicographic lang), docs
     with no hits → 'und'."""
     spark = docs.sparkSession
+    # explode_outer: plain explode infers a size/notnull pre-filter
+    # that re-evaluates the tokenizer below the projection; the join
+    # drops null tokens anyway.
     toks = docs.select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+        F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("tok")
     )
     hits = (
         toks.join(F.broadcast(lexicon_df(spark)), toks["tok"] == F.col("word"))
@@ -135,35 +138,25 @@ def winnow_fingerprints(
     keep each window's minimum. Returns one summary row per doc
     (n_fingerprints / min / max) — join-able as a compact sketch.
 
-    The window-min is a partition-local window function (partitioned
-    by doc), so docs parallelize perfectly and nothing global
-    shuffles beyond the per-doc regroup."""
-    grams = docs.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.length(text_col) - (k - 1), F.lit(1))),
-                lambda i: F.struct(
-                    i.alias("pos"),
-                    F.col(text_col).substr(i, F.lit(k)).alias("gram"),
-                ),
-            )
-        ).alias("g"),
-    ).select(
-        F.col(id_col),
-        F.col("g.pos").alias("pos"),
-        hashed(F.col("g.gram"), seed=11, hash_fn=hash_fn).alias("h"),
+    The whole sliding-window pipeline is array transforms *inside the
+    row* — no explode, no per-gram shuffle, no sort. A doc's grams
+    never leave their scan partition; the alternative (explode 15M+
+    gram rows and window-min over a doc-partitioned sort) shuffles and
+    sorts the entire gram stream for a per-doc-local computation."""
+    hash_arr = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(text_col) - (k - 1), F.lit(1))),
+        lambda i: hashed(F.col(text_col).substr(i, F.lit(k)), seed=11, hash_fn=hash_fn),
     )
-    win = (
-        Window.partitionBy(id_col)
-        .orderBy(F.col("pos").asc())
-        .rowsBetween(Window.currentRow, w - 1)
+    wmins = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("h_arr"))),
+        lambda i: F.array_min(F.slice(F.col("h_arr"), i, w)),
     )
-    fps = grams.select(
-        F.col(id_col), F.min("h").over(win).alias("fp")
-    ).dropDuplicates([id_col, "fp"])
-    return fps.groupBy(id_col).agg(
-        F.count("*").alias("n_fingerprints"),
-        F.min("fp").alias("min_fp"),
-        F.max("fp").alias("max_fp"),
+    fps = docs.select(F.col(id_col), hash_arr.alias("h_arr")).select(
+        F.col(id_col), F.array_distinct(wmins).alias("fps")
+    )
+    return fps.select(
+        F.col(id_col),
+        F.size("fps").cast("bigint").alias("n_fingerprints"),
+        F.array_min("fps").alias("min_fp"),
+        F.array_max("fps").alias("max_fp"),
     )
