@@ -287,6 +287,25 @@ def q_part_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.shipping_priority(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.regional_supplier_volume(
+        _t(spark, sf_dir, "region"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.sessionize(_t(spark, sf_dir, "events"))
 
@@ -699,6 +718,35 @@ SELECT p_brand, revenue,
             AS DECIMAL(18,6)) AS share
 FROM rev
 """,
+        "shipping_priority": """
+SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+       CAST(ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS DECIMAL(18,2)) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, o.o_orderkey ASC
+LIMIT 10
+""",
+        "regional_supplier_volume": """
+SELECT n.n_name,
+       CAST(ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS DECIMAL(18,2)) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND s.s_nationkey = c.c_nationkey
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n.n_name ASC
+""",
         "events_sessionize": """
 WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
 w AS (
@@ -760,6 +808,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "top_customers_by_nation": q_top_customers_by_nation,
         "part_revenue_share": q_part_revenue_share,
+        "shipping_priority": q_shipping_priority,
+        "regional_supplier_volume": q_regional_supplier_volume,
         "events_sessionize": q_events_sessionize,
         "events_tumbling": q_events_tumbling,
     }

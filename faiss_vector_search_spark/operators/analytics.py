@@ -164,3 +164,78 @@ def tumbling_window_agg(events: DataFrame) -> DataFrame:
             F.round(F.avg("value"), 6).cast(DEC).alias("avg_value"),
         )
     )
+
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-06-30",
+    top_n: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customers, straddling-date
+    join, revenue per order, top-N. Customer dim broadcasts; the
+    orders/lineitem join shuffles on orderkey with both sides
+    pre-filtered at the scan (pushed date predicates)."""
+    cust = customer.where(F.col("c_mktsegment") == segment).select("c_custkey")
+    ords = orders.where(
+        F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    items = lineitem.where(
+        F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        ords.join(F.broadcast(cust), ords["o_custkey"] == cust["c_custkey"])
+        .join(items, ords["o_orderkey"] == items["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(revenue, 2).cast(MONEY).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(top_n)
+    )
+
+
+def regional_supplier_volume(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    region_name: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q5 shape: six-way join keeping only orders where customer
+    and supplier share a nation in the region; revenue per nation.
+
+    All dims (region→nation→customer/supplier keys) broadcast; the
+    only big shuffle is lineitem⋈orders on orderkey. The
+    same-nation predicate rides the joins, not a post-filter."""
+    nat = nation.join(
+        F.broadcast(region.where(F.col("r_name") == region_name)),
+        nation["n_regionkey"] == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    cust = customer.join(
+        F.broadcast(nat), customer["c_nationkey"] == nat["n_nationkey"]
+    ).select("c_custkey", F.col("n_nationkey").alias("cn_key"), "n_name")
+    supp = supplier.join(
+        F.broadcast(nat.select("n_nationkey")),
+        supplier["s_nationkey"] == nat["n_nationkey"],
+    ).select("s_suppkey", F.col("s_nationkey").alias("sn_key"))
+    ords = orders.where(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(ords, F.col("l_orderkey") == ords["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
+        .where(F.col("cn_key") == F.col("sn_key"))
+        .groupBy("n_name")
+        .agg(F.round(revenue, 2).cast(MONEY).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
