@@ -74,13 +74,15 @@ def streaming_tumbling_agg(
     )
 
 
-def run_to_completion(stream: DataFrame, sink_table: str) -> None:
+def run_to_completion(
+    stream: DataFrame, sink_table: str, mode: str = "complete"
+) -> None:
     """Drain all available input into an in-memory sink (test helper):
     Trigger.AvailableNow processes every pending file then stops."""
     q = (
         stream.writeStream.format("memory")
         .queryName(sink_table)
-        .outputMode("complete" if stream.isStreaming else "append")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -129,3 +131,61 @@ def incremental_index_add(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+SESSION_OUT_SCHEMA = "user_id bigint, n_sessions bigint, n_events bigint"
+SESSION_STATE_SCHEMA = "last_ts_us bigint, n_sessions bigint, n_events bigint"
+
+
+def streaming_sessionize(
+    events: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """Stateful gap-sessionization with ``applyInPandasWithState`` —
+    the custom-stateful-operator shape Spark's built-in windowed aggs
+    can't express (per-key running state across micro-batches).
+
+    State per user is three longs (last event time, session count,
+    event count) — constant memory per key regardless of stream
+    length; each micro-batch emits the user's updated totals (update
+    semantics: the latest row per user is the current answer).
+    Batch-equivalence with ``analytics.sessionize`` holds when each
+    user's events arrive time-ordered across micro-batches (the usual
+    log-shipping contract; late events would need the watermarked
+    variant).
+    """
+    import pandas as pd
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(key, pdfs, state):
+        if state.exists:
+            last_ts, n_sessions, n_events = state.get
+        else:
+            last_ts, n_sessions, n_events = None, 0, 0
+        ts_all = []
+        for pdf in pdfs:
+            ts_all.extend(int(t) // 1000 for t in pdf["ts"])  # ns → µs
+        ts_all.sort()
+        for ts in ts_all:
+            if last_ts is None or ts - last_ts > gap_us:
+                n_sessions += 1
+            last_ts = ts
+            n_events += 1
+        state.update((last_ts, n_sessions, n_events))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_sessions": [n_sessions],
+                "n_events": [n_events],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.select("user_id", "ts").groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -66,3 +66,38 @@ def test_incremental_index_add_dedups_across_batches(spark, sf_small, tmp_path):
     assert final.count() == 300
     assert final.select("vec_id").distinct().count() == 300
     assert final.agg(F.min("vec_id"), F.max("vec_id")).first() == (0, 299)
+
+
+def test_stateful_sessionize_matches_batch(spark, sf_small, tmp_path):
+    """applyInPandasWithState sessionization over time-ordered
+    micro-batches equals the batch operator."""
+    src = fio.load_table(spark, sf_small, "events")
+    mid1, mid2 = src.approxQuantile("ts", [0.33, 0.66], 0.001)
+    out = tmp_path / "events_by_time"
+    for i, cond in enumerate(
+        (
+            F.col("ts") < mid1,
+            (F.col("ts") >= mid1) & (F.col("ts") < mid2),
+            F.col("ts") >= mid2,
+        )
+    ):
+        src.where(cond).coalesce(1).write.parquet(str(out / f"b{i}"))
+        part = next((out / f"b{i}").glob("*.parquet"))
+        part.rename(out / f"f{i}.parquet")
+        shutil.rmtree(str(out / f"b{i}"))
+
+    stream = streams.stream_events(spark, str(out))
+    sess = streams.streaming_sessionize(stream, gap_minutes=30)
+    streams.run_to_completion(sess, "stream_sessions", mode="update")
+
+    # update mode: latest row per user is the answer
+    updates = spark.table("stream_sessions").toPandas()
+    got = {
+        int(r.user_id): (int(r.n_sessions), int(r.n_events))
+        for _, r in updates.iterrows()  # later updates overwrite
+    }
+    want = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in analytics.sessionize(src).collect()
+    }
+    assert got == want
