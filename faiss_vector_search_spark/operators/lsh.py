@@ -122,6 +122,23 @@ def ann_lsh_search(
     )
 
 
+def cap_bucket_size(
+    buckets: DataFrame, max_bucket_size: int, keys=("table", "bucket")
+) -> DataFrame:
+    """Drop buckets larger than ``max_bucket_size`` before a bucket
+    self-join — the skew guard for degenerate buckets (all-zero
+    vectors, boilerplate-heavy corpora) whose self-join would go
+    quadratic. A dropped bucket only loses pairs whose *every* shared
+    bucket is oversized; with multiple tables the pair usually
+    survives elsewhere. Production LSH dedup pipelines cap buckets for
+    exactly this reason; AQE's skew-join splitting spreads the work
+    but cannot shrink the O(|bucket|²) pair count itself."""
+    keys = list(keys)
+    counts = buckets.groupBy(*keys).count()
+    ok = counts.where(F.col("count") <= max_bucket_size).select(*keys)
+    return buckets.join(F.broadcast(ok), keys, "leftsemi")
+
+
 def near_dup_lsh(
     emb: DataFrame,
     threshold: float = 0.45,
@@ -131,13 +148,18 @@ def near_dup_lsh(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via bucket-blocked candidate
     generation + exact cosine verification — the scale variant of
-    ``dedup.embedding_cosine_pairs`` (same output contract)."""
+    ``dedup.embedding_cosine_pairs`` (same output contract).
+    ``max_bucket_size`` enables the skew guard (see
+    :func:`cap_bucket_size`)."""
     from ..functions import vector as V
 
     buckets = lsh_buckets(emb, dim, n_tables, n_bits, seed, id_col, vec_col)
+    if max_bucket_size is not None:
+        buckets = cap_bucket_size(buckets, max_bucket_size)
     left = buckets.select(
         F.col(id_col).alias("id_a"), "table", "bucket"
     )

@@ -76,3 +76,29 @@ def test_lsh_buckets_shape(spark, emb):
         F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
     ).first()
     assert stats.lo >= 0 and stats.hi < 256
+
+
+def test_bucket_cap_skew_guard(spark, emb):
+    """Capping bucket size keeps precision exact, bounds per-bucket
+    join cost, and retains most recall via the other tables."""
+    tau = 0.45
+    exact_pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_cosine_pairs(emb, threshold=tau).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in lsh.near_dup_lsh(
+            emb, threshold=tau, dim=64, max_bucket_size=40
+        ).collect()
+    }
+    assert capped <= exact_pairs  # precision still 1.0
+    assert len(capped) / len(exact_pairs) >= 0.5  # bounded recall loss
+
+    buckets = lsh.cap_bucket_size(
+        lsh.lsh_buckets(emb, dim=64), max_bucket_size=40
+    )
+    from pyspark.sql import functions as F2
+    assert buckets.groupBy("table", "bucket").count().agg(
+        F2.max("count")
+    ).first()[0] <= 40
