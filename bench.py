@@ -79,6 +79,16 @@ def main() -> None:
         )
         return lsh.ann_lsh_search(emb, q, k=10, dim=64)
 
+    def p_knn_batch_two_phase(spark, sf):
+        from faiss_vector_search_spark.operators import knn
+
+        emb = fio.load_table(spark, sf, "embeddings")
+        queries = emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        return knn.topk_join_two_phase(emb, queries, k=3)
+
     def p_chunk_greedy(spark, sf):
         docs = fio.load_table(spark, sf, "documents")
         return chunking.chunk_greedy(docs, min_size=100, max_size=250, overlap=20)
@@ -86,6 +96,7 @@ def main() -> None:
     headline = {
         "knn_topk_ip": qs["knn_topk_ip"],
         "knn_batch": qs["knn_batch"],
+        "knn_batch_two_phase": p_knn_batch_two_phase,
         "ivf_search": qs["ivf_search"],
         "ann_lsh_search": p_ann_lsh,
         "dedup_exact": qs["dedup_exact"],

@@ -231,3 +231,61 @@ def ivf_kmeans_search(
     return ivf_search(
         corpus, query, nlist, nprobe, k, metric, id_col, vec_col, centroids=cents
     )
+
+
+def save_ivf(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Assign lists and persist the index *partitioned by list_id* —
+    the FAISS posting-list layout as a parquet partitioning scheme.
+    Centroids save alongside (``<path>/_centroids``) so a later
+    session reopens the index without retraining."""
+    from .index_store import save_index
+
+    assigned = assign_lists(corpus, centroids, vec_col=vec_col)
+    save_index(assigned, f"{path}/vectors", partition_by="list_id")
+    centroids.write.mode("overwrite").parquet(f"{path}/_centroids")
+
+
+def ivf_search_persisted(
+    spark,
+    path: str,
+    query: DataFrame,
+    nprobe: int = 4,
+    k: int = 10,
+    metric: str = "ip",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a persisted IVF index: the probe set becomes an ``IN``
+    filter on the partition column, so the parquet scan reads only the
+    ``nprobe`` probed list directories (partition pruning — verified
+    by tests/test_index_store.py) instead of re-assigning the corpus.
+    This is the plan FAISS's scan-only-probed-posting-lists becomes on
+    a cluster: scan fraction = nprobe/nlist of the files, zero
+    compute on unprobed lists."""
+    cents = spark.read.parquet(f"{path}/_centroids")
+    probe_ids = [
+        r.probe_cid for r in probe_lists(query, cents, nprobe).collect()
+    ]
+    index = spark.read.parquet(f"{path}/vectors").where(
+        F.col("list_id").isin(probe_ids)
+    )
+    score = (
+        V.ip_score(F.col(vec_col), F.col("query_vec"))
+        if metric == "ip"
+        else V.l2_score(F.col(vec_col), F.col("query_vec"))
+    )
+    return (
+        index.crossJoin(F.broadcast(query.select("query_vec")))
+        .select(
+            F.col(id_col),
+            F.col("list_id").cast("int").alias("list_id"),
+            F.round(score, SCORE_DECIMALS).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

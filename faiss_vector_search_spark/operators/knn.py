@@ -178,3 +178,83 @@ def dynamic_threshold_search(
         )
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
     )
+
+
+def topk_join_two_phase(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    metric: str = "ip",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Scale variant of :func:`topk_join` (same output contract).
+
+    Phase 1: each scan partition computes its local top-k per query
+    with one Arrow-batched numpy matmul — no shuffle, the corpus never
+    leaves its partition. Phase 2: the per-query window ranks only the
+    ``k × numPartitions`` survivors. The single-phase version shuffles
+    all N×Q scored rows into the window; this shuffles k×P×Q.
+
+    Ties resolve exactly like the single-phase path: scores rounded to
+    6dp *before* selection, boundary ties to the lowest id.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qids = [r[0] for r in qrows]
+    qmat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+
+    def local_topk(batches):
+        cand: dict[int, tuple] = {}  # qi -> (scores, vids)
+
+        def merge(qi, scores, vids):
+            if qi in cand:
+                s0, v0 = cand[qi]
+                scores = np.concatenate([s0, scores])
+                vids = np.concatenate([v0, vids])
+            order = np.lexsort((vids, -scores))[:k]
+            cand[qi] = (scores[order], vids[order])
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vids = pdf[id_col].to_numpy()
+            if metric == "ip":
+                scores = mat @ qmat.T  # (b, nq)
+            elif metric == "l2":
+                d = (
+                    (mat * mat).sum(1)[:, None]
+                    - 2.0 * (mat @ qmat.T)
+                    + (qmat * qmat).sum(1)[None, :]
+                )
+                scores = 1.0 / (1.0 + d)
+            else:
+                raise ValueError(f"unsupported metric: {metric}")
+            scores = np.round(scores, SCORE_DECIMALS)
+            for qi in range(len(qids)):
+                merge(qi, scores[:, qi], vids)
+        rows = [
+            (qids[qi], int(v), float(s))
+            for qi, (ss, vv) in cand.items()
+            for s, v in zip(ss, vv)
+        ]
+        yield pd.DataFrame(rows, columns=["query_id", id_col, "score"])
+
+    survivors = corpus.select(id_col, vec_col).mapInPandas(
+        local_topk, schema=f"query_id bigint, {id_col} bigint, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("query_id").alias(query_id_col), id_col, "score", "rank"
+        )
+    )

@@ -61,3 +61,23 @@ def test_clear_index_keeps_schema(spark, assigned, tmp_path_factory):
     # add after clear still binds by schema
     readded = index_store.add_vectors(cleared, assigned.limit(10))
     assert readded.count() == 10
+
+
+def test_persisted_ivf_search_matches_in_memory(spark, emb, tmp_path_factory):
+    """save_ivf → ivf_search_persisted ≡ in-memory ivf_search, with
+    the probe filter pruning partitions at the scan."""
+    path = str(tmp_path_factory.mktemp("idx") / "ivf")
+    cents = ivf.seeded_centroids(emb, 8)
+    ivf.save_ivf(emb, cents, path)
+
+    q = emb.where(F.col("vec_id") == 3).select(
+        F.col("embedding").alias("query_vec")
+    )
+    persisted = ivf.ivf_search_persisted(spark, path, q, nprobe=2, k=5)
+    plan = persisted._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
+
+    in_mem = ivf.ivf_search(emb, q, nlist=8, nprobe=2, k=5, centroids=cents)
+    got = [(r.vec_id, r.list_id, r.score) for r in persisted.collect()]
+    want = [(r.vec_id, r.list_id, r.score) for r in in_mem.collect()]
+    assert got == want
