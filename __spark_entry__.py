@@ -175,6 +175,18 @@ def q_embed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RAG_QUERY = "batch window vector hash fast stream"
+
+
+def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end retrieval: query text → feature-hash embed → cosine
+    top-5 docs (ref search_service.py:246-334 search_detailed)."""
+    out = embed.text_search(
+        _t(spark, sf_dir, "documents"), RAG_QUERY, dim=64, k=5, hash_fn="md5"
+    )
+    return out.select("doc_id", F.col("score").cast(DEC).alias("score"))
+
+
 # --- §2b dedup family -----------------------------------------------------
 
 
@@ -425,6 +437,34 @@ SELECT doc_id,
        CAST((('0x' || substr(md5('s0:' || tok), 1, 15))::BIGINT % 64) AS INT) AS bucket,
        CAST(count(*) AS INT) AS cnt
 FROM toks GROUP BY doc_id, bucket
+""",
+    "text_search": f"""
+WITH db AS (
+  SELECT doc_id,
+         (('0x' || substr(md5('s0:' || tok), 1, 15))::BIGINT % 64) AS bucket,
+         count(*)::BIGINT AS cnt
+  FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+  GROUP BY 1, 2
+),
+qb AS (
+  SELECT (('0x' || substr(md5('s0:' || tok), 1, 15))::BIGINT % 64) AS bucket,
+         count(*)::BIGINT AS qcnt
+  FROM (SELECT unnest(list_filter(regexp_split_to_array(
+          lower('batch window vector hash fast stream'), '[^a-z0-9]+'),
+          t -> t <> '')) AS tok)
+  GROUP BY 1
+),
+qn AS (SELECT sum(qcnt * qcnt) AS qn2 FROM qb),
+dn AS (SELECT doc_id, sum(cnt * cnt) AS dn2 FROM db GROUP BY 1),
+dots AS (
+  SELECT doc_id, sum(cnt * qcnt) AS dot FROM db JOIN qb USING (bucket) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(ROUND(dot / (sqrt(dn2::DOUBLE) * sqrt(qn2::DOUBLE)), 6)
+            AS DECIMAL(18,6)) AS score
+FROM dots d JOIN dn USING (doc_id), qn
+ORDER BY score DESC, doc_id ASC
+LIMIT 5
 """,
     "knn_topk_ip": _oracle_topk_ip(0, 10),
     "knn_topk_l2": f"""
@@ -792,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_stats": q_index_stats,
         "add_documents": q_add_documents,
         "embed_text": q_embed_text,
+        "text_search": q_text_search,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,

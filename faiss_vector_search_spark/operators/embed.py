@@ -79,3 +79,54 @@ def embed_documents(
 
         dense = dense.withColumn("embedding", l2norm(F.col("embedding")))
     return dense
+
+
+def text_search(
+    docs: DataFrame,
+    query_text: str,
+    dim: int = 64,
+    k: int = 5,
+    hash_fn: str = "md5",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end text retrieval — the reference's query→embed→top-k
+    pipeline (search_service.py:246-334 ``search_detailed``) over the
+    feature-hash embedder.
+
+    Cosine is computed in *long form* on the sparse bucket counts:
+    dot = Σ cnt_d·cnt_q over shared buckets, norms = √Σ cnt² — all
+    integer sums, so the result is exactly reproducible cross-engine
+    (no float summation order to drift). The query side is a handful
+    of buckets → broadcast; per-doc work is one partial-aggregated
+    groupBy, no dense vectors materialized."""
+    spark = docs.sparkSession
+    d = token_buckets(docs, dim, id_col, text_col, hash_fn)
+    qdf = spark.createDataFrame([(0, query_text)], f"qid int, {text_col} string")
+    qb = token_buckets(qdf, dim, "qid", text_col, hash_fn).select(
+        "bucket", F.col("cnt").alias("qcnt")
+    )
+    qn2 = qb.agg(F.sum(F.col("qcnt") * F.col("qcnt")).alias("qn2"))
+    dn2 = d.groupBy(id_col).agg(F.sum(F.col("cnt") * F.col("cnt")).alias("dn2"))
+    dots = (
+        d.join(F.broadcast(qb), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("cnt") * F.col("qcnt")).alias("dot"))
+    )
+    return (
+        dots.join(dn2, id_col)
+        .crossJoin(F.broadcast(qn2))
+        .select(
+            F.col(id_col),
+            F.round(
+                F.col("dot")
+                / (
+                    F.sqrt(F.col("dn2").cast("double"))
+                    * F.sqrt(F.col("qn2").cast("double"))
+                ),
+                6,
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
