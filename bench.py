@@ -112,14 +112,20 @@ def main() -> None:
         "events_tumbling": qs["events_tumbling"],
         "tpch_q1": qs["tpch_q1"],
         "top_customers_by_nation": qs["top_customers_by_nation"],
+        "shipping_priority": qs["shipping_priority"],
+        "regional_supplier_volume": qs["regional_supplier_volume"],
+        "text_search": qs["text_search"],
     }
 
     def run(fn) -> float:
         df = fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()  # codegen compile
-        t0 = time.time()
-        df.write.mode("overwrite").format("noop").save()
-        return time.time() - t0
+        best = float("inf")
+        for _ in range(2):  # min-of-2 damps GC/broadcast-cleanup noise
+            t0 = time.time()
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.time() - t0)
+        return best
 
     timings: dict[str, float] = {}
     for name, fn in headline.items():

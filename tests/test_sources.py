@@ -130,3 +130,52 @@ class TestMultimodal:
         assert len(rows) == expect
         assert all(len(r.frame) == 256 for r in rows)
         assert all(r.frame_idx % 2 == 0 for r in rows)
+
+
+class TestPipelineCompositions:
+    def test_docx_to_index_pipeline(self, spark, tmp_path):
+        """read_docx_dir → chunk → embed: the reference's
+        process_docx_files + IndexManager.build flow end-to-end with an
+        injected decoder."""
+        from faiss_vector_search_spark.operators import chunking, embed
+
+        for i in range(3):
+            (tmp_path / f"r{i}.docx").write_bytes(f"PAYLOAD{i}".encode() * 40)
+
+        def decoder(data: bytes) -> str:
+            return "\n\n".join(
+                f"para {j} " + data[:24].decode(errors="replace") for j in range(6)
+            )
+
+        docs = docx.read_docx_dir(spark, str(tmp_path), decoder=decoder)
+        chunks = chunking.chunk_greedy(
+            docs, min_size=40, max_size=120, overlap=10
+        )
+        keyed = chunks.select(
+            (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("vec_id"),
+            F.col("chunk").alias("text"),
+        )
+        vecs = embed.embed_documents(keyed, dim=32, id_col="vec_id")
+        rows = vecs.collect()
+        assert len(rows) >= 3
+        assert all(len(r.embedding) == 32 for r in rows)
+
+    def test_multimodal_features_feed_lsh_dedup(self, spark):
+        """extract_features output plugs straight into the embedding
+        near-dup operator: byte-identical payloads must collide."""
+        from faiss_vector_search_spark.operators import lsh
+
+        payloads = [bytes(range(256)) * 4, bytes(range(256)) * 4,
+                    bytes(reversed(range(256))) * 3, b"\x01\x02" * 300]
+        items = spark.createDataFrame(
+            [(i, "image", p, {}) for i, p in enumerate(payloads)],
+            multimodal.ITEM_SCHEMA,
+        )
+        feats = multimodal.extract_features(items, dim=16).select(
+            F.col("item_id").alias("vec_id"),
+            F.col("features").alias("embedding"),
+        )
+        pairs = lsh.near_dup_lsh(
+            feats, threshold=0.999, dim=16, n_tables=8, n_bits=2
+        ).collect()
+        assert {(r.id_a, r.id_b) for r in pairs} >= {(0, 1)}
