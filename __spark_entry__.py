@@ -76,6 +76,18 @@ def q_knn_dynamic_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_threshold_progression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """threshold_progression stats (ref search_service.py:79-113)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn.dynamic_threshold_progression(
+        emb, _query_vec(emb, vec_id=5), k=20, hit_target=3, step=0.05
+    ).select(
+        F.col("threshold").cast(DEC).alias("threshold"),
+        "hits",
+        "target_reached",
+    )
+
+
 def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch retrieval: top-3 per query for queries vec_id < 5."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -497,6 +509,21 @@ FROM cand c, final f
 WHERE c.score >= f.final_t
 ORDER BY c.score DESC, c.vec_id ASC
 """,
+    "knn_threshold_progression": """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 5),
+cand AS (
+  SELECT e.vec_id, ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+  FROM embeddings e, q
+  ORDER BY score DESC, vec_id ASC LIMIT 20
+),
+grid AS (SELECT unnest(generate_series(0, 20)) / 20.0 AS t)
+SELECT CAST(ROUND(g.t, 6) AS DECIMAL(18,6)) AS threshold,
+       CAST(count(c.vec_id) AS BIGINT) AS hits,
+       count(c.vec_id) >= 3 AS target_reached
+FROM grid g LEFT JOIN cand c ON c.score >= g.t
+GROUP BY g.t
+ORDER BY threshold DESC
+""",
     "knn_batch": """
 WITH q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
@@ -825,6 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_topk_l2": q_knn_topk_l2,
         "knn_fixed_threshold": q_knn_fixed_threshold,
         "knn_dynamic_threshold": q_knn_dynamic_threshold,
+        "knn_threshold_progression": q_knn_threshold_progression,
         "knn_batch": q_knn_batch,
         "ivf_search": q_ivf_search,
         "ivf_kmeans_search": q_ivf_kmeans_search,

@@ -118,6 +118,35 @@ def topk_join(
     )
 
 
+def _threshold_hits(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int,
+    step: float,
+    metric: str,
+    id_col: str,
+    vec_col: str,
+    initial_threshold: float,
+):
+    """(candidates, per-threshold hit counts) shared by the dynamic
+    search and the progression report. Grid t = i·step for
+    i·step ≤ initial_threshold, in double, matching the oracle."""
+    n_steps = int(round(1.0 / step))
+    cand = topk(corpus, query, k=k, metric=metric, id_col=id_col, vec_col=vec_col)
+    grid = (
+        cand.sparkSession.range(0, n_steps + 1)
+        .select((F.col("id") / F.lit(float(n_steps))).alias("t"))
+        .where(F.col("t") <= initial_threshold)
+    )
+    hits = (
+        cand.crossJoin(F.broadcast(grid))
+        .where(F.col("score") >= F.col("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("hits"))
+    )
+    return cand, hits
+
+
 def dynamic_threshold_search(
     corpus: DataFrame,
     query: DataFrame,
@@ -127,14 +156,16 @@ def dynamic_threshold_search(
     metric: str = "ip",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    initial_threshold: float = 1.0,
 ) -> DataFrame:
     """Set-based re-expression of the reference's iterative
     dynamic-threshold search (search_service.py:41-184).
 
     Reference semantics: take the top-k candidates, then walk the
-    threshold down from 1.0 by ``step``; stop at the first threshold
-    with ≥ ``hit_target`` hits, else keep the highest threshold that
-    maximized hits. Return the candidates at that final threshold.
+    threshold down from ``initial_threshold`` by ``step``; stop at the
+    first threshold with ≥ ``hit_target`` hits, else keep the highest
+    threshold that maximized hits. Return the candidates at that final
+    threshold.
 
     The loop is data-independent given the candidate scores, so ONE
     pass computes it: build the threshold grid, count hits per
@@ -142,20 +173,8 @@ def dynamic_threshold_search(
     No iteration, no repeated scans — O(k × grid) work after the
     single corpus scan that produced the candidates.
     """
-    n_steps = int(round(1.0 / step))
-    cand = topk(corpus, query, k=k, metric=metric, id_col=id_col, vec_col=vec_col)
-
-    # Threshold grid 1.0, 1-step, ..., 0.0 — i/n_steps in double, same
-    # arithmetic as the DuckDB oracle.
-    grid = (
-        cand.sparkSession.range(0, n_steps + 1)
-        .select((F.col("id") / F.lit(float(n_steps))).alias("t"))
-    )
-    hits = (
-        cand.crossJoin(F.broadcast(grid))
-        .where(F.col("score") >= F.col("t"))
-        .groupBy("t")
-        .agg(F.count("*").alias("hits"))
+    cand, hits = _threshold_hits(
+        corpus, query, k, step, metric, id_col, vec_col, initial_threshold
     )
     # Final threshold: highest t reaching the target, else the highest
     # t among those with maximal hits (reference keeps the FIRST best
@@ -257,4 +276,42 @@ def topk_join_two_phase(
         .select(
             F.col("query_id").alias(query_id_col), id_col, "score", "rank"
         )
+    )
+
+
+def dynamic_threshold_progression(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 20,
+    hit_target: int = 3,
+    step: float = 0.05,
+    metric: str = "ip",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    initial_threshold: float = 1.0,
+) -> DataFrame:
+    """The reference's ``threshold_progression`` stats (search_service
+    .py:79-113 records (threshold, hits, target_reached) per attempt):
+    one row per grid threshold — including zero-hit attempts, which the
+    reference logs too — highest first. The same data its UI progress
+    callbacks stream, computed in one pass."""
+    n_steps = int(round(1.0 / step))
+    _, hits = _threshold_hits(
+        corpus, query, k, step, metric, id_col, vec_col, initial_threshold
+    )
+    grid = (
+        corpus.sparkSession.range(0, n_steps + 1)
+        .select((F.col("id") / F.lit(float(n_steps))).alias("t"))
+        .where(F.col("t") <= initial_threshold)
+    )
+    return (
+        grid.join(hits, "t", "left")
+        .select(
+            F.round(F.col("t"), SCORE_DECIMALS).alias("threshold"),
+            F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
+            (F.coalesce(F.col("hits"), F.lit(0)) >= hit_target).alias(
+                "target_reached"
+            ),
+        )
+        .orderBy(F.col("threshold").desc())
     )
