@@ -254,6 +254,19 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- §2b text analysis + chunking ----------------------------------------
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the best copy per cluster (longest text)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup_keep_best(docs, F.col("n_chars"))
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% per-language sample (train-set curation)."""
+    return textstats.stratified_sample(
+        _t(spark, sf_dir, "documents"), fraction=0.2, strata_col="lang"
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.lang_id(_t(spark, sf_dir, "documents"))
 
@@ -649,6 +662,32 @@ cand AS (
 SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
 FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
 """,
+        "dedup_keep_best": """
+WITH ranked AS (
+  SELECT doc_id, n_chars AS quality, md5(text) AS h,
+         row_number() OVER (PARTITION BY md5(text)
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY md5(text)) AS n_copies,
+         max(n_chars) OVER (PARTITION BY md5(text)) AS best_q
+  FROM documents
+)
+SELECT doc_id, CAST(best_q AS BIGINT) AS quality,
+       CAST(n_copies AS BIGINT) AS n_copies
+FROM ranked WHERE rn = 1
+""",
+        "stratified_sample": """
+WITH s AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT ASC,
+                    doc_id ASC
+         ) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT doc_id, lang FROM s WHERE rn <= ceil(n * 0.2)
+""",
         "dedup_embedding_cosine": """
 SELECT * FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -866,6 +905,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_keep_best": q_dedup_keep_best,
+        "stratified_sample": q_stratified_sample,
         "ann_lsh_search": q_ann_lsh_search,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "lang_id": q_lang_id,

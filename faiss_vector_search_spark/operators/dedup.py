@@ -328,3 +328,31 @@ def embedding_cosine_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def exact_dedup_keep_best(
+    docs: DataFrame,
+    quality_col,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact dedup that keeps the *best* copy per duplicate cluster
+    (argmax quality, ties → lowest id) — what a training-data pipeline
+    actually wants, vs ``exact_dedup``'s keep-first. One map-side
+    combinable aggregation: max_by over (quality, -id)."""
+    return (
+        docs.select(
+            F.col(id_col),
+            F.md5(F.col(text_col)).alias("h"),
+            quality_col.alias("q"),
+        )
+        .groupBy("h")
+        .agg(
+            F.max_by(
+                F.col(id_col), F.struct(F.col("q"), -F.col(id_col))
+            ).alias(id_col),
+            F.max("q").alias("quality"),
+            F.count("*").alias("n_copies"),
+        )
+        .select(id_col, "quality", "n_copies")
+    )

@@ -160,3 +160,32 @@ def winnow_fingerprints(
         F.array_min("fps").alias("min_fp"),
         F.array_max("fps").alias("max_fp"),
     )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fraction: float,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the train-set curation op
+    (sample x% per language/source so small strata survive).
+
+    Rows rank by md5(id) within their stratum and the top ⌈f·n⌉ win:
+    fully reproducible across engines and runs (no RNG state), and
+    adding data never *removes* previously-sampled rows' eligibility
+    logic. One window per stratum — the shuffle carries (id, stratum)
+    only."""
+    from ..functions.hashing import md5_int
+
+    w = Window.partitionBy(strata_col).orderBy(
+        md5_int(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    n = Window.partitionBy(strata_col)
+    return (
+        docs.select(F.col(id_col), F.col(strata_col))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_stratum", F.count("*").over(n))
+        .where(F.col("rn") <= F.ceil(F.col("n_stratum") * fraction))
+        .select(id_col, strata_col)
+    )
