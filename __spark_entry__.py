@@ -296,6 +296,15 @@ def q_chunk_documents_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (SURVEY §2b #29e) — rows-only;
+    invariants (coverage, budget, fill) gated by tests/test_chunking.py."""
+    out = chunking.pack_sequences(
+        _t(spark, sf_dir, "documents"), max_tokens=256, n_shards=8
+    )
+    return out.select("bin_id", "total_tokens", "n_docs")
+
+
 def q_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunking.chunk_fixed(
         _t(spark, sf_dir, "documents"), size=200, overlap=50
@@ -915,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "chunk_fixed": q_chunk_fixed,
         "chunk_documents_greedy": q_chunk_documents_greedy,
+        "pack_sequences": q_pack_sequences,
         "tpch_q1": q_tpch_q1,
         "top_customers_by_nation": q_top_customers_by_nation,
         "part_revenue_share": q_part_revenue_share,

@@ -175,3 +175,75 @@ def chunk_greedy(
     return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
         chunk_batches, schema=CHUNK_SCHEMA
     )
+
+
+PACK_SCHEMA = (
+    "bin_id bigint, doc_ids array<bigint>, total_tokens bigint, n_docs int"
+)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Token-budget sequence packing: group documents into bins of at
+    most ``max_tokens`` whitespace-tokens each — the batch-assembly
+    step of an LLM training pipeline (packing short documents together
+    instead of padding).
+
+    First-fit-decreasing *within each shard*: docs hash-partition into
+    shards (one `repartition`, the only shuffle), each shard packs its
+    own docs in one Arrow batch. Packing quality is within a few
+    percent of global FFD while staying embarrassingly parallel — a
+    global packer would serialize the corpus through one node.
+    Oversized docs (> max_tokens) get a bin of their own, never
+    dropped. bin_id = shard * 2^40 + local index, collision-free.
+    """
+    import pandas as pd
+
+    from ..functions.text import tokens
+
+    spark = docs.sparkSession
+    if n_shards is None:
+        n_shards = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    sized = docs.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).cast("bigint").alias("n_tok"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).alias("shard"),
+    ).repartition(n_shards, "shard")
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(
+                columns=["bin_id", "doc_ids", "total_tokens", "n_docs"]
+            )
+        shard = int(pdf["shard"].iloc[0])
+        items = sorted(
+            zip(pdf[id_col], pdf["n_tok"]), key=lambda x: (-x[1], x[0])
+        )
+        bins: list[tuple[list, int]] = []  # (ids, remaining)
+        for doc_id, n in items:
+            n = int(n)
+            placed = False
+            for b in bins:
+                if n <= b[1]:
+                    b[0].append(int(doc_id))
+                    b[1] -= n  # type: ignore[index]
+                    placed = True
+                    break
+            if not placed:
+                bins.append([[int(doc_id)], max(max_tokens - n, 0)])
+        tok = dict(zip((int(d) for d in pdf[id_col]), (int(t) for t in pdf["n_tok"])))
+        rows = [
+            ((shard << 40) + i, ids, sum(tok[d] for d in ids), len(ids))
+            for i, (ids, _rem) in enumerate(bins)
+        ]
+        return pd.DataFrame(
+            rows, columns=["bin_id", "doc_ids", "total_tokens", "n_docs"]
+        )
+
+    return sized.groupBy("shard").applyInPandas(pack, schema=PACK_SCHEMA)

@@ -133,3 +133,40 @@ class TestOperator:
             F.col("chunk") != F.col("text")
         )
         assert joined.count() == 0
+
+
+class TestPackSequences:
+    BUDGET = 60
+
+    @pytest.fixture(scope="class")
+    def packed(self, spark, sf_small):
+        docs = fio.load_table(spark, sf_small, "documents")
+        return chunking.pack_sequences(
+            docs, max_tokens=self.BUDGET, n_shards=8
+        ).cache()
+
+    def test_every_doc_packed_exactly_once(self, spark, sf_small, packed):
+        docs = fio.load_table(spark, sf_small, "documents")
+        packed_ids = packed.select(
+            F.explode("doc_ids").alias("doc_id")
+        )
+        assert packed_ids.count() == docs.count()
+        assert packed_ids.distinct().count() == docs.count()
+
+    def test_budget_respected_or_singleton(self, packed):
+        bad = packed.where(
+            (F.col("total_tokens") > self.BUDGET) & (F.col("n_docs") > 1)
+        )
+        assert bad.count() == 0
+
+    def test_bins_reasonably_full(self, spark, sf_small, packed):
+        """Packing must beat one-doc-per-bin by a wide margin: mean
+        fill ≥ 60% of budget for multi-doc-capable corpora."""
+        from pyspark.sql.functions import avg, col
+        stats = packed.where(col("total_tokens") <= self.BUDGET).agg(
+            avg("total_tokens").alias("mean_fill")
+        ).first()
+        assert stats.mean_fill >= 0.6 * self.BUDGET
+
+    def test_bin_ids_unique(self, packed):
+        assert packed.count() == packed.select("bin_id").distinct().count()
