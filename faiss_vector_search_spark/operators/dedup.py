@@ -229,19 +229,20 @@ def simhash(
         .where(F.col("tok").isNotNull())
         .withColumn("h", hashed(F.col("tok"), seed=7, hash_fn=hash_fn))
     )
+    # Σ(±1) per bit == 2·Σ bit_j − n: branch-free shift+mask sums
+    # instead of 60 conditional expressions.
     bit_sums = toks.groupBy(id_col).agg(
+        F.count("*").alias("n"),
         *[
-            F.sum(
-                F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
-            ).alias(f"b{j}")
+            F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))).alias(f"b{j}")
             for j in range(SIMHASH_BITS)
-        ]
+        ],
     )
     sim = None
     for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
+        term = F.when(
+            2 * F.col(f"b{j}") - F.col("n") > 0, F.lit(1 << j).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
         sim = term if sim is None else sim + term
     return bit_sums.select(F.col(id_col), sim.alias("simhash"))
 

@@ -147,9 +147,15 @@ def winnow_fingerprints(
         F.sequence(F.lit(1), F.greatest(F.length(text_col) - (k - 1), F.lit(1))),
         lambda i: hashed(F.col(text_col).substr(i, F.lit(k)), seed=11, hash_fn=hash_fn),
     )
+    # least() of w gets, not array_min(slice(...)): slice allocates a
+    # fresh array per position; get() is an O(1) read that yields null
+    # past the array end (ANSI-safe, unlike element_at), and least()
+    # skips nulls — matching the window shrinking at the tail.
     wmins = F.transform(
-        F.sequence(F.lit(1), F.size(F.col("h_arr"))),
-        lambda i: F.array_min(F.slice(F.col("h_arr"), i, w)),
+        F.sequence(F.lit(0), F.size(F.col("h_arr")) - 1),
+        lambda i: F.least(*[F.get(F.col("h_arr"), i + j) for j in range(w)])
+        if w > 1
+        else F.get(F.col("h_arr"), i),
     )
     fps = docs.select(F.col(id_col), hash_arr.alias("h_arr")).select(
         F.col(id_col), F.array_distinct(wmins).alias("fps")
