@@ -121,7 +121,7 @@ def main() -> None:
         df = fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()  # codegen compile
         best = float("inf")
-        for _ in range(2):  # min-of-2 damps GC/broadcast-cleanup noise
+        for _ in range(3):  # min-of-3 damps GC and co-tenant load noise
             t0 = time.time()
             df.write.mode("overwrite").format("noop").save()
             best = min(best, time.time() - t0)
