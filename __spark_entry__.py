@@ -22,6 +22,7 @@ from faiss_vector_search_spark.operators import (
     index_store,
     ivf,
     knn,
+    lexical,
     lsh,
     textstats,
 )
@@ -188,6 +189,23 @@ def q_embed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 RAG_QUERY = "batch window vector hash fast stream"
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical top-10 for the standard query."""
+    out = lexical.bm25_search(_t(spark, sf_dir, "documents"), RAG_QUERY, k=10)
+    return out.select("doc_id", F.col("score").cast(DEC).alias("score"))
+
+
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF fusion of BM25 and dense (feature-hash cosine) retrieval."""
+    docs = _t(spark, sf_dir, "documents")
+    lex = lexical.bm25_search(docs, RAG_QUERY, k=20)
+    den = embed.text_search(docs, RAG_QUERY, dim=64, k=20, hash_fn="md5")
+    out = lexical.hybrid_rrf(lex, den, k=10)
+    return out.select(
+        "doc_id", F.col("rrf_score").cast(DEC).alias("rrf_score")
+    )
 
 
 def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -886,6 +904,83 @@ FROM events GROUP BY 1, 2
 )
 
 
+# BM25 + hybrid oracles: the sorted-fold sum (list_sort → list_sum)
+# mirrors lexical.bm25_search's deterministic summation order.
+_QT_VALUES = ", ".join(f"('{t}')" for t in sorted(RAG_QUERY.split()))
+
+_BM25_CTES = f"""
+toksb AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM toksb GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+qt(term) AS (VALUES {_QT_VALUES}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toksb JOIN qt USING (term) GROUP BY 1, 2),
+dfx AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT t.doc_id, t.term,
+         ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+         * (t.tf * 2.2)
+         / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / (s.sum_dl / s.n_docs))) AS c
+  FROM tf t JOIN dfx d USING (term) JOIN dl l USING (doc_id), stats s
+),
+bm25 AS (
+  SELECT doc_id,
+         ROUND(list_sum(list_transform(
+           list_sort(list(struct_pack(t := term, c := c))), s -> s.c)), 6) AS score
+  FROM contrib GROUP BY doc_id
+)"""
+
+ORACLES["bm25_search"] = f"""
+WITH {_BM25_CTES}
+SELECT doc_id, CAST(score AS DECIMAL(18,6)) AS score
+FROM bm25 ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+_DENSE_CTES = f"""
+db AS (
+  SELECT doc_id,
+         (('0x' || substr(md5('s0:' || tok), 1, 15))::BIGINT % 64) AS bucket,
+         count(*)::BIGINT AS cnt
+  FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+  GROUP BY 1, 2
+),
+qb AS (
+  SELECT (('0x' || substr(md5('s0:' || tok), 1, 15))::BIGINT % 64) AS bucket,
+         count(*)::BIGINT AS qcnt
+  FROM (SELECT unnest(list_filter(regexp_split_to_array(
+          lower('{RAG_QUERY}'), '[^a-z0-9]+'), t -> t <> '')) AS tok)
+  GROUP BY 1
+),
+qn AS (SELECT sum(qcnt * qcnt) AS qn2 FROM qb),
+dn AS (SELECT doc_id, sum(cnt * cnt) AS dn2 FROM db GROUP BY 1),
+dense AS (
+  SELECT d.doc_id,
+         ROUND(sum(cnt * qcnt) / (sqrt(dn.dn2::DOUBLE) * sqrt(qn.qn2::DOUBLE)), 6) AS score
+  FROM db d JOIN qb USING (bucket) JOIN dn ON d.doc_id = dn.doc_id, qn
+  GROUP BY d.doc_id, dn.dn2, qn.qn2
+)"""
+
+ORACLES["hybrid_search"] = f"""
+WITH {_BM25_CTES},
+{_DENSE_CTES.strip().lstrip()},
+lex_rank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank_lex
+  FROM (SELECT * FROM bm25 ORDER BY score DESC, doc_id ASC LIMIT 20)
+),
+vec_rank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank_vec
+  FROM (SELECT * FROM dense ORDER BY score DESC, doc_id ASC LIMIT 20)
+),
+fused AS (
+  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+         ROUND(coalesce(1.0 / (60 + l.rank_lex), 0)
+             + coalesce(1.0 / (60 + v.rank_vec), 0), 6) AS rrf_score
+  FROM lex_rank l FULL OUTER JOIN vec_rank v USING (doc_id)
+)
+SELECT doc_id, CAST(rrf_score AS DECIMAL(18,6)) AS rrf_score
+FROM fused ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
+"""
+
+
 # --- driver contract ------------------------------------------------------
 
 
@@ -909,6 +1004,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "add_documents": q_add_documents,
         "embed_text": q_embed_text,
         "text_search": q_text_search,
+        "bm25_search": q_bm25_search,
+        "hybrid_search": q_hybrid_search,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,

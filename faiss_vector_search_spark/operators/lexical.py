@@ -1,0 +1,152 @@
+"""BM25 lexical search and hybrid rank fusion — the lexical half of a
+retrieval engine (the reference serves dense-only retrieval; a user
+switching a RAG stack to this repo gets the standard BM25 + RRF
+combination on the same tables).
+
+Scale design: the corpus explodes to (doc, term, tf) ONCE and is
+immediately semi-joined to the (broadcast) query-term set, so the
+per-query work is proportional to documents *containing query terms*,
+not the corpus. Document lengths and the global avgdl are one
+partial-aggregated pass. At 100 TB the (term → postings) explode would
+be precomputed as a bucketed table — the query-time plan is unchanged.
+
+Determinism: per-term score contributions are doubles, and double
+addition is order-sensitive, so contributions are summed with a
+*sorted fold* (collect → array_sort → sequential aggregate) — the same
+order DuckDB's ``list_sum(list_sort(...))`` uses, making the result
+hash-stable cross-engine (same trick as functions/vector.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+SCORE_DECIMALS = 6
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_text: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 top-k: idf = ln(1 + (N-df+0.5)/(df+0.5)),
+    tf-saturated and length-normalized."""
+    spark = docs.sparkSession
+    q_terms = sorted(
+        {
+            t
+            for t in spark.createDataFrame([(query_text,)], f"{text_col} string")
+            .select(F.explode(tokens(F.col(text_col))).alias("t"))
+            .toPandas()["t"]
+        }
+    )
+    if not q_terms:
+        return docs.select(F.col(id_col)).limit(0).withColumn(
+            "score", F.lit(0.0)
+        )
+    qdf = F.broadcast(spark.createDataFrame([(t,) for t in q_terms], "term string"))
+
+    toks = docs.select(
+        F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("term")
+    ).where(F.col("term").isNotNull())
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    stats = F.broadcast(
+        dl.agg(
+            F.count("*").alias("n_docs"),
+            F.sum("dl").alias("sum_dl"),
+        )
+    )
+    tf = (
+        toks.join(qdf, "term")
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = F.broadcast(
+        tf.groupBy("term").agg(F.count_distinct(F.col(id_col)).alias("df"))
+    )
+    contrib = (
+        tf.join(df_, "term")
+        .join(dl, id_col)
+        .crossJoin(stats)
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            (
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (
+                        1.0
+                        - b
+                        + b
+                        * F.col("dl")
+                        / (F.col("sum_dl") / F.col("n_docs"))
+                    )
+                )
+            ).alias("c"),
+        )
+    )
+    # sorted fold: deterministic double-summation order (by term)
+    scored = (
+        contrib.groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("term", "c"))).alias("cs")
+        )
+        .select(
+            F.col(id_col),
+            F.round(
+                F.aggregate(
+                    F.col("cs"), F.lit(0.0), lambda acc, x: acc + x["c"]
+                ),
+                SCORE_DECIMALS,
+            ).alias("score"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def hybrid_rrf(
+    lexical: DataFrame,
+    dense: DataFrame,
+    k: int = 10,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked result sets:
+    score = Σ 1/(rrf_k + rank). Rank-based, so the two retrievers'
+    incomparable score scales never matter; integer ranks make the
+    fusion exactly reproducible."""
+    def ranked(df: DataFrame, name: str) -> DataFrame:
+        w = F.row_number().over(
+            Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        )
+        return df.select(F.col(id_col), w.alias(f"rank_{name}"))
+
+    lex = ranked(lexical, "lex")
+    den = ranked(dense, "vec")
+    fused = (
+        lex.join(den, id_col, "outer")
+        .select(
+            F.col(id_col),
+            F.round(
+                F.coalesce(1.0 / (rrf_k + F.col("rank_lex")), F.lit(0.0))
+                + F.coalesce(1.0 / (rrf_k + F.col("rank_vec")), F.lit(0.0)),
+                SCORE_DECIMALS,
+            ).alias("rrf_score"),
+        )
+    )
+    return fused.orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc()
+    ).limit(k)
