@@ -115,6 +115,8 @@ def main() -> None:
         "shipping_priority": qs["shipping_priority"],
         "regional_supplier_volume": qs["regional_supplier_volume"],
         "text_search": qs["text_search"],
+        "bm25_search": qs["bm25_search"],
+        "hybrid_search": qs["hybrid_search"],
     }
 
     def run(fn) -> float:

@@ -157,15 +157,18 @@ def dynamic_threshold_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     initial_threshold: float = 1.0,
+    min_threshold: float = 0.0,
 ) -> DataFrame:
     """Set-based re-expression of the reference's iterative
-    dynamic-threshold search (search_service.py:41-184).
+    dynamic-threshold search (search_service.py:41-184; the retrieval
+    orchestrator bounds the walk with min/max thresholds,
+    dynamic_retriever.py:29-160).
 
     Reference semantics: take the top-k candidates, then walk the
-    threshold down from ``initial_threshold`` by ``step``; stop at the
-    first threshold with ≥ ``hit_target`` hits, else keep the highest
-    threshold that maximized hits. Return the candidates at that final
-    threshold.
+    threshold down from ``initial_threshold`` by ``step`` — never
+    below ``min_threshold`` — stop at the first threshold with ≥
+    ``hit_target`` hits, else keep the highest threshold that
+    maximized hits. Return the candidates at that final threshold.
 
     The loop is data-independent given the candidate scores, so ONE
     pass computes it: build the threshold grid, count hits per
@@ -176,6 +179,8 @@ def dynamic_threshold_search(
     cand, hits = _threshold_hits(
         corpus, query, k, step, metric, id_col, vec_col, initial_threshold
     )
+    if min_threshold > 0.0:
+        hits = hits.where(F.col("t") >= min_threshold)
     # Final threshold: highest t reaching the target, else the highest
     # t among those with maximal hits (reference keeps the FIRST best
     # while walking DOWN, i.e. the highest such t).

@@ -99,3 +99,30 @@ def test_tpch_q1_partial_aggregation(spark, sf_small):
     assert has_codegen(
         analytics.pricing_summary(fio.load_table(spark, sf_small, "lineitem"))
     )
+
+
+def test_bm25_query_terms_broadcast(spark, sf_small):
+    """BM25's per-query work must be bounded by the query-term
+    semi-join: the tiny term set broadcasts, the corpus never
+    shuffles its full token stream into the scoring joins."""
+    from faiss_vector_search_spark.operators import lexical
+
+    docs = fio.load_table(spark, sf_small, "documents")
+    plan = plan_of(lexical.bm25_search(docs, "lorem data word", k=5))
+    assert "BroadcastExchange" in plan
+
+
+def test_threshold_min_bound(spark, sf_small):
+    """min_threshold floors the walk (ref dynamic_retriever.py)."""
+    emb = fio.load_table(spark, sf_small, "embeddings")
+    q = emb.where(F.col("vec_id") == 5).select(
+        F.col("embedding").alias("query_vec")
+    )
+    unbounded = knn.dynamic_threshold_search(emb, q, k=20, hit_target=99)
+    floored = knn.dynamic_threshold_search(
+        emb, q, k=20, hit_target=99, min_threshold=0.25
+    )
+    t_un = unbounded.first().final_threshold
+    t_fl = floored.first().final_threshold
+    assert float(t_fl) >= 0.25
+    assert float(t_fl) >= float(t_un)
