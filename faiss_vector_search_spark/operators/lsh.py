@@ -157,7 +157,13 @@ def near_dup_lsh(
     :func:`cap_bucket_size`)."""
     from ..functions import vector as V
 
-    buckets = lsh_buckets(emb, dim, n_tables, n_bits, seed, id_col, vec_col)
+    # repartition on the join keys: the explicit exchange becomes the
+    # shared subplan both sides of the self-join (and the bucket-cap
+    # count) re-read via ReusedExchange — the signature mapInPandas
+    # then runs ONCE instead of once per consumer branch.
+    buckets = lsh_buckets(
+        emb, dim, n_tables, n_bits, seed, id_col, vec_col
+    ).repartition("table", "bucket")
     if max_bucket_size is not None:
         buckets = cap_bucket_size(buckets, max_bucket_size)
     left = buckets.select(
