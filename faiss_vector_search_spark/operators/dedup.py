@@ -166,12 +166,17 @@ def minhash_lsh_pairs(
     # Band join + pair dedup on (id, band, bval) triples ONLY — the
     # shingle arrays would otherwise ride the shuffle 2×bands times
     # per doc. Candidates re-join the (small) shingle table by id.
-    banded = sig.select(
-        F.col(id_col), F.explode(band_structs).alias("bs")
-    ).select(
-        F.col(id_col),
-        F.col("bs.band").alias("band"),
-        F.col("bs.bval").alias("bval"),
+    # repartition on the join keys: one explicit exchange that both
+    # self-join branches re-read (ReusedExchange) — the 16-way minhash
+    # aggregation upstream runs once, not once per branch.
+    banded = (
+        sig.select(F.col(id_col), F.explode(band_structs).alias("bs"))
+        .select(
+            F.col(id_col),
+            F.col("bs.band").alias("band"),
+            F.col("bs.bval").alias("bval"),
+        )
+        .repartition("band", "bval")
     )
 
     left = banded.select(F.col(id_col).alias("doc_a"), "band", "bval")
@@ -272,13 +277,17 @@ def simhash_pairs(
             for b in range(bands)
         ]
     )
-    banded = sh.select(
-        F.col(id_col), F.col("simhash"), F.explode(slices).alias("bs")
-    ).select(
-        F.col(id_col),
-        F.col("simhash"),
-        F.col("bs.band").alias("band"),
-        F.col("bs.bval").alias("bval"),
+    # repartition on the join keys so the simhash aggregation upstream
+    # feeds ONE exchange both self-join branches reuse.
+    banded = (
+        sh.select(F.col(id_col), F.col("simhash"), F.explode(slices).alias("bs"))
+        .select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.col("bs.band").alias("band"),
+            F.col("bs.bval").alias("bval"),
+        )
+        .repartition("band", "bval")
     )
     left = banded.select(
         F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "bval"
