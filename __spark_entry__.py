@@ -247,6 +247,17 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters = connected components of the minhash-LSH
+    pair graph — rows-only (iterative); exactness vs union-find gated
+    by tests/test_dedup_clusters.py."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, n=3, num_hashes=16, bands=4, threshold=0.8, hash_fn="xxhash64"
+    )
+    return dedup.dedup_clusters(docs, pairs)
+
+
 def q_ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN top-10 (SURVEY §2b #23) — approximate, so
     rows-only here; recall/precision gated by tests/test_lsh.py."""
@@ -1012,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_keep_best": q_dedup_keep_best,
+        "dedup_clusters": q_dedup_clusters,
         "stratified_sample": q_stratified_sample,
         "ann_lsh_search": q_ann_lsh_search,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,

@@ -366,3 +366,64 @@ def exact_dedup_keep_best(
         )
         .select(id_col, "quality", "n_copies")
     )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 15,
+) -> DataFrame:
+    """(id, cluster_id): connected components of the near-dup pair
+    graph — pairs say *which* docs match, clusters say *what to keep*
+    (one representative per component; cluster_id = the component's
+    minimum doc id).
+
+    Min-label propagation: every node repeatedly takes the minimum
+    label among itself and its neighbors; converges in
+    graph-diameter iterations (near-dup components are shallow — a
+    handful of rounds). Each iteration is one join + one aggregation,
+    with ``localCheckpoint`` truncating the lineage so the plan stays
+    flat (the standard guard for iterative DataFrame algorithms; on a
+    cluster, ``checkpoint`` to the fault-tolerant dir instead).
+    Singleton docs keep their own id as cluster_id.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = docs.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label")))
+                .alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "node")
+            .where(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    )
