@@ -381,6 +381,12 @@ def q_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each purchase matched to the latest view
+    at-or-before it per user."""
+    return analytics.asof_join_events(_t(spark, sf_dir, "events"))
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.sessionize(_t(spark, sf_dir, "events"))
 
@@ -891,6 +897,16 @@ WHERE r.r_name = 'ASIA'
 GROUP BY n.n_name
 ORDER BY revenue DESC, n.n_name ASC
 """,
+        "events_asof_join": """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+l AS (SELECT * FROM e WHERE event_type = 'purchase'),
+r AS (SELECT * FROM e WHERE event_type = 'view')
+SELECT l.event_id, l.user_id, l.ts_us,
+       (SELECT r.event_id FROM r
+        WHERE r.user_id = l.user_id AND r.ts_us <= l.ts_us
+        ORDER BY r.ts_us DESC, r.event_id DESC LIMIT 1) AS matched_event_id
+FROM l
+""",
         "events_sessionize": """
 WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
 w AS (
@@ -1039,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_revenue_share": q_part_revenue_share,
         "shipping_priority": q_shipping_priority,
         "regional_supplier_volume": q_regional_supplier_volume,
+        "events_asof_join": q_events_asof_join,
         "events_sessionize": q_events_sessionize,
         "events_tumbling": q_events_tumbling,
     }

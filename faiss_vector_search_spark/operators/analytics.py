@@ -239,3 +239,57 @@ def regional_supplier_volume(
         .agg(F.round(revenue, 2).cast(MONEY).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
     )
+
+
+def asof_join_events(
+    events: DataFrame,
+    left_type: str = "purchase",
+    right_type: str = "view",
+) -> DataFrame:
+    """As-of join: each ``left_type`` event matched to the most recent
+    ``right_type`` event at-or-before it for the same user — the
+    operator Spark lacks natively (time-series point-in-time joins).
+
+    Union-tag formulation: tag both sides, union, ONE shuffle on
+    user_id, one sort on (ts, side, id), and a running ``last(...,
+    ignoreNulls)`` window carries the latest right-side id forward
+    into each left row. This is the scale shape — a naive
+    per-left-row lookup is a correlated O(n·m) join; this is
+    O((n+m) log(n+m)) partition-local after a single exchange.
+    Tie-break: same-timestamp right events sort before left (side 0 <
+    side 1) so "at-or-before" includes ties; among equal-ts right
+    events the highest event_id wins.
+    """
+    base = events.select(
+        "user_id", "event_id", _ts_us(events).alias("ts_us"), "event_type"
+    )
+    right = base.where(F.col("event_type") == right_type).select(
+        "user_id",
+        "ts_us",
+        F.lit(0).alias("side"),
+        F.col("event_id"),
+        F.col("event_id").alias("r_event_id"),
+    )
+    left = base.where(F.col("event_type") == left_type).select(
+        "user_id",
+        "ts_us",
+        F.lit(1).alias("side"),
+        F.col("event_id"),
+        F.lit(None).cast("bigint").alias("r_event_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_us").asc(), F.col("side").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        right.unionByName(left)
+        .withColumn("matched", F.last("r_event_id", ignorenulls=True).over(w))
+        .where(F.col("side") == 1)
+        .select(
+            F.col("event_id"),
+            F.col("user_id"),
+            F.col("ts_us"),
+            F.col("matched").alias("matched_event_id"),
+        )
+    )

@@ -107,15 +107,22 @@ def text_search(
         "bucket", F.col("cnt").alias("qcnt")
     )
     qn2 = qb.agg(F.sum(F.col("qcnt") * F.col("qcnt")).alias("qn2"))
-    dn2 = d.groupBy(id_col).agg(F.sum(F.col("cnt") * F.col("cnt")).alias("dn2"))
+    # ONE per-doc aggregation computes both the norm and the dot: the
+    # broadcast left-join tags each (doc,bucket) with the query count
+    # (0 where the query misses), so norm+dot share a single shuffle.
     dots = (
-        d.join(F.broadcast(qb), "bucket")
+        d.join(F.broadcast(qb), "bucket", "left")
         .groupBy(id_col)
-        .agg(F.sum(F.col("cnt") * F.col("qcnt")).alias("dot"))
+        .agg(
+            F.sum(F.col("cnt") * F.col("cnt")).alias("dn2"),
+            F.sum(
+                F.col("cnt") * F.coalesce(F.col("qcnt"), F.lit(0))
+            ).alias("dot"),
+        )
+        .where(F.col("dot") > 0)
     )
     return (
-        dots.join(dn2, id_col)
-        .crossJoin(F.broadcast(qn2))
+        dots.crossJoin(F.broadcast(qn2))
         .select(
             F.col(id_col),
             F.round(
