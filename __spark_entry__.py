@@ -387,6 +387,11 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.asof_join_events(_t(spark, sf_dir, "events"))
 
 
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized range join: clicks within ±60s of each error."""
+    return analytics.range_join_events(_t(spark, sf_dir, "events"))
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.sessionize(_t(spark, sf_dir, "events"))
 
@@ -897,6 +902,15 @@ WHERE r.r_name = 'ASIA'
 GROUP BY n.n_name
 ORDER BY revenue DESC, n.n_name ASC
 """,
+        "events_range_join": """
+WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+l AS (SELECT * FROM e WHERE event_type = 'error'),
+r AS (SELECT * FROM e WHERE event_type = 'click')
+SELECT l.event_id,
+       CAST(count(r.event_id) AS BIGINT) AS n_nearby
+FROM l LEFT JOIN r ON abs(r.ts_us - l.ts_us) <= 60000000
+GROUP BY l.event_id
+""",
         "events_asof_join": """
 WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events),
 l AS (SELECT * FROM e WHERE event_type = 'purchase'),
@@ -1056,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "regional_supplier_volume": q_regional_supplier_volume,
         "events_asof_join": q_events_asof_join,
+        "events_range_join": q_events_range_join,
         "events_sessionize": q_events_sessionize,
         "events_tumbling": q_events_tumbling,
     }

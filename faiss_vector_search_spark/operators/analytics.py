@@ -293,3 +293,51 @@ def asof_join_events(
             F.col("matched").alias("matched_event_id"),
         )
     )
+
+
+def range_join_events(
+    events: DataFrame,
+    left_type: str = "error",
+    right_type: str = "click",
+    window_us: int = 60_000_000,
+) -> DataFrame:
+    """Range join: count ``right_type`` events within ±window of each
+    ``left_type`` event — the interval-predicate join that naively
+    plans as an O(n·m) nested loop.
+
+    Bucketization makes it scan-shaped: both sides bucket by
+    ``ts div window``; a left row can only match rights in its own or
+    the two adjacent buckets, so exploding the left to 3 candidate
+    buckets turns the theta join into an equi-join on bucket + a
+    residual |Δt| filter. Join input is 3·n rows instead of n·m
+    pairs; the equi-join shuffles on bucket and AQE splits any hot
+    bucket."""
+    base = events.select(
+        "event_id", _ts_us(events).alias("ts_us"), "event_type"
+    )
+    left = base.where(F.col("event_type") == left_type).select(
+        F.col("event_id"),
+        F.col("ts_us"),
+        F.explode(
+            F.array(
+                F.expr(f"ts_us div {window_us} - 1"),
+                F.expr(f"ts_us div {window_us}"),
+                F.expr(f"ts_us div {window_us} + 1"),
+            )
+        ).alias("bucket"),
+    )
+    right = base.where(F.col("event_type") == right_type).select(
+        F.col("ts_us").alias("r_ts_us"),
+        F.expr(f"ts_us div {window_us}").alias("bucket"),
+    )
+    matches = (
+        left.join(right, "bucket")
+        .where(F.abs(F.col("r_ts_us") - F.col("ts_us")) <= window_us)
+        .groupBy("event_id")
+        .agg(F.count("*").alias("n_nearby"))
+    )
+    all_left = base.where(F.col("event_type") == left_type).select("event_id")
+    return all_left.join(matches, "event_id", "left").select(
+        "event_id",
+        F.coalesce(F.col("n_nearby"), F.lit(0)).cast("bigint").alias("n_nearby"),
+    )
