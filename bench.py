@@ -109,6 +109,8 @@ def main() -> None:
         "chunk_fixed": qs["chunk_fixed"],
         "chunk_greedy": p_chunk_greedy,
         "events_sessionize": qs["events_sessionize"],
+        "events_asof_join": qs["events_asof_join"],
+        "events_range_join": qs["events_range_join"],
         "events_tumbling": qs["events_tumbling"],
         "tpch_q1": qs["tpch_q1"],
         "top_customers_by_nation": qs["top_customers_by_nation"],
