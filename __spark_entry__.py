@@ -381,6 +381,12 @@ def q_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.order_priority_check(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
 def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time join: each purchase matched to the latest view
     at-or-before it per user."""
@@ -902,6 +908,16 @@ WHERE r.r_name = 'ASIA'
 GROUP BY n.n_name
 ORDER BY revenue DESC, n.n_name ASC
 """,
+        "order_priority_check": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_discount >= 0.08)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
         "events_range_join": """
 WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, event_type FROM events),
 l AS (SELECT * FROM e WHERE event_type = 'error'),
@@ -1069,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_revenue_share": q_part_revenue_share,
         "shipping_priority": q_shipping_priority,
         "regional_supplier_volume": q_regional_supplier_volume,
+        "order_priority_check": q_order_priority_check,
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
         "events_sessionize": q_events_sessionize,

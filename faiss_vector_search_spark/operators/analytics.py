@@ -341,3 +341,30 @@ def range_join_events(
         "event_id",
         F.coalesce(F.col("n_nearby"), F.lit(0)).cast("bigint").alias("n_nearby"),
     )
+
+
+def order_priority_check(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-07-01",
+    min_discount: float = 0.08,
+) -> DataFrame:
+    """TPC-H Q4 shape: orders per priority having at least one
+    qualifying lineitem — the EXISTS pattern, planned as a left-semi
+    join (probe side streams, no duplication, no distinct needed)."""
+    ords = orders.where(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    )
+    qualifying = lineitem.where(F.col("l_discount") >= min_discount).select(
+        F.col("l_orderkey")
+    )
+    return (
+        ords.join(
+            qualifying, ords["o_orderkey"] == qualifying["l_orderkey"], "leftsemi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
