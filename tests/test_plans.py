@@ -126,3 +126,30 @@ def test_threshold_min_bound(spark, sf_small):
     t_fl = floored.first().final_threshold
     assert float(t_fl) >= 0.25
     assert float(t_fl) >= float(t_un)
+
+
+def final_plan_of(df) -> str:
+    """Executed plan text, final-plan section only (AQE's toString
+    appends an '== Initial Plan ==' copy that double-counts nodes)."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_asof_join_single_shuffle(spark, sf_small):
+    """The union-tag as-of join must shuffle ONCE (on user_id) — a
+    correlated/nested-loop plan would defeat the formulation."""
+    events = fio.load_table(spark, sf_small, "events")
+    plan = final_plan_of(analytics.asof_join_events(events))
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_is_equi_join(spark, sf_small):
+    """Bucketization must turn the interval predicate into an
+    equi-join — no nested-loop/cartesian fallback."""
+    events = fio.load_table(spark, sf_small, "events")
+    plan = final_plan_of(analytics.range_join_events(events))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
