@@ -4,6 +4,42 @@ capabilities of RPLaine/faiss-vector-search (see SURVEY.md).
 Spark-first re-expression: vector search, index lifecycle, dedup,
 text analysis, chunking, and streaming — all as DataFrame plans that
 Catalyst/Tungsten can optimize, designed for 100 TB-scale clusters.
+
+Quick access::
+
+    from faiss_vector_search_spark import get_spark, load_table
+    from faiss_vector_search_spark.operators import knn, ivf, lsh, dedup
+
+Operator modules (``faiss_vector_search_spark.operators.*``):
+
+- ``knn``         flat IP/L2 top-k, thresholds, dynamic search, batch
+- ``ivf``         IVF indexes: seeded / k-means quantizers, persisted
+- ``lsh``         hyperplane LSH: ANN search + embedding near-dup
+- ``dedup``       exact / keep-best / Jaccard / MinHash / SimHash /
+                  cosine near-dup + connected-component clusters
+- ``embed``       feature-hash embedding, sparse-cosine text search
+- ``lexical``     BM25 + reciprocal-rank-fusion hybrid retrieval
+- ``textstats``   lang ID, quality, token counts, winnowing,
+                  stratified sampling
+- ``chunking``    fixed / greedy / conversational chunking, sequence
+                  packing
+- ``analytics``   join/agg/window shapes, sessionization, as-of and
+                  range joins
+- ``index_store`` save / load / clear / add_vectors / stats
+
+Plus ``sources`` (text-dir, docx, multimodal ingest) and ``streaming``
+(watermarked aggs, incremental index add, stateful sessionization).
 """
 
+from .io import load_table, load_tables, register_views
+from .session import get_spark
+
 __version__ = "0.1.0"
+
+__all__ = [
+    "get_spark",
+    "load_table",
+    "load_tables",
+    "register_views",
+    "__version__",
+]
