@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hashed
-from ..functions.text import shingles, tokens
+from ..functions.text import tokens
 
 JACCARD_DECIMALS = 6
 
