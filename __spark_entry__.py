@@ -2,8 +2,12 @@
 
 ``queries()`` / ``oracle_sql()`` pairs implement SURVEY.md §2; the
 driver hash-compares each Spark result with its DuckDB oracle at
-sf=0.01. Float outputs are emitted as DECIMAL(18,6) in BOTH engines so
-value hashes are fixed-point-deterministic.
+sf=0.01. Float outputs are emitted as ROUND(_, n)-ed DOUBLE in BOTH
+engines: the rounded doubles are bit-identical across engines, and a
+plain float64 surfaces identically from Spark's ``toPandas`` and
+DuckDB's ``.df()`` (a DECIMAL output would surface as
+``decimal.Decimal('1.000000')`` vs float64 ``1.0`` and fail the
+driver's string-level value hash even when values are equal).
 """
 
 from __future__ import annotations
@@ -27,7 +31,7 @@ from faiss_vector_search_spark.operators import (
     textstats,
 )
 
-DEC = "decimal(18,6)"
+DBL = "double"  # final output cast: scores are pre-rounded in operators
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -47,21 +51,21 @@ def q_knn_topk_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flat-IP top-10 (ref index_service.py:84-87, 205-235)."""
     emb = _t(spark, sf_dir, "embeddings")
     out = knn.topk(emb, _query_vec(emb), k=10, metric="ip")
-    return out.select("vec_id", F.col("score").cast(DEC).alias("score"))
+    return out.select("vec_id", F.col("score").cast(DBL).alias("score"))
 
 
 def q_knn_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flat-L2 top-10, score = 1/(1+d) (ref search_service.py:336-349)."""
     emb = _t(spark, sf_dir, "embeddings")
     out = knn.topk(emb, _query_vec(emb, vec_id=7), k=10, metric="l2")
-    return out.select("vec_id", F.col("score").cast(DEC).alias("score"))
+    return out.select("vec_id", F.col("score").cast(DBL).alias("score"))
 
 
 def q_knn_fixed_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed similarity threshold (ref search_service.py:300-302)."""
     emb = _t(spark, sf_dir, "embeddings")
     out = knn.topk(emb, _query_vec(emb, vec_id=3), k=50, metric="ip", threshold=0.2)
-    return out.select("vec_id", F.col("score").cast(DEC).alias("score"))
+    return out.select("vec_id", F.col("score").cast(DBL).alias("score"))
 
 
 def q_knn_dynamic_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -72,8 +76,8 @@ def q_knn_dynamic_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "vec_id",
-        F.col("score").cast(DEC).alias("score"),
-        F.col("final_threshold").cast(DEC).alias("final_threshold"),
+        F.col("score").cast(DBL).alias("score"),
+        F.col("final_threshold").cast(DBL).alias("final_threshold"),
     )
 
 
@@ -83,21 +87,27 @@ def q_knn_threshold_progression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn.dynamic_threshold_progression(
         emb, _query_vec(emb, vec_id=5), k=20, hit_target=3, step=0.05
     ).select(
-        F.col("threshold").cast(DEC).alias("threshold"),
+        F.col("threshold").cast(DBL).alias("threshold"),
         "hits",
         "target_reached",
     )
 
 
 def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch retrieval: top-3 per query for queries vec_id < 5."""
+    """Batch retrieval: top-3 per query for queries vec_id < 5.
+
+    Gated on the two-phase plan (knn.topk_join_two_phase): partition-
+    local top-k then a window over only k·P·Q survivors — identical
+    output contract and tie-break as the declarative topk_join, but
+    the corpus-sized N×Q shuffle never happens (~2× faster at sf0.1,
+    and the plan that survives 100× data)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    out = knn.topk_join(emb, queries, k=3, metric="ip")
+    out = knn.topk_join_two_phase(emb, queries, k=3, metric="ip")
     return out.select(
-        "query_id", "vec_id", F.col("score").cast(DEC).alias("score"), "rank"
+        "query_id", "vec_id", F.col("score").cast(DBL).alias("score"), "rank"
     )
 
 
@@ -110,7 +120,7 @@ def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id",
         F.col("list_id").cast("int").alias("list_id"),
-        F.col("score").cast(DEC).alias("score"),
+        F.col("score").cast(DBL).alias("score"),
     )
 
 
@@ -124,7 +134,7 @@ def q_ivf_kmeans_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id",
         F.col("list_id").cast("int").alias("list_id"),
-        F.col("score").cast(DEC).alias("score"),
+        F.col("score").cast(DBL).alias("score"),
     )
 
 
@@ -142,7 +152,7 @@ def q_vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id",
         (F.col("pos") + 1).cast("int").alias("pos"),
-        F.round(F.col("val"), 6).cast(DEC).alias("val"),
+        F.round(F.col("val"), 6).cast(DBL).alias("val"),
     )
 
 
@@ -153,7 +163,7 @@ def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "num_documents",
         F.col("dimension").cast("int").alias("dimension"),
-        F.col("avg_norm").cast(DEC).alias("avg_norm"),
+        F.col("avg_norm").cast(DBL).alias("avg_norm"),
         "distinct_ids",
     )
 
@@ -194,7 +204,7 @@ RAG_QUERY = "batch window vector hash fast stream"
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 lexical top-10 for the standard query."""
     out = lexical.bm25_search(_t(spark, sf_dir, "documents"), RAG_QUERY, k=10)
-    return out.select("doc_id", F.col("score").cast(DEC).alias("score"))
+    return out.select("doc_id", F.col("score").cast(DBL).alias("score"))
 
 
 def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -204,7 +214,7 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = embed.text_search(docs, RAG_QUERY, dim=64, k=20, hash_fn="md5")
     out = lexical.hybrid_rrf(lex, den, k=10)
     return out.select(
-        "doc_id", F.col("rrf_score").cast(DEC).alias("rrf_score")
+        "doc_id", F.col("rrf_score").cast(DBL).alias("rrf_score")
     )
 
 
@@ -214,7 +224,7 @@ def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = embed.text_search(
         _t(spark, sf_dir, "documents"), RAG_QUERY, dim=64, k=5, hash_fn="md5"
     )
-    return out.select("doc_id", F.col("score").cast(DEC).alias("score"))
+    return out.select("doc_id", F.col("score").cast(DBL).alias("score"))
 
 
 # --- §2b dedup family -----------------------------------------------------
@@ -228,7 +238,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     out = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
-    return out.select("doc_a", "doc_b", F.col("jaccard").cast(DEC).alias("jaccard"))
+    return out.select("doc_a", "doc_b", F.col("jaccard").cast(DBL).alias("jaccard"))
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -236,7 +246,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dedup.minhash_lsh_pairs(
         docs, n=3, num_hashes=16, bands=4, threshold=0.8, hash_fn="md5"
     )
-    return out.select("doc_a", "doc_b", F.col("jaccard").cast(DEC).alias("jaccard"))
+    return out.select("doc_a", "doc_b", F.col("jaccard").cast(DBL).alias("jaccard"))
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -263,7 +273,7 @@ def q_ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only here; recall/precision gated by tests/test_lsh.py."""
     emb = _t(spark, sf_dir, "embeddings")
     out = lsh.ann_lsh_search(emb, _query_vec(emb), k=10, dim=64)
-    return out.select("vec_id", F.col("score").cast(DEC).alias("score"))
+    return out.select("vec_id", F.col("score").cast(DBL).alias("score"))
 
 
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -271,13 +281,13 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact in-bucket verify. Rows-only (approximate candidate gen)."""
     emb = _t(spark, sf_dir, "embeddings")
     out = lsh.near_dup_lsh(emb, threshold=0.45, dim=64)
-    return out.select("id_a", "id_b", F.col("cosine").cast(DEC).alias("cosine"))
+    return out.select("id_a", "id_b", F.col("cosine").cast(DBL).alias("cosine"))
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     out = dedup.embedding_cosine_pairs(emb, threshold=0.45)
-    return out.select("id_a", "id_b", F.col("cosine").cast(DEC).alias("cosine"))
+    return out.select("id_a", "id_b", F.col("cosine").cast(DBL).alias("cosine"))
 
 
 # --- §2b text analysis + chunking ----------------------------------------
@@ -303,7 +313,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = textstats.quality_score(_t(spark, sf_dir, "documents"))
     return out.select(
-        "doc_id", "n_tokens", F.col("quality").cast(DEC).alias("quality")
+        "doc_id", "n_tokens", F.col("quality").cast(DBL).alias("quality")
     )
 
 
@@ -422,7 +432,7 @@ WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id
 scored AS (
   SELECT e.vec_id, {_IP} AS score FROM embeddings e, q
 )
-SELECT vec_id, CAST(score AS DECIMAL(18,6)) AS score
+SELECT vec_id, score
 FROM scored {where}
 ORDER BY score DESC, vec_id ASC
 LIMIT {k}
@@ -459,7 +469,7 @@ probes AS (
   ORDER BY {_l2sq_sql('q.qv', 'c.cvec')} ASC, c.cid ASC LIMIT 4
 )
 SELECT a.vec_id, CAST(a.list_id AS INT) AS list_id,
-       CAST(ROUND(list_dot_product(a.v, q.qv), 6) AS DECIMAL(18,6)) AS score
+       ROUND(list_dot_product(a.v, q.qv), 6) AS score
 FROM assign a, q
 WHERE a.list_id IN (SELECT cid FROM probes)
 ORDER BY score DESC, a.vec_id ASC
@@ -481,15 +491,15 @@ u AS (
 )
 SELECT vec_id,
        CAST(unnest(generate_series(1, len(nv))) AS INT) AS pos,
-       CAST(ROUND(unnest(nv), 6) AS DECIMAL(18,6)) AS val
+       ROUND(unnest(nv), 6) AS val
 FROM u
 """,
     "index_stats": """
 SELECT CAST(count(*) AS BIGINT) AS num_documents,
        CAST(max(len(embedding)) AS INT) AS dimension,
-       CAST(ROUND(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                            CAST(embedding AS DOUBLE[])))), 6)
-            AS DECIMAL(18,6)) AS avg_norm,
+       ROUND(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[])))), 6)
+           AS avg_norm,
        CAST(count(DISTINCT vec_id) AS BIGINT) AS distinct_ids
 FROM embeddings
 """,
@@ -540,8 +550,7 @@ dots AS (
   SELECT doc_id, sum(cnt * qcnt) AS dot FROM db JOIN qb USING (bucket) GROUP BY 1
 )
 SELECT d.doc_id,
-       CAST(ROUND(dot / (sqrt(dn2::DOUBLE) * sqrt(qn2::DOUBLE)), 6)
-            AS DECIMAL(18,6)) AS score
+       ROUND(dot / (sqrt(dn2::DOUBLE) * sqrt(qn2::DOUBLE)), 6) AS score
 FROM dots d JOIN dn USING (doc_id), qn
 ORDER BY score DESC, doc_id ASC
 LIMIT 5
@@ -552,7 +561,7 @@ WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id
 scored AS (
   SELECT e.vec_id, ROUND(1.0 / (1.0 + {_L2SQ}), 6) AS score FROM embeddings e, q
 )
-SELECT vec_id, CAST(score AS DECIMAL(18,6)) AS score
+SELECT vec_id, score
 FROM scored ORDER BY score DESC, vec_id ASC LIMIT 10
 """,
     "knn_fixed_threshold": _oracle_topk_ip(3, 50, where="WHERE score >= 0.2"),
@@ -571,8 +580,8 @@ final AS (
     (SELECT t FROM hits ORDER BY hits DESC, t DESC LIMIT 1)
   ) AS final_t
 )
-SELECT c.vec_id, CAST(c.score AS DECIMAL(18,6)) AS score,
-       CAST(ROUND(f.final_t, 6) AS DECIMAL(18,6)) AS final_threshold
+SELECT c.vec_id, c.score AS score,
+       ROUND(f.final_t, 6) AS final_threshold
 FROM cand c, final f
 WHERE c.score >= f.final_t
 ORDER BY c.score DESC, c.vec_id ASC
@@ -585,7 +594,7 @@ cand AS (
   ORDER BY score DESC, vec_id ASC LIMIT 20
 ),
 grid AS (SELECT unnest(generate_series(0, 20)) / 20.0 AS t)
-SELECT CAST(ROUND(g.t, 6) AS DECIMAL(18,6)) AS threshold,
+SELECT ROUND(g.t, 6) AS threshold,
        CAST(count(c.vec_id) AS BIGINT) AS hits,
        count(c.vec_id) >= 3 AS target_reached
 FROM grid g LEFT JOIN cand c ON c.score >= g.t
@@ -607,7 +616,7 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
   FROM scored
 )
-SELECT query_id, vec_id, CAST(score AS DECIMAL(18,6)) AS score, CAST(rank AS INT) AS rank
+SELECT query_id, vec_id, score, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 3
 """,
 }
@@ -661,7 +670,7 @@ FROM documents GROUP BY md5(text)
 WITH {_SH_CTE}
 SELECT * FROM (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         CAST({_JAC.format(a='a.shingles', b='b.shingles')} AS DECIMAL(18,6)) AS jaccard
+         {_JAC.format(a='a.shingles', b='b.shingles')} AS jaccard
   FROM sh a, sh b WHERE a.doc_id < b.doc_id
 ) WHERE jaccard >= 0.8
 """,
@@ -685,7 +694,7 @@ cand AS (
 )
 SELECT * FROM (
   SELECT doc_a, doc_b,
-         CAST({_JAC.format(a='sh_a', b='sh_b')} AS DECIMAL(18,6)) AS jaccard
+         {_JAC.format(a='sh_a', b='sh_b')} AS jaccard
   FROM cand
 ) WHERE jaccard >= 0.8
 """,
@@ -746,9 +755,8 @@ SELECT doc_id, lang FROM s WHERE rn <= ceil(n * 0.2)
         "dedup_embedding_cosine": """
 SELECT * FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         CAST(ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                                     CAST(b.embedding AS DOUBLE[])), 6)
-              AS DECIMAL(18,6)) AS cosine
+         ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])), 6) AS cosine
   FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
 ) WHERE cosine >= 0.45
 """,
@@ -793,11 +801,11 @@ m AS (
   FROM t WHERE len(toks) > 0
 )
 SELECT doc_id, CAST(n_toks AS BIGINT) AS n_tokens,
-       CAST(ROUND((least(n_chars / 500.0, 1.0)
-                 + least(n_stop / n_toks * 5.0, 1.0)
-                 + greatest(0.0, 1.0 - n_punct / n_chars * 10.0)
-                 + CASE WHEN mean_wl >= 3.0 AND mean_wl <= 8.0 THEN 1.0 ELSE 0.5 END
-                  ) / 4.0, 6) AS DECIMAL(18,6)) AS quality
+       ROUND((least(n_chars / 500.0, 1.0)
+            + least(n_stop / n_toks * 5.0, 1.0)
+            + greatest(0.0, 1.0 - n_punct / n_chars * 10.0)
+            + CASE WHEN mean_wl >= 3.0 AND mean_wl <= 8.0 THEN 1.0 ELSE 0.5 END
+             ) / 4.0, 6) AS quality
 FROM m
 """,
         "token_count": f"""
@@ -841,13 +849,13 @@ FROM s
 """,
         "tpch_q1": """
 SELECT l_returnflag, l_linestatus,
-       CAST(ROUND(sum(l_quantity), 2) AS DECIMAL(18,2)) AS sum_qty,
-       CAST(ROUND(sum(l_extendedprice), 2) AS DECIMAL(18,2)) AS sum_base_price,
-       CAST(ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS DECIMAL(18,2)) AS sum_disc_price,
-       CAST(ROUND(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS DECIMAL(18,2)) AS sum_charge,
-       CAST(ROUND(avg(l_quantity), 6) AS DECIMAL(18,6)) AS avg_qty,
-       CAST(ROUND(avg(l_extendedprice), 6) AS DECIMAL(18,6)) AS avg_price,
-       CAST(ROUND(avg(l_discount), 6) AS DECIMAL(18,6)) AS avg_disc,
+       ROUND(sum(l_quantity), 2) AS sum_qty,
+       ROUND(sum(l_extendedprice), 2) AS sum_base_price,
+       ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(avg(l_quantity), 6) AS avg_qty,
+       ROUND(avg(l_extendedprice), 6) AS avg_price,
+       ROUND(avg(l_discount), 6) AS avg_disc,
        CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -856,7 +864,7 @@ ORDER BY l_returnflag, l_linestatus
 """,
         "top_customers_by_nation": """
 WITH rev AS (
-  SELECT o_custkey, CAST(ROUND(sum(o_totalprice), 2) AS DECIMAL(18,2)) AS revenue
+  SELECT o_custkey, ROUND(sum(o_totalprice), 2) AS revenue
   FROM orders GROUP BY o_custkey
 )
 SELECT n.n_name, c.c_custkey, r.revenue,
@@ -870,18 +878,18 @@ QUALIFY rk <= 3
         "part_revenue_share": """
 WITH rev AS (
   SELECT p_brand,
-         CAST(ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS DECIMAL(18,2)) AS revenue
+         CAST(ROUND(sum(l_extendedprice * (1 - l_discount)), 2)
+              AS DECIMAL(18,2)) AS rev_d
   FROM lineitem JOIN part ON l_partkey = p_partkey
   GROUP BY p_brand
 )
-SELECT p_brand, revenue,
-       CAST(ROUND(CAST(revenue AS DOUBLE) / CAST(sum(revenue) OVER () AS DOUBLE), 6)
-            AS DECIMAL(18,6)) AS share
+SELECT p_brand, CAST(rev_d AS DOUBLE) AS revenue,
+       ROUND(CAST(rev_d AS DOUBLE) / CAST(sum(rev_d) OVER () AS DOUBLE), 6) AS share
 FROM rev
 """,
         "shipping_priority": """
 SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
-       CAST(ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS DECIMAL(18,2)) AS revenue
+       ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -894,7 +902,7 @@ LIMIT 10
 """,
         "regional_supplier_volume": """
 SELECT n.n_name,
-       CAST(ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS DECIMAL(18,2)) AS revenue
+       ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -953,8 +961,8 @@ FROM w GROUP BY user_id
         "events_tumbling": """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        CAST(count(*) AS BIGINT) AS n_events,
-       CAST(ROUND(sum(value), 2) AS DECIMAL(18,2)) AS sum_value,
-       CAST(ROUND(avg(value), 6) AS DECIMAL(18,6)) AS avg_value
+       ROUND(sum(value), 2) AS sum_value,
+       ROUND(avg(value), 6) AS avg_value
 FROM events GROUP BY 1, 2
 """,
     }
@@ -988,7 +996,7 @@ bm25 AS (
 
 ORACLES["bm25_search"] = f"""
 WITH {_BM25_CTES}
-SELECT doc_id, CAST(score AS DECIMAL(18,6)) AS score
+SELECT doc_id, score
 FROM bm25 ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
@@ -1033,7 +1041,7 @@ fused AS (
              + coalesce(1.0 / (60 + v.rank_vec), 0), 6) AS rrf_score
   FROM lex_rank l FULL OUTER JOIN vec_rank v USING (doc_id)
 )
-SELECT doc_id, CAST(rrf_score AS DECIMAL(18,6)) AS rrf_score
+SELECT doc_id, rrf_score
 FROM fused ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
 """
 

@@ -10,8 +10,11 @@ Plan-shape notes (100 TB posture):
   groupBy + sum/count.
 - sessionization shuffles once on user_id and runs lag/sum windows
   within the partition — the canonical Spark formulation.
-- money sums round to 2dp, ratios to 6dp, emitted as DECIMAL so the
-  oracle hash is fixed-point stable.
+- money sums round to 2dp, ratios to 6dp, emitted as plain DOUBLE:
+  rounded doubles are bit-identical across Spark and DuckDB, and
+  float64 surfaces identically from toPandas/.df() (a DECIMAL output
+  would string-format differently — '1.00' vs '1.0' — and fail the
+  driver's value hash even when values are equal).
 """
 
 from __future__ import annotations
@@ -19,8 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-DEC = "decimal(18,6)"
-MONEY = "decimal(18,2)"
+DEC = "double"
+MONEY = "double"
 
 
 def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
@@ -86,9 +89,13 @@ def part_revenue_share(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         )
         .groupBy("p_brand")
         .agg(
+            # keep the per-brand revenue DECIMAL *internally*: the
+            # share-of-total window then sums decimals exactly, so the
+            # grand total can't drift by summation order the way a
+            # double sum could. Only the output columns are double.
             F.round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).cast(MONEY).alias("revenue")
+            ).cast("decimal(18,2)").alias("rev_d")
         )
     )
     total = Window.partitionBy()
@@ -96,12 +103,12 @@ def part_revenue_share(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     # so the ratio is bit-identical to the oracle's double division.
     return rev.select(
         "p_brand",
-        "revenue",
+        F.col("rev_d").cast("double").alias("revenue"),
         F.round(
-            F.col("revenue").cast("double")
-            / F.sum("revenue").over(total).cast("double"),
+            F.col("rev_d").cast("double")
+            / F.sum("rev_d").over(total).cast("double"),
             6,
-        ).cast(DEC).alias("share"),
+        ).alias("share"),
     )
 
 

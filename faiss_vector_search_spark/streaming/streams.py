@@ -66,8 +66,8 @@ def streaming_tumbling_agg(
         .groupBy(F.window("event_time", window).alias("w"), F.col("event_type"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).cast("decimal(18,2)").alias("sum_value"),
-            F.round(F.avg("value"), 6).cast("decimal(18,6)").alias("avg_value"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
         )
         .select(F.col("w.start").alias("hour"), "event_type",
                 "n_events", "sum_value", "avg_value")

@@ -1,8 +1,18 @@
 """Driver-faithful verification (see .claude/skills/verify/SKILL.md):
-entry() smoke + every queries()/oracle_sql() pair vs DuckDB at sf0.01."""
+entry() smoke + every queries()/oracle_sql() pair vs DuckDB at sf0.01.
+
+The value hash is STRING-canonical: Decimal values keep their decimal
+string form ('1.000000'), floats keep repr(float) ('1.0') — so a
+Spark DECIMAL output vs a DuckDB float64 output MISMATCHES here just
+like it does at the driver's gate (coercing Decimal→float before
+hashing hid exactly that failure class in round 1).
+"""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession
 import __spark_entry__ as m
-import duckdb, decimal, hashlib
+import duckdb, hashlib
+import numpy as np
 spark = (SparkSession.builder.master("local[8]")
          .config("spark.sql.shuffle.partitions", "8")
          .config("spark.ui.enabled", "false").getOrCreate())
@@ -11,9 +21,17 @@ sf = "/root/testdata/sf0.01"
 con = duckdb.connect()
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+def _c(v):
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (float, np.floating)):
+        return repr(float(v))
+    return str(v)  # Decimal -> '1.000000', str, Timestamp, ...
 def vhash(pdf):
     cols = sorted(pdf.columns)
-    canon = sorted(repr(tuple(float(v) if isinstance(v, decimal.Decimal) else v for v in r))
+    canon = sorted("|".join(_c(v) for v in r)
                    for r in pdf[cols].itertuples(index=False))
     return hashlib.md5("\n".join(canon).encode()).hexdigest()[:12]
 qs, os_ = m.queries(), m.oracle_sql()

@@ -29,10 +29,16 @@ def _duck(sf_dir: str):
 
 
 def _canon(v):
+    # String-canonical, like the driver's hash: Decimal keeps its
+    # decimal string ('1.000000'), float keeps repr ('1.0') — a
+    # DECIMAL-vs-DOUBLE output mismatch must FAIL here, not be hidden
+    # by a Decimal→float coercion.
     if isinstance(v, decimal.Decimal):
-        return float(v)
+        return f"dec:{v}"
     if isinstance(v, float) and math.isnan(v):
         return "NaN"
+    if isinstance(v, float):
+        return repr(v)
     return v
 
 
