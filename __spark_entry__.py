@@ -259,11 +259,15 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters = connected components of the minhash-LSH
-    pair graph — rows-only (iterative); exactness vs union-find gated
-    by tests/test_dedup_clusters.py."""
+    pair graph. Oracle-gated: the DuckDB side replays the same md5
+    minhash pipeline and closes the pair graph with a WITH RECURSIVE
+    transitive closure + min-label aggregate; union-find exactness is
+    additionally gated by tests/test_dedup_clusters.py. (Production
+    profile uses hash_fn="xxhash64"; md5 here for cross-engine
+    determinism.)"""
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_pairs(
-        docs, n=3, num_hashes=16, bands=4, threshold=0.8, hash_fn="xxhash64"
+        docs, n=3, num_hashes=16, bands=4, threshold=0.8, hash_fn="md5"
     )
     return dedup.dedup_clusters(docs, pairs)
 
@@ -328,18 +332,25 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_chunk_documents_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference-style greedy + conversational chunking (SURVEY §2a
-    #13/#15) — rows-only; invariants gated by tests/test_chunking.py."""
+    """Reference-style greedy chunking (SURVEY §2a #13/#15), oracle-
+    gated: the DuckDB side replays the same two-level greedy fold
+    (paragraph packing with char overlap, then sentence-splitting of
+    oversized chunks) as recursive CTEs. The conversational K:/V:
+    branch only fires on marker docs — none exist in the corpus — and
+    stays pytest-gated (tests/test_chunking.py)."""
     return chunking.chunk_greedy(
         _t(spark, sf_dir, "documents"), min_size=100, max_size=250, overlap=20
     )
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-budget sequence packing (SURVEY §2b #29e) — rows-only;
-    invariants (coverage, budget, fill) gated by tests/test_chunking.py."""
+    """Token-budget sequence packing (SURVEY §2b #29e), oracle-gated:
+    the DuckDB side replays per-shard first-fit-decreasing as a
+    recursive CTE carrying the open-bin capacity list. md5 shard hash
+    (seed 21) for cross-engine determinism; invariants (coverage,
+    budget, fill) additionally gated by tests/test_chunking.py."""
     out = chunking.pack_sequences(
-        _t(spark, sf_dir, "documents"), max_tokens=256, n_shards=8
+        _t(spark, sf_dir, "documents"), max_tokens=256, n_shards=8, hash_fn="md5"
     )
     return out.select("bin_id", "total_tokens", "n_docs")
 
@@ -654,6 +665,27 @@ _BAND_SELECTS = "\n  UNION ALL\n".join(
     for b in range(4)
 )
 
+# MinHash-LSH candidate pipeline shared by the dedup_minhash_lsh and
+# dedup_clusters oracles: shingle sets -> 16 md5 min-hashes -> 4-band
+# bucket join -> candidate pairs with both shingle sets attached.
+_MINHASH_CTES = f"""{_SH_CTE},
+ex AS (SELECT doc_id, shingles, unnest(shingles) AS s FROM sh),
+sig AS (
+  SELECT doc_id, shingles,
+         {_SIG_AGGS}
+  FROM ex GROUP BY doc_id, shingles
+),
+bands AS (
+{_BAND_SELECTS}
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         any_value(a.shingles) AS sh_a, any_value(b.shingles) AS sh_b
+  FROM bands a JOIN bands b USING (band, bval)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)"""
+
 _SIMHASH_BANDS = "\n  UNION ALL\n".join(
     f"  SELECT doc_id, simhash, {b} AS band, "
     f"(simhash >> {b * 15}) & 32767 AS bval FROM sim"
@@ -675,28 +707,34 @@ SELECT * FROM (
 ) WHERE jaccard >= 0.8
 """,
         "dedup_minhash_lsh": f"""
-WITH {_SH_CTE},
-ex AS (SELECT doc_id, shingles, unnest(shingles) AS s FROM sh),
-sig AS (
-  SELECT doc_id, shingles,
-         {_SIG_AGGS}
-  FROM ex GROUP BY doc_id, shingles
-),
-bands AS (
-{_BAND_SELECTS}
-),
-cand AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         any_value(a.shingles) AS sh_a, any_value(b.shingles) AS sh_b
-  FROM bands a JOIN bands b USING (band, bval)
-  WHERE a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
+WITH {_MINHASH_CTES}
 SELECT * FROM (
   SELECT doc_a, doc_b,
          {_JAC.format(a='sh_a', b='sh_b')} AS jaccard
   FROM cand
 ) WHERE jaccard >= 0.8
+""",
+        "dedup_clusters": f"""
+WITH RECURSIVE {_MINHASH_CTES},
+pairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT doc_a, doc_b,
+           {_JAC.format(a='sh_a', b='sh_b')} AS jaccard
+    FROM cand
+  ) WHERE jaccard >= 0.8
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT src AS doc_id, min(dst) AS cluster_id
+FROM reach GROUP BY src
 """,
         "dedup_simhash": f"""
 WITH toks AS (
@@ -1043,6 +1081,154 @@ fused AS (
 )
 SELECT doc_id, rrf_score
 FROM fused ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
+"""
+
+
+# Sequential-fold oracles: chunk_documents_greedy and pack_sequences
+# are deterministic per-doc / per-shard folds, so they ARE SQL-
+# expressible — as recursive CTEs that carry the fold state (current
+# chunk text / open-bin capacity list) one step per recursion level.
+# Validated against the Python chunker on structured synthetic texts
+# (paragraph packing, overlap carry, sentence splits) in
+# tests/test_chunking.py, not just on the corpus-exercised path.
+
+ORACLES["chunk_documents_greedy"] = r"""
+WITH RECURSIVE
+pl AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)||chr(10)), s -> trim(s)),
+                     s -> s <> '') AS plist
+  FROM documents WHERE trim(text) <> ''
+),
+paras AS (
+  SELECT doc_id, unnest(plist) AS para,
+         unnest(generate_series(1, len(plist))) AS i, len(plist) AS np
+  FROM pl
+),
+f1(doc_id, i, np, cur, emitted) AS (
+  SELECT doc_id, 0::BIGINT, len(plist), '', []::VARCHAR[] FROM pl
+  UNION ALL
+  SELECT doc_id, i, np,
+         CASE WHEN cur <> '' AND len(nxt) > 250 AND len(cur) >= 100
+              THEN right(cur, 20) || chr(10)||chr(10) || para
+              ELSE nxt END,
+         CASE WHEN cur <> '' AND len(nxt) > 250 AND len(cur) >= 100
+              THEN list_append(emitted, cur) ELSE emitted END
+  FROM (
+    SELECT f.doc_id AS doc_id, p.i AS i, f.np AS np, f.cur AS cur,
+           f.emitted AS emitted, p.para AS para,
+           CASE WHEN f.cur = '' THEN p.para
+                ELSE f.cur || chr(10)||chr(10) || p.para END AS nxt
+    FROM f1 f JOIN paras p ON p.doc_id = f.doc_id AND p.i = f.i + 1
+    WHERE f.i < f.np
+  )
+),
+chunks1 AS (
+  SELECT doc_id,
+         CASE WHEN trim(cur) <> ''
+              THEN CASE WHEN len(cur) < 100 AND len(emitted) > 0
+                        THEN list_append(emitted[1:len(emitted)-1],
+                                         emitted[len(emitted)] || chr(10)||chr(10) || cur)
+                        ELSE list_append(emitted, cur) END
+              ELSE emitted END AS chunks
+  FROM f1 WHERE i = np
+),
+c1 AS (
+  SELECT doc_id, unnest(chunks) AS ch,
+         unnest(generate_series(1, len(chunks))) AS o1
+  FROM chunks1
+),
+sents AS (
+  SELECT doc_id, o1,
+         list_filter(list_transform(regexp_split_to_array(ch, '[.!?]+\s+'), s -> trim(s)),
+                     s -> s <> '') AS slist
+  FROM c1 WHERE len(ch) > 250
+),
+sitems AS (
+  SELECT doc_id, o1, unnest(slist) AS sent,
+         unnest(generate_series(1, len(slist))) AS si, len(slist) AS ns
+  FROM sents
+),
+f2(doc_id, o1, si, ns, sub, emitted) AS (
+  SELECT doc_id, o1, 0::BIGINT, len(slist), '', []::VARCHAR[] FROM sents
+  UNION ALL
+  SELECT doc_id, o1, si, ns,
+         CASE WHEN sub <> '' AND len(cand) > 250 AND len(sub) >= 100
+              THEN sent ELSE cand END,
+         CASE WHEN sub <> '' AND len(cand) > 250 AND len(sub) >= 100
+              THEN list_append(emitted, sub) ELSE emitted END
+  FROM (
+    SELECT f.doc_id AS doc_id, f.o1 AS o1, s.si AS si, f.ns AS ns,
+           f.sub AS sub, f.emitted AS emitted, s.sent AS sent,
+           CASE WHEN f.sub = '' THEN s.sent ELSE f.sub || ' ' || s.sent END AS cand
+    FROM f2 f JOIN sitems s ON s.doc_id = f.doc_id AND s.o1 = f.o1 AND s.si = f.si + 1
+    WHERE f.si < f.ns
+  )
+),
+c2over AS (
+  SELECT doc_id, o1,
+         CASE WHEN trim(sub) <> '' THEN list_append(emitted, sub) ELSE emitted END AS subchunks
+  FROM f2 WHERE si = ns
+),
+expanded AS (
+  SELECT doc_id, o1, 0 AS o2, ch FROM c1 WHERE len(ch) <= 250
+  UNION ALL
+  SELECT doc_id, o1, unnest(generate_series(1, len(subchunks))) AS o2,
+         unnest(subchunks) AS ch
+  FROM c2over
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY o1, o2) - 1 AS INT) AS chunk_id,
+       CAST(coalesce(sum(len(ch)) OVER (PARTITION BY doc_id ORDER BY o1, o2
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS start,
+       ch AS chunk
+FROM expanded
+"""
+
+ORACLES["pack_sequences"] = f"""
+WITH RECURSIVE
+t AS (
+  SELECT doc_id, len({_TOKS})::BIGINT AS n,
+         ({_md5i("'s21:' || doc_id::VARCHAR")} % 8) AS shard
+  FROM documents
+),
+items AS (
+  SELECT shard, doc_id, n,
+         row_number() OVER (PARTITION BY shard ORDER BY n DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY shard) AS cnt
+  FROM t
+),
+fold(shard, rn, cnt, rems, assign) AS (
+  SELECT shard, 0::BIGINT, cnt, []::BIGINT[], []::INT[]
+  FROM (SELECT DISTINCT shard, cnt FROM items)
+  UNION ALL
+  SELECT shard, rn, cnt,
+         CASE WHEN fit IS NULL OR fit = 0
+              THEN list_append(rems, greatest(256 - n, 0))
+              ELSE list_transform(generate_series(1, len(rems)),
+                                  j -> CASE WHEN j = fit THEN rems[j] - n ELSE rems[j] END)
+         END AS rems,
+         list_append(assign, (CASE WHEN fit IS NULL OR fit = 0
+                                   THEN len(rems) + 1 ELSE fit END)::INT) AS assign
+  FROM (
+    SELECT f.shard AS shard, f.rn + 1 AS rn, f.cnt AS cnt, f.rems AS rems,
+           f.assign AS assign, i.n AS n,
+           list_position(list_transform(f.rems, r -> r >= i.n), true) AS fit
+    FROM fold f JOIN items i ON i.shard = f.shard AND i.rn = f.rn + 1
+    WHERE f.rn < f.cnt
+  )
+),
+assigned AS (
+  SELECT shard,
+         unnest(assign) AS bin_idx,
+         unnest(generate_series(1, len(assign))) AS rn
+  FROM fold WHERE rn = cnt
+)
+SELECT (a.shard << 40) + (a.bin_idx - 1) AS bin_id,
+       CAST(sum(i.n) AS BIGINT) AS total_tokens,
+       CAST(count(*) AS INT) AS n_docs
+FROM assigned a JOIN items i ON i.shard = a.shard AND i.rn = a.rn
+GROUP BY 1
 """
 
 

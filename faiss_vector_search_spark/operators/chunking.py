@@ -34,6 +34,14 @@ def chunk_fixed(
 ) -> DataFrame:
     """Fixed-stride chunks: start positions 1, 1+stride, … (1-based,
     stride = size - overlap), last chunk may be short."""
+    if size <= 0:
+        raise ValueError(f"size must be positive, got {size}")
+    if not 0 <= overlap < size:
+        raise ValueError(
+            f"overlap must satisfy 0 <= overlap < size (got overlap="
+            f"{overlap}, size={size}): a non-positive stride would make "
+            f"the start sequence degenerate or fail at runtime"
+        )
     stride = size - overlap
     starts = F.sequence(
         F.lit(1), F.greatest(F.length(text_col), F.lit(1)), F.lit(stride)
@@ -187,6 +195,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_shards: int | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Token-budget sequence packing: group documents into bins of at
     most ``max_tokens`` whitespace-tokens each — the batch-assembly
@@ -200,19 +209,25 @@ def pack_sequences(
     global packer would serialize the corpus through one node.
     Oversized docs (> max_tokens) get a bin of their own, never
     dropped. bin_id = shard * 2^40 + local index, collision-free.
+
+    ``hash_fn`` switches the shard hash: ``"xxhash64"`` (JVM,
+    production) or ``"md5"`` (cross-engine deterministic — the
+    oracle-gated profile, seed 21).
     """
     import pandas as pd
 
+    from ..functions.hashing import hashed
     from ..functions.text import tokens
 
     spark = docs.sparkSession
     if n_shards is None:
         n_shards = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
+    shard_hash = hashed(F.col(id_col).cast("string"), seed=21, hash_fn=hash_fn)
     sized = docs.select(
         F.col(id_col),
         F.size(tokens(F.col(text_col))).cast("bigint").alias("n_tok"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).alias("shard"),
+        F.pmod(shard_hash, F.lit(n_shards)).alias("shard"),
     ).repartition(n_shards, "shard")
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -28,6 +28,25 @@ from ..functions.text import tokens
 
 JACCARD_DECIMALS = 6
 
+# All-pairs operators refuse corpora above this size unless the caller
+# explicitly opts in — a quadratic join pointed at a real corpus is a
+# cluster-killer, and the scale twins (minhash_lsh_pairs, lsh.py) exist
+# precisely so nobody needs the O(n²) path beyond oracle baselines.
+QUADRATIC_ROW_LIMIT = 20_000
+
+
+def _guard_quadratic(df: DataFrame, allow_quadratic: bool, op: str) -> None:
+    if allow_quadratic:
+        return
+    n = df.limit(QUADRATIC_ROW_LIMIT + 1).count()
+    if n > QUADRATIC_ROW_LIMIT:
+        raise ValueError(
+            f"{op} is O(n²) and the input exceeds {QUADRATIC_ROW_LIMIT} rows "
+            f"(an all-pairs join at this size is a scale hazard); use the "
+            f"blocked scale variant (minhash_lsh_pairs / lsh.near_dup_lsh) "
+            f"or pass allow_quadratic=True if you really mean it"
+        )
+
 
 def exact_dedup(
     docs: DataFrame,
@@ -77,9 +96,13 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard (the oracle baseline; O(n²) —
-    small-SF only, the scale path is :func:`minhash_lsh_pairs`)."""
+    small-SF only, the scale path is :func:`minhash_lsh_pairs`).
+    Refuses inputs above ``QUADRATIC_ROW_LIMIT`` rows unless
+    ``allow_quadratic=True``."""
+    _guard_quadratic(docs, allow_quadratic, "ngram_jaccard_pairs")
     sh = _shingle_sets(docs, n, id_col, text_col)
     a = sh.select(
         F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a")
@@ -315,11 +338,15 @@ def embedding_cosine_pairs(
     threshold: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Exact pairwise cosine near-dup pairs (IP on normalized
     vectors). O(n²) oracle baseline — the scale path is LSH bucketing
-    in `operators/lsh.py`."""
+    in `operators/lsh.py`. Refuses inputs above
+    ``QUADRATIC_ROW_LIMIT`` rows unless ``allow_quadratic=True``."""
     from ..functions.vector import ip_score
+
+    _guard_quadratic(emb, allow_quadratic, "embedding_cosine_pairs")
 
     a = emb.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")
@@ -401,7 +428,8 @@ def dedup_clusters(
     labels = docs.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).localCheckpoint()
-    for _ in range(max_iter):
+    changed = None
+    for it in range(1, max_iter + 1):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
@@ -416,14 +444,30 @@ def dedup_clusters(
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "node")
-            .where(F.col("label") != F.col("old"))
-            .count()
-        )
+        # Convergence check only every 2nd iteration (and at the cap):
+        # each check is a driver action, and propagation converges in
+        # diameter rounds — checking half as often halves the job
+        # count at the cost of at most one no-op iteration.
+        if it % 2 == 0 or it == max_iter:
+            changed = (
+                new_labels.join(labels.withColumnRenamed("label", "old"), "node")
+                .where(F.col("label") != F.col("old"))
+                .count()
+            )
         labels = new_labels
         if changed == 0:
             break
+    if changed:
+        import warnings
+
+        warnings.warn(
+            f"dedup_clusters: min-label propagation did not converge in "
+            f"{max_iter} iterations ({changed} labels still changing) — "
+            f"cluster_ids may split long-diameter components; raise "
+            f"max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")
     )

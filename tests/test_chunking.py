@@ -170,3 +170,100 @@ class TestPackSequences:
 
     def test_bin_ids_unique(self, packed):
         assert packed.count() == packed.select("bin_id").distinct().count()
+
+
+class TestGreedyOracleFidelity:
+    """The chunk_documents_greedy DuckDB oracle must replay the Python
+    fold exactly — including the paragraph-packing, overlap-carry,
+    trailing-merge, and sentence-split branches the gated corpus
+    (plain token streams) never exercises."""
+
+    TEXTS = [
+        (1, "Sentence one is here. Sentence two follows! A third one? " * 8),
+        (2, "Para one with some words here to make it long enough for a chunk maybe.\n\n"
+            "Para two also has plenty of words to push the combined size over limits.\n\n"
+            "Para three continues with more text so the fold has to emit and carry overlap.\n\n"
+            "Para four is the last paragraph and it is reasonably sized too."),
+        (3, "short"),
+        (4, "A long single sentence without breaks that just keeps going and going " * 6),
+        (5, "Tiny para.\n\n" + ("Big paragraph with lots of words. " * 12) + "\n\nEnd."),
+        (6, "  "),
+        (7, "Mix. " * 30 + "\n\n" + "Second block? With questions! And more. " * 10),
+    ]
+
+    def test_oracle_matches_python_fold_on_structured_text(self):
+        import duckdb
+        import pandas as pd
+
+        import __spark_entry__ as entrymod
+
+        pdf = pd.DataFrame(self.TEXTS, columns=["doc_id", "text"])
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        got = (
+            con.sql(entrymod.oracle_sql()["chunk_documents_greedy"])
+            .df()
+            .sort_values(["doc_id", "chunk_id"])
+            .reset_index(drop=True)
+        )
+        rows = []
+        for doc_id, text in self.TEXTS:
+            pos = 0
+            for i, ch in enumerate(chunking._greedy_chunks(text, 100, 250, 20)):
+                rows.append((doc_id, i, pos, ch))
+                pos += len(ch)
+        want = pd.DataFrame(rows, columns=["doc_id", "chunk_id", "start", "chunk"])
+        got = got.astype({"chunk_id": "int64", "start": "int64"})
+        want = want.astype({"chunk_id": "int64", "start": "int64"})
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_pack_oracle_is_first_fit_decreasing(self):
+        """Replay the pack_sequences oracle on a tiny synthetic corpus
+        and check it against a literal Python FFD."""
+        import duckdb
+        import pandas as pd
+
+        import __spark_entry__ as entrymod
+        from faiss_vector_search_spark.functions import hashing  # noqa: F401
+
+        import hashlib
+
+        texts = [(i, "tok " * (5 + (i * 37) % 200)) for i in range(40)]
+        pdf = pd.DataFrame(texts, columns=["doc_id", "text"])
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        got = (
+            con.sql(entrymod.oracle_sql()["pack_sequences"])
+            .df()
+            .sort_values("bin_id")
+            .reset_index(drop=True)
+        )
+
+        def md5i(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        shards = {}
+        for doc_id, text in texts:
+            n = len(text.split())
+            shards.setdefault(md5i(f"s21:{doc_id}") % 8, []).append((doc_id, n))
+        rows = []
+        for shard, items in shards.items():
+            items.sort(key=lambda x: (-x[1], x[0]))
+            bins = []
+            for doc_id, n in items:
+                for b in bins:
+                    if n <= b[1]:
+                        b[0].append(doc_id)
+                        b[1] -= n
+                        break
+                else:
+                    bins.append([[doc_id], max(256 - n, 0), n])
+            tok = dict(items)
+            for i, b in enumerate(bins):
+                rows.append(((shard << 40) + i, sum(tok[d] for d in b[0]), len(b[0])))
+        want = (
+            pd.DataFrame(rows, columns=["bin_id", "total_tokens", "n_docs"])
+            .sort_values("bin_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
