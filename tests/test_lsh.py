@@ -102,3 +102,33 @@ def test_bucket_cap_skew_guard(spark, emb):
     assert buckets.groupBy("table", "bucket").count().agg(
         F2.max("count")
     ).first()[0] <= 40
+
+
+@pytest.mark.parametrize("seed", [1337, 20260813])
+def test_ann_lsh_recall_holds_at_other_seeds(spark, emb, seed):
+    """The recall gate must not be plane-seed luck: re-run the
+    recall@10 check with different hyperplane seeds."""
+    recalls = []
+    for qid in (0, 7, 42, 99, 250):
+        q = _query(emb, qid)
+        exact = {r.vec_id for r in knn.topk(emb, q, k=10, metric="ip").collect()}
+        approx = {
+            r.vec_id
+            for r in lsh.ann_lsh_search(emb, q, k=10, dim=64, seed=seed).collect()
+        }
+        recalls.append(len(exact & approx) / len(exact))
+    assert sum(recalls) / len(recalls) >= 0.9, (seed, recalls)
+
+
+def test_near_dup_lsh_recall_holds_at_other_seed(spark, emb):
+    tau = 0.45
+    exact_pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_cosine_pairs(emb, threshold=tau).collect()
+    }
+    lsh_pairs = {
+        (r.id_a, r.id_b)
+        for r in lsh.near_dup_lsh(emb, threshold=tau, dim=64, seed=1337).collect()
+    }
+    assert lsh_pairs <= exact_pairs  # precision stays 1.0 at any seed
+    assert len(lsh_pairs & exact_pairs) / len(exact_pairs) >= 0.8
