@@ -427,6 +427,79 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.tumbling_window_agg(_t(spark, sf_dir, "events"))
 
 
+# --- §2d round-2 additions ------------------------------------------------
+
+
+def q_rolling_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling count/avg over the last 5 events (ROWS frame)."""
+    return analytics.rolling_user_activity(_t(spark, sf_dir, "events"))
+
+
+def q_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping windows: 1h length, 30min hop (2 windows per event)."""
+    return analytics.hopping_window_agg(_t(spark, sf_dir, "events"))
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: anti-join rollup of rich never-ordered customers."""
+    return analytics.customers_without_orders(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: below-half-average-quantity revenue per brand."""
+    return analytics.small_quantity_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+def q_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets with grouping-level bitmask."""
+    return analytics.pricing_rollup(_t(spark, sf_dir, "lineitem"))
+
+
+def q_minmax_scale_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type min-max feature scaling of event values."""
+    return analytics.minmax_scale_events(_t(spark, sf_dir, "events"))
+
+
+def q_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-user rollup (oracle twin of the HLL sketch)."""
+    return analytics.distinct_users_by_type(_t(spark, sf_dir, "events"))
+
+
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users — approximate, so rows-only;
+    error vs the exact twin bounded by tests/test_round2_ops.py."""
+    return analytics.approx_distinct_users(_t(spark, sf_dir, "events"))
+
+
+def q_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload extraction + rollup (get_json_object, JVM-side)."""
+    return analytics.json_props_rollup(_t(spark, sf_dir, "events"))
+
+
+def q_event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type."""
+    return analytics.event_value_quantiles(_t(spark, sf_dir, "events"))
+
+
+def q_tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF keywords per document."""
+    return lexical.tfidf_topk_terms(_t(spark, sf_dir, "documents"), k=5)
+
+
+def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-50 bigram frequencies."""
+    return lexical.bigram_counts(_t(spark, sf_dir, "documents"), top_n=50)
+
+
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-length histogram (50-char buckets, capped at 20)."""
+    return textstats.doc_length_histogram(_t(spark, sf_dir, "documents"))
+
+
 # --- oracle SQL -----------------------------------------------------------
 
 _IP = "ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv), 6)"
@@ -1084,6 +1157,134 @@ FROM fused ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
 """
 
 
+# --- §2d round-2 oracles --------------------------------------------------
+
+ORACLES.update(
+    {
+        "rolling_user_activity": """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events)
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS roll_n,
+       ROUND(avg(value) OVER w, 6) AS roll_avg
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+""",
+        "events_hopping": """
+WITH e AS (SELECT epoch_us(ts) AS ts_us, event_type, value FROM events),
+x AS (
+  SELECT unnest([ (ts_us // 1800000000) * 1800000000,
+                  (ts_us // 1800000000 - 1) * 1800000000 ]) AS window_start_us,
+         event_type, value
+  FROM e
+)
+SELECT window_start_us, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       ROUND(sum(value), 2) AS sum_value
+FROM x GROUP BY 1, 2
+""",
+        "customers_without_orders": """
+WITH ab AS (SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0),
+rich AS (
+  SELECT c.* FROM customer c, ab
+  WHERE c.c_acctbal > ab.ab
+    AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '1997-06-01 00:00:00')
+)
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,
+       ROUND(sum(c_acctbal), 2) AS total_acctbal
+FROM rich GROUP BY c_nationkey
+""",
+        "small_quantity_revenue": """
+WITH pa AS (
+  SELECT l_partkey, avg(l_quantity) * 0.5 AS half_avg_qty
+  FROM lineitem GROUP BY 1
+)
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
+       ROUND(sum(l.l_extendedprice), 2) AS revenue
+FROM lineitem l
+JOIN pa ON l.l_partkey = pa.l_partkey
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_quantity < pa.half_avg_qty
+GROUP BY p_brand
+""",
+        "pricing_rollup": """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS level,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       ROUND(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+        "minmax_scale_events": """
+WITH st AS (
+  SELECT event_type, min(value) AS vmin, max(value) AS vmax
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type,
+       CASE WHEN st.vmax = st.vmin THEN 0.0
+            ELSE ROUND((e.value - st.vmin) / (st.vmax - st.vmin), 6) END AS scaled
+FROM events e JOIN st USING (event_type)
+""",
+        "distinct_users_by_type": """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1
+""",
+        "json_props_rollup": """
+SELECT CAST(props->>'$.k' AS INT) AS k,
+       CAST(count(*) AS BIGINT) AS n_events,
+       ROUND(avg(value), 6) AS avg_value
+FROM events GROUP BY 1
+""",
+        "event_value_quantiles": """
+SELECT event_type, unnest([1, 2, 3, 4]) AS pos,
+       unnest([ROUND(quantile_cont(value, 0.25), 6),
+               ROUND(quantile_cont(value, 0.5), 6),
+               ROUND(quantile_cont(value, 0.75), 6),
+               ROUND(quantile_cont(value, 0.9), 6)]) AS q
+FROM events GROUP BY event_type
+""",
+        "tfidf_topk_terms": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf,
+         ROUND(t.tf * ln((nd.n_docs + 1.0) / (d.df + 1.0)), 6) AS tfidf
+  FROM tf t JOIN dfx d USING (term), nd
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS INT) AS rk
+FROM scored
+QUALIFY rk <= 5
+""",
+        "bigram_counts": f"""
+WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+g AS (
+  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1])) AS bigram
+  FROM t WHERE len(toks) >= 2
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+FROM g GROUP BY bigram
+ORDER BY cnt DESC, bigram ASC
+LIMIT 50
+""",
+        "doc_length_histogram": """
+SELECT CAST(least(len(text) // 50, 19) AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(len(text)) AS BIGINT) AS min_chars,
+       CAST(max(len(text)) AS BIGINT) AS max_chars
+FROM documents GROUP BY 1
+""",
+    }
+)
+
+
 # Sequential-fold oracles: chunk_documents_greedy and pack_sequences
 # are deterministic per-doc / per-shard folds, so they ARE SQL-
 # expressible — as recursive CTEs that carry the fold state (current
@@ -1284,6 +1485,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": q_events_range_join,
         "events_sessionize": q_events_sessionize,
         "events_tumbling": q_events_tumbling,
+        "rolling_user_activity": q_rolling_user_activity,
+        "events_hopping": q_events_hopping,
+        "customers_without_orders": q_customers_without_orders,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        "pricing_rollup": q_pricing_rollup,
+        "minmax_scale_events": q_minmax_scale_events,
+        "distinct_users_by_type": q_distinct_users_by_type,
+        "approx_distinct_users": q_approx_distinct_users,
+        "json_props_rollup": q_json_props_rollup,
+        "event_value_quantiles": q_event_value_quantiles,
+        "tfidf_topk_terms": q_tfidf_topk_terms,
+        "bigram_counts": q_bigram_counts,
+        "doc_length_histogram": q_doc_length_histogram,
     }
 
 

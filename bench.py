@@ -93,6 +93,10 @@ def main() -> None:
         docs = fio.load_table(spark, sf, "documents")
         return chunking.chunk_greedy(docs, min_size=100, max_size=250, overlap=20)
 
+    def p_pack_sequences(spark, sf):
+        docs = fio.load_table(spark, sf, "documents")
+        return chunking.pack_sequences(docs, max_tokens=256, n_shards=int(cpus))
+
     headline = {
         "knn_topk_ip": qs["knn_topk_ip"],
         "knn_batch": qs["knn_batch"],
@@ -119,6 +123,13 @@ def main() -> None:
         "text_search": qs["text_search"],
         "bm25_search": qs["bm25_search"],
         "hybrid_search": qs["hybrid_search"],
+        # §2d round-2 additions
+        "rolling_user_activity": qs["rolling_user_activity"],
+        "events_hopping": qs["events_hopping"],
+        "tfidf_topk_terms": qs["tfidf_topk_terms"],
+        "bigram_counts": qs["bigram_counts"],
+        "json_props_rollup": qs["json_props_rollup"],
+        "pack_sequences": p_pack_sequences,
     }
 
     def run(fn) -> float:

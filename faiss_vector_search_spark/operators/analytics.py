@@ -350,6 +350,221 @@ def range_join_events(
     )
 
 
+def rolling_user_activity(events: DataFrame, frame: int = 5) -> DataFrame:
+    """Per-user rolling activity: moving event count and value average
+    over the last ``frame`` events (ROWS frame, not RANGE — the
+    training-telemetry "recent behavior" feature shape). One shuffle
+    on user_id; the frame computation is partition-local."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_us").asc(), F.col("event_id").asc())
+        .rowsBetween(-(frame - 1), 0)
+    )
+    return events.select(
+        "event_id", "user_id", _ts_us(events).alias("ts_us"), "value"
+    ).select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("roll_n"),
+        F.round(F.avg("value").over(w), 6).alias("roll_avg"),
+    )
+
+
+def hopping_window_agg(
+    events: DataFrame,
+    window_us: int = 3_600_000_000,
+    hop_us: int = 1_800_000_000,
+) -> DataFrame:
+    """Hopping (sliding) window aggregation: 1-hour windows every 30
+    minutes — each event lands in window_us/hop_us windows. The batch
+    equivalent of Structured Streaming's sliding ``F.window``; the
+    explode is scan-side (window_us/hop_us rows per event), then one
+    partial-aggregable groupBy — no shuffle amplification beyond the
+    window multiplicity."""
+    if window_us % hop_us != 0:
+        raise ValueError("window_us must be a multiple of hop_us")
+    r = window_us // hop_us
+    base = events.select(
+        _ts_us(events).alias("ts_us"), "event_type", "value"
+    )
+    starts = F.array(
+        *[
+            (F.expr(f"ts_us div {hop_us}") - i) * hop_us
+            for i in range(r)
+        ]
+    )
+    return (
+        base.select(
+            F.explode(starts).alias("window_start_us"), "event_type", "value"
+        )
+        .groupBy("window_start_us", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def customers_without_orders(
+    customer: DataFrame, orders: DataFrame, since: str = "1997-06-01"
+) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers (above the positive-
+    balance average) with no order since ``since``, rolled up per
+    nation — the NOT EXISTS pattern planned as a left-anti join
+    (probe side streams, no row duplication; the date filter is
+    pushed to the orders scan). The scalar average broadcasts."""
+    avg_bal = customer.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    rich = customer.crossJoin(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal") > F.col("ab")
+    )
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit(since).cast("timestamp")
+    ).select("o_custkey")
+    return (
+        rich.join(recent, rich["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+def small_quantity_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    half the part's average quantity, per brand. The correlated scalar
+    subquery becomes a pre-aggregation joined back on partkey — the
+    per-part avg table is |parts| rows (shuffles tiny), the fact scan
+    stays single-pass."""
+    part_avg = lineitem.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg_qty")
+    )
+    return (
+        lineitem.join(part_avg, "l_partkey")
+        .where(F.col("l_quantity") < F.col("half_avg_qty"))
+        .join(F.broadcast(part.select("p_partkey", "p_brand")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def pricing_rollup(lineitem: DataFrame) -> DataFrame:
+    """ROLLUP aggregation: per (returnflag, linestatus), per
+    returnflag subtotals, and a grand total in one pass — Spark plans
+    a single shuffle with grouping-set expansion, not three scans.
+    ``level`` = grouping bitmask (0 = detail row, 3 = grand total)."""
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            # grouping() is only resolvable inside the rollup aggregate
+            (
+                F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")
+            ).cast("int").alias("level"),
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "level", "n_rows", "sum_qty")
+    )
+
+
+def minmax_scale_events(events: DataFrame) -> DataFrame:
+    """Per-type min-max feature scaling of the value column — the
+    normalization step of a feature pipeline. min/max are exact (no
+    summation-order sensitivity), so the scaled doubles are bit-
+    deterministic cross-engine. Two-pass shape: tiny per-type
+    min/max aggregate broadcast back onto the scan."""
+    stats = events.groupBy("event_type").agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.when(F.col("vmax") == F.col("vmin"), F.lit(0.0))
+            .otherwise(
+                F.round(
+                    (F.col("value") - F.col("vmin"))
+                    / (F.col("vmax") - F.col("vmin")),
+                    6,
+                )
+            )
+            .alias("scaled"),
+        )
+    )
+
+
+def distinct_users_by_type(events: DataFrame) -> DataFrame:
+    """Exact distinct users per event type (the oracle-gated twin of
+    :func:`approx_distinct_users`)."""
+    return events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def approx_distinct_users(events: DataFrame, rsd: float = 0.05) -> DataFrame:
+    """HyperLogLog++ distinct users per event type — the 100 TB path:
+    mergeable sketch, map-side partial, shuffles one sketch per
+    (partition, type) instead of the user_id universe. Approximate, so
+    rows-only gated (tests bound the error vs the exact twin)."""
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd).alias("n_users_approx"),
+        F.count("*").alias("n_events"),
+    )
+
+
+QUANTILE_PROBS = (0.25, 0.5, 0.75, 0.9)
+
+
+def event_value_quantiles(events: DataFrame) -> DataFrame:
+    """Exact interpolated percentiles of value per event type (the
+    distribution-profiling step before outlier filtering). Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the linear-
+    interpolation definition and agree bitwise; rounded to 6dp for
+    the gate anyway. At 100 TB swap in ``percentile_approx``
+    (mergeable t-digest-style sketch) — exact percentile shuffles the
+    per-group value multiset."""
+    probs = ", ".join(f"{p}D" for p in QUANTILE_PROBS)
+    return (
+        events.groupBy("event_type")
+        .agg(F.expr(f"percentile(value, array({probs}))").alias("qs"))
+        .select(
+            "event_type",
+            F.posexplode("qs").alias("pos", "q"),
+        )
+        .select(
+            "event_type",
+            (F.col("pos") + 1).cast("int").alias("pos"),
+            F.round("q", 6).alias("q"),
+        )
+    )
+
+
+def json_props_rollup(events: DataFrame) -> DataFrame:
+    """Aggregate over a JSON payload column: extract ``$.k`` from
+    props (semi-structured telemetry) and roll up per k — JSON
+    parsing stays JVM-side (``get_json_object``), no Python in the
+    loop."""
+    return (
+        events.select(
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+            "value",
+        )
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
 def order_priority_check(
     orders: DataFrame,
     lineitem: DataFrame,

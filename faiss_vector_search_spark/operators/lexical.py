@@ -150,3 +150,80 @@ def hybrid_rrf(
     return fused.orderBy(
         F.col("rrf_score").desc(), F.col(id_col).asc()
     ).limit(k)
+
+
+def tfidf_topk_terms(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k TF-IDF terms per document — the keyword-extraction step
+    of a corpus-analysis pipeline. idf = ln((N+1)/(df+1)) (smoothed,
+    never negative); score = tf · idf, exact-integer tf/df so the
+    only float op is one ln and one multiply (bit-deterministic
+    cross-engine). Ties break on the term string ascending.
+
+    Plan: one explode → (doc, term, tf) agg; df is a second agg over
+    the term dimension (|vocab| rows, tiny vs corpus); N broadcasts;
+    top-k per doc is a window over the already-aggregated term table.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("term")
+    ).where(F.col("term").isNotNull())
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.select(
+        F.count("*").cast("double").alias("n_docs")
+    )
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                SCORE_DECIMALS,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(id_col, "term", "tf", "tfidf", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def bigram_counts(
+    docs: DataFrame,
+    top_n: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide top-N bigram frequencies (n-gram LM statistics /
+    boilerplate detection). The bigram list is built in-row with an
+    array transform (no per-gram UDF); the single explode feeds a
+    map-side-combinable count. Ties break on the bigram ascending."""
+    toks = docs.select(tokens(F.col(text_col)).alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    grams = toks.select(
+        F.explode_outer(
+            F.transform(
+                F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                lambda x, i: F.concat_ws(" ", x, F.get(F.col("toks"), i + 1)),
+            )
+        ).alias("bigram")
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bigram").asc())
+        .limit(top_n)
+    )

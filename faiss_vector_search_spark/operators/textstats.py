@@ -195,3 +195,27 @@ def stratified_sample(
         .where(F.col("rn") <= F.ceil(F.col("n_stratum") * fraction))
         .select(id_col, strata_col)
     )
+
+
+def doc_length_histogram(
+    docs: DataFrame,
+    bucket_width: int = 50,
+    n_buckets: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Character-length histogram of the corpus (the quick-look
+    distribution check before filtering/chunking decisions). Pure
+    integer arithmetic — one map + one partial-aggregable groupBy."""
+    bucket = F.least(
+        F.floor(F.length(F.col(text_col)) / bucket_width),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    return (
+        docs.select(bucket.alias("bucket"), F.length(text_col).alias("n"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n").cast("bigint").alias("min_chars"),
+            F.max("n").cast("bigint").alias("max_chars"),
+        )
+    )
