@@ -153,3 +153,67 @@ def test_range_join_is_equi_join(spark, sf_small):
     plan = final_plan_of(analytics.range_join_events(events))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_anti_join_plans_as_broadcast_or_hash_anti(spark, sf_small):
+    """Q22 shape: the NOT EXISTS must plan as a left-anti join (no
+    row duplication, no distinct), with the date filter pushed to the
+    orders scan."""
+    out = analytics.customers_without_orders(
+        fio.load_table(spark, sf_small, "customer"),
+        fio.load_table(spark, sf_small, "orders"),
+    )
+    plan = plan_of(out)
+    assert "LeftAnti" in plan
+    assert "PushedFilters" in plan and "o_orderdate" in plan
+
+
+def test_q17_preagg_not_correlated_rescan(spark, sf_small):
+    """Q17 shape: exactly two lineitem scans (fact + pre-agg), never a
+    per-row correlated rescan."""
+    out = analytics.small_quantity_revenue(
+        fio.load_table(spark, sf_small, "lineitem"),
+        fio.load_table(spark, sf_small, "part"),
+    )
+    import re
+
+    plan = plan_of(out)
+    # formatted explain lists each node in tree AND detail sections;
+    # count the numbered detail entries only.
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 3  # lineitem x2 + part
+    assert "BroadcastHashJoin" in plan  # part dim broadcasts
+
+
+def test_minmax_stats_are_broadcast(spark, sf_small):
+    out = analytics.minmax_scale_events(
+        fio.load_table(spark, sf_small, "events")
+    )
+    assert "BroadcastHashJoin" in plan_of(out)
+
+
+def test_rollup_is_single_expand_aggregate(spark, sf_small):
+    """ROLLUP must plan as one Expand + aggregate, not three scans."""
+    import re
+
+    out = analytics.pricing_rollup(fio.load_table(spark, sf_small, "lineitem"))
+    plan = plan_of(out)
+    assert "Expand" in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_hopping_explode_is_scan_side(spark, sf_small):
+    """The window-start explode must sit below the aggregation (scan
+    side), and the aggregate must be partial (map-side combine)."""
+    out = analytics.hopping_window_agg(fio.load_table(spark, sf_small, "events"))
+    plan = plan_of(out)
+    assert "Generate" in plan
+    assert "partial_count" in plan  # map-side combine before the shuffle
+
+
+def test_tfidf_topk_no_python_udf(spark, sf_small):
+    from faiss_vector_search_spark.operators import lexical
+
+    out = lexical.tfidf_topk_terms(fio.load_table(spark, sf_small, "documents"))
+    plan = plan_of(out)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
