@@ -189,3 +189,74 @@ def streaming_sessionize(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Watermarked streaming deduplication: at-least-once ingestion
+    (log shippers redeliver on retry) becomes exactly-once downstream.
+    ``dropDuplicates`` keyed on the event id keeps per-key state only
+    until the watermark passes — bounded state, the streaming twin of
+    ``dedup.exact_dedup``'s keep-first semantics."""
+    return events.withWatermark("event_time", watermark).dropDuplicates([id_col])
+
+
+def streaming_interval_join(
+    events: DataFrame,
+    left_type: str = "error",
+    right_type: str = "click",
+    window_seconds: int = 60,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each ``left_type`` event paired
+    with ``right_type`` events within ±window — the streaming twin of
+    ``analytics.range_join_events``. Both sides carry a watermark and
+    the join predicate bounds event-time distance, so Spark can expire
+    buffered rows once the watermark passes (bounded state); without
+    the time bound a stream-stream join would buffer forever.
+
+    Spark requires an *equality* predicate on stream-stream joins, so
+    the interval predicate rides on the same bucketization as the
+    batch operator: both sides bucket time by the window span, the
+    left explodes to its 3 candidate buckets, and the join is
+    bucket-equality + residual Δt — state per side is one bucket's
+    worth of rows past the watermark."""
+    window_us = window_seconds * 1_000_000
+    left = (
+        events.where(F.col("event_type") == left_type)
+        .select(
+            F.col("event_id").alias("l_id"),
+            F.col("event_time").alias("l_time"),
+            F.explode(
+                F.array(
+                    *[
+                        F.expr(f"unix_micros(event_time) div {window_us}") + i
+                        for i in (-1, 0, 1)
+                    ]
+                )
+            ).alias("bucket"),
+        )
+        .withWatermark("l_time", watermark)
+    )
+    right = (
+        events.where(F.col("event_type") == right_type)
+        .select(
+            F.col("event_id").alias("r_id"),
+            F.col("event_time").alias("r_time"),
+            F.expr(f"unix_micros(event_time) div {window_us}").alias("r_bucket"),
+        )
+        .withWatermark("r_time", watermark)
+    )
+    iv = F.expr(f"INTERVAL {window_seconds} SECONDS")
+    return (
+        left.join(
+            right,
+            (F.col("bucket") == F.col("r_bucket"))
+            & (F.col("r_time") >= F.col("l_time") - iv)
+            & (F.col("r_time") <= F.col("l_time") + iv),
+        )
+        .select("l_id", "r_id")
+    )

@@ -101,3 +101,60 @@ def test_stateful_sessionize_matches_batch(spark, sf_small, tmp_path):
         for r in analytics.sessionize(src).collect()
     }
     assert got == want
+
+
+def test_streaming_dedup_is_exactly_once(spark, sf_small, tmp_path):
+    """Redelivered events (duplicate files across micro-batches)
+    collapse to one row per event_id."""
+    src = fio.load_table(spark, sf_small, "events").where("event_id < 300")
+    out = tmp_path / "dup_events"
+    src.coalesce(1).write.parquet(str(out / "b1"))
+    p1 = next((out / "b1").glob("*.parquet"))
+    p1.rename(out / "f1.parquet")
+    import shutil as sh
+    sh.rmtree(str(out / "b1"))
+    sh.copy(str(out / "f1.parquet"), str(out / "f2.parquet"))  # redelivery
+
+    stream = streams.stream_events(spark, str(out))
+    deduped = streams.streaming_dedup(stream, watermark="100 days")
+    streams.run_to_completion(deduped, "stream_dedup", mode="append")
+
+    got = spark.table("stream_dedup")
+    n = src.count()
+    assert got.count() == n
+    assert got.select("event_id").distinct().count() == n
+
+
+def test_streaming_interval_join_matches_batch(spark, sf_medium, tmp_path):
+    # sf0.01: dense enough that ±60s error/click pairs exist
+    sf_small = sf_medium
+    src = fio.load_table(spark, sf_medium, "events")
+    out = tmp_path / "events_in"
+    src.repartition(3).write.parquet(str(out))
+    events_stream_dir = str(out)
+    stream = streams.stream_events(spark, events_stream_dir)
+    joined = streams.streaming_interval_join(stream, window_seconds=60,
+                                             watermark="100 days")
+    streams.run_to_completion(joined, "stream_ij", mode="append")
+    got = {
+        (r.l_id, r.r_id) for r in spark.table("stream_ij").collect()
+    }
+
+    ev = fio.load_table(spark, sf_small, "events")
+    base = ev.select(
+        "event_id", F.expr("ts div 1000").alias("ts_us"), "event_type"
+    )
+    left = base.where("event_type = 'error'").select(
+        F.col("event_id").alias("l_id"), F.col("ts_us").alias("l_us")
+    )
+    right = base.where("event_type = 'click'").select(
+        F.col("event_id").alias("r_id"), F.col("ts_us").alias("r_us")
+    )
+    want = {
+        (r.l_id, r.r_id)
+        for r in left.join(
+            right, F.abs(F.col("r_us") - F.col("l_us")) <= 60_000_000
+        ).collect()
+    }
+    assert got == want
+    assert want, "corpus must produce interval-join pairs"
