@@ -500,6 +500,11 @@ def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.doc_length_histogram(_t(spark, sf_dir, "documents"))
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by id hash."""
+    return textstats.hash_split(_t(spark, sf_dir, "documents"), hash_fn="md5")
+
+
 # --- oracle SQL -----------------------------------------------------------
 
 _IP = "ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv), 6)"
@@ -1281,6 +1286,13 @@ SELECT CAST(least(len(text) // 50, 19) AS INT) AS bucket,
        CAST(max(len(text)) AS BIGINT) AS max_chars
 FROM documents GROUP BY 1
 """,
+        "hash_split": f"""
+SELECT doc_id,
+       CASE WHEN ({_md5i("'s31:' || doc_id::VARCHAR")} % 1000) < 800 THEN 'train'
+            WHEN ({_md5i("'s31:' || doc_id::VARCHAR")} % 1000) < 900 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
     }
 )
 
@@ -1498,6 +1510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk_terms": q_tfidf_topk_terms,
         "bigram_counts": q_bigram_counts,
         "doc_length_histogram": q_doc_length_histogram,
+        "hash_split": q_hash_split,
     }
 
 

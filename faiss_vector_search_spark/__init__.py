@@ -24,7 +24,9 @@ Operator modules (``faiss_vector_search_spark.operators.*``):
 - ``chunking``    fixed / greedy / conversational chunking, sequence
                   packing
 - ``analytics``   join/agg/window shapes, sessionization, as-of and
-                  range joins
+                  range joins, rolling/hopping windows, ROLLUP,
+                  anti-join / decorrelated TPC-H shapes, min-max
+                  scaling, exact+HLL distinct, JSON rollup, quantiles
 - ``index_store`` save / load / clear / add_vectors / stats
 
 Plus ``sources`` (text-dir, docx, multimodal ingest) and ``streaming``

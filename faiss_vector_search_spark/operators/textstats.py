@@ -219,3 +219,44 @@ def doc_length_histogram(
             F.max("n").cast("bigint").alias("max_chars"),
         )
     )
+
+
+DEFAULT_SPLITS = (("train", 0.8), ("val", 0.1), ("test", 0.1))
+
+
+def hash_split(
+    docs: DataFrame,
+    splits=DEFAULT_SPLITS,
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+    seed: int = 31,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by id hash — the split
+    step of a training-data pipeline. Hash-based (not random) so the
+    assignment is stable across runs, re-partitioning, and incremental
+    corpus growth: a document's split never changes when other
+    documents are added. Pure map, no shuffle.
+
+    ``hash_fn``: ``"xxhash64"`` (production) or ``"md5"`` (oracle
+    profile). Buckets are hash % 1000 against cumulative per-mille
+    thresholds."""
+    from ..functions.hashing import hashed
+
+    total = sum(w for _, w in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = F.pmod(
+        hashed(F.col(id_col).cast("string"), seed=seed, hash_fn=hash_fn),
+        F.lit(1000),
+    )
+    expr = None
+    acc = 0.0
+    for name, w in splits:
+        acc += w
+        cond = bucket < int(round(acc * 1000))
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    return docs.select(F.col(id_col), expr.otherwise(splits[-1][0]).alias("split"))

@@ -120,3 +120,27 @@ def test_doc_length_histogram_covers_corpus(docs):
         & (F.col("bucket") < 19)
     )
     assert bad.count() == 0
+
+
+def test_hash_split_stable_under_corpus_growth(docs):
+    """A doc's split assignment must not change when the corpus
+    grows — the property random splits lack."""
+    full = {
+        r.doc_id: r.split for r in textstats.hash_split(docs).collect()
+    }
+    subset = {
+        r.doc_id: r.split
+        for r in textstats.hash_split(docs.where("doc_id < 100")).collect()
+    }
+    assert subset == {k: v for k, v in full.items() if k < 100}
+    # proportions roughly honored
+    from collections import Counter
+    c = Counter(full.values())
+    n = len(full)
+    assert 0.7 < c["train"] / n < 0.9
+    assert c["train"] + c["val"] + c["test"] == n
+
+
+def test_hash_split_rejects_bad_weights(docs):
+    with pytest.raises(ValueError, match="sum to 1"):
+        textstats.hash_split(docs, splits=(("a", 0.5), ("b", 0.2)))
