@@ -505,6 +505,26 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.hash_split(_t(spark, sf_dir, "documents"), hash_fn="md5")
 
 
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-grained rollup: bounds, size, value sum per session."""
+    return analytics.session_stats(_t(spark, sf_dir, "events"))
+
+
+def q_near_dup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup removal: LSH pairs → components → one
+    surviving representative per cluster (min id) + cluster size."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, n=3, num_hashes=16, bands=4, threshold=0.8, hash_fn="md5"
+    )
+    return dedup.near_dup_dedup(docs, pairs)
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors (sorted-fold deterministic sums)."""
+    return embed.label_centroids(_t(spark, sf_dir, "embeddings"))
+
+
 # --- oracle SQL -----------------------------------------------------------
 
 _IP = "ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv), 6)"
@@ -813,6 +833,31 @@ reach(src, dst) AS (
 )
 SELECT src AS doc_id, min(dst) AS cluster_id
 FROM reach GROUP BY src
+""",
+        "near_dup_dedup": f"""
+WITH RECURSIVE {_MINHASH_CTES},
+pairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT doc_a, doc_b,
+           {_JAC.format(a='sh_a', b='sh_b')} AS jaccard
+    FROM cand
+  ) WHERE jaccard >= 0.8
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+cc AS (
+  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+)
+SELECT cluster_id AS doc_id, CAST(count(*) AS BIGINT) AS cluster_size
+FROM cc GROUP BY cluster_id
 """,
         "dedup_simhash": f"""
 WITH toks AS (
@@ -1293,6 +1338,40 @@ SELECT doc_id,
             ELSE 'test' END AS split
 FROM documents
 """,
+        "session_stats": """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+w AS (
+  SELECT user_id, event_id, ts_us, value,
+         CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                                            ORDER BY ts_us ASC, event_id ASC)
+                   > 1800000000 THEN 1 ELSE 0 END AS new_session
+  FROM e
+),
+n AS (
+  SELECT user_id, ts_us, value,
+         sum(new_session) OVER (PARTITION BY user_id
+                                ORDER BY ts_us ASC, event_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS session_id
+  FROM w
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       min(ts_us) AS start_us, max(ts_us) AS end_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       ROUND(sum(value), 2) AS sum_value
+FROM n GROUP BY user_id, session_id
+""",
+        "label_centroids": """
+WITH comps AS (
+  SELECT label,
+         unnest(generate_series(1, len(embedding))) AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS val
+  FROM embeddings
+)
+SELECT label, CAST(pos AS INT) AS pos,
+       ROUND(list_sum(list_sort(list(val))) / count(*), 6) AS centroid
+FROM comps GROUP BY label, pos
+""",
     }
 )
 
@@ -1511,6 +1590,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_counts": q_bigram_counts,
         "doc_length_histogram": q_doc_length_histogram,
         "hash_split": q_hash_split,
+        "session_stats": q_session_stats,
+        "near_dup_dedup": q_near_dup_dedup,
+        "label_centroids": q_label_centroids,
     }
 
 

@@ -97,11 +97,36 @@ def main() -> None:
         docs = fio.load_table(spark, sf, "documents")
         return chunking.pack_sequences(docs, max_tokens=256, n_shards=int(cpus))
 
+    # Persisted-IVF search: the 100 TB story is the parquet scan
+    # pruning to nprobe/nlist of the list-id partitions. Index build
+    # happens ONCE outside the timer (build is the amortized cost).
+    import tempfile
+
+    from faiss_vector_search_spark.operators import ivf as ivf_mod
+
+    _ivf_paths: dict[str, str] = {}
+
+    def p_ivf_persisted(spark, sf):
+        if sf not in _ivf_paths:
+            emb = fio.load_table(spark, sf, "embeddings")
+            cents = ivf_mod.seeded_centroids(emb, 16)
+            path = tempfile.mkdtemp(prefix="fvs_ivf_bench_")
+            ivf_mod.save_ivf(emb, cents, path)
+            _ivf_paths[sf] = path
+        emb = fio.load_table(spark, sf, "embeddings")
+        q = emb.where(F.col("vec_id") == 2).select(
+            F.col("embedding").alias("query_vec")
+        )
+        return ivf_mod.ivf_search_persisted(
+            spark, _ivf_paths[sf], q, nprobe=4, k=10
+        )
+
     headline = {
         "knn_topk_ip": qs["knn_topk_ip"],
         "knn_batch": qs["knn_batch"],
         "knn_batch_two_phase": p_knn_batch_two_phase,
         "ivf_search": qs["ivf_search"],
+        "ivf_search_persisted": p_ivf_persisted,
         "ann_lsh_search": p_ann_lsh,
         "dedup_exact": qs["dedup_exact"],
         "dedup_minhash_lsh": p_minhash,

@@ -157,6 +157,38 @@ def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFra
     )
 
 
+def session_stats(
+    events: DataFrame, gap_minutes: int = SESSION_GAP_MIN
+) -> DataFrame:
+    """Session-grained output (one row per session: bounds, size,
+    value sum) — :func:`sessionize` rolled one level finer. Same
+    single user_id shuffle: lag flags session starts, a running sum
+    numbers sessions within the partition, then a groupBy on
+    (user, session_id) that re-uses the same partitioning."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").asc(), F.col("event_id").asc()
+    )
+    flagged = events.select(
+        "user_id", "event_id", _ts_us(events).alias("ts_us"), "value"
+    ).withColumn(
+        "new_session",
+        F.when(F.col("ts_us") - F.lag("ts_us").over(w) > gap_us, 1).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 def tumbling_window_agg(events: DataFrame) -> DataFrame:
     """Hourly tumbling windows per event type (the batch equivalent of
     the streaming windowed agg in streaming/)."""

@@ -471,3 +471,22 @@ def dedup_clusters(
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")
     )
+
+
+def near_dup_dedup(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """End-to-end near-dup REMOVAL: pair graph → connected components
+    → one surviving representative (minimum id) per component. Output
+    is (surviving doc_id, cluster_size) — the dedup decision a
+    training-data pipeline actually applies, composed from
+    :func:`dedup_clusters` (pairs say who matches; this says what to
+    keep and how much was removed)."""
+    clusters = dedup_clusters(docs, pairs, id_col=id_col)
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .select(F.col("cluster_id").alias(id_col), "cluster_size")
+    )

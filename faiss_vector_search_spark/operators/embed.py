@@ -137,3 +137,43 @@ def text_search(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def label_centroids(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label centroid vectors, long form (label, pos, centroid) —
+    the class-prototype computation of retrieval/classification
+    pipelines (and the aggregation step of k-means).
+
+    Oracle-profile determinism: per-dimension sums run as a *sorted
+    fold* (collect → sort → sequential aggregate), the same order
+    DuckDB's list_sum(list_sort(...)) uses — double addition is
+    order-sensitive, and a plain F.avg's partial-agg order isn't
+    reproducible cross-engine. Production at scale would use F.avg
+    (same values modulo last-ulp) and skip the collect_list."""
+    from pyspark.sql import functions as F
+
+    comps = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    ).select("label", "pos", F.col("val").cast("double").alias("val"))
+    return (
+        comps.groupBy("label", "pos")
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list("val")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "label",
+            (F.col("pos") + 1).cast("int").alias("pos"),
+            F.round(F.col("s") / F.col("n"), 6).alias("centroid"),
+        )
+    )
