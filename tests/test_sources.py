@@ -179,3 +179,49 @@ class TestPipelineCompositions:
             feats, threshold=0.999, dim=16, n_tables=8, n_bits=2
         ).collect()
         assert {(r.id_a, r.id_b) for r in pairs} >= {(0, 1)}
+
+
+class TestJsonl:
+    def _write(self, tmp_path):
+        lines = [
+            '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "web", "meta": {"k": "v"}}',
+            '{"doc_id": 2, "text": "bonjour", "lang": "fr", "source": "web"}',
+            'this is not json at all',
+            '{"doc_id": 4, "text": "ok", "lang": "en", "source": "books", "meta": {}}',
+        ]
+        p = tmp_path / "docs.jsonl"
+        p.write_text("\n".join(lines))
+        return str(p)
+
+    def test_read_jsonl_parses_and_quarantines(self, spark, tmp_path):
+        from faiss_vector_search_spark.sources import jsonl
+
+        df = jsonl.read_jsonl(spark, self._write(tmp_path))
+        clean, bad = jsonl.split_corrupt(df)
+        assert clean.count() == 3
+        assert {r.doc_id for r in clean.collect()} == {1, 2, 4}
+        assert bad.count() == 1
+        assert "not json" in bad.first().bad_line
+
+    def test_jsonl_roundtrip(self, spark, tmp_path):
+        from faiss_vector_search_spark.sources import jsonl
+
+        df = jsonl.read_jsonl(spark, self._write(tmp_path))
+        clean, _ = jsonl.split_corrupt(df)
+        out = str(tmp_path / "out")
+        jsonl.write_jsonl(clean.select("doc_id", "text", "lang"), out)
+        back = spark.read.schema("doc_id bigint, text string, lang string").json(out)
+        assert {(r.doc_id, r.text) for r in back.collect()} == {
+            (r.doc_id, r.text) for r in clean.collect()
+        }
+
+    def test_jsonl_feeds_the_engine(self, spark, tmp_path):
+        """Ingested JSONL flows straight into the operator surface."""
+        from faiss_vector_search_spark.operators import textstats
+        from faiss_vector_search_spark.sources import jsonl
+
+        clean, _ = jsonl.split_corrupt(
+            jsonl.read_jsonl(spark, self._write(tmp_path))
+        )
+        out = textstats.token_count(clean)
+        assert out.count() == 3
