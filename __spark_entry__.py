@@ -525,6 +525,39 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embed.label_centroids(_t(spark, sf_dir, "embeddings"))
 
 
+def q_pricing_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets with grouping-level bitmask."""
+    return analytics.pricing_cube(_t(spark, sf_dir, "lineitem"))
+
+
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue between two trading nations per year."""
+    return analytics.nation_trade_volume(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate over a broadcast join."""
+    return analytics.disjunctive_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly spine resampling with forward fill per user."""
+    return analytics.events_gap_fill(_t(spark, sf_dir, "events"))
+
+
+def q_doc_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-decile corpus profile (ntile over heuristic score)."""
+    return textstats.quality_deciles(_t(spark, sf_dir, "documents"))
+
+
 # --- oracle SQL -----------------------------------------------------------
 
 _IP = "ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv), 6)"
@@ -1523,6 +1556,84 @@ FROM assigned a JOIN items i ON i.shard = a.shard AND i.rn = a.rn
 GROUP BY 1
 """
 
+ORACLES.update(
+    {
+        "pricing_cube": """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS level,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       ROUND(sum(l_quantity), 2) AS sum_qty,
+       ROUND(avg(l_extendedprice), 6) AS avg_price
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+        "nation_trade_volume": """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS ship_year,
+       CAST(count(*) AS BIGINT) AS n_items,
+       ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+  AND cn.n_name IN ('NATION_1', 'NATION_2')
+  AND sn.n_name <> cn.n_name
+GROUP BY 1, 2, 3
+""",
+        "disjunctive_revenue": """
+SELECT p.p_brand,
+       CAST(count(*) AS BIGINT) AS n_items,
+       ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1'
+       AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#12'
+       AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity BETWEEN 5 AND 30)
+   OR (p.p_brand = 'Brand#23'
+       AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity BETWEEN 10 AND 40)
+GROUP BY 1
+""",
+        "events_gap_fill": """
+WITH hourly AS (
+  SELECT user_id, epoch_ns(ts) // 3600000000000 AS bucket,
+         ROUND(avg(value), 6) AS v
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM hourly GROUP BY 1
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(lo, hi)) AS bucket FROM bounds
+)
+SELECT s.user_id,
+       make_timestamp(s.bucket * 3600000000) AS hour_ts,
+       last_value(h.v IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+       h.v IS NOT NULL AS is_observed
+FROM spine s LEFT JOIN hourly h USING (user_id, bucket)
+""",
+    }
+)
+
+ORACLES["doc_quality_deciles"] = f"""
+WITH qs AS ({ORACLES["quality_score"]}),
+t AS (
+  SELECT doc_id, quality,
+         ntile(10) OVER (ORDER BY quality ASC, doc_id ASC) AS decile
+  FROM qs
+)
+SELECT CAST(decile AS INT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       ROUND(min(quality), 6) AS min_q,
+       ROUND(max(quality), 6) AS max_q,
+       ROUND(avg(quality), 6) AS avg_q
+FROM t GROUP BY decile
+"""
+
 
 # --- driver contract ------------------------------------------------------
 
@@ -1593,6 +1704,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "near_dup_dedup": q_near_dup_dedup,
         "label_centroids": q_label_centroids,
+        "pricing_cube": q_pricing_cube,
+        "nation_trade_volume": q_nation_trade_volume,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "events_gap_fill": q_events_gap_fill,
+        "doc_quality_deciles": q_doc_quality_deciles,
     }
 
 

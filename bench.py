@@ -155,6 +155,11 @@ def main() -> None:
         "bigram_counts": qs["bigram_counts"],
         "json_props_rollup": qs["json_props_rollup"],
         "pack_sequences": p_pack_sequences,
+        "pricing_cube": qs["pricing_cube"],
+        "nation_trade_volume": qs["nation_trade_volume"],
+        "disjunctive_revenue": qs["disjunctive_revenue"],
+        "events_gap_fill": qs["events_gap_fill"],
+        "doc_quality_deciles": qs["doc_quality_deciles"],
     }
 
     def run(fn) -> float:

@@ -622,3 +622,162 @@ def order_priority_check(
         .agg(F.count("*").alias("order_count"))
         .orderBy("o_orderpriority")
     )
+
+
+def pricing_cube(lineitem: DataFrame) -> DataFrame:
+    """CUBE aggregation: every grouping-set slice over
+    (returnflag, linestatus) — detail cells, both one-dimension
+    marginals, and the grand total — in ONE shuffle with grouping-set
+    expansion (Spark expands the input ~4x map-side; no multi-scan
+    union). ``level`` is the grouping bitmask (0 = detail, 1 = per
+    returnflag, 2 = per linestatus, 3 = grand total), the same
+    encoding as :func:`pricing_rollup`."""
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            (
+                F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")
+            ).cast("int").alias("level"),
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "level", "n_rows", "sum_qty",
+            "avg_price",
+        )
+    )
+
+
+def nation_trade_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+) -> DataFrame:
+    """TPC-H Q7 shape: shipped revenue between two trading nations per
+    (supplier nation, customer nation, ship year). Join topology for
+    scale: the two big fact tables (lineitem, orders) shuffle-join on
+    orderkey; supplier and customer are mid-size dimension joins; the
+    25-row nation table broadcasts onto BOTH legs, and the nation-name
+    filter applies at the dimension side so non-qualifying suppliers /
+    customers drop BEFORE the fact join (Catalyst pushes the IN filter
+    into the broadcast build side, shrinking the probe output)."""
+    n1 = nation.where(F.col("n_name").isin(nation_a, nation_b)).select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.where(F.col("n_name").isin(nation_a, nation_b)).select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    supp = supplier.join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey")
+    ).select("s_suppkey", "supp_nation")
+    cust = customer.join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey")
+    ).select("c_custkey", "cust_nation")
+    return (
+        lineitem.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        # cross-pair trades only (a nation does not "trade with" itself)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+def disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate mixing
+    part attributes (brand, size) with lineitem attributes (quantity).
+    The part side broadcasts; the disjunction stays ONE whole-stage-
+    codegen filter after the join — no union-of-three-scans rewrite
+    needed — while the part-only prefilter (brand IN ..., the union of
+    branch brands) is pushed to the part scan so the broadcast build
+    side only carries qualifying brands."""
+    branches = [
+        ("Brand#1", 1, 15, 1.0, 20.0),
+        ("Brand#12", 10, 30, 5.0, 30.0),
+        ("Brand#23", 20, 50, 10.0, 40.0),
+    ]
+    p = part.where(
+        F.col("p_brand").isin([b[0] for b in branches])
+    ).select("p_partkey", "p_brand", "p_size")
+    cond = None
+    for brand, lo_sz, hi_sz, lo_q, hi_q in branches:
+        c = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(lo_sz, hi_sz)
+            & F.col("l_quantity").between(lo_q, hi_q)
+        )
+        cond = c if cond is None else cond | c
+    return (
+        lineitem.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+HOUR_US = 3_600 * 1_000_000
+
+
+def events_gap_fill(events: DataFrame) -> DataFrame:
+    """Time-series regularization: resample each user's event stream
+    onto an hourly spine (min..max observed hour per user) and
+    forward-fill the per-hour mean value across gaps — the
+    gap-repair step before windowed feature extraction on irregular
+    telemetry. Plan shape: one shuffle on user_id for the per-hour
+    aggregate, a tiny per-user bounds aggregate whose sequence()
+    spine explodes WITHOUT re-shuffling (same user_id partitioning),
+    and one ordered window per user for the fill. The spine is
+    bounded by (users x hours-of-history), independent of event
+    count — at 100 TB the spine is orders of magnitude smaller than
+    the input."""
+    hourly = (
+        events.select(
+            "user_id", (_ts_us(events) / HOUR_US).cast("bigint").alias("bucket"),
+            "value",
+        )
+        .groupBy("user_id", "bucket")
+        .agg(F.round(F.avg("value"), 6).alias("v"))
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            "user_id",
+            F.explode_outer(F.sequence(F.col("lo"), F.col("hi"))).alias("bucket"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["user_id", "bucket"], "left")
+        .select(
+            "user_id",
+            F.timestamp_micros(F.col("bucket") * HOUR_US).alias("hour_ts"),
+            F.last("v", ignorenulls=True).over(w).alias("value_filled"),
+            F.col("v").isNotNull().alias("is_observed"),
+        )
+    )

@@ -260,3 +260,33 @@ def hash_split(
             else expr.when(cond, F.lit(name))
         )
     return docs.select(F.col(id_col), expr.otherwise(splits[-1][0]).alias("split"))
+
+
+def quality_deciles(
+    docs: DataFrame,
+    n_buckets: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus quality profile: bucket documents into quality deciles
+    (ntile over the heuristic quality score) and report each decile's
+    population and score range — the curation dashboard that decides
+    where to draw the keep/drop threshold. Deterministic: the ntile
+    ordering is totalized with the doc id tie-break. The global sort
+    behind ntile is a single orderBy (range-partitioned at scale);
+    for a 100 TB corpus swap ntile for approx-quantile bucket edges
+    computed on a sample and assigned map-side."""
+    scored = quality_score(docs, id_col=id_col, text_col=text_col)
+    w = Window.orderBy(F.col("quality").asc(), F.col(id_col).asc())
+    return (
+        scored.select(
+            id_col, "quality", F.ntile(n_buckets).over(w).alias("decile")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.min("quality"), 6).alias("min_q"),
+            F.round(F.max("quality"), 6).alias("max_q"),
+            F.round(F.avg("quality"), 6).alias("avg_q"),
+        )
+    )

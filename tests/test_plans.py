@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import contextlib
 import io as pyio
+import re
 
 import pytest
 from pyspark.sql import functions as F
@@ -217,3 +218,44 @@ def test_tfidf_topk_no_python_udf(spark, sf_small):
     out = lexical.tfidf_topk_terms(fio.load_table(spark, sf_small, "documents"))
     plan = plan_of(out)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cube_is_one_expand_one_scan(spark, sf_small):
+    """CUBE must plan as grouping-set expansion over ONE scan, not a
+    union of four aggregations."""
+    out = analytics.pricing_cube(fio.load_table(spark, sf_small, "lineitem"))
+    plan = plan_of(out)
+    assert "Expand" in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_trade_volume_broadcasts_nations_no_nested_loop(spark, sf_small):
+    t = lambda n: fio.load_table(spark, sf_small, n)  # noqa: E731
+    out = analytics.nation_trade_volume(
+        t("lineitem"), t("orders"), t("customer"), t("supplier"), t("nation")
+    )
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the nation-name prefilter reaches the nation scans
+    assert "In(n_name" in plan
+
+
+def test_disjunctive_brand_union_pushed_to_part_scan(spark, sf_small):
+    out = analytics.disjunctive_revenue(
+        fio.load_table(spark, sf_small, "lineitem"),
+        fio.load_table(spark, sf_small, "part"),
+    )
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    # union of branch brands is pushed into the part scan
+    assert "In(p_brand" in plan
+
+
+def test_gap_fill_stays_jvm_side(spark, sf_small):
+    out = analytics.events_gap_fill(fio.load_table(spark, sf_small, "events"))
+    plan = plan_of(out)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -144,3 +144,120 @@ def test_hash_split_stable_under_corpus_growth(docs):
 def test_hash_split_rejects_bad_weights(docs):
     with pytest.raises(ValueError, match="sum to 1"):
         textstats.hash_split(docs, splits=(("a", 0.5), ("b", 0.2)))
+
+
+# --- round-2 session additions: cube / Q7 / Q19 / gap fill / deciles ------
+
+
+def test_cube_levels_are_consistent(spark, sf_medium):
+    li = fio.load_table(spark, sf_medium, "lineitem")
+    out = analytics.pricing_cube(li).collect()
+    total = li.count()
+    # every grouping-set slice partitions the corpus
+    for level in (0, 1, 2):
+        assert sum(r.n_rows for r in out if r.level == level) == total
+    grand = [r for r in out if r.level == 3]
+    assert len(grand) == 1 and grand[0].n_rows == total
+    # cube ⊇ rollup: every rollup cell appears identically in the cube
+    rollup = {
+        (r.l_returnflag, r.l_linestatus, r.level): r.n_rows
+        for r in analytics.pricing_rollup(li).collect()
+    }
+    cube = {
+        (r.l_returnflag, r.l_linestatus, r.level): r.n_rows for r in out
+    }
+    for key, n in rollup.items():
+        assert cube[key] == n
+
+
+def test_gap_fill_spine_is_complete_and_filled(events):
+    out = analytics.events_gap_fill(events).collect()
+    by_user: dict[int, list] = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert len(by_user) == events.select("user_id").distinct().count()
+    for rows in by_user.values():
+        rows.sort(key=lambda r: r.hour_ts)
+        # contiguous hourly spine, no holes
+        for a, b in zip(rows, rows[1:]):
+            assert (b.hour_ts - a.hour_ts).total_seconds() == 3600
+        # forward fill leaves no nulls (spine starts at first observation)
+        assert rows[0].is_observed
+        assert all(r.value_filled is not None for r in rows)
+        # gap rows repeat the last observed value
+        last_obs = None
+        for r in rows:
+            if r.is_observed:
+                last_obs = r.value_filled
+            else:
+                assert r.value_filled == last_obs
+
+
+def test_gap_fill_observed_rows_match_hourly_means(events):
+    out = analytics.events_gap_fill(events)
+    n_obs = out.where("is_observed").count()
+    n_hours = (
+        events.select(
+            "user_id",
+            (F.col("ts") / (3600 * 1_000_000_000)).cast("bigint").alias("b"),
+        )
+        .distinct()
+        .count()
+    )
+    assert n_obs == n_hours
+
+
+def test_disjunctive_revenue_equals_union_of_branches(spark, sf_medium):
+    li = fio.load_table(spark, sf_medium, "lineitem")
+    part = fio.load_table(spark, sf_medium, "part")
+    out = {
+        r.p_brand: (r.n_items, r.revenue)
+        for r in analytics.disjunctive_revenue(li, part).collect()
+    }
+    joined = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    branches = {
+        "Brand#1": (1, 15, 1.0, 20.0),
+        "Brand#12": (10, 30, 5.0, 30.0),
+        "Brand#23": (20, 50, 10.0, 40.0),
+    }
+    for brand, (lo_sz, hi_sz, lo_q, hi_q) in branches.items():
+        ref = (
+            joined.where(
+                (F.col("p_brand") == brand)
+                & F.col("p_size").between(lo_sz, hi_sz)
+                & F.col("l_quantity").between(lo_q, hi_q)
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("rev"),
+            )
+            .first()
+        )
+        assert out[brand][0] == ref.n
+
+
+def test_trade_volume_has_both_directions_no_self_pairs(spark, sf_medium):
+    t = lambda n: fio.load_table(spark, sf_medium, n)  # noqa: E731
+    out = analytics.nation_trade_volume(
+        t("lineitem"), t("orders"), t("customer"), t("supplier"), t("nation")
+    ).collect()
+    pairs = {(r.supp_nation, r.cust_nation) for r in out}
+    assert pairs == {("NATION_1", "NATION_2"), ("NATION_2", "NATION_1")}
+    assert all(r.revenue > 0 and 1995 <= r.ship_year <= 2001 for r in out)
+
+
+def test_quality_deciles_partition_the_scored_corpus(docs):
+    out = sorted(
+        textstats.quality_deciles(docs).collect(), key=lambda r: r.decile
+    )
+    assert [r.decile for r in out] == list(range(1, 11))
+    scored = textstats.quality_score(docs).count()
+    assert sum(r.n_docs for r in out) == scored
+    # ntile balance: bucket sizes differ by at most one
+    sizes = [r.n_docs for r in out]
+    assert max(sizes) - min(sizes) <= 1
+    # decile score ranges are monotonic and non-overlapping
+    for a, b in zip(out, out[1:]):
+        assert a.max_q <= b.min_q
