@@ -1,0 +1,146 @@
+"""Gates for the table-maintenance + storage-layout operators
+(SURVEY.md §2d): small-file compaction, dynamic-partition upsert,
+bucketed co-located joins, CSV quarantine ingest."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from faiss_vector_search_spark import io as fio
+from faiss_vector_search_spark.operators import maintenance
+from faiss_vector_search_spark.sources import bucketed, delimited, jsonl
+
+
+class TestCompaction:
+    def test_compact_reduces_files_preserves_rows(self, spark, sf_small, tmp_path):
+        docs = fio.load_table(spark, sf_small, "documents")
+        src = str(tmp_path / "fragmented")
+        # simulate streaming ingest fallout: one file per row-group sliver
+        docs.repartition(64).write.parquet(src)
+        dst = str(tmp_path / "compacted")
+        stats = maintenance.compact_parquet(
+            spark, src, dst, target_file_bytes=16 * 1024 * 1024
+        )
+        assert stats["files_in"] == 64
+        assert stats["files_out"] < stats["files_in"]
+        out = spark.read.parquet(dst)
+        assert out.count() == docs.count()
+        # content identical, not just counts
+        assert out.exceptAll(docs).count() == 0
+
+    def test_compact_no_shuffle_by_default(self, spark, sf_small, tmp_path):
+        """coalesce compaction must not plan an exchange."""
+        docs = fio.load_table(spark, sf_small, "documents")
+        src = str(tmp_path / "frag2")
+        docs.repartition(16).write.parquet(src)
+        df = spark.read.parquet(src).coalesce(2)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestPartitionUpsert:
+    def _seed(self, spark, path):
+        df = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0), (4, "b", 4.0)],
+            "id int, day string, v double",
+        )
+        df.write.partitionBy("day").parquet(path)
+
+    def test_upsert_replaces_only_touched_partition(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        self._seed(spark, path)
+        updates = spark.createDataFrame(
+            [(30, "b", 30.0)], "id int, day string, v double"
+        )
+        maintenance.upsert_partitions(updates, path, "day")
+        out = spark.read.parquet(path)
+        # partition a untouched, partition b fully replaced
+        assert sorted(r.id for r in out.where("day = 'a'").collect()) == [1, 2]
+        assert sorted(r.id for r in out.where("day = 'b'").collect()) == [30]
+
+    def test_upsert_is_idempotent(self, spark, tmp_path):
+        path = str(tmp_path / "t2")
+        self._seed(spark, path)
+        updates = spark.createDataFrame(
+            [(10, "a", 10.0)], "id int, day string, v double"
+        )
+        maintenance.upsert_partitions(updates, path, "day")
+        maintenance.upsert_partitions(updates, path, "day")
+        out = spark.read.parquet(path)
+        assert out.count() == 3  # {10:a, 3:b, 4:b} — re-run didn't duplicate
+
+
+class TestBucketedJoin:
+    @pytest.fixture(scope="class")
+    def tables(self, spark, sf_small, tmp_path_factory):
+        d = tmp_path_factory.mktemp("buckets")
+        docs = fio.load_table(spark, sf_small, "documents")
+        stats = docs.select(
+            "doc_id", F.length("text").alias("n")
+        )
+        bucketed.save_bucketed(
+            docs, "b_docs", str(d / "docs"), "doc_id", n_buckets=8
+        )
+        bucketed.save_bucketed(
+            stats, "b_stats", str(d / "stats"), "doc_id", n_buckets=8
+        )
+        yield "b_docs", "b_stats"
+        spark.sql("DROP TABLE IF EXISTS b_docs")
+        spark.sql("DROP TABLE IF EXISTS b_stats")
+
+    def test_bucketed_join_has_no_exchange(self, spark, tables):
+        left, right = tables
+        thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = bucketed.load_bucketed(spark, left).join(
+                bucketed.load_bucketed(spark, right), "doc_id"
+            )
+            j.collect()
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan  # the whole point of bucketing
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+    def test_bucketed_join_matches_plain_join(self, spark, sf_small, tables):
+        left, right = tables
+        docs = fio.load_table(spark, sf_small, "documents")
+        expected = docs.count()
+        got = (
+            bucketed.load_bucketed(spark, left)
+            .join(bucketed.load_bucketed(spark, right), "doc_id")
+            .count()
+        )
+        assert got == expected
+
+
+class TestDelimitedSource:
+    def _write(self, tmp_path):
+        p = tmp_path / "docs.csv"
+        p.write_text(
+            "doc_id,text,lang,source\n"
+            '1,"hello world",en,web\n'
+            "2,short,en,book\n"
+            "not,a,valid,row,extra,cols\n"
+            '3,"quoted, with comma",es,web\n'
+        )
+        return str(p)
+
+    def test_read_csv_parses_and_quarantines(self, spark, tmp_path):
+        df = delimited.read_delimited(spark, self._write(tmp_path))
+        clean, bad = jsonl.split_corrupt(df)
+        assert clean.count() == 3
+        assert bad.count() == 1
+        assert "extra,cols" in bad.first().bad_line
+        row3 = clean.where("doc_id = 3").first()
+        assert row3.text == "quoted, with comma" and row3.lang == "es"
+
+    def test_csv_docs_flow_into_operators(self, spark, tmp_path):
+        from faiss_vector_search_spark.operators import textstats
+
+        df = delimited.read_delimited(spark, self._write(tmp_path))
+        clean, _ = jsonl.split_corrupt(df)
+        out = textstats.token_count(clean)
+        assert out.count() == 3
