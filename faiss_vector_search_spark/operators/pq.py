@@ -1,0 +1,288 @@
+"""Product quantization (PQ) — FAISS's signature memory-compression
+index family (IndexPQ / IVFPQ), re-expressed for Spark (SURVEY.md
+§2a extension; the reference's FAISS build exposes flat + IVFFlat,
+PQ is the next rung of the same ladder and the one that matters at
+100 TB: a 64-dim float corpus is 256 B/vector, its m=8 PQ codes are
+8 B/vector — a 32× smaller scan for the ADC search pass).
+
+Design (all JVM-side Column expressions, no Python in any hot path):
+
+- **train**: the vector splits into ``m`` subvectors of ``dsub`` dims;
+  each subspace gets its own ``ksub``-centroid Lloyd quantizer. One
+  distributed pass per iteration covers ALL subspaces: explode to
+  (row, j, subvec), argmin over the broadcast per-subspace codebook,
+  re-average via partial-aggregated groupBy(j, cid, pos). The shuffle
+  carries m × ksub × dsub aggregate cells, never vectors; the driver
+  holds only the codebook (model state, MLlib-style). At 100 TB,
+  train on a deterministic sample (e.g. ``vec_id % s == 0``) — PQ
+  codebooks converge on thousands of vectors, not billions.
+- **encode**: pure map over the broadcast codebooks → ``codes``
+  array<int> of length m. The corpus never shuffles.
+- **search (ADC)**: asymmetric distance computation — the query
+  builds an m × ksub inner-product table against the codebooks (one
+  tiny row), which broadcast-joins onto the codes scan; each vector's
+  approximate score is the sum of m table lookups
+  (``zip_with`` + ``aggregate``), and top-k compiles to
+  TakeOrderedAndProject (per-partition top-k + driver merge, no
+  corpus shuffle) exactly like the flat kNN path.
+
+Approximate by construction → rows-only gated: tests bound ADC score
+error and top-k overlap vs the exact scan (tests/test_pq.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vector as V
+from .knn import SCORE_DECIMALS
+
+
+def _subvec(vec, j: int, dsub: int):
+    """1-based slice of subspace ``j`` (static bounds → codegen)."""
+    return F.slice(vec, j * dsub + 1, dsub)
+
+
+def _codebook_row(codebooks: DataFrame):
+    """Collapse (j, cid, cvec) rows into ONE broadcastable row:
+    ``cbs[j+1][cid+1] = cvec`` — nested arrays ordered by (j, cid) so
+    positions encode ids."""
+    inner = codebooks.groupBy("j").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cid"), F.col("cvec")))
+        ).alias("cb")
+    )
+    return F.broadcast(
+        inner.agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("j"), F.col("cb")))
+                ),
+                lambda s: F.transform(s["cb"], lambda c: c["cvec"]),
+            ).alias("cbs")
+        )
+    )
+
+
+def _argmin_code(subvec, cb):
+    """Index (0-based) of the nearest centroid in ``cb`` for
+    ``subvec`` — a per-row fold, ties to the lowest cid."""
+    init = F.struct(
+        F.lit(-1).cast("int").alias("cid"),
+        F.lit(float("inf")).alias("d"),
+        F.lit(0).cast("int").alias("i"),
+    )
+
+    def step(acc, cvec):
+        d = V.l2_sq(subvec, cvec)
+        better = d < acc["d"]
+        return F.struct(
+            F.when(better, acc["i"]).otherwise(acc["cid"]).alias("cid"),
+            F.when(better, d).otherwise(acc["d"]).alias("d"),
+            (acc["i"] + 1).alias("i"),
+        )
+
+    return F.aggregate(cb, init, step)["cid"]
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train per-subspace codebooks → DataFrame (j, cid, cvec).
+
+    Seeding is deterministic (subvectors of the first ``ksub`` vectors
+    by id), so train → encode → search reproduces bit-identically.
+    """
+    spark = corpus.sparkSession
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+
+    seed_rows = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(ksub)
+        .select(
+            (
+                F.row_number().over(Window.orderBy(F.col(id_col).asc())) - 1
+            ).alias("cid"),
+            F.col(vec_col).alias("v"),
+        )
+        .collect()
+    )
+    books: dict[tuple[int, int], list[float]] = {}
+    for r in seed_rows:
+        for j in range(m):
+            books[(j, r.cid)] = [
+                float(x) for x in r.v[j * dsub : (j + 1) * dsub]
+            ]
+
+    # one exploded (id, j, subvec) frame reused every iteration
+    sub = corpus.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.transform(
+                        _subvec(F.col(vec_col), j, dsub),
+                        lambda x: x.cast("double"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("j", "subvec"),
+    )
+
+    for _ in range(iters):
+        cb_df = spark.createDataFrame(
+            [(j, c, v) for (j, c), v in sorted(books.items())],
+            "j int, cid int, cvec array<double>",
+        )
+        assigned = sub.crossJoin(_codebook_row(cb_df)).select(
+            "j",
+            "subvec",
+            _argmin_code(
+                F.col("subvec"), F.element_at(F.col("cbs"), F.col("j") + 1)
+            ).alias("cid"),
+        )
+        cells = (
+            assigned.select(
+                "j", "cid", F.posexplode(F.col("subvec")).alias("pos", "x")
+            )
+            .groupBy("j", "cid", "pos")
+            .agg(F.avg("x").alias("mean"))
+            .collect()
+        )
+        for r in cells:
+            # round the model state: distributed avg is summation-order
+            # sensitive in the last bits, and partitioning differs
+            # across cluster sizes; 9 decimals absorbs that wobble so
+            # train -> encode reproduces bit-identically anywhere
+            books[(r.j, r.cid)][r.pos] = round(r.mean, 9)
+    return spark.createDataFrame(
+        [(j, c, v) for (j, c), v in sorted(books.items())],
+        "j int, cid int, cvec array<double>",
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """corpus → (id, codes array<int>): m nearest-centroid ids per
+    vector. Map-only over the broadcast codebooks — at rest these
+    codes are the index (m small ints ≈ m bytes vs 4·dim)."""
+    mk = codebooks.agg(
+        F.max("j").alias("jmax"), F.size(F.first("cvec")).alias("dsub")
+    ).first()
+    m, dsub = mk.jmax + 1, mk.dsub
+    return corpus.crossJoin(_codebook_row(codebooks)).select(
+        F.col(id_col),
+        F.array(
+            *[
+                _argmin_code(
+                    F.transform(
+                        _subvec(F.col(vec_col), j, dsub),
+                        lambda x: x.cast("double"),
+                    ),
+                    F.element_at(F.col("cbs"), j + 1),
+                )
+                for j in range(m)
+            ]
+        ).alias("codes"),
+    )
+
+
+def pq_topk_adc(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance: score(v) ≈
+    Σ_j  ⟨q_sub_j, codebook[j][codes[j]]⟩  — m lookups into the
+    query's precomputed inner-product table. The table is one tiny
+    row (m × ksub doubles) broadcast onto the codes scan; ranking
+    compiles to TakeOrderedAndProject. Ties break to the lowest id
+    like the exact kNN path."""
+    dsub = codebooks.select(F.size(F.first("cvec"))).first()[0]
+    tbl = (
+        query.crossJoin(_codebook_row(codebooks))
+        .select(
+            F.transform(
+                F.col("cbs"),
+                lambda cb, j: F.transform(
+                    cb,
+                    lambda cvec: V.dot(
+                        F.slice(
+                            F.col(query_vec_col), j * dsub + 1, dsub
+                        ),
+                        cvec,
+                    ),
+                ),
+            ).alias("tbl")
+        )
+    )
+    scored = codes.crossJoin(F.broadcast(tbl)).select(
+        F.col(id_col),
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    F.col("tbl"),
+                    lambda c, row: F.element_at(row, c + 1),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            SCORE_DECIMALS,
+        ).alias("score"),
+    )
+    return scored.orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    ).limit(k)
+
+
+def pq_topk_rerank(
+    corpus: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    expand: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Two-stage PQ search: ADC shortlist of ``k * expand`` candidates
+    from the compressed codes, then EXACT re-scoring of just the
+    shortlist against the original vectors — the standard
+    FAISS-deployment recipe that recovers near-exact top-k while the
+    full-precision corpus is touched only for k·expand rows. The
+    shortlist join is a broadcast semi-join (k·expand ids), so the
+    100 TB corpus scan happens on the 32×-smaller codes table and the
+    float table contributes an id-pruned point lookup."""
+    shortlist = pq_topk_adc(
+        codes, codebooks, query, k=k * expand,
+        id_col=id_col, query_vec_col=query_vec_col,
+    ).select(id_col)
+    candidates = corpus.join(F.broadcast(shortlist), id_col, "left_semi")
+    scored = candidates.crossJoin(F.broadcast(query)).select(
+        F.col(id_col),
+        F.round(
+            V.ip_score(F.col(vec_col), F.col(query_vec_col)), SCORE_DECIMALS
+        ).alias("score"),
+    )
+    return scored.orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    ).limit(k)
