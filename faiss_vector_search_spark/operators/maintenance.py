@@ -15,6 +15,8 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
 
@@ -74,3 +76,42 @@ def upsert_partitions(
         .partitionBy(partition_col)
         .parquet(path)
     )
+
+
+def upsert_merge(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    partition_col: str,
+    key_cols: list[str],
+) -> None:
+    """Keyed merge into a partitioned parquet table (the MERGE /
+    upsert-by-key pattern, emulated without a table format): rows in
+    ``updates`` replace existing rows with the same key; untouched
+    keys in the SAME partition survive (a bare dynamic overwrite
+    would drop them); untouched partitions are never read or written.
+
+    Plan: touched-partition values collect (tiny — bounded by the
+    batch's distinct partitions), the existing read prunes to exactly
+    those partitions, survivors come from a broadcast anti-join on the
+    key, and the merged frame is localCheckpoint-materialized before
+    the write because Spark cannot overwrite a path it is still
+    reading lazily.
+    """
+    parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    if not parts:
+        return
+    try:
+        existing = spark.read.parquet(path).where(
+            F.col(partition_col).isin(parts)
+        )
+    except AnalysisException:  # first write: table does not exist yet
+        updates.write.partitionBy(partition_col).parquet(path)
+        return
+    survivors = existing.join(
+        F.broadcast(updates.select(*key_cols).distinct()),
+        on=key_cols,
+        how="left_anti",
+    )
+    merged = survivors.unionByName(updates).localCheckpoint(eager=True)
+    upsert_partitions(merged, path, partition_col)

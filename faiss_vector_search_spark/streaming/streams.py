@@ -260,3 +260,47 @@ def streaming_interval_join(
         )
         .select("l_id", "r_id")
     )
+
+
+def streaming_rollup_sink(
+    events: DataFrame,
+    path: str,
+    checkpoint: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> StreamingQuery:
+    """Materialized streaming rollup: the watermarked hourly aggregate
+    maintained as a PARTITIONED PARQUET TABLE downstream batch jobs
+    can read — streaming keeps the view fresh, batch reads it with
+    partition pruning.
+
+    Update-mode micro-batches emit only the (hour, event_type) rows
+    whose aggregates changed; ``maintenance.upsert_merge`` folds them
+    in by key, so re-delivered batches are idempotent (replace, not
+    double-count) and rows the batch didn't touch survive. Partition
+    column = the hour date — a day's queries prune to 24 partitions
+    regardless of table history.
+    """
+    from ..operators import maintenance
+
+    agg = streaming_tumbling_agg(events, window=window, watermark=watermark)
+    spark = events.sparkSession
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        maintenance.upsert_merge(
+            spark,
+            batch.withColumn(
+                "hour_date", F.date_format("hour", "yyyy-MM-dd")
+            ),
+            path,
+            partition_col="hour_date",
+            key_cols=["hour", "event_type"],
+        )
+
+    return (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -158,3 +158,53 @@ def test_streaming_interval_join_matches_batch(spark, sf_medium, tmp_path):
     }
     assert got == want
     assert want, "corpus must produce interval-join pairs"
+
+
+def test_streaming_rollup_sink_equals_batch(spark, sf_small, events_stream_dir, tmp_path):
+    """The materialized parquet rollup after draining the stream must
+    equal the batch tumbling agg — across micro-batches the keyed
+    merge replaces updated (hour, type) rows instead of duplicating
+    or dropping them."""
+    path = str(tmp_path / "rollup")
+    q = streams.streaming_rollup_sink(
+        streams.stream_events(spark, events_stream_dir),
+        path,
+        checkpoint=str(tmp_path / "ckpt"),
+        watermark="100 days",
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.hour, r.event_type): (r.n_events, float(r.sum_value))
+        for r in spark.read.parquet(path).collect()
+    }
+    want = {
+        (r.hour, r.event_type): (r.n_events, float(r.sum_value))
+        for r in analytics.tumbling_window_agg(
+            fio.load_table(spark, sf_small, "events")
+        ).collect()
+    }
+    assert got == want
+    # partition layout: hour-date directories for pruning
+    import os
+
+    assert any(d.startswith("hour_date=") for d in os.listdir(path))
+
+
+def test_upsert_merge_replaces_by_key_preserves_others(spark, tmp_path):
+    from faiss_vector_search_spark.operators import maintenance
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [("d1", "a", 1.0), ("d1", "b", 2.0), ("d2", "a", 3.0)],
+        "day string, k string, v double",
+    )
+    maintenance.upsert_merge(spark, base, path, "day", ["day", "k"])
+    upd = spark.createDataFrame(
+        [("d1", "b", 20.0)], "day string, k string, v double"
+    )
+    maintenance.upsert_merge(spark, upd, path, "day", ["day", "k"])
+    rows = {(r.day, r.k): r.v for r in spark.read.parquet(path).collect()}
+    # (01, b) replaced; (01, a) survived in the same partition;
+    # (02, a) partition untouched
+    assert rows == {("d1", "a"): 1.0, ("d1", "b"): 20.0, ("d2", "a"): 3.0}
