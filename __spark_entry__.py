@@ -592,6 +592,21 @@ def q_doc_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.quality_deciles(_t(spark, sf_dir, "documents"))
 
 
+def q_promo_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line margin per (nation, ship year)."""
+    return analytics.promo_profit_by_nation(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+def q_events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS slices with grouping bitmask."""
+    return analytics.events_grouping_sets(_t(spark, sf_dir, "events"))
+
+
 # --- oracle SQL -----------------------------------------------------------
 
 _IP = "ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv), 6)"
@@ -1657,6 +1672,34 @@ FROM spine s LEFT JOIN hourly h USING (user_id, bucket)
 # the two-stage PQ path is lossless on this corpus
 ORACLES["pq_rerank_search"] = _oracle_topk_ip(0, 10)
 
+ORACLES.update(
+    {
+        "promo_profit_by_nation": """
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS ship_year,
+       CAST(count(*) AS BIGINT) AS n_items,
+       ROUND(sum(l.l_extendedprice * (1 - l.l_discount)
+                 - 0.8 * p.p_retailprice * l.l_quantity), 2) AS margin
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1, 2
+""",
+        "events_grouping_sets": """
+WITH base AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, value FROM events
+)
+SELECT event_type, hour,
+       CAST(GROUPING(event_type) * 2 + GROUPING(hour) AS INT) AS level,
+       CAST(count(*) AS BIGINT) AS n_events,
+       ROUND(sum(value), 2) AS sum_value
+FROM base
+GROUP BY GROUPING SETS ((event_type, hour), (event_type), (hour))
+""",
+    }
+)
+
 ORACLES["doc_quality_deciles"] = f"""
 WITH qs AS ({ORACLES["quality_score"]}),
 t AS (
@@ -1749,6 +1792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_revenue": q_disjunctive_revenue,
         "events_gap_fill": q_events_gap_fill,
         "doc_quality_deciles": q_doc_quality_deciles,
+        "promo_profit_by_nation": q_promo_profit_by_nation,
+        "events_grouping_sets": q_events_grouping_sets,
     }
 
 

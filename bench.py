@@ -182,6 +182,8 @@ def main() -> None:
         "disjunctive_revenue": qs["disjunctive_revenue"],
         "events_gap_fill": qs["events_gap_fill"],
         "doc_quality_deciles": qs["doc_quality_deciles"],
+        "promo_profit_by_nation": qs["promo_profit_by_nation"],
+        "events_grouping_sets": qs["events_grouping_sets"],
     }
 
     def run(fn) -> float:

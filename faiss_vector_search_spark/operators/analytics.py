@@ -781,3 +781,70 @@ def events_gap_fill(events: DataFrame) -> DataFrame:
             F.col("v").isNotNull().alias("is_observed"),
         )
     )
+
+
+def promo_profit_by_nation(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    p_type: str = "PROMO",
+) -> DataFrame:
+    """TPC-H Q9 shape: margin contribution of one product line per
+    (supplier nation, ship year). Join topology: the part-type filter
+    prunes the smallest dimension FIRST and broadcasts, shrinking the
+    fact stream before the supplier/nation legs (also broadcast) —
+    the single shuffle left is the final groupBy. Margin proxy =
+    revenue − 0.8 × retailprice × qty (the schema carries no
+    partsupp.supplycost)."""
+    p = part.where(F.col("p_type") == p_type).select(
+        "p_partkey", "p_retailprice"
+    )
+    s = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supplier["s_nationkey"] == nation["n_nationkey"],
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    return (
+        lineitem.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("nation", F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    - F.lit(0.8) * F.col("p_retailprice") * F.col("l_quantity")
+                ),
+                2,
+            ).alias("margin"),
+        )
+    )
+
+
+def events_grouping_sets(events: DataFrame) -> DataFrame:
+    """Arbitrary GROUPING SETS — the slices a dashboard actually
+    wants ((type, hour), (type), (hour)) WITHOUT the grand total a
+    cube would force, still one shuffle with grouping-set expansion.
+    ``level`` bitmask: 0 = cell, 1 = per type, 2 = per hour.
+
+    The hour bucket materializes as a real column first: grouping()
+    resolves grouping columns by NAME, and an inline expression
+    appears as three distinct exprs (one per set) it cannot match."""
+    base = events.select(
+        "event_type", event_hour(events).alias("hour"), "value"
+    )
+    return (
+        base.groupingSets(
+            [["event_type", "hour"], ["event_type"], ["hour"]],
+            "event_type",
+            "hour",
+        )
+        .agg(
+            (
+                F.grouping("event_type") * 2 + F.grouping("hour")
+            ).cast("int").alias("level"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select("event_type", "hour", "level", "n_events", "sum_value")
+    )

@@ -304,3 +304,15 @@ def streaming_rollup_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_enrich(
+    events: DataFrame, dim: DataFrame, on: str = "event_type"
+) -> DataFrame:
+    """Stream-static broadcast enrichment: every micro-batch joins
+    against the (small) dimension with no streaming state at all —
+    the static side is re-resolved per batch, so a dimension table
+    updated in place (e.g. by upsert_merge) is picked up on the next
+    trigger. The scale contract is the same as a batch broadcast
+    join: dimension ≪ executor memory, stream side never shuffles."""
+    return events.join(F.broadcast(dim), on, "left")

@@ -261,3 +261,22 @@ def test_quality_deciles_partition_the_scored_corpus(docs):
     # decile score ranges are monotonic and non-overlapping
     for a, b in zip(out, out[1:]):
         assert a.max_q <= b.min_q
+
+
+def test_grouping_sets_levels_partition_corpus(events):
+    out = analytics.events_grouping_sets(events).collect()
+    total = events.count()
+    for level in (0, 1, 2):
+        assert sum(r.n_events for r in out if r.level == level) == total
+    # no grand-total row — that's what distinguishes these sets from CUBE
+    assert not any(r.level == 3 for r in out)
+
+
+def test_promo_profit_plan_broadcasts_all_dims(spark, sf_medium):
+    t = lambda n: fio.load_table(spark, sf_medium, n)  # noqa: E731
+    df = analytics.promo_profit_by_nation(
+        t("lineitem"), t("part"), t("supplier"), t("nation")
+    )
+    plan_buf = df._jdf.queryExecution().executedPlan().toString()
+    assert plan_buf.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan_buf  # fact stream never shuffles for joins

@@ -208,3 +208,21 @@ def test_upsert_merge_replaces_by_key_preserves_others(spark, tmp_path):
     # (01, b) replaced; (01, a) survived in the same partition;
     # (02, a) partition untouched
     assert rows == {("d1", "a"): 1.0, ("d1", "b"): 20.0, ("d2", "a"): 3.0}
+
+
+def test_streaming_enrich_matches_batch_join(spark, sf_small, events_stream_dir):
+    batch = fio.load_table(spark, sf_small, "events")
+    dim = (
+        batch.groupBy("event_type")
+        .agg(F.round(F.avg("value"), 6).alias("type_avg"))
+    )
+    dim_static = spark.createDataFrame(dim.collect(), dim.schema)
+    stream = streams.stream_events(spark, events_stream_dir)
+    enriched = streams.streaming_enrich(stream, dim_static)
+    streams.run_to_completion(enriched, "enriched_sink", mode="append")
+    got = spark.table("enriched_sink")
+    assert got.count() == batch.count()
+    assert got.where(F.col("type_avg").isNull()).count() == 0
+    one = got.where("event_type = 'click'").select("type_avg").first()
+    want = dim_static.where("event_type = 'click'").first().type_avg
+    assert one.type_avg == want
