@@ -607,6 +607,24 @@ def q_events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.events_grouping_sets(_t(spark, sf_dir, "events"))
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing an 8-gram with the
+    held-out set (stand-in benchmark: every 50th doc)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    return dedup.decontaminate(docs, bench, n=8, hash_fn="md5")
+
+
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-doc repetition profile (boilerplate/spam detector)."""
+    return textstats.repetition_score(_t(spark, sf_dir, "documents"))
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub with typed placeholders + removal counts."""
+    return textstats.redact_pii(_t(spark, sf_dir, "documents"))
+
+
 # --- oracle SQL -----------------------------------------------------------
 
 _IP = "ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv), 6)"
@@ -1672,6 +1690,71 @@ FROM spine s LEFT JOIN hourly h USING (user_id, bucket)
 # the two-stage PQ path is lossless on this corpus
 ORACLES["pq_rerank_search"] = _oracle_topk_ip(0, 10)
 
+from faiss_vector_search_spark.functions.hashing import (  # noqa: E402
+    md5_int_sql,
+)
+from faiss_vector_search_spark.operators.textstats import (  # noqa: E402
+    PII_EMAIL,
+    PII_PHONE,
+    PII_SSN,
+)
+
+ORACLES["decontaminate"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(toks) - 7),
+           i -> array_to_string(toks[i:i+7], ' ')))) AS g
+  FROM t WHERE len(toks) >= 8
+),
+hg AS (SELECT doc_id, {md5_int_sql("g", seed=17)} AS gh FROM grams),
+bench AS (SELECT DISTINCT doc_id AS b_id, gh FROM hg WHERE doc_id % 50 = 0)
+SELECT c.doc_id,
+       CAST(count(DISTINCT c.gh) AS BIGINT) AS n_shared_grams,
+       CAST(count(DISTINCT b.b_id) AS BIGINT) AS n_benchmark_docs
+FROM hg c JOIN bench b ON c.gh = b.gh
+GROUP BY 1
+"""
+
+ORACLES["repetition_score"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+b AS (
+  SELECT doc_id, toks, len(toks)::DOUBLE AS n,
+         list_transform(generate_series(1, len(toks) - 2),
+                        i -> array_to_string(toks[i:i+2], ' ')) AS g3
+  FROM t WHERE len(toks) >= 3
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       ROUND(len(list_distinct(toks)) / n, 6) AS distinct_ratio,
+       ROUND(list_max(list_transform(list_distinct(toks),
+               d -> len(list_filter(toks, x -> x = d))))::DOUBLE / n,
+             6) AS top_token_ratio,
+       ROUND(1.0 - len(list_distinct(g3)) / len(g3)::DOUBLE, 6)
+         AS rep_3gram_ratio
+FROM b
+"""
+
+ORACLES["redact_pii"] = f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{PII_SSN}')) AS BIGINT) AS n_ssn,
+         regexp_replace(text, '{PII_SSN}', '<ID>', 'g') AS t1
+  FROM documents
+),
+e AS (
+  SELECT doc_id, n_ssn,
+         CAST(len(regexp_extract_all(t1, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+         regexp_replace(t1, '{PII_EMAIL}', '<EMAIL>', 'g') AS t2
+  FROM s
+)
+SELECT doc_id, n_ssn, n_emails,
+       CAST(len(regexp_extract_all(t2, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+       regexp_replace(t2, '{PII_PHONE}', '<PHONE>', 'g') AS clean_text
+FROM e
+"""
+
 ORACLES.update(
     {
         "promo_profit_by_nation": """
@@ -1794,6 +1877,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_deciles": q_doc_quality_deciles,
         "promo_profit_by_nation": q_promo_profit_by_nation,
         "events_grouping_sets": q_events_grouping_sets,
+        "decontaminate": q_decontaminate,
+        "repetition_score": q_repetition_score,
+        "redact_pii": q_redact_pii,
     }
 
 

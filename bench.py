@@ -142,6 +142,11 @@ def main() -> None:
         )
         return pq_mod.pq_topk_adc(codes, books, q, k=10)
 
+    def p_decontaminate(spark, sf):
+        docs = fio.load_table(spark, sf, "documents")
+        bench_set = docs.where(F.col("doc_id") % 50 == 0)
+        return dedup.decontaminate(docs, bench_set, n=8, hash_fn="xxhash64")
+
     headline = {
         "knn_topk_ip": qs["knn_topk_ip"],
         "knn_batch": qs["knn_batch"],
@@ -184,6 +189,9 @@ def main() -> None:
         "doc_quality_deciles": qs["doc_quality_deciles"],
         "promo_profit_by_nation": qs["promo_profit_by_nation"],
         "events_grouping_sets": qs["events_grouping_sets"],
+        "repetition_score": qs["repetition_score"],
+        "redact_pii": qs["redact_pii"],
+        "decontaminate": p_decontaminate,
     }
 
     def run(fn) -> float:

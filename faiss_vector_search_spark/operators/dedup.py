@@ -490,3 +490,46 @@ def near_dup_dedup(
         .agg(F.count("*").alias("cluster_size"))
         .select(F.col("cluster_id").alias(id_col), "cluster_size")
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    hash_fn: str = "xxhash64",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination — the train/test-overlap scan every
+    serious LLM data pipeline runs before training: flag corpus
+    documents sharing any word ``n``-gram with a held-out benchmark
+    set. Output: (doc_id, n_shared_grams, n_benchmark_docs) per
+    contaminated document.
+
+    Plan shape for 100 TB: both sides reduce to (id, gram-hash)
+    pairs; the benchmark side is tiny (benchmarks are thousands of
+    rows, not billions) and BROADCASTS, so the corpus never
+    shuffles — contamination detection costs one scan plus a
+    broadcast hash join on 8-byte hashes. ``hash_fn="md5"`` is the
+    cross-engine oracle profile; xxhash64 is the production path."""
+    from ..functions.hashing import hashed
+
+    def grams(df, out_id):
+        sh = _shingle_sets(df, n, id_col, text_col)
+        return sh.select(
+            F.col(id_col).alias(out_id),
+            F.explode_outer(F.col("shingles")).alias("_g"),
+        ).select(
+            out_id, hashed(F.col("_g"), seed=17, hash_fn=hash_fn).alias("g")
+        )
+
+    corpus_grams = grams(docs, "c_id")
+    bench_grams = grams(benchmark, "b_id").distinct()
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy(F.col("c_id").alias(id_col))
+        .agg(
+            F.count_distinct("g").alias("n_shared_grams"),
+            F.count_distinct("b_id").alias("n_benchmark_docs"),
+        )
+    )

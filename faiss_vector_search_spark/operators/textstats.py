@@ -290,3 +290,85 @@ def quality_deciles(
             F.round(F.avg("quality"), 6).alias("avg_q"),
         )
     )
+
+
+def repetition_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Intra-document repetition profile — the boilerplate /
+    SEO-spam / decode-loop detector that complements
+    :func:`quality_score`: distinct-token ratio, most-frequent-token
+    share, and repeated-3-gram share. Everything is an in-row array
+    expression over one materialized token array: no explode, no
+    shuffle, scan-speed at 100 TB. The per-distinct-token count is
+    O(distinct × tokens) in-row — bounded by document length, and
+    identical in the SQL oracle, which keeps both engines at the
+    exact same float operations."""
+    toks = tokens(F.col(text_col))
+    base = docs.select(F.col(id_col), toks.alias("toks")).where(
+        F.size("toks") >= 3
+    )
+    dist = F.array_distinct(F.col("toks"))
+    n_toks = F.size("toks").cast("double")
+    top_cnt = F.array_max(
+        F.transform(
+            dist,
+            lambda d: F.size(F.filter(F.col("toks"), lambda t: t == d)),
+        )
+    ).cast("double")
+    g3 = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("toks", i + 1),
+            F.element_at("toks", i + 2),
+            F.element_at("toks", i + 3),
+        ),
+    )
+    return base.select(
+        id_col,
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.round(F.size(dist) / n_toks, 6).alias("distinct_ratio"),
+        F.round(top_cnt / n_toks, 6).alias("top_token_ratio"),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(g3)) / F.size(g3).cast("double"),
+            6,
+        ).alias("rep_3gram_ratio"),
+    )
+
+
+# Deliberately simple, RE2-compatible patterns (no backrefs, no
+# lookaround) so Spark's Java regex and DuckDB's RE2 agree exactly.
+PII_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+PII_PHONE = "\\+?[0-9][0-9() -]{7,}[0-9]"
+PII_SSN = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+
+def redact_pii(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """PII scrub — emails, phone-shaped numbers, SSN-shaped ids
+    replaced with typed placeholder tokens, plus per-doc counts for
+    the removal report. Pure ``regexp_replace`` / ``regexp_count``
+    chains: JVM-side, scan-speed, order of substitution fixed
+    (SSN before phone — an SSN also matches the looser phone shape).
+    """
+    t = F.col(text_col)
+    n_ssn = F.regexp_count(t, F.lit(PII_SSN))
+    t1 = F.regexp_replace(t, PII_SSN, "<ID>")
+    n_email = F.regexp_count(t1, F.lit(PII_EMAIL))
+    t2 = F.regexp_replace(t1, PII_EMAIL, "<EMAIL>")
+    n_phone = F.regexp_count(t2, F.lit(PII_PHONE))
+    t3 = F.regexp_replace(t2, PII_PHONE, "<PHONE>")
+    return docs.select(
+        F.col(id_col),
+        n_ssn.cast("bigint").alias("n_ssn"),
+        n_email.cast("bigint").alias("n_emails"),
+        n_phone.cast("bigint").alias("n_phones"),
+        t3.alias("clean_text"),
+    )
