@@ -142,6 +142,28 @@ def main() -> None:
         )
         return pq_mod.pq_topk_adc(codes, books, q, k=10)
 
+    _ivfpq_paths: dict[str, str] = {}
+
+    def p_ivfpq_persisted(spark, sf):
+        """Both scan reductions composed: nprobe/nlist partition
+        pruning x 32x PQ code compression. Build outside the timer."""
+        if sf not in _ivfpq_paths:
+            emb = fio.load_table(spark, sf, "embeddings")
+            books, _ = _pq_state.get(sf) or (None, None)
+            if books is None:
+                books = pq_mod.pq_train(emb, m=16, ksub=64, iters=4)
+            cents = ivf_mod.seeded_centroids(emb, 16)
+            path = tempfile.mkdtemp(prefix="fvs_ivfpq_bench_")
+            pq_mod.save_ivfpq(emb, cents, books, path)
+            _ivfpq_paths[sf] = path
+        emb = fio.load_table(spark, sf, "embeddings")
+        q = emb.where(F.col("vec_id") == 2).select(
+            F.col("embedding").alias("query_vec")
+        )
+        return pq_mod.ivfpq_search_persisted(
+            spark, _ivfpq_paths[sf], q, nprobe=4, k=10
+        )
+
     def p_decontaminate(spark, sf):
         docs = fio.load_table(spark, sf, "documents")
         bench_set = docs.where(F.col("doc_id") % 50 == 0)
@@ -155,6 +177,7 @@ def main() -> None:
         "ivf_search_persisted": p_ivf_persisted,
         "ann_lsh_search": p_ann_lsh,
         "pq_adc_search": p_pq_adc,
+        "ivfpq_search_persisted": p_ivfpq_persisted,
         "dedup_exact": qs["dedup_exact"],
         "dedup_minhash_lsh": p_minhash,
         "dedup_simhash": p_simhash,

@@ -176,16 +176,19 @@ def pq_encode(
     codebooks: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """corpus → (id, codes array<int>): m nearest-centroid ids per
     vector. Map-only over the broadcast codebooks — at rest these
-    codes are the index (m small ints ≈ m bytes vs 4·dim)."""
+    codes are the index (m small ints ≈ m bytes vs 4·dim).
+    ``keep_cols`` ride along unchanged (e.g. an IVF ``list_id``)."""
     mk = codebooks.agg(
         F.max("j").alias("jmax"), F.size(F.first("cvec")).alias("dsub")
     ).first()
     m, dsub = mk.jmax + 1, mk.dsub
     return corpus.crossJoin(_codebook_row(codebooks)).select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         F.array(
             *[
                 _argmin_code(
@@ -286,3 +289,70 @@ def pq_topk_rerank(
     return scored.orderBy(
         F.col("score").desc(), F.col(id_col).asc()
     ).limit(k)
+
+
+def save_ivfpq(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF-PQ index: vectors coarse-assigned to lists,
+    stored as PQ CODES partitioned by ``list_id``; the coarse
+    centroids and PQ codebooks save alongside so a later session
+    reopens without retraining. This is FAISS ``IndexIVFPQ``'s
+    posting-list layout as a parquet partitioning scheme, with both
+    compressions composed: probes prune partitions (read nprobe/nlist
+    of the files) AND each file holds m-byte codes instead of 4·dim
+    floats — the two multiplicative scan reductions that make
+    billion-vector search tractable.
+
+    Codes quantize the RAW vector, not the centroid residual (FAISS
+    supports both; raw keeps one shared codebook valid across lists
+    and lets :func:`pq_topk_adc` run unchanged on any probe union).
+    """
+    from .ivf import assign_lists
+
+    assigned = assign_lists(corpus, centroids, vec_col=vec_col)
+    codes = pq_encode(
+        assigned, codebooks, id_col=id_col, vec_col=vec_col,
+        keep_cols=("list_id",),
+    )
+    codes.write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{path}/codes"
+    )
+    centroids.write.mode("overwrite").parquet(f"{path}/_centroids")
+    codebooks.write.mode("overwrite").parquet(f"{path}/_codebooks")
+
+
+def ivfpq_search_persisted(
+    spark,
+    path: str,
+    query: DataFrame,
+    nprobe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Search a persisted IVF-PQ index: probe the nprobe nearest
+    coarse centroids, prune the codes scan to those list-id
+    partitions, ADC-rank inside them. Scan cost =
+    (nprobe/nlist) × (m bytes / 4·dim bytes) of a flat float scan —
+    at nlist=16, nprobe=4, m=16 on 64-dim floats that is 1/64 of the
+    bytes a flat search reads."""
+    from .ivf import probe_lists
+
+    cents = spark.read.parquet(f"{path}/_centroids")
+    books = spark.read.parquet(f"{path}/_codebooks")
+    probe_ids = [
+        r.probe_cid for r in probe_lists(query, cents, nprobe).collect()
+    ]
+    codes = spark.read.parquet(f"{path}/codes").where(
+        F.col("list_id").isin(probe_ids)
+    )
+    return pq_topk_adc(
+        codes, books, query, k=k, id_col=id_col,
+        query_vec_col=query_vec_col,
+    )

@@ -105,3 +105,67 @@ def test_encode_plan_is_map_only(emb, books):
     assert "Exchange hashpartitioning(vec_id" not in plan
     assert "Exchange hashpartitioning(embedding" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestIVFPQ:
+    @pytest.fixture(scope="class")
+    def index_path(self, emb, books, tmp_path_factory):
+        from faiss_vector_search_spark.operators import ivf
+
+        cents = ivf.seeded_centroids(emb, 8)
+        path = str(tmp_path_factory.mktemp("ivfpq") / "index")
+        pq.save_ivfpq(emb, cents, books, path)
+        return path
+
+    def test_layout_roundtrip(self, spark, emb, index_path):
+        codes = spark.read.parquet(f"{index_path}/codes")
+        assert codes.count() == emb.count()
+        assert set(codes.columns) == {"vec_id", "list_id", "codes"}
+        assert spark.read.parquet(f"{index_path}/_codebooks").count() == M * KSUB
+        assert spark.read.parquet(f"{index_path}/_centroids").count() == 8
+
+    def test_probe_prunes_partitions(self, spark, index_path):
+        codes = spark.read.parquet(f"{index_path}/codes")
+        probed = codes.where(F.col("list_id").isin(0, 2))
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "list_id" in plan
+        got = {r.list_id for r in probed.select("list_id").distinct().collect()}
+        assert got == {0, 2}
+        assert codes.select("list_id").distinct().count() > 2
+
+    def test_search_equals_adc_on_probe_union(self, spark, emb, books, index_path):
+        """IVF-PQ search == plain ADC restricted to the probed lists —
+        the pruning changes WHAT is scanned, never the scoring."""
+        from faiss_vector_search_spark.operators import ivf
+
+        q = _query(emb, 0)
+        got = pq.ivfpq_search_persisted(spark, index_path, q, nprobe=3, k=10)
+        cents = spark.read.parquet(f"{index_path}/_centroids")
+        probes = [
+            r.probe_cid for r in ivf.probe_lists(q, cents, 3).collect()
+        ]
+        manual = pq.pq_topk_adc(
+            spark.read.parquet(f"{index_path}/codes").where(
+                F.col("list_id").isin(probes)
+            ),
+            books,
+            q,
+            k=10,
+        )
+        assert [
+            (r.vec_id, r.score) for r in got.collect()
+        ] == [(r.vec_id, r.score) for r in manual.collect()]
+
+    def test_full_probe_equals_flat_adc(self, spark, emb, books, codes, index_path):
+        """nprobe = nlist degenerates to the flat PQ scan."""
+        q = _query(emb, 7)
+        got = {
+            r.vec_id
+            for r in pq.ivfpq_search_persisted(
+                spark, index_path, q, nprobe=8, k=10
+            ).collect()
+        }
+        flat = {
+            r.vec_id for r in pq.pq_topk_adc(codes, books, q, k=10).collect()
+        }
+        assert got == flat
