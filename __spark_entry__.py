@@ -625,6 +625,47 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.redact_pii(_t(spark, sf_dir, "documents"))
 
 
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: orders-per-customer histogram incl. zeros."""
+    return analytics.customer_order_distribution(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregation revenue share."""
+    return analytics.promo_revenue_share(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: max-of-aggregate top supplier."""
+    return analytics.top_supplier_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier")
+    )
+
+
+def q_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS self-join pair."""
+    return analytics.sole_returned_supplier(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier")
+    )
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document line (10-token span) dedup."""
+    return dedup.line_dedup(_t(spark, sf_dir, "documents"), hash_fn="md5")
+
+
+def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture resampling (40/30/20/10%)."""
+    return textstats.domain_mix_sample(
+        _t(spark, sf_dir, "documents"),
+        {"src0": 400, "src1": 300, "src2": 200, "src3": 100},
+    )
+
+
 # --- oracle SQL -----------------------------------------------------------
 
 _IP = "ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv), 6)"
@@ -1798,6 +1839,115 @@ SELECT CAST(decile AS INT) AS decile,
 FROM t GROUP BY decile
 """
 
+ORACLES.update(
+    {
+        "customer_order_distribution": """
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+  GROUP BY 1
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY 1
+""",
+        "promo_revenue_share": """
+SELECT ROUND(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0.0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_share,
+       ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1997-04-01'
+""",
+        "top_supplier_revenue": """
+WITH rev AS (
+  SELECT l_suppkey,
+         ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+""",
+        "sole_returned_supplier": """
+WITH pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+ret AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        WHERE l_returnflag = 'R'),
+sole AS (
+  SELECT r.* FROM ret r
+  WHERE EXISTS (SELECT 1 FROM pairs p
+                WHERE p.l_orderkey = r.l_orderkey
+                  AND p.l_suppkey <> r.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM ret r2
+                    WHERE r2.l_orderkey = r.l_orderkey
+                      AND r2.l_suppkey <> r.l_suppkey)
+)
+SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM sole j JOIN supplier s ON j.l_suppkey = s.s_suppkey
+GROUP BY 1, 2
+""",
+    }
+)
+
+# line grouping uses the raw line string where Spark groups its
+# md5-derived 63-bit hash: identical output absent a hash collision
+# (none at this corpus; the hash exists only to keep the frequency
+# shuffle text-free at scale)
+ORACLES["line_dedup"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+b AS (SELECT doc_id, toks,
+             CAST(ceil(len(toks) / 10.0) AS INT) AS n_lines FROM t),
+lines AS (
+  SELECT doc_id, n_lines, i AS pos,
+         array_to_string(toks[i*10+1:i*10+10], ' ') AS line
+  FROM b, unnest(range(CAST(n_lines AS BIGINT))) AS u(i)
+),
+drop_set AS (
+  SELECT line FROM lines GROUP BY line HAVING count(DISTINCT doc_id) > 1
+),
+kept AS (
+  SELECT * FROM lines WHERE line NOT IN (SELECT line FROM drop_set)
+),
+clean AS (
+  SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS clean_text,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       COALESCE(c.clean_text, '') AS clean_text,
+       CAST(b.n_lines AS BIGINT) AS n_lines,
+       COALESCE(c.n_kept, 0) AS n_kept,
+       CAST(b.n_lines - COALESCE(c.n_kept, 0) AS BIGINT) AS n_dropped
+FROM b LEFT JOIN clean c USING (doc_id)
+"""
+
+ORACLES["domain_mix_sample"] = f"""
+WITH w(domain, wt) AS (
+  VALUES ('src0', 400), ('src1', 300), ('src2', 200), ('src3', 100)
+),
+d AS (
+  SELECT doc_id, source, CAST(wt AS BIGINT) AS wt
+  FROM documents JOIN w ON source = w.domain
+),
+c AS (SELECT source, wt, count(*) AS n_d FROM d GROUP BY 1, 2),
+no AS (SELECT min(n_d * 1000 // wt) AS n_out FROM c),
+q AS (SELECT source, (SELECT n_out FROM no) * wt // 1000 AS quota FROM c),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {md5_int_sql("CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC
+         ) AS rn
+  FROM d
+)
+SELECT r.doc_id, r.source FROM r JOIN q USING (source) WHERE rn <= q.quota
+"""
+
 
 # --- driver contract ------------------------------------------------------
 
@@ -1880,6 +2030,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "repetition_score": q_repetition_score,
         "redact_pii": q_redact_pii,
+        "customer_order_distribution": q_customer_order_distribution,
+        "promo_revenue_share": q_promo_revenue_share,
+        "top_supplier_revenue": q_top_supplier_revenue,
+        "sole_returned_supplier": q_sole_returned_supplier,
+        "line_dedup": q_line_dedup,
+        "domain_mix_sample": q_domain_mix_sample,
     }
 
 

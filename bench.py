@@ -215,6 +215,11 @@ def main() -> None:
         "repetition_score": qs["repetition_score"],
         "redact_pii": qs["redact_pii"],
         "decontaminate": p_decontaminate,
+        "customer_order_distribution": qs["customer_order_distribution"],
+        "sole_returned_supplier": qs["sole_returned_supplier"],
+        "line_dedup": lambda spark, sf: dedup.line_dedup(
+            fio.load_table(spark, sf, "documents"), hash_fn="xxhash64"
+        ),
     }
 
     def run(fn) -> float:

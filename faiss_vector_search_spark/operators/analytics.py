@@ -848,3 +848,150 @@ def events_grouping_sets(events: DataFrame) -> DataFrame:
         )
         .select("event_type", "hour", "level", "n_events", "sum_value")
     )
+
+
+def customer_order_distribution(
+    customer: DataFrame, orders: DataFrame, exclude_priority: str = "5-LOW"
+) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of orders-per-customer,
+    INCLUDING zero-order customers — the outer-join-then-histogram
+    pattern (how many customers placed 0, 1, 2, ... orders).
+
+    Two-level aggregation: customer LEFT OUTER orders (filter on the
+    orders side stays in the join, not a WHERE, so empty-match
+    customers survive with count 0), count per customer, then a
+    second tiny groupBy over the counts. The first shuffle is on
+    custkey; the second input is |customers| rows of two ints —
+    negligible at any scale."""
+    filt = orders.where(F.col("o_orderpriority") != exclude_priority).select(
+        "o_custkey", "o_orderkey"
+    )
+    per_cust = (
+        customer.select("c_custkey")
+        .join(filt, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def promo_revenue_share(
+    lineitem: DataFrame,
+    part: DataFrame,
+    start: str = "1997-01-01",
+    end: str = "1997-04-01",
+) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation — the share of
+    revenue from PROMO parts in a date window, computed as
+    sum(CASE)/sum in ONE pass over the filtered fact (no second scan,
+    no self-join). The part dim broadcasts; the date filter pushes to
+    the lineitem scan."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+        )
+        .join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_share"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+
+
+def top_supplier_revenue(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    start: str = "1997-01-01",
+    end: str = "1997-04-01",
+) -> DataFrame:
+    """TPC-H Q15 shape: max-of-aggregate — the top supplier(s) by
+    quarterly revenue. The revenue view aggregates once (one shuffle
+    on suppkey, |suppliers| rows out); its scalar max broadcasts back
+    onto itself, so no global sort and no second fact scan. Equality
+    against the max is exact: both sides are the same ROUND(_,2)ed
+    sum from the same derived table."""
+    rev = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("max_revenue"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def sole_returned_supplier(
+    lineitem: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    """TPC-H Q21 shape: the EXISTS + NOT EXISTS self-join pair — per
+    supplier, the orders where it shipped a RETURNED line ('R') while
+    other suppliers shared the order AND none of THEM had a return
+    (the "sole responsible supplier" pattern; Q21 proper keys on
+    receipt-vs-commit lateness, which these tables don't carry —
+    returnflag is the analogous per-line fault signal).
+
+    Both subqueries plan as one equi-join each on l_orderkey with the
+    suppkey inequality as a residual: a left-semi (some OTHER
+    supplier exists on the order) then a left-anti (no OTHER supplier
+    returned). The distinct (orderkey, suppkey) projection dedups
+    multi-line pairs BEFORE the self-joins, so join inputs are
+    pair-grained, never line-grained."""
+    pairs = lineitem.select("l_orderkey", "l_suppkey").distinct()
+    returned = (
+        lineitem.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    other = pairs.select(
+        F.col("l_orderkey").alias("o_ok"), F.col("l_suppkey").alias("o_sk")
+    )
+    other_ret = returned.select(
+        F.col("l_orderkey").alias("r_ok"), F.col("l_suppkey").alias("r_sk")
+    )
+    sole = (
+        returned.join(
+            other,
+            (F.col("l_orderkey") == F.col("o_ok"))
+            & (F.col("l_suppkey") != F.col("o_sk")),
+            "left_semi",
+        )
+        .join(
+            other_ret,
+            (F.col("l_orderkey") == F.col("r_ok"))
+            & (F.col("l_suppkey") != F.col("r_sk")),
+            "left_anti",
+        )
+    )
+    return (
+        sole.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "numwait")
+    )

@@ -533,3 +533,86 @@ def decontaminate(
             F.count_distinct("b_id").alias("n_benchmark_docs"),
         )
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    span: int = 10,
+    max_docs: int = 1,
+    hash_fn: str = "xxhash64",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style line-level boilerplate removal: drop every "line"
+    (fixed ``span``-token window; real newline-delimited corpora pass
+    newline splits through the same machinery) that occurs in more
+    than ``max_docs`` distinct documents, and reassemble each
+    document from its surviving lines in order. This is the
+    cross-document repetition filter (nav bars, license headers,
+    cookie banners) that exact whole-doc dedup cannot catch.
+
+    Plan shape for 100 TB: lines reduce to 8-byte hashes for the
+    frequency count; only the DROP set (lines above the threshold —
+    the boilerplate, a tiny fraction of distinct lines) flows into
+    the anti-join against the line stream, so the reassembly shuffle
+    carries each document's own lines exactly once and the frequency
+    side never carries text. Output: (id, clean_text, n_lines,
+    n_kept, n_dropped) for every input document, including fully-
+    boilerplate ones (empty clean_text)."""
+    toks = tokens(F.col(text_col))
+    n_lines = F.ceil(F.size("toks") / F.lit(span)).cast("int")
+    base = docs.select(F.col(id_col), toks.alias("toks")).select(
+        F.col(id_col),
+        F.when(
+            F.size("toks") > 0,
+            F.transform(
+                F.sequence(F.lit(0), n_lines - 1),
+                lambda i: F.array_join(
+                    F.slice(F.col("toks"), i * span + 1, span), " "
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("lines"),
+        n_lines.alias("n_lines"),
+    )
+    lines = base.select(
+        F.col(id_col),
+        F.col("n_lines"),
+        F.posexplode_outer("lines").alias("pos", "line"),
+    )
+    drop = (
+        lines.select(
+            F.col(id_col), hashed(F.col("line"), seed=23, hash_fn=hash_fn).alias("lh")
+        )
+        .groupBy("lh")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs_with"))
+        .where(F.col("n_docs_with") > max_docs)
+        .select("lh")
+    )
+    kept = lines.withColumn(
+        "lh", hashed(F.col("line"), seed=23, hash_fn=hash_fn)
+    ).join(drop, "lh", "left_anti")
+    clean = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").cast("bigint").alias("n_kept"),
+    )
+    return (
+        base.select(id_col, "n_lines")
+        .join(clean, id_col, "left_outer")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.col("n_lines").cast("bigint").alias("n_lines"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+            (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+    )

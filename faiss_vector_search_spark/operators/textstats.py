@@ -372,3 +372,56 @@ def redact_pii(
         n_phone.cast("bigint").alias("n_phones"),
         t3.alias("clean_text"),
     )
+
+
+def domain_mix_sample(
+    docs: DataFrame,
+    mix: dict[str, int],
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic domain-mixture resampling — the "data mixing"
+    step of a training pipeline: draw the LARGEST corpus whose
+    domain proportions exactly match ``mix`` (per-mille weights,
+    summing to 1000). Domains outside ``mix`` are dropped.
+
+    The output size is limited by the scarcest domain relative to its
+    weight: n_out = min_d floor(n_d * 1000 / w_d), and each domain
+    contributes floor(n_out * w_d / 1000) rows — all integer
+    arithmetic, so both engines agree exactly. Row selection is the
+    md5(id) ranking of :func:`stratified_sample` (stable across runs
+    and corpus growth). Plan: one tiny per-domain count (broadcast
+    back), one rank window per domain — the only shuffle of the fact
+    is the per-domain window, carrying (id, domain) pairs."""
+    from ..functions.hashing import md5_int
+
+    if sum(mix.values()) != 1000:
+        raise ValueError(
+            f"mix weights must be per-mille summing to 1000, got {sum(mix.values())}"
+        )
+    wcol = None
+    for d, w in mix.items():
+        c = F.when(F.col(domain_col) == d, F.lit(w))
+        wcol = c if wcol is None else wcol.when(F.col(domain_col) == d, F.lit(w))
+    rows = (
+        docs.select(F.col(id_col), F.col(domain_col))
+        .withColumn("w", wcol.cast("bigint"))
+        .where(F.col("w").isNotNull())
+    )
+    counts = rows.groupBy(domain_col, "w").agg(F.count("*").alias("n_d"))
+    n_out = counts.agg(
+        F.min(F.expr("n_d * 1000 DIV w")).alias("n_out")
+    )
+    quota = (
+        counts.crossJoin(F.broadcast(n_out))
+        .select(F.col(domain_col), F.expr("n_out * w DIV 1000").alias("quota"))
+    )
+    w_rank = Window.partitionBy(domain_col).orderBy(
+        md5_int(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        rows.withColumn("rn", F.row_number().over(w_rank))
+        .join(F.broadcast(quota), domain_col)
+        .where(F.col("rn") <= F.col("quota"))
+        .select(id_col, domain_col)
+    )
