@@ -29,6 +29,7 @@ from faiss_vector_search_spark.operators import (
     lexical,
     lsh,
     pq,
+    sq,
     textstats,
 )
 
@@ -656,6 +657,18 @@ def q_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style cross-document line (10-token span) dedup."""
     return dedup.line_dedup(_t(spark, sf_dir, "documents"), hash_fn="md5")
+
+
+def q_sq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized top-k: train bounds, encode to uint8
+    codes, search by midpoint-decoded inner product."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bounds = sq.sq_train(emb)
+    codes = sq.sq_encode(emb, bounds)
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_vec")
+    )
+    return sq.sq_topk(codes, bounds, q, k=10)
 
 
 def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1926,6 +1939,41 @@ SELECT b.doc_id,
 FROM b LEFT JOIN clean c USING (doc_id)
 """
 
+ORACLES["sq_search"] = """
+WITH b AS (
+  SELECT i AS pos,
+         min(CAST(embedding[i] AS DOUBLE)) AS vmin,
+         max(CAST(embedding[i] AS DOUBLE)) AS vmax
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+  GROUP BY 1
+),
+ba AS (
+  SELECT list(vmin ORDER BY pos) AS mn, list(vmax ORDER BY pos) AS mx FROM b
+),
+q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+),
+codes AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, len(embedding)), i ->
+           CASE WHEN mx[i] - mn[i] > 0
+                THEN least(255, CAST(floor(
+                       (CAST(embedding[i] AS DOUBLE) - mn[i]) * 256.0
+                       / (mx[i] - mn[i])) AS BIGINT))
+                ELSE 0 END) AS c
+  FROM embeddings, ba
+),
+dec AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, len(c)), i ->
+           mn[i] + (c[i] + 0.5) * (mx[i] - mn[i]) / 256.0) AS d
+  FROM codes, ba
+)
+SELECT vec_id, ROUND(list_dot_product(d, qv), 6) AS score
+FROM dec, q
+ORDER BY score DESC, vec_id ASC LIMIT 10
+"""
+
 ORACLES["domain_mix_sample"] = f"""
 WITH w(domain, wt) AS (
   VALUES ('src0', 400), ('src1', 300), ('src2', 200), ('src3', 100)
@@ -2036,6 +2084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sole_returned_supplier": q_sole_returned_supplier,
         "line_dedup": q_line_dedup,
         "domain_mix_sample": q_domain_mix_sample,
+        "sq_search": q_sq_search,
     }
 
 

@@ -178,6 +178,7 @@ def main() -> None:
         "ann_lsh_search": p_ann_lsh,
         "pq_adc_search": p_pq_adc,
         "ivfpq_search_persisted": p_ivfpq_persisted,
+        "sq_search": qs["sq_search"],
         "dedup_exact": qs["dedup_exact"],
         "dedup_minhash_lsh": p_minhash,
         "dedup_simhash": p_simhash,
