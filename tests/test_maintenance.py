@@ -144,3 +144,67 @@ class TestDelimitedSource:
         clean, _ = jsonl.split_corrupt(df)
         out = textstats.token_count(clean)
         assert out.count() == 3
+
+
+class TestZOrder:
+    @pytest.fixture(scope="class")
+    def zpath(self, spark, sf_small, tmp_path_factory):
+        events = fio.load_table(spark, sf_small, "events")
+        path = str(tmp_path_factory.mktemp("zorder") / "events_z")
+        maintenance.zorder_write(events, path, "user_id", "value", bits=3)
+        return path
+
+    def test_scan_equals_full_filter(self, spark, sf_small, zpath):
+        events = fio.load_table(spark, sf_small, "events")
+        a, b = (10.0, 30.0), (5.0, 50.0)
+        got = maintenance.zorder_scan(
+            spark, zpath, a, b, "user_id", "value", bits=3
+        )
+        want = events.where(
+            F.col("user_id").cast("double").between(*a)
+            & F.col("value").cast("double").between(*b)
+        )
+        assert got.count() == want.count() > 0
+        assert (
+            got.select(sorted(got.columns))
+            .exceptAll(want.select(sorted(want.columns)))
+            .count()
+            == 0
+        )
+
+    def test_2d_predicate_prunes_partitions(self, spark, zpath):
+        import os
+        import re
+
+        total_parts = len(
+            [d for d in os.listdir(f"{zpath}/data") if d.startswith("z=")]
+        )
+        pruned = maintenance.zorder_scan(
+            spark, zpath, (10.0, 30.0), (5.0, 50.0), "user_id", "value", bits=3
+        )
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PartitionFilters: \[z#\d+ IN \(([^)]*)\)", plan)
+        assert m, plan[:500]
+        n_selected = len(m.group(1).split(","))
+        assert 0 < n_selected < total_parts, (n_selected, total_parts)
+
+    def test_interleave_matches_reference_bits(self, spark):
+        df = spark.range(1).select(
+            *[
+                maintenance._interleave_bits(F.lit(a), F.lit(b), 3).alias(
+                    f"z_{a}_{b}"
+                )
+                for a, b in [(0, 0), (7, 7), (5, 2), (1, 6)]
+            ]
+        )
+        row = df.first()
+
+        def ref(a, b):
+            z = 0
+            for i in range(3):
+                z += ((a >> i) & 1) << (2 * i + 1)
+                z += ((b >> i) & 1) << (2 * i)
+            return z
+
+        for a, b in [(0, 0), (7, 7), (5, 2), (1, 6)]:
+            assert row[f"z_{a}_{b}"] == ref(a, b)
