@@ -659,6 +659,30 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.line_dedup(_t(spark, sf_dir, "documents"), hash_fn="md5")
 
 
+def q_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue."""
+    return analytics.returned_item_report(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+def q_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: anti-join + count-distinct rollup."""
+    return analytics.supplier_count_by_part(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+    )
+
+
+def q_approx_event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentile twin (rows-only; error-bound pytest)."""
+    return analytics.approx_event_value_quantiles(_t(spark, sf_dir, "events"))
+
+
 def q_sq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 scalar-quantized top-k: train bounds, encode to uint8
     codes, search by midpoint-decoded inner product."""
@@ -1939,6 +1963,38 @@ SELECT b.doc_id,
 FROM b LEFT JOIN clean c USING (doc_id)
 """
 
+ORACLES.update(
+    {
+        "returned_item_report": """
+SELECT * FROM (
+  SELECT c.c_custkey, c.c_name, n.n_name, c.c_acctbal,
+         ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+  GROUP BY 1, 2, 3, 4
+) ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+""",
+        "supplier_count_by_part": """
+WITH bad AS (
+  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+),
+pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT pr.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM pairs pr
+JOIN part p ON pr.l_partkey = p.p_partkey
+WHERE p.p_size IN (1, 4, 7)
+  AND pr.l_suppkey NOT IN (SELECT s_suppkey FROM bad)
+GROUP BY 1, 2, 3
+""",
+    }
+)
+
 ORACLES["sq_search"] = """
 WITH b AS (
   SELECT i AS pos,
@@ -2085,6 +2141,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "domain_mix_sample": q_domain_mix_sample,
         "sq_search": q_sq_search,
+        "returned_item_report": q_returned_item_report,
+        "supplier_count_by_part": q_supplier_count_by_part,
+        "approx_event_value_quantiles": q_approx_event_value_quantiles,
     }
 
 

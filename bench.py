@@ -217,6 +217,7 @@ def main() -> None:
         "redact_pii": qs["redact_pii"],
         "decontaminate": p_decontaminate,
         "customer_order_distribution": qs["customer_order_distribution"],
+        "returned_item_report": qs["returned_item_report"],
         "sole_returned_supplier": qs["sole_returned_supplier"],
         "line_dedup": lambda spark, sf: dedup.line_dedup(
             fio.load_table(spark, sf, "documents"), hash_fn="xxhash64"

@@ -995,3 +995,107 @@ def sole_returned_supplier(
         )
         .select("s_suppkey", "s_name", "numwait")
     )
+
+
+def approx_event_value_quantiles(
+    events: DataFrame, accuracy: int = 10000
+) -> DataFrame:
+    """The 100 TB twin of :func:`event_value_quantiles`:
+    ``percentile_approx`` (a mergeable Greenwald-Khanna-style sketch)
+    replaces the exact per-group value-multiset shuffle with map-side
+    partial sketches of bounded size — rank error ≤ 1/accuracy.
+    Same output shape as the exact operator so the two are drop-in
+    swappable; gated by a rank-error-bound pytest against the exact
+    twin (sketch internals are engine-specific, so no SQL oracle)."""
+    probs = ", ".join(f"{p}D" for p in QUANTILE_PROBS)
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.expr(
+                f"percentile_approx(value, array({probs}), {accuracy})"
+            ).alias("qs")
+        )
+        .select("event_type", F.posexplode("qs").alias("pos", "q"))
+        .select(
+            "event_type",
+            (F.col("pos") + 1).cast("int").alias("pos"),
+            F.round("q", 6).alias("q"),
+        )
+    )
+
+
+def returned_item_report(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    start: str = "1997-01-01",
+    end: str = "1997-04-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: top-k customers by revenue lost to returned
+    items in a quarter — fact-fact join (returned lines × windowed
+    orders) then rollup to customer grain with the nation dim
+    broadcast. The orderdate filter pushes to the orders scan and the
+    returnflag filter to the lineitem scan, so the join sees only the
+    slivers. Top-k ties break on custkey for cross-engine
+    determinism."""
+    rev = F.sum(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    )
+    return (
+        lineitem.where(F.col("l_returnflag") == "R")
+        .join(
+            orders.where(
+                (F.col("o_orderdate") >= F.lit(start).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(end).cast("timestamp"))
+            ).select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.round(rev, 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(k)
+    )
+
+
+def supplier_count_by_part(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    sizes: tuple[int, ...] = (1, 4, 7),
+) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    group, EXCLUDING a disqualified supplier set — the anti-join +
+    count-distinct combination. The (partkey, suppkey) pairs play
+    partsupp (these tables carry no separate partsupp); disqualified
+    = negative-balance suppliers (Q16 proper keys on a complaints
+    LIKE over a comment attribute these tables don't carry — both
+    are supplier-side predicates feeding a NOT IN). Pairs dedup
+    BEFORE the joins so everything downstream is pair-grained; the
+    filtered part dim broadcasts."""
+    bad = supplier.where(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("bad_sk")
+    )
+    pairs = lineitem.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(bad, F.col("l_suppkey") == F.col("bad_sk"), "left_anti")
+        .join(
+            F.broadcast(
+                part.where(F.col("p_size").isin(*sizes)).select(
+                    "p_partkey", "p_brand", "p_type", "p_size"
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )

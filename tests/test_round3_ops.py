@@ -231,3 +231,133 @@ class TestDomainMixSample:
     def test_rejects_bad_weights(self, docs):
         with pytest.raises(ValueError, match="per-mille"):
             textstats.domain_mix_sample(docs, {"src0": 400, "src1": 300})
+
+
+class TestReturnedItemReport:
+    def test_topk_is_suffix_of_full_ranking(self, tabs, spark, sf_medium):
+        nation = fio.load_table(spark, sf_medium, "nation")
+        out = analytics.returned_item_report(
+            tabs["customer"], tabs["orders"], tabs["lineitem"], nation
+        ).collect()
+        assert 0 < len(out) <= 20
+        revs = [r.revenue for r in out]
+        assert revs == sorted(revs, reverse=True)
+        # every reported row's revenue recomputes exactly (full
+        # ranking rebuilt without the top-k operator)
+        full = (
+            tabs["lineitem"]
+            .where(F.col("l_returnflag") == "R")
+            .join(
+                tabs["orders"].where(
+                    (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+                    & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+                ),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .join(
+                tabs["customer"], F.col("o_custkey") == F.col("c_custkey")
+            )
+            .groupBy("c_custkey")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                    2,
+                ).alias("revenue")
+            )
+        )
+        top = {(r.c_custkey, r.revenue) for r in out}
+        allrows = {(r.c_custkey, r.revenue) for r in full.collect()}
+        assert top <= allrows
+        cutoff = min(r.revenue for r in out)
+        better = [r for r in allrows if r[1] > cutoff]
+        assert len(better) <= 20
+
+    def test_nation_broadcast_filters_pushed(self, tabs, spark, sf_medium):
+        nation = fio.load_table(spark, sf_medium, "nation")
+        df = analytics.returned_item_report(
+            tabs["customer"], tabs["orders"], tabs["lineitem"], nation
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in plan
+
+
+class TestSupplierCountByPart:
+    def test_excluded_suppliers_never_counted(self, tabs):
+        out = analytics.supplier_count_by_part(
+            tabs["lineitem"], tabs["part"], tabs["supplier"]
+        )
+        assert out.count() > 0
+        # recompute one group straight from the tables
+        bad = {
+            r.s_suppkey
+            for r in tabs["supplier"]
+            .where(F.col("s_acctbal") < 0)
+            .collect()
+        }
+        row = out.first()
+        pairs = (
+            tabs["lineitem"]
+            .join(
+                tabs["part"].where(
+                    (F.col("p_brand") == row.p_brand)
+                    & (F.col("p_type") == row.p_type)
+                    & (F.col("p_size") == row.p_size)
+                ),
+                F.col("l_partkey") == F.col("p_partkey"),
+            )
+            .select("l_suppkey")
+            .distinct()
+            .collect()
+        )
+        expect = len({r.l_suppkey for r in pairs} - bad)
+        assert row.supplier_cnt == expect
+
+    def test_plan_has_anti_join_and_broadcast_part(self, tabs):
+        df = analytics.supplier_count_by_part(
+            tabs["lineitem"], tabs["part"], tabs["supplier"]
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+
+
+class TestApproxQuantiles:
+    def test_rank_error_bounded(self, spark, sf_medium):
+        """Each sketch quantile's RANK must be within 2/accuracy of
+        the target rank (percentile_approx returns real data points,
+        so the gate is rank-based, not value-based; 6dp output
+        rounding adds the <=-rank slack)."""
+        events = fio.load_table(spark, sf_medium, "events")
+        acc = 10000
+        eps = 2.0 / acc
+        approx = analytics.approx_event_value_quantiles(events, acc).collect()
+        from faiss_vector_search_spark.operators.analytics import QUANTILE_PROBS
+
+        n_by_type = {
+            r.event_type: r.n
+            for r in events.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+        }
+        for row in approx:
+            p = QUANTILE_PROBS[row.pos - 1]
+            n = n_by_type[row.event_type]
+            # 6dp rounding can nudge q below its sample; measure the
+            # rank window around the rounded value generously
+            r_lo, r_hi = (
+                events.where(F.col("event_type") == row.event_type)
+                .agg(
+                    F.sum((F.col("value") < row.q - 1e-6).cast("long")),
+                    F.sum((F.col("value") <= row.q + 1e-6).cast("long")),
+                )
+                .first()
+            )
+            target = p * n
+            assert r_lo - eps * n <= target <= r_hi + eps * n, (
+                row.event_type, p, row.q, r_lo, r_hi, n,
+            )
+
+    def test_same_shape_as_exact_twin(self, spark, sf_medium):
+        events = fio.load_table(spark, sf_medium, "events")
+        a = analytics.approx_event_value_quantiles(events)
+        e = analytics.event_value_quantiles(events)
+        assert a.columns == e.columns
+        assert a.count() == e.count()
