@@ -10,6 +10,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = (
     "region",
@@ -29,11 +31,28 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS), which Spark's reader
-        # rejects by default; read as long (ns since epoch). Runtime
-        # conf, set here so it works under the driver's own session.
+        # older testdata generations carried TIMESTAMP(NANOS), which
+        # Spark's reader rejects by default; read as long (ns since
+        # epoch). Runtime conf, set here so it works under the
+        # driver's own session. Harmless for µs data.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    ntz = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.TimestampNTZType)
+    ]
+    if ntz:
+        # the parquet stores naive timestamps (TIMESTAMP_NTZ); the
+        # oracle (DuckDB) interprets them as-written, i.e. as UTC
+        # instants. Pin the session zone so the NTZ→LTZ cast below is
+        # the same interpretation, then cast so every downstream
+        # operator sees plain TIMESTAMP. The cast is unwrapped by
+        # UnwrapCastInBinaryComparison, so date predicates still reach
+        # the parquet scan as PushedFilters (asserted in test_plans).
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -32,21 +32,21 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 EVENT_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, "
+    "event_id bigint, ts timestamp, user_id bigint, "
     "event_type string, value double, props string"
 )
 
 
 def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
     """File-source event stream: every parquet file that lands in
-    ``events_dir`` becomes (part of) a micro-batch. The testdata
-    layout carries ``ts`` as int64 nanoseconds (see io.load_table);
-    a proper ``event_time`` timestamp is derived for watermarking."""
+    ``events_dir`` becomes (part of) a micro-batch. ``ts`` is a µs
+    timestamp (UTC instants — io.load_table normalizes the naive
+    parquet encoding); ``event_time`` aliases it for watermarking."""
     return (
         spark.readStream.schema(EVENT_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(events_dir)
-        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("event_time", F.col("ts"))
     )
 
 
@@ -164,7 +164,7 @@ def streaming_sessionize(
             last_ts, n_sessions, n_events = None, 0, 0
         ts_all = []
         for pdf in pdfs:
-            ts_all.extend(int(t) // 1000 for t in pdf["ts"])  # ns → µs
+            ts_all.extend(int(t) for t in pdf["ts_us"])
         ts_all.sort()
         for ts in ts_all:
             if last_ts is None or ts - last_ts > gap_us:
@@ -182,7 +182,11 @@ def streaming_sessionize(
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    return events.select("user_id", "ts").groupBy("user_id").applyInPandasWithState(
+    # epoch µs is derived JVM-side so the Arrow batches carry plain
+    # int64 (no per-row Timestamp parsing in Python)
+    return events.select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    ).groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=SESSION_OUT_SCHEMA,
         stateStructType=SESSION_STATE_SCHEMA,

@@ -199,7 +199,7 @@ def test_gap_fill_observed_rows_match_hourly_means(events):
     n_hours = (
         events.select(
             "user_id",
-            (F.col("ts") / (3600 * 1_000_000_000)).cast("bigint").alias("b"),
+            (analytics._ts_us(events) / (3600 * 1_000_000)).cast("bigint").alias("b"),
         )
         .distinct()
         .count()

@@ -72,13 +72,16 @@ def test_stateful_sessionize_matches_batch(spark, sf_small, tmp_path):
     """applyInPandasWithState sessionization over time-ordered
     micro-batches equals the batch operator."""
     src = fio.load_table(spark, sf_small, "events")
-    mid1, mid2 = src.approxQuantile("ts", [0.33, 0.66], 0.001)
+    ts_us = F.unix_micros("ts")
+    mid1, mid2 = src.select(ts_us.alias("us")).approxQuantile(
+        "us", [0.33, 0.66], 0.001
+    )
     out = tmp_path / "events_by_time"
     for i, cond in enumerate(
         (
-            F.col("ts") < mid1,
-            (F.col("ts") >= mid1) & (F.col("ts") < mid2),
-            F.col("ts") >= mid2,
+            ts_us < mid1,
+            (ts_us >= mid1) & (ts_us < mid2),
+            ts_us >= mid2,
         )
     ):
         src.where(cond).coalesce(1).write.parquet(str(out / f"b{i}"))
@@ -142,7 +145,7 @@ def test_streaming_interval_join_matches_batch(spark, sf_medium, tmp_path):
 
     ev = fio.load_table(spark, sf_small, "events")
     base = ev.select(
-        "event_id", F.expr("ts div 1000").alias("ts_us"), "event_type"
+        "event_id", analytics._ts_us(ev).alias("ts_us"), "event_type"
     )
     left = base.where("event_type = 'error'").select(
         F.col("event_id").alias("l_id"), F.col("ts_us").alias("l_us")
