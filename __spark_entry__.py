@@ -703,6 +703,66 @@ def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- §2e round-3 additions ------------------------------------------------
+
+
+def q_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS range_search: all vectors with IP >= radius, no k cap —
+    pure broadcast+scan+filter, zero shuffle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = knn.range_search(emb, _query_vec(emb, vec_id=0), radius=0.2, metric="ip")
+    return out.select("vec_id", F.col("score").cast(DBL).alias("score"))
+
+
+def q_vector_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS reconstruct_batch: stored vectors for an id set, one
+    scalar row per component."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ids = emb.where(F.col("vec_id").isin(5, 6, 7))
+    return index_store.reconstruct(emb, ids)
+
+
+def q_remove_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS remove_ids: anti-join delete, verified through the stats
+    aggregate of the surviving index."""
+    emb = _t(spark, sf_dir, "embeddings")
+    doomed = emb.where((F.col("vec_id") % 7) == 0)
+    return index_store.index_stats(index_store.remove_vectors(emb, doomed))
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: single filtered-scan revenue-delta aggregate."""
+    return analytics.discount_revenue_delta(_t(spark, sf_dir, "lineitem"))
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-decorrelated big-order rollup."""
+    return analytics.large_volume_customers(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        qty_threshold=300.0,
+    )
+
+
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: target nation's revenue share per year."""
+    return analytics.nation_market_share(
+        _t(spark, sf_dir, "region"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        region_name="ASIA",
+    )
+
+
+def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window sessionization (batch)."""
+    return analytics.session_window_agg(_t(spark, sf_dir, "events"))
+
+
 # --- oracle SQL -----------------------------------------------------------
 
 _IP = "ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv), 6)"
@@ -2053,6 +2113,124 @@ SELECT r.doc_id, r.source FROM r JOIN q USING (source) WHERE rn <= q.quota
 """
 
 
+# --- §2e round-3 oracles --------------------------------------------------
+
+ORACLES.update(
+    {
+        "range_search": """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+  FROM embeddings e, q
+)
+SELECT vec_id, score FROM scored WHERE score >= 0.2
+""",
+        "vector_reconstruct": """
+WITH s AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id IN (5, 6, 7)
+)
+SELECT vec_id,
+       CAST(unnest(generate_series(1, len(v))) AS INT) AS pos,
+       ROUND(unnest(v), 6) AS component
+FROM s
+""",
+        "remove_vectors": """
+SELECT CAST(count(*) AS BIGINT) AS num_documents,
+       CAST(max(len(embedding)) AS INT) AS dimension,
+       ROUND(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[])))), 6)
+           AS avg_norm,
+       CAST(count(DISTINCT vec_id) AS BIGINT) AS distinct_ids
+FROM embeddings
+WHERE vec_id % 7 <> 0
+""",
+        "tpch_q6": """
+SELECT ROUND(sum(l_extendedprice * l_discount), 2) AS revenue_delta,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+        "large_volume_customers": """
+WITH big AS (
+  SELECT l_orderkey, ROUND(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY 1
+  HAVING ROUND(sum(l_quantity), 2) > 300
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       o.o_totalprice AS totalprice, b.total_qty
+FROM orders o
+JOIN big b ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY totalprice DESC, o.o_orderkey ASC
+LIMIT 100
+""",
+        "nation_market_share": """
+WITH rnat AS (
+  SELECT n_nationkey, n_name FROM nation
+  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'
+),
+tgt AS (SELECT min(n_name) AS target_nation FROM rnat),
+cust AS (
+  SELECT c_custkey FROM customer JOIN rnat ON c_nationkey = n_nationkey
+),
+supp AS (
+  SELECT s_suppkey, n.n_name AS supp_nation
+  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+),
+per_nation AS (
+  SELECT year(o.o_orderdate) AS o_year, sp.supp_nation, t.target_nation,
+         CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                       AS DECIMAL(25,8)))
+              AS DECIMAL(30,8)) AS rev_d
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN cust c ON o.o_custkey = c.c_custkey
+  JOIN supp sp ON l.l_suppkey = sp.s_suppkey
+  CROSS JOIN tgt t
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(o_year AS INT) AS o_year,
+       ROUND(CAST(sum(CASE WHEN supp_nation = target_nation
+                           THEN rev_d ELSE 0 END) AS DOUBLE)
+             / CAST(sum(rev_d) AS DOUBLE), 6) AS mkt_share,
+       CAST(sum(rev_d) AS DOUBLE) AS total_revenue
+FROM per_nation GROUP BY o_year ORDER BY o_year
+""",
+        "session_window_agg": """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events
+),
+w AS (
+  SELECT user_id, event_id, ts_us, value,
+         CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                                            ORDER BY ts_us ASC, event_id ASC)
+                   >= 1800000000 THEN 1 ELSE 0 END AS new_s
+  FROM e
+),
+n AS (
+  SELECT user_id, ts_us, value,
+         sum(new_s) OVER (PARTITION BY user_id
+                          ORDER BY ts_us ASC, event_id ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS sid
+  FROM w
+)
+SELECT user_id,
+       min(ts_us) AS start_us,
+       max(ts_us) + 1800000000 AS end_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       ROUND(sum(value), 2) AS sum_value
+FROM n GROUP BY user_id, sid
+""",
+    }
+)
+
+
 # --- driver contract ------------------------------------------------------
 
 
@@ -2144,6 +2322,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_item_report": q_returned_item_report,
         "supplier_count_by_part": q_supplier_count_by_part,
         "approx_event_value_quantiles": q_approx_event_value_quantiles,
+        "range_search": q_range_search,
+        "vector_reconstruct": q_vector_reconstruct,
+        "remove_vectors": q_remove_vectors,
+        "tpch_q6": q_tpch_q6,
+        "large_volume_customers": q_large_volume_customers,
+        "nation_market_share": q_nation_market_share,
+        "session_window_agg": q_session_window_agg,
     }
 
 

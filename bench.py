@@ -222,6 +222,12 @@ def main() -> None:
         "line_dedup": lambda spark, sf: dedup.line_dedup(
             fio.load_table(spark, sf, "documents"), hash_fn="xxhash64"
         ),
+        # §2e round-3 additions
+        "range_search": qs["range_search"],
+        "tpch_q6": qs["tpch_q6"],
+        "large_volume_customers": qs["large_volume_customers"],
+        "nation_market_share": qs["nation_market_share"],
+        "session_window_agg": qs["session_window_agg"],
     }
 
     def run(fn) -> float:

@@ -1099,3 +1099,188 @@ def supplier_count_by_part(
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+def discount_revenue_delta(
+    lineitem: DataFrame,
+    start: str = "1997-01-01",
+    end: str = "1998-01-01",
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    qty_max: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6 shape: the would-be revenue delta from dropping a
+    discount band — a single filtered scan folding to one row.
+
+    The pure-pushdown showcase: every predicate (date range, discount
+    band, quantity cap) reaches the parquet scan as PushedFilters, the
+    projection reads three columns, and the only "shuffle" is the
+    final single-row partial-agg merge. At 100 TB this runs at scan
+    bandwidth; there is nothing else in the plan."""
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+            & (F.col("l_discount") >= disc_lo)
+            & (F.col("l_discount") <= disc_hi)
+            & (F.col("l_quantity") < qty_max)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue_delta"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def large_volume_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    qty_threshold: float = 250.0,
+    top_n: int = 100,
+) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds a
+    threshold, with their customer — the aggregate-HAVING-then-join
+    decorrelation of ``o_orderkey IN (SELECT ... HAVING sum > t)``.
+
+    The lineitem rollup happens FIRST (one shuffle on orderkey,
+    partial-aggregated map-side), and only the few surviving orderkeys
+    join back — broadcast, since a HAVING this selective yields a tiny
+    set at any scale. Customer resolves last, also broadcast at the
+    rollup's cardinality. The fact table is read once."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .where(F.col("total_qty") > qty_threshold)
+    )
+    return (
+        orders.join(F.broadcast(big), orders["o_orderkey"] == big["l_orderkey"])
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_name")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_totalprice").alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(top_n)
+    )
+
+
+def nation_market_share(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    region_name: str = "ASIA",
+    target_nation: str | None = None,
+) -> DataFrame:
+    """TPC-H Q8 shape: a supplier nation's share of revenue into one
+    market (region), per order year — sum(CASE)/sum over a multi-dim
+    join. ``target_nation`` defaults to the region's first nation
+    alphabetically so the query is self-contained on any seed.
+
+    Shape: region→nation→customer prune broadcasts onto orders, the
+    one fact-fact shuffle is lineitem⋈orders on orderkey, supplier
+    nationality broadcasts onto the result, and the share divides two
+    partial-agg sums in the same single groupBy — the fact stream is
+    never scanned or shuffled twice."""
+    rnat = nation.join(
+        F.broadcast(region.where(F.col("r_name") == region_name)),
+        nation["n_regionkey"] == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    cust = customer.join(
+        F.broadcast(rnat.select("n_nationkey")),
+        customer["c_nationkey"] == F.col("n_nationkey"),
+    ).select("c_custkey")
+    supp = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supplier["s_nationkey"] == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    if target_nation is None:
+        # scalar from the tiny nation dim: a broadcast 1-row cross
+        # join, same trick as top_supplier_revenue's max broadcast
+        target = F.broadcast(
+            rnat.agg(F.min("n_name").alias("target_nation"))
+        )
+    else:
+        target = F.broadcast(
+            rnat.sparkSession.range(1).select(
+                F.lit(target_nation).alias("target_nation")
+            )
+        )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(
+            orders.join(
+                F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+            ).select("o_orderkey", F.year("o_orderdate").alias("o_year")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
+        .crossJoin(target)
+    )
+    # two-level agg over exact decimals: the per-row revenue double is
+    # bit-identical in both engines (one IEEE multiply); casting it to
+    # DECIMAL(25,8) is also identical, because the true value has ≤4
+    # decimal digits so the 8-digit cast boundary sits far outside the
+    # double's error. All sums above are then exact — immune to
+    # summation order — unlike a group-level ROUND(sum,2), which flips
+    # cents whenever the engines' double sums differ in the last bit.
+    rev_d = F.sum(rev.cast("decimal(25,8)")).cast("decimal(30,8)")
+    per_nation = joined.groupBy("o_year", "supp_nation", "target_nation").agg(
+        rev_d.alias("rev_d")
+    )
+    tgt_rev = F.sum(
+        F.when(F.col("supp_nation") == F.col("target_nation"), F.col("rev_d"))
+        .otherwise(F.lit(0).cast("decimal(30,8)"))
+    )
+    return (
+        per_nation.groupBy("o_year")
+        .agg(
+            F.round(
+                tgt_rev.cast("double") / F.sum("rev_d").cast("double"), 6
+            ).alias("mkt_share"),
+            F.sum("rev_d").cast("double").alias("total_revenue"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def session_window_agg(
+    events: DataFrame, gap_minutes: int = SESSION_GAP_MIN
+) -> DataFrame:
+    """Gap sessionization via Spark's NATIVE ``session_window`` —
+    the built-in (Catalyst-planned) twin of the manual lag/running-sum
+    formulation in :func:`session_stats`, and the batch twin of the
+    streaming session-window agg. One shuffle on (user_id, window);
+    the session merge runs inside the agg operator, no row-by-row
+    window functions at all.
+
+    Bounds follow the operator's contract: start = first event,
+    end = last event + gap (session_stats emits last-event time
+    instead — both are emitted here as epoch µs for the oracle)."""
+    sw = F.session_window("ts", f"{gap_minutes} minutes")
+    return (
+        events.groupBy(F.col("user_id"), sw.alias("sw"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("start_us"),
+            F.unix_micros(F.col("sw.end")).alias("end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )

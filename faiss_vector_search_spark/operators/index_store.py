@@ -66,6 +66,44 @@ def index_stats(
     )
 
 
+def reconstruct(
+    index: DataFrame,
+    ids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """FAISS ``reconstruct_batch``: fetch the stored vectors for a set
+    of ids, one (id, pos, component) row per dimension.
+
+    The id set broadcasts onto the index scan (a semi-join the parquet
+    reader can turn into row-group pruning when the index is written
+    sorted/partitioned by id); the corpus never shuffles. Components
+    posexplode so results are scalar rows — the same cross-engine
+    output contract as vector_normalize."""
+    hit = index.join(F.broadcast(ids.select(id_col)), on=id_col, how="left_semi")
+    return hit.select(
+        id_col, F.posexplode(F.col(vec_col)).alias("pos", "component")
+    ).select(
+        id_col,
+        (F.col("pos") + 1).cast("int").alias("pos"),
+        F.round(F.col("component").cast("double"), 6).alias("component"),
+    )
+
+
+def remove_vectors(
+    index: DataFrame,
+    ids: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """FAISS ``remove_ids``: drop the given ids from the index.
+
+    Left-anti with the (small) id set broadcast — the surviving corpus
+    is a filtered scan, never shuffled. Persisted indexes rewrite only
+    via save_index on the result (delete-as-rewrite, the parquet
+    contract)."""
+    return index.join(F.broadcast(ids.select(id_col)), on=id_col, how="left_anti")
+
+
 def clear_index(spark: SparkSession, path: str) -> None:
     """``clear``: overwrite with an empty frame of the same schema
     (reference index_service.py:103-141 resets index + metadata). The

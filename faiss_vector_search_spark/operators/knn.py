@@ -82,6 +82,27 @@ def topk(
     )
 
 
+def range_search(
+    corpus: DataFrame,
+    query: DataFrame,
+    radius: float,
+    metric: str = "ip",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """FAISS ``index.range_search``: every corpus vector scoring at or
+    above ``radius`` — unbounded result size, no top-k cap (the FAISS
+    API the reference's fixed-threshold search is built on).
+
+    Pure scan shape: broadcast query, map-side score, filter — no
+    shuffle, no ordering, no driver merge. At 100 TB this is the one
+    search variant that is purely embarrassingly parallel end to end
+    (output size is data-dependent, so callers stream/write it rather
+    than collect)."""
+    scored = score_corpus(corpus, query, metric=metric, vec_col=vec_col)
+    return scored.where(F.col("score") >= radius).select(id_col, "score")
+
+
 def topk_join(
     corpus: DataFrame,
     queries: DataFrame,

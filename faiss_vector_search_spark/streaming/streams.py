@@ -74,6 +74,35 @@ def streaming_tumbling_agg(
     )
 
 
+def streaming_session_window_agg(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked NATIVE session-window aggregation — Spark's
+    built-in merging session state, no applyInPandasWithState and no
+    Python in the loop. Output contract matches
+    ``analytics.session_window_agg`` (epoch-µs bounds; session end =
+    last event + gap). State is bounded by the watermark: closed
+    sessions finalize and evict once event time passes them."""
+    sw = F.session_window("event_time", f"{gap_minutes} minutes")
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.col("user_id"), sw.alias("sw"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("start_us"),
+            F.unix_micros(F.col("sw.end")).alias("end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def run_to_completion(
     stream: DataFrame, sink_table: str, mode: str = "complete"
 ) -> None:

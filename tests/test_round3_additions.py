@@ -1,0 +1,196 @@
+"""Round-3 operator gates (SURVEY.md §2e): FAISS API completions
+(range_search / reconstruct / remove_ids), TPC-H Q6/Q8/Q18 shapes,
+and native session windows (batch + streaming twin)."""
+
+from __future__ import annotations
+
+import contextlib
+import io as pyio
+
+import pytest
+from pyspark.sql import functions as F
+
+from faiss_vector_search_spark import io as fio
+from faiss_vector_search_spark.operators import analytics, index_store, knn
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = pyio.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_small):
+    return fio.load_table(spark, sf_small, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def query(emb):
+    return emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_vec")
+    )
+
+
+# --- range_search ---------------------------------------------------------
+
+
+def test_range_search_equals_unbounded_threshold_topk(emb, query):
+    n = emb.count()
+    got = {
+        (r.vec_id, r.score)
+        for r in knn.range_search(emb, query, radius=0.15).collect()
+    }
+    want = {
+        (r.vec_id, r.score)
+        for r in knn.topk(emb, query, k=n, threshold=0.15).collect()
+    }
+    assert got == want
+    assert got, "radius must admit hits on this corpus"
+
+
+def test_range_search_plan_has_no_shuffle_no_sort(emb, query):
+    plan = plan_of(knn.range_search(emb, query, radius=0.15))
+    assert "Exchange hashpartitioning" not in plan
+    assert "Sort" not in plan
+    assert "TakeOrderedAndProject" not in plan  # truly uncapped
+
+
+# --- reconstruct / remove_vectors ----------------------------------------
+
+
+def test_reconstruct_roundtrips_stored_components(emb):
+    ids = emb.where(F.col("vec_id") == 11)
+    out = index_store.reconstruct(emb, ids).orderBy("pos").collect()
+    want = [round(float(x), 6) for x in emb.where(
+        F.col("vec_id") == 11
+    ).first().embedding]
+    assert [r.component for r in out] == want
+    assert [r.pos for r in out] == list(range(1, len(want) + 1))
+
+
+def test_remove_vectors_drops_exactly_the_id_set(emb):
+    doomed = emb.where(F.col("vec_id") < 10)
+    kept = index_store.remove_vectors(emb, doomed)
+    assert kept.count() == emb.count() - 10
+    assert kept.where(F.col("vec_id") < 10).count() == 0
+
+
+def test_remove_vectors_is_broadcast_anti_join(emb):
+    doomed = emb.where(F.col("vec_id") < 10)
+    plan = plan_of(index_store.remove_vectors(emb, doomed))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "Exchange hashpartitioning" not in plan  # corpus never shuffles
+
+
+# --- TPC-H Q6 / Q18 / Q8 shapes ------------------------------------------
+
+
+def test_q6_all_predicates_pushed_to_scan(spark, sf_small):
+    li = fio.load_table(spark, sf_small, "lineitem")
+    plan = plan_of(analytics.discount_revenue_delta(li))
+    assert "PushedFilters" in plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({col})" in plan
+    # projection pruned to the three columns the agg needs
+    assert "l_extendedprice" in plan and "l_tax" not in plan
+
+
+def test_q6_matches_manual_fold(spark, sf_medium):
+    li = fio.load_table(spark, sf_medium, "lineitem")
+    row = analytics.discount_revenue_delta(li).first()
+    rows = li.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).collect()
+    assert row.n_lines == len(rows) > 0
+    assert row.revenue_delta == round(
+        sum(r.l_extendedprice * r.l_discount for r in rows), 2
+    ) or abs(
+        row.revenue_delta
+        - sum(r.l_extendedprice * r.l_discount for r in rows)
+    ) < 0.02  # summation-order slack
+
+
+def test_q18_every_order_exceeds_threshold(spark, sf_medium):
+    out = analytics.large_volume_customers(
+        fio.load_table(spark, sf_medium, "customer"),
+        fio.load_table(spark, sf_medium, "orders"),
+        fio.load_table(spark, sf_medium, "lineitem"),
+        qty_threshold=300.0,
+    ).collect()
+    assert out, "threshold must admit orders at sf0.01"
+    assert all(r.total_qty > 300.0 for r in out)
+    # descending by totalprice with orderkey tie-break
+    keys = [(-r.totalprice, r.o_orderkey) for r in out]
+    assert keys == sorted(keys)
+
+
+def test_q18_rollup_join_is_broadcast(spark, sf_small):
+    plan = plan_of(
+        analytics.large_volume_customers(
+            fio.load_table(spark, sf_small, "customer"),
+            fio.load_table(spark, sf_small, "orders"),
+            fio.load_table(spark, sf_small, "lineitem"),
+        )
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_market_share_bounded_and_target_consistent(spark, sf_medium):
+    tables = {
+        n: fio.load_table(spark, sf_medium, n)
+        for n in ("region", "nation", "customer", "supplier", "orders", "lineitem")
+    }
+    out = analytics.nation_market_share(
+        tables["region"], tables["nation"], tables["customer"],
+        tables["supplier"], tables["orders"], tables["lineitem"],
+        region_name="ASIA",
+    ).collect()
+    assert len(out) >= 5  # one row per order year
+    assert all(0.0 <= r.mkt_share <= 1.0 for r in out)
+    assert all(r.total_revenue > 0 for r in out)
+
+
+# --- native session windows ----------------------------------------------
+
+
+def test_session_window_agg_matches_manual_session_stats(spark, sf_small):
+    """The native session_window operator must produce the same
+    sessions as the manual lag/running-sum formulation (start = first
+    event, end = last event + gap, same membership)."""
+    ev = fio.load_table(spark, sf_small, "events")
+    gap_us = 30 * 60 * 1_000_000
+    got = {
+        (r.user_id, r.start_us, r.end_us, r.n_events, r.sum_value)
+        for r in analytics.session_window_agg(ev, gap_minutes=30).collect()
+    }
+    want = {
+        (r.user_id, r.start_us, r.end_us + gap_us, r.n_events, r.sum_value)
+        for r in analytics.session_stats(ev, gap_minutes=30).collect()
+    }
+    assert got == want
+
+
+def test_streaming_session_window_equals_batch(spark, sf_small, tmp_path):
+    from faiss_vector_search_spark.streaming import streams
+
+    src = fio.load_table(spark, sf_small, "events")
+    out = tmp_path / "events_in"
+    src.repartition(3).write.parquet(str(out))
+    stream = streams.stream_events(spark, str(out))
+    agg = streams.streaming_session_window_agg(stream, watermark="100 days")
+    streams.run_to_completion(agg, "stream_sessions_native")
+
+    got = {
+        (r.user_id, r.start_us, r.end_us, r.n_events, float(r.sum_value))
+        for r in spark.table("stream_sessions_native").collect()
+    }
+    want = {
+        (r.user_id, r.start_us, r.end_us, r.n_events, float(r.sum_value))
+        for r in analytics.session_window_agg(src).collect()
+    }
+    assert got == want
