@@ -763,6 +763,24 @@ def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.session_window_agg(_t(spark, sf_dir, "events"))
 
 
+def q_binary_hamming_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS IndexBinaryFlat: sign-bit pack + Hamming top-k.
+    Integer-exact end to end — no rounding contract at all."""
+    from faiss_vector_search_spark.operators import binary
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codes = binary.binarize(emb)
+    q = codes.where(F.col("vec_id") == 0).select(
+        F.col("code").alias("query_code")
+    )
+    return binary.hamming_topk(codes, q, k=10)
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy gibberish filter over documents."""
+    return textstats.char_entropy(_t(spark, sf_dir, "documents"))
+
+
 # --- oracle SQL -----------------------------------------------------------
 
 _IP = "ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv), 6)"
@@ -2201,6 +2219,50 @@ SELECT CAST(o_year AS INT) AS o_year,
        CAST(sum(rev_d) AS DOUBLE) AS total_revenue
 FROM per_nation GROUP BY o_year ORDER BY o_year
 """,
+        "binary_hamming_search": """
+WITH b AS (
+  SELECT vec_id,
+         list_transform(
+           generate_series(0, CAST(ceil(len(embedding) / 32.0) AS INT) - 1),
+           w -> list_reduce(
+                  list_prepend(0::BIGINT,
+                    list_transform(embedding[32*w+1 : 32*w+32],
+                      x -> CASE WHEN x > 0 THEN 1::BIGINT
+                           ELSE 0::BIGINT END)),
+                  (acc, x) -> acc * 2 + x)
+         ) AS code
+  FROM embeddings
+),
+q AS (SELECT code AS qc FROM b WHERE vec_id = 0)
+SELECT b.vec_id,
+       CAST(list_sum(list_transform(generate_series(1, len(b.code)), i ->
+              bit_count(xor(b.code[i], q.qc[i])))) AS BIGINT) AS hamming
+FROM b, q
+ORDER BY hamming ASC, b.vec_id ASC
+LIMIT 10
+""",
+        "char_entropy": """
+WITH cs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), ''), c -> c <> '')
+             AS cs
+  FROM documents
+),
+p AS (
+  SELECT doc_id, cs, len(cs) AS n,
+         list_transform(
+           list_distinct(cs),
+           d -> CAST(len(list_filter(cs, c -> c = d)) AS DOUBLE)
+                / CAST(len(cs) AS DOUBLE)
+         ) AS probs
+  FROM cs WHERE len(cs) > 0
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_chars,
+       ROUND(-list_sum(list_transform(probs, x -> x * log2(x))), 6)
+           AS entropy_bits
+FROM p
+""",
         "session_window_agg": """
 WITH e AS (
   SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events
@@ -2329,6 +2391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_volume_customers": q_large_volume_customers,
         "nation_market_share": q_nation_market_share,
         "session_window_agg": q_session_window_agg,
+        "binary_hamming_search": q_binary_hamming_search,
+        "char_entropy": q_char_entropy,
     }
 
 

@@ -228,6 +228,8 @@ def main() -> None:
         "large_volume_customers": qs["large_volume_customers"],
         "nation_market_share": qs["nation_market_share"],
         "session_window_agg": qs["session_window_agg"],
+        "binary_hamming_search": qs["binary_hamming_search"],
+        "char_entropy": qs["char_entropy"],
     }
 
     def run(fn) -> float:

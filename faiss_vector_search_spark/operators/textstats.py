@@ -425,3 +425,42 @@ def domain_mix_sample(
         .where(F.col("rn") <= F.col("quota"))
         .select(id_col, domain_col)
     )
+
+
+def char_entropy(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Character-level Shannon entropy per document — the classic
+    gibberish / low-information filter (random keyboard mash scores
+    high, repeated filler scores low, natural prose sits ~4 bits).
+
+    Same in-row posture as :func:`repetition_score`: one char array
+    per row, per-distinct-char counts via transform+filter
+    (O(distinct × length), distinct ≤ alphabet size), -Σ p·log2(p)
+    as a plain array fold. No explode, no shuffle — a global
+    char-histogram groupBy would shuffle |docs|×|alphabet| rows for a
+    per-doc statistic that never needed to leave the row."""
+    chars = F.filter(
+        F.split(F.lower(F.col(text_col)), ""), lambda c: c != F.lit("")
+    )
+    base = docs.select(F.col(id_col), chars.alias("cs")).where(
+        F.size("cs") > 0
+    )
+    n = F.size("cs").cast("double")
+    probs = F.transform(
+        F.array_distinct(F.col("cs")),
+        lambda d: F.size(F.filter(F.col("cs"), lambda c: c == d)).cast("double")
+        / n,
+    )
+    ent = -F.aggregate(
+        probs,
+        F.lit(0.0),
+        lambda acc, p: acc + p * F.log2(p),
+    )
+    return base.select(
+        F.col(id_col),
+        F.size("cs").cast("bigint").alias("n_chars"),
+        F.round(ent, 6).alias("entropy_bits"),
+    )

@@ -194,3 +194,72 @@ def test_streaming_session_window_equals_batch(spark, sf_small, tmp_path):
         for r in analytics.session_window_agg(src).collect()
     }
     assert got == want
+
+
+# --- binary hamming index -------------------------------------------------
+
+
+def test_binarize_packs_sign_bits_msb_first(spark):
+    from faiss_vector_search_spark.operators import binary
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -1.0, 0.5, 0.0] + [0.0] * 28 + [2.0] * 32)],
+        "vec_id bigint, embedding array<double>",
+    )
+    code = binary.binarize(df).first().code
+    # word 0: bits for [+,-,+,0,...0] MSB-first = 1010 followed by 28 zeros
+    assert code == [0b1010 << 28, (1 << 32) - 1]
+
+
+def test_hamming_topk_matches_python_popcount(emb):
+    from faiss_vector_search_spark.operators import binary
+
+    codes = binary.binarize(emb)
+    q = codes.where(F.col("vec_id") == 0).select(F.col("code").alias("query_code"))
+    got = [(r.vec_id, r.hamming) for r in binary.hamming_topk(codes, q, k=5).collect()]
+
+    rows = {r.vec_id: r.code for r in codes.collect()}
+    qc = rows[0]
+    dist = {
+        vid: sum(bin(a ^ b).count("1") for a, b in zip(c, qc))
+        for vid, c in rows.items()
+    }
+    want = sorted(dist.items(), key=lambda kv: (kv[1], kv[0]))[:5]
+    assert got == [(v, d) for v, d in want]
+    assert got[0] == (0, 0)  # self-match at distance zero
+
+
+def test_hamming_search_is_take_ordered_no_corpus_shuffle(emb):
+    from faiss_vector_search_spark.operators import binary
+
+    codes = binary.binarize(emb)
+    q = codes.where(F.col("vec_id") == 0).select(F.col("code").alias("query_code"))
+    plan = plan_of(binary.hamming_topk(codes, q, k=5))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- char entropy ---------------------------------------------------------
+
+
+def test_char_entropy_known_values(spark):
+    from faiss_vector_search_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r.entropy_bits for r in textstats.char_entropy(docs).collect()}
+    assert out[1] == 0.0       # single symbol: zero bits
+    assert out[2] == 1.0       # two equiprobable symbols
+    assert out[3] == 2.0       # four equiprobable symbols
+
+
+def test_char_entropy_no_shuffle_no_python(spark, sf_small):
+    from faiss_vector_search_spark.operators import textstats
+
+    docs = fio.load_table(spark, sf_small, "documents")
+    plan = plan_of(textstats.char_entropy(docs))
+    assert "Exchange" not in plan  # strictly per-row
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
