@@ -781,6 +781,25 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.char_entropy(_t(spark, sf_dir, "documents"))
 
 
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS PCAMatrix: 64→8 dim reduction, projected components as
+    scalar rows. Rows-only: eigendecomposition isn't SQL-expressible;
+    tests/test_round3_additions.py gates orthonormality + parity with
+    the dense reference computation."""
+    from faiss_vector_search_spark.operators import transform
+
+    emb = _t(spark, sf_dir, "embeddings")
+    model = transform.pca_train(emb, k=8)
+    out = transform.pca_apply(emb, model)
+    return out.select(
+        "vec_id", F.posexplode(F.col("pca")).alias("pos", "component")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("int").alias("pos"),
+        F.round(F.col("component"), 6).alias("component"),
+    )
+
+
 # --- oracle SQL -----------------------------------------------------------
 
 _IP = "ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv), 6)"
@@ -2393,6 +2412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_agg": q_session_window_agg,
         "binary_hamming_search": q_binary_hamming_search,
         "char_entropy": q_char_entropy,
+        "pca_project": q_pca_project,
     }
 
 

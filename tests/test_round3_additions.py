@@ -263,3 +263,44 @@ def test_char_entropy_no_shuffle_no_python(spark, sf_small):
     plan = plan_of(textstats.char_entropy(docs))
     assert "Exchange" not in plan  # strictly per-row
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- PCA (FAISS PCAMatrix) ------------------------------------------------
+
+
+def test_pca_components_orthonormal_and_variance_descending(emb):
+    from faiss_vector_search_spark.operators import transform
+
+    model = transform.pca_train(emb, k=8)
+    c = model.components
+    assert c.shape == (64, 8)
+    import numpy as np
+
+    assert np.allclose(c.T @ c, np.eye(8), atol=1e-9)
+    ev = model.explained_variance
+    assert all(ev[i] >= ev[i + 1] for i in range(len(ev) - 1))
+
+
+def test_pca_matches_numpy_reference(emb):
+    from faiss_vector_search_spark.operators import transform
+    import numpy as np
+
+    model = transform.pca_train(emb, k=8)
+    rows = emb.orderBy("vec_id").collect()
+    x = np.array([r.embedding for r in rows], dtype=np.float64)
+    want = (x - model.mean) @ model.components
+
+    got = transform.pca_apply(emb, model).orderBy("vec_id").collect()
+    gotm = np.array([r.pca for r in got])
+    assert np.allclose(gotm, want, atol=1e-9)
+    # projected variance per component ~= explained variance
+    assert np.allclose(gotm.var(axis=0), model.explained_variance, rtol=1e-6)
+
+
+def test_pca_apply_is_codegen_no_python_no_shuffle(emb):
+    from faiss_vector_search_spark.operators import transform
+
+    model = transform.pca_train(emb, k=4)
+    plan = plan_of(transform.pca_apply(emb, model))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
