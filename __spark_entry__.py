@@ -781,6 +781,24 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.char_entropy(_t(spark, sf_dir, "documents"))
 
 
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity rerank of a two-phase top-k shortlist (3 queries
+    × 20 candidates → 10 diverse picks each). Rows-only: the greedy
+    argmax loop isn't SQL-expressible; tests gate against an
+    independent dense reference."""
+    from faiss_vector_search_spark.operators import rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    shortlist = knn.topk_join(emb, queries, k=20).join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    return rerank.mmr_rerank(shortlist, k=10)
+
+
 def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FAISS PCAMatrix: 64→8 dim reduction, projected components as
     scalar rows. Rows-only: eigendecomposition isn't SQL-expressible;
@@ -2413,6 +2431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_hamming_search": q_binary_hamming_search,
         "char_entropy": q_char_entropy,
         "pca_project": q_pca_project,
+        "mmr_rerank": q_mmr_rerank,
     }
 
 

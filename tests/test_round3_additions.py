@@ -304,3 +304,82 @@ def test_pca_apply_is_codegen_no_python_no_shuffle(emb):
     plan = plan_of(transform.pca_apply(emb, model))
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- MMR rerank -----------------------------------------------------------
+
+
+def test_mmr_demotes_redundant_candidate(spark):
+    from faiss_vector_search_spark.operators import rerank
+
+    rows = [
+        (1, 10, 0.90, [1.0, 0.0]),
+        (1, 11, 0.89, [0.99, 0.01]),  # near-duplicate of 10
+        (1, 20, 0.50, [0.0, 1.0]),    # orthogonal
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id bigint, vec_id bigint, score double, embedding array<double>"
+    )
+    out = rerank.mmr_rerank(df, k=3, lambda_=0.5).orderBy("mmr_rank").collect()
+    assert [r.vec_id for r in out] == [10, 20, 11]
+
+
+def test_mmr_groups_queries_independently(spark, sf_small):
+    from faiss_vector_search_spark import io as fio_
+    from faiss_vector_search_spark.operators import knn, rerank
+
+    emb = fio_.load_table(spark, sf_small, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    shortlist = knn.topk_join(emb, queries, k=20).join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    out = rerank.mmr_rerank(shortlist, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for q, rows in by_q.items():
+        assert sorted(r.mmr_rank for r in rows) == [1, 2, 3, 4, 5]
+        # rank 1 is the raw best (no redundancy penalty applies yet)
+        top = max(rows, key=lambda r: r.score)
+        assert next(r for r in rows if r.mmr_rank == 1).vec_id == top.vec_id
+
+
+def test_mmr_matches_independent_reference(spark, sf_small):
+    import numpy as np
+
+    from faiss_vector_search_spark import io as fio_
+    from faiss_vector_search_spark.operators import knn, rerank
+
+    emb = fio_.load_table(spark, sf_small, "embeddings")
+    queries = emb.where(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    shortlist = knn.topk_join(emb, queries, k=15).join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    lam = 0.7
+    got = [
+        r.vec_id
+        for r in rerank.mmr_rerank(shortlist, k=6, lambda_=lam)
+        .orderBy("mmr_rank")
+        .collect()
+    ]
+
+    cand = shortlist.collect()
+    cand.sort(key=lambda r: (-r.score, r.vec_id))
+    u = np.array([r.embedding for r in cand], dtype=np.float64)
+    u /= np.linalg.norm(u, axis=1)[:, None]
+    sims = u @ u.T
+    picked, rem = [], list(range(len(cand)))
+    while rem and len(picked) < 6:
+        vals = []
+        for i in rem:
+            red = max((sims[i, j] for j in picked), default=0.0)
+            vals.append((lam * cand[i].score - (1 - lam) * red, -cand[i].vec_id, i))
+        vals.sort(reverse=True)
+        picked.append(vals[0][2])
+        rem.remove(vals[0][2])
+    assert got == [cand[i].vec_id for i in picked]
