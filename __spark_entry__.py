@@ -2281,24 +2281,28 @@ LIMIT 10
         "char_entropy": """
 WITH cs AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), ''), c -> c <> '')
-             AS cs
+         list_sort(list_filter(regexp_split_to_array(lower(text), ''),
+                               c -> c <> '')) AS cs
   FROM documents
 ),
-p AS (
-  SELECT doc_id, cs, len(cs) AS n,
-         list_transform(
-           list_distinct(cs),
-           d -> CAST(len(list_filter(cs, c -> c = d)) AS DOUBLE)
-                / CAST(len(cs) AS DOUBLE)
-         ) AS probs
+runs AS (
+  SELECT doc_id, len(cs) AS n,
+         list_filter(generate_series(1, len(cs)),
+                     i -> i = len(cs) OR cs[i + 1] <> cs[i]) AS ends
   FROM cs WHERE len(cs) > 0
+),
+lens AS (
+  SELECT doc_id, n,
+         list_transform(generate_series(1, len(ends)), j ->
+           CAST(ends[j] - CASE WHEN j = 1 THEN 0 ELSE ends[j - 1] END
+                AS DOUBLE)) AS lens
+  FROM runs
 )
 SELECT doc_id,
        CAST(n AS BIGINT) AS n_chars,
-       ROUND(-list_sum(list_transform(probs, x -> x * log2(x))), 6)
-           AS entropy_bits
-FROM p
+       ROUND(-list_sum(list_transform(lens,
+               c -> (c / n) * log2(c / n))), 6) AS entropy_bits
+FROM lens
 """,
         "session_window_agg": """
 WITH e AS (

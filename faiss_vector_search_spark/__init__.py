@@ -27,7 +27,17 @@ Operator modules (``faiss_vector_search_spark.operators.*``):
                   range joins, rolling/hopping windows, ROLLUP,
                   anti-join / decorrelated TPC-H shapes, min-max
                   scaling, exact+HLL distinct, JSON rollup, quantiles
-- ``index_store`` save / load / clear / add_vectors / stats
+- ``index_store`` save / load / clear / add_vectors / stats /
+                  reconstruct / remove_vectors
+- ``pq``          product quantization: train / encode / ADC search /
+                  rerank / persisted IVF-PQ
+- ``sq``          SQ8 scalar quantization: bounds train / encode /
+                  decode-on-scan search
+- ``binary``      binary (Hamming) codes: sign-bit pack + flat search
+- ``transform``   PCA dim reduction (one-pass Gram train, codegen
+                  projection)
+- ``rerank``      MMR diversity rerank over retrieval shortlists
+- ``maintenance`` compaction, partition upsert, keyed merge, Z-order
 
 Plus ``sources`` (text-dir, docx, multimodal ingest) and ``streaming``
 (watermarked aggs, incremental index add, stateful sessionization).

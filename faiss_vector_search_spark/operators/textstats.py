@@ -436,31 +436,41 @@ def char_entropy(
     gibberish / low-information filter (random keyboard mash scores
     high, repeated filler scores low, natural prose sits ~4 bits).
 
-    Same in-row posture as :func:`repetition_score`: one char array
-    per row, per-distinct-char counts via transform+filter
-    (O(distinct × length), distinct ≤ alphabet size), -Σ p·log2(p)
-    as a plain array fold. No explode, no shuffle — a global
-    char-histogram groupBy would shuffle |docs|×|alphabet| rows for a
-    per-doc statistic that never needed to leave the row."""
+    In-row and O(n log n): sort the char array once, find run
+    boundaries, diff them into run lengths, fold -Σ p·log2(p) over
+    the lengths (a per-distinct-char transform+filter histogram is
+    O(distinct × length) — ~50× more work on prose-sized docs). No
+    explode, no shuffle — a global char-histogram groupBy would
+    shuffle |docs|×|alphabet| rows for a per-doc statistic that never
+    needed to leave the row. The fold visits runs in sorted-char
+    order, the same order as the SQL oracle (identical float ops)."""
     chars = F.filter(
         F.split(F.lower(F.col(text_col)), ""), lambda c: c != F.lit("")
     )
-    base = docs.select(F.col(id_col), chars.alias("cs")).where(
-        F.size("cs") > 0
+    base = docs.select(
+        F.col(id_col), F.array_sort(chars).alias("cs")
+    ).where(F.size("cs") > 0)
+    n = F.size("cs")
+    # 1-based end position of every run of equal chars
+    ends = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: (i == n)
+        | (F.element_at("cs", (i + 1).cast("int")) != F.element_at("cs", i.cast("int"))),
     )
-    n = F.size("cs").cast("double")
-    probs = F.transform(
-        F.array_distinct(F.col("cs")),
-        lambda d: F.size(F.filter(F.col("cs"), lambda c: c == d)).cast("double")
-        / n,
+    # run length = this end minus the previous end (0 for the first)
+    lens = F.zip_with(
+        ends,
+        F.concat(F.array(F.lit(0)), F.slice(ends, 1, F.size(ends) - 1)),
+        lambda e, p: (e - p).cast("double"),
     )
+    nd = n.cast("double")
     ent = -F.aggregate(
-        probs,
+        lens,
         F.lit(0.0),
-        lambda acc, p: acc + p * F.log2(p),
+        lambda acc, c: acc + (c / nd) * F.log2(c / nd),
     )
     return base.select(
         F.col(id_col),
-        F.size("cs").cast("bigint").alias("n_chars"),
+        n.cast("bigint").alias("n_chars"),
         F.round(ent, 6).alias("entropy_bits"),
     )
