@@ -799,6 +799,24 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rerank.mmr_rerank(shortlist, k=10)
 
 
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom pre-filtered semi-join (lineitem ⋉ urgent orders) rolled
+    up per returnflag — exact mode, so the oracle is the plain
+    semi-join; the bloom layer must be result-transparent."""
+    from faiss_vector_search_spark.functions import bloom
+
+    li = _t(spark, sf_dir, "lineitem")
+    keys = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(F.col("o_orderkey").alias("l_orderkey"))
+    hit = bloom.bloom_semi_join(li, keys, "l_orderkey", bits=1 << 18)
+    return hit.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("revenue"),
+    )
+
+
 def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FAISS PCAMatrix: 64→8 dim reduction, projected components as
     scalar rows. Rows-only: eigendecomposition isn't SQL-expressible;
@@ -2304,6 +2322,16 @@ SELECT doc_id,
                c -> (c / n) * log2(c / n))), 6) AS entropy_bits
 FROM lens
 """,
+        "bloom_semi_join": """
+SELECT l.l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_orderkey = l.l_orderkey
+                AND o.o_orderpriority = '1-URGENT')
+GROUP BY l.l_returnflag
+""",
         "session_window_agg": """
 WITH e AS (
   SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events
@@ -2436,6 +2464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "pca_project": q_pca_project,
         "mmr_rerank": q_mmr_rerank,
+        "bloom_semi_join": q_bloom_semi_join,
     }
 
 

@@ -1,0 +1,120 @@
+"""Bloom-filter semi-join — the 100 TB pre-shuffle filter: when the
+key set is too large to broadcast *exactly* but its bloom bitmap is
+tiny, filter the fact scan against the bitmap BEFORE any shuffle, then
+(optionally) finish with the exact join on the ~fpp-sized survivor
+stream. This is the pattern Spark's runtime row-level filtering
+injects automatically for shuffle joins; here it is explicit, so it
+also covers cases the optimizer won't (pre-filtering before a window,
+a write, or an applyInPandas).
+
+Everything is declarative and JVM-side:
+
+- build: keys explode to k positions (``xxhash64(key, i) mod bits``),
+  fold into per-word ``bit_or`` masks (32-bit lanes in longs — the
+  same signed-shift-free convention as operators/binary.py), then one
+  final agg packs a DENSE ``array<long>`` of ``bits/32`` words. The
+  shuffle is |keys|·k position rows; the result is ONE row of
+  ``bits/8`` bytes.
+- probe: the 1-row bitmap cross-joins (broadcast) onto the fact;
+  membership is k O(1) ``element_at`` lookups + bit tests in
+  whole-stage codegen. No false negatives, by construction.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _positions(key, bits: int, num_hashes: int):
+    return [
+        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(bits)) for i in range(num_hashes)
+    ]
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str,
+    bits: int = 1 << 20,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """One-row DataFrame carrying the dense bitmap (``array<long>`` of
+    32-bit lanes) plus its parameters, ready to broadcast."""
+    if bits % 32:
+        raise ValueError(f"bits must be a multiple of 32, got {bits}")
+    nwords = bits // 32
+    pos = F.explode(F.array(*_positions(F.col(key_col), bits, num_hashes)))
+    words = (
+        keys.select(pos.alias("p"))
+        .select(
+            (F.col("p") / 32).cast("int").alias("word"),
+            # 2^(p mod 32) is exact in double for bit < 32
+            F.pow(F.lit(2.0), (F.col("p") % 32).cast("double"))
+            .cast("long")
+            .alias("bitval"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bitval").alias("mask"))
+    )
+    # densify: sparse (word, mask) rows -> one array value; the map
+    # lookup here runs nwords times total (build-time), while probes
+    # use O(1) array element_at
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "mask"))).alias("m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(nwords - 1)),
+            lambda w: F.coalesce(
+                F.element_at(F.col("m"), w), F.lit(0).cast("long")
+            ),
+        ).alias("bloom_bits")
+    )
+
+
+def bloom_might_contain(key, bloom_col, bits: int, num_hashes: int = 5):
+    """Boolean Column: every one of the k bits is set (no false
+    negatives; ~fpp false positives)."""
+    def bit_set(p):
+        word = F.element_at(bloom_col, (p / 32).cast("int") + F.lit(1))
+        # (word >> bit) & 1 without shift-by-column: exact double pow
+        return (
+            (word / F.pow(F.lit(2.0), (p % 32).cast("double"))).cast("long")
+            % 2
+        ) == 1
+
+    return reduce(
+        lambda a, b: a & b,
+        [bit_set(p) for p in _positions(key, bits, num_hashes)],
+    )
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    fact_key_col: str | None = None,
+    bits: int = 1 << 20,
+    num_hashes: int = 5,
+    exact: bool = True,
+) -> DataFrame:
+    """Semi-join ``fact`` to ``keys`` with a bloom pre-filter.
+
+    ``exact=True`` finishes with the real semi-join over the (already
+    ~fpp-sized) survivor stream — same answer as a direct semi-join,
+    but the shuffle/broadcast sees only surviving rows. ``exact=False``
+    keeps the pure scan-side filter (no false negatives, ~fpp false
+    positives) for probabilistic pipelines."""
+    fk = fact_key_col or key_col
+    bloom = F.broadcast(bloom_build(keys, key_col, bits, num_hashes))
+    pre = (
+        fact.crossJoin(bloom)
+        .where(bloom_might_contain(F.col(fk), F.col("bloom_bits"), bits, num_hashes))
+        .drop("bloom_bits")
+    )
+    if not exact:
+        return pre
+    return pre.join(
+        keys.select(F.col(key_col).alias(fk)).distinct(), on=fk, how="left_semi"
+    )

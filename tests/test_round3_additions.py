@@ -383,3 +383,46 @@ def test_mmr_matches_independent_reference(spark, sf_small):
         picked.append(vals[0][2])
         rem.remove(vals[0][2])
     assert got == [cand[i].vec_id for i in picked]
+
+
+# --- bloom-filter semi-join ----------------------------------------------
+
+
+def test_bloom_semi_join_equals_exact_semi_join(spark, sf_medium):
+    from faiss_vector_search_spark.functions import bloom
+
+    li = fio.load_table(spark, sf_medium, "lineitem")
+    keys = fio.load_table(spark, sf_medium, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(F.col("o_orderkey").alias("l_orderkey"))
+    exact = li.join(keys, "l_orderkey", "left_semi")
+    got = bloom.bloom_semi_join(li, keys, "l_orderkey", bits=1 << 18)
+    assert got.count() == exact.count() > 0
+
+
+def test_bloom_prefilter_has_no_false_negatives_small_bitmap(spark):
+    from faiss_vector_search_spark.functions import bloom
+
+    keys = spark.range(500).select((F.col("id") * 7).alias("k"))
+    fact = spark.range(20000).select((F.col("id") % 4000).alias("k"))
+    # deliberately tiny bitmap -> real false positives, never negatives
+    pre = bloom.bloom_semi_join(fact, keys, "k", bits=1 << 12, exact=False)
+    exact = fact.join(keys, "k", "left_semi")
+    assert exact.exceptAll(pre).count() == 0
+    assert pre.count() >= exact.count()
+
+
+def test_bloom_prefilter_fact_side_never_shuffles(spark, sf_small):
+    from faiss_vector_search_spark.functions import bloom
+
+    li = fio.load_table(spark, sf_small, "lineitem")
+    keys = fio.load_table(spark, sf_small, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    pre = bloom.bloom_semi_join(li, keys, "l_orderkey", exact=False)
+    plan = plan_of(pre)
+    # the only exchange is the keys-side bitmap build; the fact
+    # stream meets the 1-row bitmap via broadcast
+    assert "BroadcastNestedLoopJoin" in plan
+    fact_section = plan.split("BroadcastNestedLoopJoin")[0]
+    assert "Exchange hashpartitioning" not in fact_section
