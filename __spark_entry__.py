@@ -799,6 +799,25 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rerank.mmr_rerank(shortlist, k=10)
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composition — the "would a reference user's
+    pipeline survive the switch" gate: language filter → quality
+    threshold → exact-dedup representative selection → token budget,
+    all existing operators chained and verified AS ONE QUERY against
+    the equivalently-composed oracle. Catalyst fuses the three
+    doc_id-keyed joins over the same scan."""
+    docs = _t(spark, sf_dir, "documents")
+    en = docs.where(F.col("lang") == "en").select("doc_id", "source")
+    quality = textstats.quality_score(docs).where(
+        F.col("quality") >= 0.75
+    ).select("doc_id", F.col("quality").cast(DBL).alias("quality"))
+    reps = dedup.exact_dedup(docs).select("doc_id")
+    toks = textstats.token_count(docs).select("doc_id", "ws_tokens")
+    return (
+        en.join(quality, "doc_id").join(reps, "doc_id").join(toks, "doc_id")
+    )
+
+
 def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom pre-filtered semi-join (lineitem ⋉ urgent orders) rolled
     up per returnflag — exact mode, so the oracle is the plain
@@ -2362,6 +2381,20 @@ FROM n GROUP BY user_id, sid
 )
 
 
+ORACLES["curation_pipeline"] = f"""
+WITH qs AS ({ORACLES["quality_score"]}),
+reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+tok AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS ws_tokens
+        FROM documents)
+SELECT d.doc_id, d.source, q.quality, t.ws_tokens
+FROM documents d
+JOIN qs q USING (doc_id)
+JOIN reps USING (doc_id)
+JOIN tok t USING (doc_id)
+WHERE d.lang = 'en' AND q.quality >= 0.75
+"""
+
+
 # --- driver contract ------------------------------------------------------
 
 
@@ -2465,6 +2498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_project": q_pca_project,
         "mmr_rerank": q_mmr_rerank,
         "bloom_semi_join": q_bloom_semi_join,
+        "curation_pipeline": q_curation_pipeline,
     }
 
 
