@@ -116,9 +116,10 @@ SESSION_GAP_MIN = 30
 
 
 def _ts_us(events: DataFrame):
-    """Event time in µs since epoch. The events parquet stores
-    TIMESTAMP(NANOS) which we read as long ns (see io.load_table);
-    ns→µs truncation matches DuckDB's micros-at-read truncation."""
+    """Event time in µs since epoch. Current testdata stores µs
+    timestamps (io.load_table normalizes the naive parquet encoding
+    to UTC); the bigint branch keeps older nanos-as-long layouts
+    working."""
     if dict(events.dtypes)["ts"] == "bigint":
         # integer div — ts ~1.7e18 exceeds double's 2^53 exact range,
         # so float division would corrupt the low digits.
@@ -127,7 +128,7 @@ def _ts_us(events: DataFrame):
 
 
 def event_hour(events: DataFrame):
-    """Tumbling-hour bucket as a timestamp, nanos-safe."""
+    """Tumbling-hour bucket as a timestamp, encoding-agnostic."""
     if dict(events.dtypes)["ts"] == "bigint":
         return F.date_trunc("hour", F.timestamp_micros(_ts_us(events)))
     return F.date_trunc("hour", F.col("ts"))
