@@ -799,6 +799,18 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rerank.mmr_rerank(shortlist, k=10)
 
 
+def q_knn_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search: top-k over the label=3 slice.
+    The predicate sits below the scorer, so Catalyst pushes it to the
+    scan — the filter prunes BEFORE any distance is computed (the
+    'filtered ANN' pattern FAISS itself needs IDSelector for)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = knn.topk(
+        emb.where(F.col("label") == 3), _query_vec(emb, vec_id=1), k=10
+    )
+    return out.select("vec_id", F.col("score").cast(DBL).alias("score"))
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation composition — the "would a reference user's
     pipeline survive the switch" gate: language filter → quality
@@ -2381,6 +2393,18 @@ FROM n GROUP BY user_id, sid
 )
 
 
+ORACLES["knn_filtered_search"] = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 1),
+scored AS (
+  SELECT e.vec_id,
+         ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+  FROM embeddings e, q WHERE e.label = 3
+)
+SELECT vec_id, score FROM scored
+ORDER BY score DESC, vec_id ASC
+LIMIT 10
+"""
+
 ORACLES["curation_pipeline"] = f"""
 WITH qs AS ({ORACLES["quality_score"]}),
 reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
@@ -2499,6 +2523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": q_mmr_rerank,
         "bloom_semi_join": q_bloom_semi_join,
         "curation_pipeline": q_curation_pipeline,
+        "knn_filtered_search": q_knn_filtered_search,
     }
 
 

@@ -426,3 +426,28 @@ def test_bloom_prefilter_fact_side_never_shuffles(spark, sf_small):
     assert "BroadcastNestedLoopJoin" in plan
     fact_section = plan.split("BroadcastNestedLoopJoin")[0]
     assert "Exchange hashpartitioning" not in fact_section
+
+
+# --- filtered vector search ----------------------------------------------
+
+
+def test_filtered_knn_pushes_label_filter_to_scan(spark, sf_small):
+    # fresh read (other modules cache embeddings; a cache hit would
+    # hide the parquet scan this asserts on)
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 1).select(
+        F.col("embedding").alias("query_vec")
+    )
+    plan = plan_of(knn.topk(emb.where(F.col("label") == 3), q, k=10))
+    assert "PushedFilters: [IsNotNull(label), EqualTo(label,3)]" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_filtered_knn_results_respect_the_slice(spark, sf_small):
+    emb = fio.load_table(spark, sf_small, "embeddings")
+    q = emb.where(F.col("vec_id") == 1).select(
+        F.col("embedding").alias("query_vec")
+    )
+    out = knn.topk(emb.where(F.col("label") == 3), q, k=10).collect()
+    allowed = {r.vec_id for r in emb.where(F.col("label") == 3).collect()}
+    assert out and all(r.vec_id in allowed for r in out)
