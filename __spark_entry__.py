@@ -815,18 +815,29 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation composition — the "would a reference user's
     pipeline survive the switch" gate: language filter → quality
     threshold → exact-dedup representative selection → token budget,
-    all existing operators chained and verified AS ONE QUERY against
-    the equivalently-composed oracle. Catalyst fuses the three
-    doc_id-keyed joins over the same scan."""
+    verified AS ONE QUERY against the equivalently-composed oracle.
+
+    Scale shape: TWO column-pruned scans total — the dedup rollup
+    reads (md5(text), doc_id) and shuffles 16-byte hashes, never
+    text; the signal scan computes quality + token counts in a
+    single lang-filtered projection (fold-in via quality_exprs, no
+    per-signal rescans) — then one doc_id semi-join intersects them."""
+    from faiss_vector_search_spark.functions.text import tokens as _tokens
+
     docs = _t(spark, sf_dir, "documents")
-    en = docs.where(F.col("lang") == "en").select("doc_id", "source")
-    quality = textstats.quality_score(docs).where(
-        F.col("quality") >= 0.75
-    ).select("doc_id", F.col("quality").cast(DBL).alias("quality"))
     reps = dedup.exact_dedup(docs).select("doc_id")
-    toks = textstats.token_count(docs).select("doc_id", "ws_tokens")
+    n_tokens, quality = textstats.quality_exprs(F.col("text"))
+    sig = docs.where(F.col("lang") == "en").select(
+        "doc_id",
+        "source",
+        quality.cast(DBL).alias("quality"),
+        F.size(_tokens(F.col("text"))).cast("bigint").alias("ws_tokens"),
+        n_tokens.alias("n_tokens"),
+    )
     return (
-        en.join(quality, "doc_id").join(reps, "doc_id").join(toks, "doc_id")
+        sig.where((F.col("quality") >= 0.75) & (F.col("n_tokens") > 0))
+        .drop("n_tokens")
+        .join(reps, "doc_id", "left_semi")
     )
 
 

@@ -67,23 +67,19 @@ def lang_id(
     )
 
 
-def quality_score(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Heuristic quality score in [0,1]: length, stopword ratio,
-    punctuation penalty, mean-word-length band — the standard cheap
-    pre-filters an LLM data pipeline applies before expensive stages."""
+def quality_exprs(text_col) -> tuple:
+    """(n_tokens, quality) Column pair for one text column — exposed
+    so pipelines can fold the score into an existing projection
+    instead of a second scan + join."""
     en_stop = [w for lang, w in LANG_LEXICON if lang == "en"]
-    toks = tokens(F.col(text_col))
-    n_chars = F.length(F.col(text_col)).cast("double")
+    toks = tokens(text_col)
+    n_chars = F.length(text_col).cast("double")
     n_toks = F.size(toks).cast("double")
     n_stop = F.size(
         F.filter(toks, lambda t: t.isin(*en_stop))
     ).cast("double")
     n_punct = F.length(
-        F.regexp_replace(F.lower(F.col(text_col)), "[a-z0-9 ]", "")
+        F.regexp_replace(F.lower(text_col), "[a-z0-9 ]", "")
     ).cast("double")
     mean_wl = (
         F.aggregate(
@@ -97,12 +93,25 @@ def quality_score(
     stop_score = F.least(n_stop / n_toks * 5.0, F.lit(1.0))
     punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - n_punct / n_chars * 10.0)
     wl_score = F.when((mean_wl >= 3.0) & (mean_wl <= 8.0), 1.0).otherwise(0.5)
+    quality = F.round(
+        (len_score + stop_score + punct_pen + wl_score) / 4.0, 6
+    )
+    return n_toks.cast("bigint"), quality
+
+
+def quality_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Heuristic quality score in [0,1]: length, stopword ratio,
+    punctuation penalty, mean-word-length band — the standard cheap
+    pre-filters an LLM data pipeline applies before expensive stages."""
+    n_tokens, quality = quality_exprs(F.col(text_col))
     return docs.select(
         F.col(id_col),
-        n_toks.cast("bigint").alias("n_tokens"),
-        F.round((len_score + stop_score + punct_pen + wl_score) / 4.0, 6).alias(
-            "quality"
-        ),
+        n_tokens.alias("n_tokens"),
+        quality.alias("quality"),
     ).where(F.col("n_tokens") > 0)
 
 
