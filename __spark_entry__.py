@@ -799,6 +799,35 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rerank.mmr_rerank(shortlist, k=10)
 
 
+def q_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketch store: two incremental batches persisted,
+    per-slice + total distinct estimates from sketch unions alone.
+    Rows-only: Datasketches binaries aren't SQL-expressible; pytest
+    gates estimates against exact counts."""
+    import tempfile
+
+    from faiss_vector_search_spark.operators import sketches
+
+    ev = _t(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="sketch_store_") + "/sk"
+    sketches.save_distinct_sketches(ev.where("event_id % 2 = 0"), path)
+    sketches.save_distinct_sketches(ev.where("event_id % 2 = 1"), path)
+    return sketches.union_distinct_counts(spark, path).orderBy(
+        F.col("event_type").asc_nulls_last()
+    )
+
+
+def q_bigram_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_top_k frequent-items sketch over corpus bigrams — the
+    bounded-memory twin of bigram_counts. Rows-only (tie order at the
+    k-boundary is sketch-defined); pytest gates counts vs exact."""
+    from faiss_vector_search_spark.operators import sketches
+
+    return sketches.bigram_heavy_hitters(
+        _t(spark, sf_dir, "documents"), k=20
+    )
+
+
 def q_knn_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-filtered vector search: top-k over the label=3 slice.
     The predicate sits below the scorer, so Catalyst pushes it to the
@@ -2535,6 +2564,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semi_join": q_bloom_semi_join,
         "curation_pipeline": q_curation_pipeline,
         "knn_filtered_search": q_knn_filtered_search,
+        "distinct_sketch_rollup": q_distinct_sketch_rollup,
+        "bigram_heavy_hitters": q_bigram_heavy_hitters,
     }
 
 

@@ -1,0 +1,91 @@
+"""Mergeable-sketch analytics — the incremental-maintenance tier for
+100 TB: persist tiny per-slice sketches once, answer rollup questions
+later by UNIONING sketches instead of rescanning raw data. All
+sketches here are Spark built-ins (Datasketches HLL, approx_top_k),
+map-side partial-aggregated, JVM-only.
+
+Why this matters at scale: "distinct users last N days" over raw
+events re-reads N days of fact data every time; over a sketch store
+it reads N rows of ~KB binaries. The union is exact over the
+sketches (no re-estimation error stacking) — the only error is the
+sketch's own, fixed at build time by lgConfigK.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def save_distinct_sketches(
+    events: DataFrame,
+    path: str,
+    key_col: str = "user_id",
+    slice_col: str = "event_type",
+    mode: str = "append",
+) -> None:
+    """Persist one HLL sketch of ``key_col`` per slice value. Append
+    mode supports incremental batches: the same slice may appear in
+    many files; union_distinct_counts merges them losslessly."""
+    (
+        events.groupBy(slice_col)
+        .agg(F.expr(f"hll_sketch_agg({key_col})").alias("sketch"))
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def union_distinct_counts(
+    spark: SparkSession,
+    path: str,
+    slice_col: str = "event_type",
+    slices: list | None = None,
+) -> DataFrame:
+    """Per-slice distinct estimates from the sketch store — raw data
+    never re-read. ``slices=None`` also returns the grand total row
+    (slice NULL): one more union over the same tiny scan."""
+    store = spark.read.parquet(path)
+    if slices is not None:
+        store = store.where(F.col(slice_col).isin(*slices))
+    per_slice = store.groupBy(slice_col).agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sketch))").alias(
+            "approx_distinct"
+        )
+    )
+    total = store.agg(
+        F.lit(None).cast("string").alias(slice_col),
+        F.expr("hll_sketch_estimate(hll_union_agg(sketch))").alias(
+            "approx_distinct"
+        ),
+    )
+    return per_slice.unionByName(total)
+
+
+def bigram_heavy_hitters(
+    docs: DataFrame,
+    k: int = 20,
+    max_tracked: int = 10000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k bigrams via the approx_top_k frequent-items sketch — the
+    bounded-memory scale path for corpus n-gram stats: the exact
+    groupBy(bigram) shuffles |distinct bigrams| rows (unbounded), the
+    sketch shuffles one ~max_tracked-entry summary per partition."""
+    from ..functions.text import tokens
+
+    toks = tokens(F.col(text_col))
+    bigrams = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda t, i: F.concat_ws(" ", t, F.element_at(toks, i + 2)),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .agg(
+            F.expr(f"approx_top_k(bigram, {k}, {max_tracked})").alias("top")
+        )
+        .select(F.explode("top").alias("e"))
+        .select(
+            F.col("e.item").alias("bigram"),
+            F.col("e.count").alias("n"),
+        )
+    )

@@ -451,3 +451,77 @@ def test_filtered_knn_results_respect_the_slice(spark, sf_small):
     out = knn.topk(emb.where(F.col("label") == 3), q, k=10).collect()
     allowed = {r.vec_id for r in emb.where(F.col("label") == 3).collect()}
     assert out and all(r.vec_id in allowed for r in out)
+
+
+# --- mergeable sketch store ----------------------------------------------
+
+
+def test_sketch_store_incremental_union_matches_exact(spark, sf_small, tmp_path):
+    from faiss_vector_search_spark.operators import sketches
+
+    ev = fio.load_table(spark, sf_small, "events")
+    p = str(tmp_path / "sk")
+    sketches.save_distinct_sketches(ev.where("event_id % 2 = 0"), p)
+    sketches.save_distinct_sketches(ev.where("event_id % 2 = 1"), p)
+    out = sketches.union_distinct_counts(spark, p).collect()
+
+    exact_total = ev.select("user_id").distinct().count()
+    total = next(r.approx_distinct for r in out if r.event_type is None)
+    assert abs(total - exact_total) / exact_total < 0.05
+
+    exact_by = {
+        r.event_type: r.cnt
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("cnt"))
+        .collect()
+    }
+    for r in out:
+        if r.event_type is not None:
+            assert abs(r.approx_distinct - exact_by[r.event_type]) <= max(
+                1, 0.05 * exact_by[r.event_type]
+            )
+
+
+def test_sketch_slice_filter_prunes_store(spark, sf_small, tmp_path):
+    from faiss_vector_search_spark.operators import sketches
+
+    ev = fio.load_table(spark, sf_small, "events")
+    p = str(tmp_path / "sk")
+    sketches.save_distinct_sketches(ev, p)
+    out = sketches.union_distinct_counts(
+        spark, p, slices=["click", "view"]
+    ).collect()
+    types = {r.event_type for r in out}
+    assert types == {"click", "view", None}
+
+
+def test_bigram_heavy_hitters_match_exact_counts(spark, sf_small):
+    from faiss_vector_search_spark.operators import sketches
+
+    docs = fio.load_table(spark, sf_small, "documents")
+    got = {r.bigram: r.n for r in sketches.bigram_heavy_hitters(docs, k=10).collect()}
+    # exact recount of the returned items must agree (sketch tracked
+    # far more than distinct bigrams, so counts are exact here)
+    from faiss_vector_search_spark.functions.text import tokens
+
+    toks = tokens(F.col("text"))
+    bigrams = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda t, i: F.concat_ws(" ", t, F.element_at(toks, i + 2)),
+    )
+    counts = {
+        r.bigram: r.n
+        for r in docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc())
+        .limit(50)
+        .collect()
+    }
+    assert got
+    for b, n in got.items():
+        assert counts.get(b) == n
+    # every returned count is >= the true 11th-highest (valid top-k
+    # under ties)
+    kth = sorted(counts.values(), reverse=True)[10]
+    assert all(n >= kth for n in got.values())
