@@ -247,3 +247,66 @@ def zorder_scan(
         )
         .drop("z")
     )
+
+
+# --- versioned snapshot store (poor-man's time travel) ---------------------
+
+_MANIFEST = "_versions.json"
+
+
+def write_snapshot(df, path: str) -> int:
+    """Write a new immutable table version under ``path/v=<n>`` and
+    record it in the manifest LAST — readers pinned to any committed
+    version are never disturbed (writers never mutate old data; the
+    manifest append is the commit point). Returns the new version.
+
+    This is the lakehouse snapshot-isolation pattern in plain
+    parquet: concurrent readers of version n keep a consistent view
+    while version n+1 lands; rollback = read an older version.
+    Single-writer by contract (no manifest CAS on plain files)."""
+    import json
+    import os
+
+    spark = df.sparkSession
+    version = latest_version(spark, path) + 1
+    df.write.mode("errorifexists").parquet(f"{path}/v={version}")
+    manifest = os.path.join(path, _MANIFEST)
+    versions = _read_manifest(manifest)
+    versions.append(version)
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"versions": versions}, f)
+    os.replace(tmp, manifest)  # atomic commit
+    return version
+
+
+def _read_manifest(manifest: str) -> list:
+    import json
+    import os
+
+    if not os.path.exists(manifest):
+        return []
+    with open(manifest) as f:
+        return json.load(f)["versions"]
+
+
+def latest_version(spark: SparkSession, path: str) -> int:
+    import os
+
+    versions = _read_manifest(os.path.join(path, _MANIFEST))
+    return max(versions) if versions else -1
+
+
+def read_snapshot(spark: SparkSession, path: str, version: int | None = None):
+    """Read a pinned (or the latest committed) version. Uncommitted
+    in-flight writes are invisible — only manifest versions load."""
+    import os
+
+    versions = _read_manifest(os.path.join(path, _MANIFEST))
+    if not versions:
+        raise ValueError(f"no committed versions at {path}")
+    if version is None:
+        version = max(versions)
+    if version not in versions:
+        raise ValueError(f"version {version} not in {sorted(versions)}")
+    return spark.read.parquet(f"{path}/v={version}")

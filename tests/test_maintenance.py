@@ -208,3 +208,40 @@ class TestZOrder:
 
         for a, b in [(0, 0), (7, 7), (5, 2), (1, 6)]:
             assert row[f"z_{a}_{b}"] == ref(a, b)
+
+
+class TestVersionedSnapshots:
+    def test_versions_are_immutable_and_pinnable(self, spark, tmp_path):
+        from faiss_vector_search_spark.operators import maintenance as mt
+
+        path = str(tmp_path / "t")
+        df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string")
+        df2 = spark.createDataFrame([(1, "a2"), (3, "c")], "id bigint, v string")
+        v0 = mt.write_snapshot(df1, path)
+        v1 = mt.write_snapshot(df2, path)
+        assert (v0, v1) == (0, 1)
+        old = {(r.id, r.v) for r in mt.read_snapshot(spark, path, v0).collect()}
+        new = {(r.id, r.v) for r in mt.read_snapshot(spark, path).collect()}
+        assert old == {(1, "a"), (2, "b")}
+        assert new == {(1, "a2"), (3, "c")}
+        assert mt.latest_version(spark, path) == 1
+
+    def test_uncommitted_writes_invisible(self, spark, tmp_path):
+        from faiss_vector_search_spark.operators import maintenance as mt
+
+        path = str(tmp_path / "t")
+        mt.write_snapshot(
+            spark.createDataFrame([(1,)], "id bigint"), path
+        )
+        # simulate an in-flight (crashed) write: data dir exists but
+        # was never committed to the manifest
+        spark.createDataFrame([(99,)], "id bigint").write.parquet(
+            f"{path}/v=7"
+        )
+        assert mt.latest_version(spark, path) == 0
+        rows = {r.id for r in mt.read_snapshot(spark, path).collect()}
+        assert rows == {1}
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            mt.read_snapshot(spark, path, 7)
