@@ -230,6 +230,12 @@ def main() -> None:
         "session_window_agg": qs["session_window_agg"],
         "binary_hamming_search": qs["binary_hamming_search"],
         "char_entropy": qs["char_entropy"],
+        "bloom_semi_join": qs["bloom_semi_join"],
+        "curation_pipeline": qs["curation_pipeline"],
+        "knn_filtered_search": qs["knn_filtered_search"],
+        "bigram_heavy_hitters": qs["bigram_heavy_hitters"],
+        "mmr_rerank": qs["mmr_rerank"],
+        "pca_project": qs["pca_project"],
     }
 
     def run(fn) -> float:

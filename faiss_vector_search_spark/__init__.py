@@ -37,7 +37,10 @@ Operator modules (``faiss_vector_search_spark.operators.*``):
 - ``transform``   PCA dim reduction (one-pass Gram train, codegen
                   projection)
 - ``rerank``      MMR diversity rerank over retrieval shortlists
-- ``maintenance`` compaction, partition upsert, keyed merge, Z-order
+- ``sketches``    mergeable HLL sketch store, approx_top_k heavy
+                  hitters (incremental-maintenance tier)
+- ``maintenance`` compaction, partition upsert, keyed merge, Z-order,
+                  versioned snapshot store (time travel)
 
 Plus ``sources`` (text-dir, docx, multimodal ingest) and ``streaming``
 (watermarked aggs, incremental index add, stateful sessionization).

@@ -525,3 +525,39 @@ def test_bigram_heavy_hitters_match_exact_counts(spark, sf_small):
     # under ties)
     kth = sorted(counts.values(), reverse=True)[10]
     assert all(n >= kth for n in got.values())
+
+
+# --- plan gates: Q8 / native session window ------------------------------
+
+
+def test_market_share_dims_broadcast_scalar_cross_only(spark, sf_small):
+    tables = {
+        n: fio.load_table(spark, sf_small, n)
+        for n in ("region", "nation", "customer", "supplier", "orders", "lineitem")
+    }
+    # "simple" mode: each operator appears once (formatted mode lists
+    # operators twice — tree + details — which breaks counting)
+    plan = plan_of(
+        analytics.nation_market_share(
+            tables["region"], tables["nation"], tables["customer"],
+            tables["supplier"], tables["orders"], tables["lineitem"],
+        ),
+        mode="simple",
+    )
+    # every dim leg broadcasts; the ONLY nested-loop is the 1-row
+    # scalar target-nation cross join
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert plan.count("BroadcastHashJoin") >= 5
+
+
+def test_session_window_agg_is_native_operator_one_shuffle(spark, sf_small):
+    ev = fio.load_table(spark, sf_small, "events")
+    df = analytics.session_window_agg(ev)
+    df.collect()
+    # the executed-plan string appends the pre-AQE "Initial Plan";
+    # count only the final section
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Initial Plan")[0]
+    assert "session_window" in final            # native merging agg key
+    assert final.count("Exchange hashpartitioning") <= 1
+    assert "RunningWindowFunction" not in final  # not the lag/cumsum shape
