@@ -225,3 +225,45 @@ class TestJsonl:
         )
         out = textstats.token_count(clean)
         assert out.count() == 3
+
+
+class TestPythonDataSource:
+    """Spark 4 Python DataSource connector (sources/pydatasource.py):
+    partition-parallel synthetic events with source-side pushdown."""
+
+    @staticmethod
+    def _read(spark, **opts):
+        from faiss_vector_search_spark.sources import pydatasource
+
+        pydatasource.register(spark)
+        r = spark.read.format("synthetic_events")
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load()
+
+    def test_deterministic_and_partition_count_independent(self, spark):
+        a = self._read(spark, rows=1500, partitions=8)
+        b = self._read(spark, rows=1500, partitions=3)
+        assert a.count() == b.count() == 1500
+        assert a.rdd.getNumPartitions() == 8
+        ra = sorted((r.event_id, r.event_type, r.value) for r in a.collect())
+        rb = sorted((r.event_id, r.event_type, r.value) for r in b.collect())
+        assert ra == rb
+
+    def test_equality_filter_pushed_into_source(self, spark):
+        df = self._read(spark, rows=1000).where("event_type = 'click'")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        filter_lines = [l for l in plan.splitlines() if "Filter " in l]
+        # only the null guard survives; the equality ran at the source
+        assert all("click" not in l for l in filter_lines)
+        full = self._read(spark, rows=1000).collect()
+        want = sorted(r.event_id for r in full if r.event_type == "click")
+        assert sorted(r.event_id for r in df.collect()) == want
+
+    def test_unsupported_filter_stays_in_plan(self, spark):
+        df = self._read(spark, rows=1000).where("value > 50.0")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert any(
+            "50.0" in l for l in plan.splitlines() if "Filter" in l
+        )  # Spark still evaluates what the source declined
+        assert all(r.value > 50.0 for r in df.collect())
