@@ -432,8 +432,11 @@ def test_bloom_prefilter_fact_side_never_shuffles(spark, sf_small):
 
 
 def test_filtered_knn_pushes_label_filter_to_scan(spark, sf_small):
-    # fresh read (other modules cache embeddings; a cache hit would
-    # hide the parquet scan this asserts on)
+    # other modules cache embeddings, and the cache manager matches a
+    # fresh read of the same path by plan — drop caches so the
+    # parquet scan this asserts on is actually in the plan (cached
+    # frames re-materialize lazily on their next action)
+    spark.catalog.clearCache()
     emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
     q = emb.where(F.col("vec_id") == 1).select(
         F.col("embedding").alias("query_vec")
