@@ -58,19 +58,16 @@ def bloom_build(
         .groupBy("word")
         .agg(F.bit_or("bitval").alias("mask"))
     )
-    # densify: sparse (word, mask) rows -> one array value; the map
-    # lookup here runs nwords times total (build-time), while probes
-    # use O(1) array element_at
-    return words.agg(
-        F.map_from_entries(F.collect_list(F.struct("word", "mask"))).alias("m")
-    ).select(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(nwords - 1)),
-            lambda w: F.coalesce(
-                F.element_at(F.col("m"), w), F.lit(0).cast("long")
-            ),
-        ).alias("bloom_bits")
-    )
+    # densify driver-side: the sparse (word, mask) set is at most
+    # nwords rows (~bits/8 bytes total) — the same bounded
+    # model-state collection as k-means centroids. (An expression-side
+    # densify via MapType element_at is O(nwords) PER LOOKUP —
+    # quadratic single-row work that dominated the whole build.)
+    dense = [0] * nwords
+    for r in words.collect():
+        dense[r.word] = r.mask
+    spark = keys.sparkSession
+    return spark.createDataFrame([(dense,)], "bloom_bits array<bigint>")
 
 
 def bloom_might_contain(key, bloom_col, bits: int, num_hashes: int = 5):
