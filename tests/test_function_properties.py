@@ -156,3 +156,64 @@ class TestHashingProperties:
         expected = len(hashes) / 64
         assert max(counts) < 2 * expected
         assert min(counts) > expected / 2
+
+
+class TestBinaryPackProperties:
+    """binarize must reproduce the sign pattern of arbitrary vectors
+    bit-for-bit (one batched Spark evaluation, python unpack check)."""
+
+    def test_unpack_reproduces_sign_pattern(self, spark):
+        from faiss_vector_search_spark.operators import binary
+
+        vecs = []
+
+        @settings(max_examples=50, deadline=None)
+        @given(
+            st.lists(finite, min_size=1, max_size=80)
+        )
+        def collect(v):
+            vecs.append(v)
+
+        collect()
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id bigint, embedding array<double>",
+        )
+        got = {r.vec_id: r.code for r in binary.binarize(df).collect()}
+        for i, v in enumerate(vecs):
+            code = got[i]
+            assert len(code) == (len(v) + 31) // 32
+            bits = []
+            for w, word in enumerate(code):
+                lane = v[w * 32 : (w + 1) * 32]
+                # MSB-first within each word, padded to lane length
+                s = bin(word)[2:].zfill(len(lane))
+                bits.extend(int(c) for c in s)
+            assert bits == [1 if x > 0 else 0 for x in v]
+
+
+class TestBloomProperties:
+    """No false negatives for arbitrary key sets, any bitmap size."""
+
+    def test_never_false_negative(self, spark):
+        from faiss_vector_search_spark.functions import bloom
+
+        key_sets = []
+
+        @settings(max_examples=25, deadline=None)
+        @given(st.sets(st.integers(min_value=-(2**40), max_value=2**40),
+                       min_size=1, max_size=40))
+        def collect(ks):
+            key_sets.append(sorted(ks))
+
+        collect()
+        # one flat evaluation: tag each case, union all keys
+        rows = [(ci, k) for ci, ks in enumerate(key_sets) for k in ks]
+        fact = spark.createDataFrame(rows, "case_id int, k bigint")
+        for ci, ks in list(enumerate(key_sets))[:5]:  # 5 full joins, small bitmap
+            keys = spark.createDataFrame([(k,) for k in ks], "k bigint")
+            pre = bloom.bloom_semi_join(
+                fact.where(F.col("case_id") == ci), keys, "k",
+                bits=1 << 10, exact=False,
+            )
+            assert {r.k for r in pre.collect()} == set(ks)
