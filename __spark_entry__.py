@@ -550,13 +550,19 @@ def q_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pq_rerank_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ ADC shortlist (k*5) + exact re-rank — recovers the exact
-    top-10 on this corpus, so it shares the flat-IP oracle: the
-    hash gate proves the two-stage path is lossless here."""
+    """PQ ADC shortlist + exact re-rank — recovers the exact top-10
+    on this corpus, so it shares the flat-IP oracle: the hash gate
+    proves the two-stage path is lossless here. The expand factor
+    widens on tiny corpora, where codebooks trained on few points
+    quantize coarsely enough that a k*5 shortlist can miss true
+    neighbors (seen at sf0.001)."""
     emb = _t(spark, sf_dir, "embeddings")
     books = _pq_books(spark, sf_dir)
     codes = pq.pq_encode(emb, books)
-    out = pq.pq_topk_rerank(emb, codes, books, _query_vec(emb), k=10, expand=5)
+    expand = 10 if emb.count() < 1000 else 5
+    out = pq.pq_topk_rerank(
+        emb, codes, books, _query_vec(emb), k=10, expand=expand
+    )
     return out.select("vec_id", F.col("score").cast(DBL).alias("score"))
 
 
