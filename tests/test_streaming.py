@@ -229,3 +229,69 @@ def test_streaming_enrich_matches_batch_join(spark, sf_small, events_stream_dir)
     one = got.where("event_type = 'click'").select("type_avg").first()
     want = dim_static.where("event_type = 'click'").first().type_avg
     assert one.type_avg == want
+
+
+def test_watermark_drops_late_events(spark, sf_small, tmp_path):
+    """The documented late-data policy must actually fire: after the
+    watermark advances past them (checkpointed across restarts), a
+    batch of far-older events contributes nothing to the windowed agg
+    — bounded state is real, not just configured."""
+    src = fio.load_table(spark, sf_small, "events")
+    hi = src.agg(F.max(F.unix_micros("ts"))).first()[0]
+    cutoff_us = hi - 24 * 3600 * 1_000_000  # last day = on-time run
+    out = tmp_path / "late_in"
+    ckpt = str(tmp_path / "ckpt")
+    on_time = src.where(F.unix_micros("ts") >= cutoff_us)
+    late = src.where(F.unix_micros("ts") < cutoff_us)  # >23h older
+    assert on_time.count() > 0 and late.count() > 0
+
+    sink = str(tmp_path / "sink")
+
+    def run():
+        # file sink: the one append-mode sink that supports
+        # checkpoint recovery (memory sink does not)
+        q = (
+            streams.streaming_tumbling_agg(
+                streams.stream_events(spark, str(out)), watermark="1 hour"
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    out.mkdir()
+    on_time.coalesce(1).write.parquet(str(out / "b1"))
+    next((out / "b1").glob("*.parquet")).rename(out / "f1.parquet")
+    shutil.rmtree(str(out / "b1"))
+    run()
+    emitted1 = {r.hour for r in spark.read.parquet(sink).collect()}
+    assert emitted1  # on-time windows below the final watermark emitted
+
+    # second run restores the advanced watermark from the checkpoint;
+    # every event in this file is far below it
+    late.coalesce(1).write.parquet(str(out / "b2"))
+    next((out / "b2").glob("*.parquet")).rename(out / "f2.parquet")
+    shutil.rmtree(str(out / "b2"))
+    run()
+    emitted2 = {r.hour for r in spark.read.parquet(sink).collect()}
+    # the boundary hour holds both on-time and late events, so
+    # compare on hours that are EXCLUSIVELY late
+    on_time_hours = {
+        r.h
+        for r in on_time.select(F.date_trunc("hour", "ts").alias("h"))
+        .distinct()
+        .collect()
+    }
+    late_only_hours = {
+        r.h
+        for r in late.select(F.date_trunc("hour", "ts").alias("h"))
+        .distinct()
+        .collect()
+    } - on_time_hours
+    assert late_only_hours
+    assert not (emitted2 & late_only_hours)  # late data fully dropped
+    assert emitted2 == emitted1  # run 2 added no rows at all
