@@ -164,6 +164,29 @@ def main() -> None:
             spark, _ivfpq_paths[sf], q, nprobe=4, k=10
         )
 
+    _ivfsq_paths: dict[str, str] = {}
+
+    def p_ivfsq_persisted(spark, sf):
+        """IVF-SQ8: nprobe/nlist partition pruning x 4x uint8
+        compression with hash-deterministic decode. Build outside the
+        timer."""
+        from faiss_vector_search_spark.operators import sq as sq_mod
+
+        if sf not in _ivfsq_paths:
+            emb = fio.load_table(spark, sf, "embeddings")
+            bounds = sq_mod.sq_train(emb)
+            cents = ivf_mod.seeded_centroids(emb, 16)
+            path = tempfile.mkdtemp(prefix="fvs_ivfsq_bench_")
+            sq_mod.save_ivfsq(emb, cents, bounds, path)
+            _ivfsq_paths[sf] = path
+        emb = fio.load_table(spark, sf, "embeddings")
+        q = emb.where(F.col("vec_id") == 2).select(
+            F.col("embedding").alias("query_vec")
+        )
+        return sq_mod.ivfsq_search_persisted(
+            spark, _ivfsq_paths[sf], q, nprobe=4, k=10
+        )
+
     def p_decontaminate(spark, sf):
         docs = fio.load_table(spark, sf, "documents")
         bench_set = docs.where(F.col("doc_id") % 50 == 0)
@@ -178,6 +201,7 @@ def main() -> None:
         "ann_lsh_search": p_ann_lsh,
         "pq_adc_search": p_pq_adc,
         "ivfpq_search_persisted": p_ivfpq_persisted,
+        "ivfsq_search_persisted": p_ivfsq_persisted,
         "sq_search": qs["sq_search"],
         "dedup_exact": qs["dedup_exact"],
         "dedup_minhash_lsh": p_minhash,

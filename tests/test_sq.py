@@ -125,3 +125,72 @@ def test_search_plan_take_ordered_no_shuffle(emb, bounds, codes):
     # (pos-keyed); the codes/corpus stream itself must never shuffle
     assert "Exchange hashpartitioning(vec_id" not in plan
     assert "Exchange hashpartitioning(codes" not in plan
+
+
+class TestIVFSQPersisted:
+    """IVF-SQ8 (FAISS IndexIVFScalarQuantizer posting-list layout):
+    probes prune the partitioned codes scan; a full-probe search
+    equals the flat SQ8 search exactly."""
+
+    @pytest.fixture(scope="class")
+    def index_path(self, spark, emb, bounds, tmp_path_factory):
+        from faiss_vector_search_spark.operators import ivf
+
+        path = str(tmp_path_factory.mktemp("ivfsq") / "idx")
+        cents = ivf.seeded_centroids(emb, nlist=8)
+        sq.save_ivfsq(emb, cents, bounds, path)
+        return path
+
+    def test_probe_prunes_partitions(self, spark, emb, index_path):
+        q = emb.where(F.col("vec_id") == 2).select(
+            F.col("embedding").alias("query_vec")
+        )
+        from faiss_vector_search_spark.operators import ivf
+
+        cents = spark.read.parquet(f"{index_path}/_centroids")
+        probes = [r.probe_cid for r in ivf.probe_lists(q, cents, 2).collect()]
+        probed = spark.read.parquet(f"{index_path}/codes").where(
+            F.col("list_id").isin(probes)
+        )
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "list_id" in plan
+        got = {r.list_id for r in probed.select("list_id").distinct().collect()}
+        assert got == set(probes) and len(got) == 2
+        out = sq.ivfsq_search_persisted(spark, index_path, q, nprobe=2, k=10)
+        assert out.count() == 10
+
+    def test_full_probe_equals_flat_sq(self, spark, emb, bounds, codes, index_path):
+        q = emb.where(F.col("vec_id") == 2).select(
+            F.col("embedding").alias("query_vec")
+        )
+        got = [
+            (r.vec_id, r.score)
+            for r in sq.ivfsq_search_persisted(
+                spark, index_path, q, nprobe=8, k=10
+            ).collect()
+        ]
+        want = [
+            (r.vec_id, r.score)
+            for r in sq.sq_topk(codes, bounds, q, k=10).collect()
+        ]
+        assert got == want
+
+    def test_probed_results_subset_of_probed_lists(self, spark, emb, index_path):
+        from faiss_vector_search_spark.operators import ivf
+
+        q = emb.where(F.col("vec_id") == 2).select(
+            F.col("embedding").alias("query_vec")
+        )
+        cents = spark.read.parquet(f"{index_path}/_centroids")
+        probe_ids = {
+            r.probe_cid for r in ivf.probe_lists(q, cents, 2).collect()
+        }
+        assigned = ivf.assign_lists(emb, cents)
+        allowed = {
+            r.vec_id
+            for r in assigned.where(
+                F.col("list_id").isin(*probe_ids)
+            ).collect()
+        }
+        out = sq.ivfsq_search_persisted(spark, index_path, q, nprobe=2, k=10)
+        assert {r.vec_id for r in out.collect()} <= allowed
