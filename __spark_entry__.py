@@ -805,6 +805,17 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rerank.mmr_rerank(shortlist, k=10)
 
 
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of every ANN/compression tier vs exact flat search
+    (exact control = 1.0). Rows-only: the report aggregates
+    approximate tiers; per-tier bounds are pytest-gated."""
+    from faiss_vector_search_spark.operators import evaluate
+
+    return evaluate.recall_report(
+        _t(spark, sf_dir, "embeddings"), query_ids=(0, 1, 2), k=10
+    )
+
+
 def q_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketch store: two incremental batches persisted,
     per-slice + total distinct estimates from sketch unions alone.
@@ -2572,6 +2583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_filtered_search": q_knn_filtered_search,
         "distinct_sketch_rollup": q_distinct_sketch_rollup,
         "bigram_heavy_hitters": q_bigram_heavy_hitters,
+        "ann_recall_report": q_ann_recall_report,
     }
 
 

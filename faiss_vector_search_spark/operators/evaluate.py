@@ -1,0 +1,103 @@
+"""Index-quality evaluation — the recall harness an engine owner runs
+before trading exactness for scan cost: for a query sample, recall@k
+of every ANN/compression tier against the exact flat search.
+
+This is the operational complement of the per-tier recall pytest
+gates: the same measurement, packaged as a DataFrame report so a
+pipeline can track index quality over corpus drift (re-run per
+ingest batch; alert when a tier's recall dips).
+
+Structure: the query sample is small and bounded (documented driver
+loop, like BM25's query terms); every per-query search is the tier's
+own scan-shaped plan; recall joins are id-set intersections at k·|Q|
+rows. Nothing here shuffles the corpus beyond what each tier's
+search already does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _hits(tier: str, out: DataFrame, query_id: int, id_col: str) -> DataFrame:
+    return out.select(
+        F.lit(tier).alias("tier"),
+        F.lit(query_id).alias("query_id"),
+        F.col(id_col).alias("hit_id"),
+    )
+
+
+def recall_report(
+    emb: DataFrame,
+    query_ids: tuple = (0, 1, 2),
+    k: int = 10,
+    nlist: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k per tier (flat = 1.0 control, ivf, sq8, binary)
+    averaged over the query sample. Output: (tier, recall_at_k)."""
+    from . import binary as binary_mod
+    from . import ivf as ivf_mod
+    from . import knn as knn_mod
+    from . import sq as sq_mod
+
+    spark = emb.sparkSession
+    cents = ivf_mod.seeded_centroids(emb, nlist, id_col=id_col, vec_col=vec_col)
+    bounds = sq_mod.sq_train(emb, vec_col=vec_col)
+    codes = sq_mod.sq_encode(emb, bounds, id_col=id_col, vec_col=vec_col)
+    bcodes = binary_mod.binarize(emb, vec_col=vec_col)
+
+    frames = []
+    exacts = []
+    for qid in query_ids:  # bounded sample — documented driver loop
+        q = emb.where(F.col(id_col) == qid).select(
+            F.col(vec_col).alias("query_vec")
+        )
+        bq = bcodes.where(F.col(id_col) == qid).select(
+            F.col("code").alias("query_code")
+        )
+        exacts.append(
+            _hits("exact", knn_mod.topk(emb, q, k=k, id_col=id_col,
+                                        vec_col=vec_col), qid, id_col)
+        )
+        frames.append(
+            _hits("ivf", ivf_mod.ivf_search(
+                emb, q, nlist=nlist, nprobe=nprobe, k=k,
+                id_col=id_col, vec_col=vec_col, centroids=cents,
+            ), qid, id_col)
+        )
+        frames.append(
+            _hits("sq8", sq_mod.sq_topk(codes, bounds, q, k=k,
+                                        id_col=id_col), qid, id_col)
+        )
+        frames.append(
+            _hits("binary", binary_mod.hamming_topk(bcodes, bq, k=k,
+                                                    id_col=id_col),
+                  qid, id_col)
+        )
+
+    import functools
+
+    truth = functools.reduce(DataFrame.unionByName, exacts).select(
+        "query_id", "hit_id"
+    )
+    tiers = functools.reduce(
+        DataFrame.unionByName, frames + [e for e in exacts]
+    )
+    matched = tiers.join(
+        truth.withColumn("is_true", F.lit(1)), ["query_id", "hit_id"], "left"
+    )
+    return (
+        matched.groupBy("tier")
+        .agg(
+            F.round(
+                F.sum(F.coalesce(F.col("is_true"), F.lit(0)))
+                / (len(query_ids) * k),
+                4,
+            ).alias("recall_at_k")
+        )
+        .orderBy(F.col("recall_at_k").desc(), F.col("tier").asc())
+    )

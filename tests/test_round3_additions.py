@@ -564,3 +564,18 @@ def test_session_window_agg_is_native_operator_one_shuffle(spark, sf_small):
     assert "session_window" in final            # native merging agg key
     assert final.count("Exchange hashpartitioning") <= 1
     assert "RunningWindowFunction" not in final  # not the lag/cumsum shape
+
+
+# --- recall report --------------------------------------------------------
+
+
+def test_recall_report_control_and_bounds(emb):
+    from faiss_vector_search_spark.operators import evaluate
+
+    out = {r.tier: r.recall_at_k for r in
+           evaluate.recall_report(emb, query_ids=(0, 1, 2), k=10).collect()}
+    assert set(out) == {"exact", "ivf", "sq8", "binary"}
+    assert out["exact"] == 1.0             # control: flat vs itself
+    assert out["sq8"] >= 0.8               # 8-bit decode is near-exact
+    for tier, r in out.items():
+        assert 0.0 <= r <= 1.0
