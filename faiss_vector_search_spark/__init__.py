@@ -39,6 +39,7 @@ Operator modules (``faiss_vector_search_spark.operators.*``):
 - ``rerank``      MMR diversity rerank over retrieval shortlists
 - ``sketches``    mergeable HLL sketch store, approx_top_k heavy
                   hitters (incremental-maintenance tier)
+- ``evaluate``    recall@k report of every ANN tier vs exact flat
 - ``maintenance`` compaction, partition upsert, keyed merge, Z-order,
                   versioned snapshot store (time travel)
 
