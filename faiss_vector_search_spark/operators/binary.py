@@ -89,3 +89,56 @@ def hamming_topk(
         .orderBy(F.col("hamming").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def save_ivfbin(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF-binary index (FAISS ``IndexBinaryIVF``
+    analogue): binary sign codes partitioned by coarse list — probe
+    pruning × the 32× code compression, with integer-exact distances
+    inside each probed partition.
+
+    Coarse assignment runs on the FLOAT vectors against the float
+    centroids (FAISS's IndexBinaryIVF quantizes with binary
+    centroids; assigning in float space before binarizing costs
+    nothing extra here — the floats are already in hand at build
+    time — and gives strictly better list placement)."""
+    from .ivf import assign_lists
+
+    assigned = assign_lists(corpus, centroids, vec_col=vec_col)
+    codes = binarize(assigned, vec_col=vec_col)
+    codes.write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{path}/codes"
+    )
+    centroids.write.mode("overwrite").parquet(f"{path}/_centroids")
+
+
+def ivfbin_search_persisted(
+    spark,
+    path: str,
+    query: DataFrame,
+    query_code: DataFrame,
+    nprobe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Search a persisted IVF-binary index: float query probes the
+    coarse centroids, the codes scan prunes to those partitions, and
+    Hamming ranking runs on the 32×-smaller codes. Scan cost =
+    (nprobe/nlist) × 1/32 of a flat float scan's bytes — the
+    cheapest tier in the index ladder."""
+    from .ivf import probe_lists
+
+    cents = spark.read.parquet(f"{path}/_centroids")
+    probe_ids = [
+        r.probe_cid for r in probe_lists(query, cents, nprobe).collect()
+    ]
+    codes = spark.read.parquet(f"{path}/codes").where(
+        F.col("list_id").isin(probe_ids)
+    )
+    return hamming_topk(codes, query_code, k=k, id_col=id_col)

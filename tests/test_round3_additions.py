@@ -579,3 +579,51 @@ def test_recall_report_control_and_bounds(emb):
     assert out["sq8"] >= 0.8               # 8-bit decode is near-exact
     for tier, r in out.items():
         assert 0.0 <= r <= 1.0
+
+
+# --- IVF-binary persisted index -------------------------------------------
+
+
+class TestIVFBinaryPersisted:
+    @pytest.fixture(scope="class")
+    def bin_index(self, spark, emb, tmp_path_factory):
+        from faiss_vector_search_spark.operators import binary, ivf
+
+        path = str(tmp_path_factory.mktemp("ivfbin") / "idx")
+        cents = ivf.seeded_centroids(emb, nlist=8)
+        binary.save_ivfbin(emb, cents, path)
+        return path
+
+    def test_probe_prunes_and_full_probe_equals_flat(self, spark, emb, bin_index):
+        from faiss_vector_search_spark.operators import binary, ivf
+
+        q = emb.where(F.col("vec_id") == 2).select(
+            F.col("embedding").alias("query_vec")
+        )
+        qc = binary.binarize(
+            emb.where(F.col("vec_id") == 2)
+        ).select(F.col("code").alias("query_code"))
+
+        cents = spark.read.parquet(f"{bin_index}/_centroids")
+        probes = [r.probe_cid for r in ivf.probe_lists(q, cents, 2).collect()]
+        probed = spark.read.parquet(f"{bin_index}/codes").where(
+            F.col("list_id").isin(probes)
+        )
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "list_id" in plan
+        assert {
+            r.list_id for r in probed.select("list_id").distinct().collect()
+        } == set(probes)
+
+        got = [
+            (r.vec_id, r.hamming)
+            for r in binary.ivfbin_search_persisted(
+                spark, bin_index, q, qc, nprobe=8, k=10
+            ).collect()
+        ]
+        flat = binary.binarize(emb)
+        want = [
+            (r.vec_id, r.hamming)
+            for r in binary.hamming_topk(flat, qc, k=10).collect()
+        ]
+        assert got == want
