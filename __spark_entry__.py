@@ -2485,57 +2485,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering contract: the driver's CORRECTNESS artifact covered exactly the
+    # first 50 insertion-order keys in r2, so the 41 oracle-gated keys that have
+    # no driver-side green row yet come FIRST, followed by a 9-key band of
+    # previously driver-verified queries (re-verification canary), then the rest.
+    # Rotate again next round if the window still caps at 50.
     return {
-        "knn_topk_ip": q_knn_topk_ip,
-        "knn_topk_l2": q_knn_topk_l2,
-        "knn_fixed_threshold": q_knn_fixed_threshold,
-        "knn_dynamic_threshold": q_knn_dynamic_threshold,
-        "knn_threshold_progression": q_knn_threshold_progression,
-        "knn_batch": q_knn_batch,
-        "ivf_search": q_ivf_search,
-        "ivf_kmeans_search": q_ivf_kmeans_search,
-        "vector_normalize": q_vector_normalize,
-        "index_stats": q_index_stats,
-        "add_documents": q_add_documents,
-        "embed_text": q_embed_text,
-        "text_search": q_text_search,
-        "bm25_search": q_bm25_search,
-        "hybrid_search": q_hybrid_search,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "dedup_keep_best": q_dedup_keep_best,
-        "dedup_clusters": q_dedup_clusters,
-        "stratified_sample": q_stratified_sample,
-        "ann_lsh_search": q_ann_lsh_search,
-        "dedup_embedding_lsh": q_dedup_embedding_lsh,
-        "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
-        "token_count": q_token_count,
-        "doc_fingerprint": q_doc_fingerprint,
-        "chunk_fixed": q_chunk_fixed,
-        "chunk_documents_greedy": q_chunk_documents_greedy,
-        "pack_sequences": q_pack_sequences,
-        "tpch_q1": q_tpch_q1,
-        "top_customers_by_nation": q_top_customers_by_nation,
-        "part_revenue_share": q_part_revenue_share,
-        "shipping_priority": q_shipping_priority,
-        "regional_supplier_volume": q_regional_supplier_volume,
-        "order_priority_check": q_order_priority_check,
-        "events_asof_join": q_events_asof_join,
-        "events_range_join": q_events_range_join,
-        "events_sessionize": q_events_sessionize,
-        "events_tumbling": q_events_tumbling,
-        "rolling_user_activity": q_rolling_user_activity,
-        "events_hopping": q_events_hopping,
-        "customers_without_orders": q_customers_without_orders,
-        "small_quantity_revenue": q_small_quantity_revenue,
-        "pricing_rollup": q_pricing_rollup,
-        "minmax_scale_events": q_minmax_scale_events,
-        "distinct_users_by_type": q_distinct_users_by_type,
-        "approx_distinct_users": q_approx_distinct_users,
         "json_props_rollup": q_json_props_rollup,
         "event_value_quantiles": q_event_value_quantiles,
         "tfidf_topk_terms": q_tfidf_topk_terms,
@@ -2545,7 +2500,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "near_dup_dedup": q_near_dup_dedup,
         "label_centroids": q_label_centroids,
-        "pq_adc_search": q_pq_adc_search,
         "pq_rerank_search": q_pq_rerank_search,
         "pricing_cube": q_pricing_cube,
         "nation_trade_volume": q_nation_trade_volume,
@@ -2566,7 +2520,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_search": q_sq_search,
         "returned_item_report": q_returned_item_report,
         "supplier_count_by_part": q_supplier_count_by_part,
-        "approx_event_value_quantiles": q_approx_event_value_quantiles,
         "range_search": q_range_search,
         "vector_reconstruct": q_vector_reconstruct,
         "remove_vectors": q_remove_vectors,
@@ -2576,11 +2529,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_agg": q_session_window_agg,
         "binary_hamming_search": q_binary_hamming_search,
         "char_entropy": q_char_entropy,
-        "pca_project": q_pca_project,
-        "mmr_rerank": q_mmr_rerank,
         "bloom_semi_join": q_bloom_semi_join,
         "curation_pipeline": q_curation_pipeline,
         "knn_filtered_search": q_knn_filtered_search,
+        "knn_topk_ip": q_knn_topk_ip,
+        "knn_batch": q_knn_batch,
+        "ivf_search": q_ivf_search,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "tpch_q1": q_tpch_q1,
+        "events_asof_join": q_events_asof_join,
+        "bm25_search": q_bm25_search,
+        "chunk_documents_greedy": q_chunk_documents_greedy,
+        "pack_sequences": q_pack_sequences,
+        "knn_topk_l2": q_knn_topk_l2,
+        "knn_fixed_threshold": q_knn_fixed_threshold,
+        "knn_dynamic_threshold": q_knn_dynamic_threshold,
+        "knn_threshold_progression": q_knn_threshold_progression,
+        "ivf_kmeans_search": q_ivf_kmeans_search,
+        "vector_normalize": q_vector_normalize,
+        "index_stats": q_index_stats,
+        "add_documents": q_add_documents,
+        "embed_text": q_embed_text,
+        "text_search": q_text_search,
+        "hybrid_search": q_hybrid_search,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_keep_best": q_dedup_keep_best,
+        "dedup_clusters": q_dedup_clusters,
+        "stratified_sample": q_stratified_sample,
+        "ann_lsh_search": q_ann_lsh_search,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_count": q_token_count,
+        "doc_fingerprint": q_doc_fingerprint,
+        "chunk_fixed": q_chunk_fixed,
+        "top_customers_by_nation": q_top_customers_by_nation,
+        "part_revenue_share": q_part_revenue_share,
+        "shipping_priority": q_shipping_priority,
+        "regional_supplier_volume": q_regional_supplier_volume,
+        "order_priority_check": q_order_priority_check,
+        "events_range_join": q_events_range_join,
+        "events_sessionize": q_events_sessionize,
+        "events_tumbling": q_events_tumbling,
+        "rolling_user_activity": q_rolling_user_activity,
+        "events_hopping": q_events_hopping,
+        "customers_without_orders": q_customers_without_orders,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        "pricing_rollup": q_pricing_rollup,
+        "minmax_scale_events": q_minmax_scale_events,
+        "distinct_users_by_type": q_distinct_users_by_type,
+        "approx_distinct_users": q_approx_distinct_users,
+        "pq_adc_search": q_pq_adc_search,
+        "approx_event_value_quantiles": q_approx_event_value_quantiles,
+        "pca_project": q_pca_project,
+        "mmr_rerank": q_mmr_rerank,
         "distinct_sketch_rollup": q_distinct_sketch_rollup,
         "bigram_heavy_hitters": q_bigram_heavy_hitters,
         "ann_recall_report": q_ann_recall_report,
