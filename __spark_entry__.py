@@ -2308,7 +2308,8 @@ FROM embeddings
 WHERE vec_id % 7 <> 0
 """,
         "tpch_q6": """
-SELECT ROUND(sum(l_extendedprice * l_discount), 2) AS revenue_delta,
+SELECT CAST(ROUND(sum(CAST(l_extendedprice * l_discount AS DECIMAL(25,8))), 2)
+            AS DOUBLE) AS revenue_delta,
        CAST(count(*) AS BIGINT) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'

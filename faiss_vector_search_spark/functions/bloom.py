@@ -102,12 +102,25 @@ def bloom_semi_join(
     ~fpp-sized) survivor stream — same answer as a direct semi-join,
     but the shuffle/broadcast sees only surviving rows. ``exact=False``
     keeps the pure scan-side filter (no false negatives, ~fpp false
-    positives) for probabilistic pipelines."""
+    positives) for probabilistic pipelines.
+
+    ``xxhash64`` is type-sensitive (hash of 1 as INT != 1 as BIGINT),
+    so the probe side is cast to the build side's key type before
+    hashing — otherwise mismatched key types (int vs bigint, decimal
+    vs double) would make build and probe positions disagree and the
+    pre-filter would silently drop matching rows, which ``exact=True``
+    could never recover. Casting the probe value of a genuinely equal
+    pair yields the build value, so no false negatives are introduced:
+    a probe value the cast mangles could not have equi-joined anyway."""
     fk = fact_key_col or key_col
+    build_type = keys.schema[key_col].dataType
+    probe = F.col(fk)
+    if fact.schema[fk].dataType != build_type:
+        probe = probe.cast(build_type)
     bloom = F.broadcast(bloom_build(keys, key_col, bits, num_hashes))
     pre = (
         fact.crossJoin(bloom)
-        .where(bloom_might_contain(F.col(fk), F.col("bloom_bits"), bits, num_hashes))
+        .where(bloom_might_contain(probe, F.col("bloom_bits"), bits, num_hashes))
         .drop("bloom_bits")
     )
     if not exact:

@@ -30,12 +30,22 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        # older testdata generations carried TIMESTAMP(NANOS), which
-        # Spark's reader rejects by default; read as long (ns since
-        # epoch). Runtime conf, set here so it works under the
-        # driver's own session. Harmless for µs data.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Engine-wide timestamp contract (also pinned by session.get_spark,
+    # re-asserted here UNCONDITIONALLY for sessions the factory didn't
+    # build, e.g. the round driver's): the session zone is UTC from the
+    # first load_table call onward — a constant invariant, not a
+    # load-order-dependent side effect. The parquet stores naive
+    # timestamps (TIMESTAMP_NTZ); the oracle (DuckDB) interprets them
+    # as-written, i.e. as UTC instants, so the NTZ→LTZ cast below is
+    # the same interpretation under a UTC session zone. The cast is
+    # unwrapped by UnwrapCastInBinaryComparison, so date predicates
+    # still reach the parquet scan as PushedFilters (test_plans) — an
+    # opaque per-column rewrite (to_utc_timestamp) would block that
+    # pushdown, which is why the session-zone pin is the chosen form.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Older testdata generations carried TIMESTAMP(NANOS); read as
+    # long (ns since epoch). Harmless for µs data.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     ntz = [
         f.name
@@ -43,14 +53,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(f.dataType, T.TimestampNTZType)
     ]
     if ntz:
-        # the parquet stores naive timestamps (TIMESTAMP_NTZ); the
-        # oracle (DuckDB) interprets them as-written, i.e. as UTC
-        # instants. Pin the session zone so the NTZ→LTZ cast below is
-        # the same interpretation, then cast so every downstream
-        # operator sees plain TIMESTAMP. The cast is unwrapped by
-        # UnwrapCastInBinaryComparison, so date predicates still reach
-        # the parquet scan as PushedFilters (asserted in test_plans).
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     return df
 

@@ -1127,9 +1127,22 @@ def discount_revenue_delta(
             & (F.col("l_quantity") < qty_max)
         )
         .agg(
+            # same exact-decimal pattern as nation_market_share: the
+            # per-row double product is one IEEE multiply (bit-identical
+            # across engines) and its true value has ≤4 decimal digits,
+            # so the DECIMAL(25,8) cast is exact; summing decimals is
+            # immune to summation order, unlike ROUND(sum(double), 2)
+            # which flips cents whenever partial-sum order differs.
             F.round(
-                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
-            ).alias("revenue_delta"),
+                F.sum(
+                    (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                        "decimal(25,8)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue_delta"),
             F.count("*").alias("n_lines"),
         )
     )

@@ -37,7 +37,10 @@ def mmr_rerank(
 
     ``candidates`` must carry (query_id, vec_id, score, embedding).
     Output: (query_id, vec_id, mmr_rank 1..k, score) — score is the
-    original relevance, rank is the MMR pick order."""
+    original relevance, rank is the MMR pick order. The id columns keep
+    whatever types ``candidates`` carries (string doc ids work: the
+    output schema is derived from the input schema and the tie-break
+    compares ids with their native ordering)."""
     import pandas as pd
 
     def pick(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -57,10 +60,14 @@ def mmr_rerank(
             for i in remaining:
                 red = max((sims[i, j] for j in picked), default=0.0)
                 val = lambda_ * scores[i] - (1.0 - lambda_) * red
-                # tie-break: higher val, then lower vec_id
-                key = (val, -int(ids[i]))
-                if best is None or key > best_val:
-                    best, best_val = i, key
+                # tie-break: higher val, then lower id (type-agnostic:
+                # native ordering of whatever the id column holds)
+                if (
+                    best is None
+                    or val > best_val
+                    or (val == best_val and ids[i] < ids[best])
+                ):
+                    best, best_val = i, val
             picked.append(best)
             remaining.remove(best)
         return pd.DataFrame(
@@ -72,8 +79,11 @@ def mmr_rerank(
             }
         )
 
+    in_schema = candidates.schema
+    qt = in_schema[query_id_col].dataType.simpleString()
+    it = in_schema[id_col].dataType.simpleString()
     schema = (
-        f"{query_id_col} bigint, {id_col} bigint, "
+        f"{query_id_col} {qt}, {id_col} {it}, "
         f"mmr_rank int, {score_col} double"
     )
     return candidates.groupBy(query_id_col).applyInPandas(pick, schema=schema)

@@ -42,8 +42,10 @@ def union_distinct_counts(
     slices: list | None = None,
 ) -> DataFrame:
     """Per-slice distinct estimates from the sketch store — raw data
-    never re-read. ``slices=None`` also returns the grand total row
-    (slice NULL): one more union over the same tiny scan."""
+    never re-read. Always appends one NULL-slice row holding the union
+    over the SELECTED slices: the grand total when ``slices=None``, the
+    total of just those slices otherwise (the slice filter is applied
+    before every union). One more union over the same tiny scan."""
     store = spark.read.parquet(path)
     if slices is not None:
         store = store.where(F.col(slice_col).isin(*slices))
@@ -53,7 +55,9 @@ def union_distinct_counts(
         )
     )
     total = store.agg(
-        F.lit(None).cast("string").alias(slice_col),
+        # typed to the store's own slice column so unionByName never
+        # coerces (or fails on) a non-string slice_col
+        F.lit(None).cast(store.schema[slice_col].dataType).alias(slice_col),
         F.expr("hll_sketch_estimate(hll_union_agg(sketch))").alias(
             "approx_distinct"
         ),

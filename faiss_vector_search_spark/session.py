@@ -33,6 +33,15 @@ def get_spark(
         # Arrow for applyInPandas/mapInPandas operators (chunker, stubs).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Engine-wide timestamp contract: all timestamps are UTC
+        # instants. Pinned here (constant, explicit) and re-asserted by
+        # io.load_table for sessions the factory didn't build (the
+        # round driver's own session).
+        .config("spark.sql.session.timeZone", "UTC")
+        # Older testdata generations carried TIMESTAMP(NANOS), which
+        # Spark's reader rejects by default; read as long (ns since
+        # epoch). Harmless for µs data.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -627,3 +627,54 @@ class TestIVFBinaryPersisted:
             for r in binary.hamming_topk(flat, qc, k=10).collect()
         ]
         assert got == want
+
+
+# --- round-3 ADVICE regression gates -------------------------------------
+
+
+def test_bloom_semi_join_mismatched_key_types_no_false_negatives(spark):
+    # xxhash64 is type-sensitive: int keys vs bigint fact must still
+    # canonicalize to the same hash positions (probe cast to build type)
+    from faiss_vector_search_spark.functions import bloom
+
+    keys = spark.range(300).select((F.col("id") * 3).cast("int").alias("k"))
+    fact = spark.range(5000).select((F.col("id") % 1000).alias("k"))  # bigint
+    exact = fact.join(keys.select(F.col("k").cast("bigint")), "k", "left_semi")
+    got = bloom.bloom_semi_join(fact, keys, "k", bits=1 << 14)
+    assert got.count() == exact.count() > 0
+    pre = bloom.bloom_semi_join(fact, keys, "k", bits=1 << 14, exact=False)
+    assert exact.exceptAll(pre).count() == 0
+
+
+def test_mmr_rerank_string_ids(spark):
+    from faiss_vector_search_spark.operators import rerank
+
+    rows = [
+        ("qa", "doc-b", 0.90, [1.0, 0.0]),
+        ("qa", "doc-a", 0.90, [0.0, 1.0]),  # score tie -> lower id first
+        ("qa", "doc-c", 0.50, [0.5, 0.5]),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id string, vec_id string, score double, embedding array<double>"
+    )
+    out = (
+        rerank.mmr_rerank(df, k=3, lambda_=1.0)
+        .orderBy("mmr_rank")
+        .collect()
+    )
+    assert [r.vec_id for r in out] == ["doc-a", "doc-b", "doc-c"]
+    assert out[0].query_id == "qa"
+
+
+def test_sketch_store_non_string_slice_col(spark, tmp_path):
+    from faiss_vector_search_spark.operators import sketches
+
+    ev = spark.range(1000).select(
+        (F.col("id") % 4).alias("bucket"), (F.col("id") % 97).alias("user_id")
+    )
+    p = str(tmp_path / "sk_int")
+    sketches.save_distinct_sketches(ev, p, slice_col="bucket")
+    out = sketches.union_distinct_counts(spark, p, slice_col="bucket").collect()
+    assert {r.bucket for r in out} == {0, 1, 2, 3, None}
+    total = next(r.approx_distinct for r in out if r.bucket is None)
+    assert abs(total - 97) <= 5
