@@ -36,12 +36,23 @@ def recall_report(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pq_m: int = 8,
+    pq_ksub: int = 16,
+    pq_iters: int = 3,
 ) -> DataFrame:
-    """Recall@k per tier (flat = 1.0 control, ivf, sq8, binary)
-    averaged over the query sample. Output: (tier, recall_at_k)."""
+    """Recall@k per tier, averaged over the query sample.
+
+    Tiers: flat exact (= 1.0 control), ivf, sq8, binary, and the PQ
+    ladder — pq_adc (compressed-domain ranking), pq_rerank (ADC
+    shortlist + exact rescore), ivfpq (probe-pruned ADC: the codes
+    filtered to the nprobe probed lists before ranking — the exact
+    candidate set ivfpq_search_persisted reads via partition pruning,
+    so its recall measures the persisted tier without a write).
+    Output: (tier, recall_at_k)."""
     from . import binary as binary_mod
     from . import ivf as ivf_mod
     from . import knn as knn_mod
+    from . import pq as pq_mod
     from . import sq as sq_mod
 
     spark = emb.sparkSession
@@ -49,6 +60,15 @@ def recall_report(
     bounds = sq_mod.sq_train(emb, vec_col=vec_col)
     codes = sq_mod.sq_encode(emb, bounds, id_col=id_col, vec_col=vec_col)
     bcodes = binary_mod.binarize(emb, vec_col=vec_col)
+    books = pq_mod.pq_train(
+        emb, m=pq_m, ksub=pq_ksub, iters=pq_iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    assigned = ivf_mod.assign_lists(emb, cents, vec_col=vec_col)
+    pq_codes = pq_mod.pq_encode(
+        assigned, books, id_col=id_col, vec_col=vec_col,
+        keep_cols=("list_id",),
+    )
 
     frames = []
     exacts = []
@@ -77,6 +97,27 @@ def recall_report(
             _hits("binary", binary_mod.hamming_topk(bcodes, bq, k=k,
                                                     id_col=id_col),
                   qid, id_col)
+        )
+        frames.append(
+            _hits("pq_adc", pq_mod.pq_topk_adc(
+                pq_codes, books, q, k=k, id_col=id_col,
+            ), qid, id_col)
+        )
+        frames.append(
+            _hits("pq_rerank", pq_mod.pq_topk_rerank(
+                emb, pq_codes, books, q, k=k,
+                id_col=id_col, vec_col=vec_col,
+            ), qid, id_col)
+        )
+        probed = pq_codes.join(
+            F.broadcast(ivf_mod.probe_lists(q, cents, nprobe)),
+            pq_codes["list_id"] == F.col("probe_cid"),
+            "leftsemi",
+        )
+        frames.append(
+            _hits("ivfpq", pq_mod.pq_topk_adc(
+                probed, books, q, k=k, id_col=id_col,
+            ), qid, id_col)
         )
 
     import functools

@@ -37,7 +37,12 @@ def seeded_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Deterministic coarse quantizer: first ``nlist`` vectors by id."""
+    """Deterministic coarse quantizer: first ``nlist`` vectors by id.
+
+    Compiles to TakeOrdered — k·P candidate rows merge on the driver,
+    so ``nlist`` must stay driver-sized (thousands, the normal IVF
+    regime: FAISS guidance is nlist ≈ √N, and the centroid table must
+    broadcast anyway). For an extreme nlist, sample-and-sort instead."""
     return (
         corpus.orderBy(F.col(id_col).asc())
         .limit(nlist)

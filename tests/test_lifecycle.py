@@ -1,0 +1,201 @@
+"""Persisted-index lifecycle gates (SURVEY §2 round-3: incremental
+append to the IVF-family persisted tiers + retrain drift guard).
+
+Contracts under test, per tier:
+- appending N vectors writes files ONLY under the touched list
+  partitions (untouched list dirs keep their exact file sets);
+- search over (initial build + append) equals search over a full
+  rebuild with the same quantizer state;
+- identical (id, vector) re-adds dedup to a no-op;
+- should_retrain trips on watermark-relative growth and retrain_ivf
+  recovers low-nprobe recall after a distribution shift.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from faiss_vector_search_spark import io as fio
+from faiss_vector_search_spark.operators import (
+    binary as binary_mod,
+    ivf as ivf_mod,
+    knn as knn_mod,
+    lifecycle,
+    pq as pq_mod,
+    sq as sq_mod,
+)
+
+
+def _partition_files(table_path: str) -> dict[str, set]:
+    out: dict[str, set] = {}
+    for d in os.listdir(table_path):
+        if d.startswith("list_id="):
+            out[d] = set(os.listdir(os.path.join(table_path, d)))
+    return out
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_small):
+    return fio.load_table(spark, sf_small, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def split(emb):
+    initial = emb.where(F.col("vec_id") % 3 != 0)
+    batch = emb.where(F.col("vec_id") % 3 == 0)
+    return initial, batch
+
+
+def _query(emb, qid=7):
+    return emb.where(F.col("vec_id") == qid).select(
+        F.col("embedding").alias("query_vec")
+    )
+
+
+def test_ivf_append_touched_only_and_full_parity(
+    spark, emb, split, tmp_path
+):
+    initial, batch = split
+    cents = ivf_mod.seeded_centroids(emb, 8)
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    ivf_mod.save_ivf(initial, cents, inc)
+    before = _partition_files(f"{inc}/vectors")
+
+    touched = lifecycle.ivf_append(spark, inc, batch)
+    assert touched
+    after = _partition_files(f"{inc}/vectors")
+    for d, files in before.items():
+        if int(d.split("=")[1]) not in touched:
+            assert after[d] == files  # untouched lists: no new files
+
+    ivf_mod.save_ivf(emb, cents, full)
+    q = _query(emb)
+    got = ivf_mod.ivf_search_persisted(spark, inc, q, nprobe=8).collect()
+    want = ivf_mod.ivf_search_persisted(spark, full, q, nprobe=8).collect()
+    assert got == want
+
+
+def test_ivf_append_dedups_identical_readds(spark, emb, split, tmp_path):
+    initial, batch = split
+    cents = ivf_mod.seeded_centroids(emb, 8)
+    p = str(tmp_path / "dedup")
+    ivf_mod.save_ivf(initial, cents, p)
+    lifecycle.ivf_append(spark, p, batch)
+    n1 = spark.read.parquet(f"{p}/vectors").count()
+    lifecycle.ivf_append(spark, p, batch)  # identical re-add
+    assert spark.read.parquet(f"{p}/vectors").count() == n1 == emb.count()
+
+
+def test_ivfpq_append_parity(spark, emb, split, tmp_path):
+    initial, batch = split
+    cents = ivf_mod.seeded_centroids(emb, 8)
+    books = pq_mod.pq_train(initial, m=8, ksub=8, iters=2)
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    pq_mod.save_ivfpq(initial, cents, books, inc)
+    before = _partition_files(f"{inc}/codes")
+    touched = lifecycle.ivfpq_append(spark, inc, batch)
+    after = _partition_files(f"{inc}/codes")
+    for d, files in before.items():
+        if int(d.split("=")[1]) not in touched:
+            assert after[d] == files
+
+    pq_mod.save_ivfpq(emb, cents, books, full)
+    q = _query(emb)
+    got = pq_mod.ivfpq_search_persisted(spark, inc, q, nprobe=8).collect()
+    want = pq_mod.ivfpq_search_persisted(spark, full, q, nprobe=8).collect()
+    assert got == want
+
+
+def test_ivfsq_append_parity(spark, emb, split, tmp_path):
+    initial, batch = split
+    cents = ivf_mod.seeded_centroids(emb, 8)
+    bounds = sq_mod.sq_train(initial)
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    sq_mod.save_ivfsq(initial, cents, bounds, inc)
+    lifecycle.ivfsq_append(spark, inc, batch)
+    sq_mod.save_ivfsq(emb, cents, bounds, full)
+    q = _query(emb)
+    got = sq_mod.ivfsq_search_persisted(spark, inc, q, nprobe=8).collect()
+    want = sq_mod.ivfsq_search_persisted(spark, full, q, nprobe=8).collect()
+    assert got == want
+
+
+def test_ivfbin_append_parity(spark, emb, split, tmp_path):
+    initial, batch = split
+    cents = ivf_mod.seeded_centroids(emb, 8)
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    binary_mod.save_ivfbin(initial, cents, inc)
+    lifecycle.ivfbin_append(spark, inc, batch)
+    binary_mod.save_ivfbin(emb, cents, full)
+    q = _query(emb)
+    qcode = binary_mod.binarize(
+        _query(emb).select(F.col("query_vec").alias("embedding"))
+    ).select(F.col("code").alias("query_code"))
+    got = binary_mod.ivfbin_search_persisted(
+        spark, inc, q, qcode, nprobe=8
+    ).collect()
+    want = binary_mod.ivfbin_search_persisted(
+        spark, full, q, qcode, nprobe=8
+    ).collect()
+    assert got == want
+
+
+def test_should_retrain_watermark(spark, emb, split, tmp_path):
+    initial, batch = split
+    cents = ivf_mod.seeded_centroids(initial, 8)
+    p = str(tmp_path / "wm")
+    ivf_mod.save_ivf(initial, cents, p)
+    n0 = initial.count()
+    lifecycle.write_train_meta(spark, p, n0)
+    assert not lifecycle.should_retrain(spark, p)  # no growth yet
+    lifecycle.ivf_append(spark, p, batch)
+    # grown by ~1.5x: below the 4x default, above a 1.2x guard
+    assert not lifecycle.should_retrain(spark, p, growth_factor=4.0)
+    assert lifecycle.should_retrain(spark, p, growth_factor=1.2)
+    # absent watermark: the reference's >=100-points rule
+    q = str(tmp_path / "nometa")
+    ivf_mod.save_ivf(initial, cents, q)
+    assert lifecycle.should_retrain(spark, q)  # ntotal >= 100, no meta
+
+
+def _recall_at_k(spark, path, emb, qid, nprobe, k=10):
+    q = emb.where(F.col("vec_id") == qid).select(
+        F.col("embedding").alias("query_vec")
+    )
+    truth = {
+        r.vec_id
+        for r in knn_mod.topk(emb, q, k=k).collect()
+    }
+    got = {
+        r.vec_id
+        for r in ivf_mod.ivf_search_persisted(
+            spark, path, q, nprobe=nprobe, k=k
+        ).collect()
+    }
+    return len(got & truth) / k
+
+
+def test_retrain_recovers_recall_after_drift(spark, emb, tmp_path):
+    # drift scenario: quantizer trained while only labels {0,1} existed;
+    # the corpus then grows to all labels — old centroids cover the new
+    # mass badly, so fixed-nprobe recall on a new-label query decays.
+    initial = emb.where(F.col("label") < 2)
+    drift = emb.where(F.col("label") >= 2)
+    p = str(tmp_path / "drift")
+    cents0 = ivf_mod.kmeans_centroids(initial, 8, iters=3)
+    ivf_mod.save_ivf(initial, cents0, p)
+    lifecycle.write_train_meta(spark, p, initial.count())
+    lifecycle.ivf_append(spark, p, drift)
+    assert lifecycle.should_retrain(spark, p, growth_factor=2.0)
+
+    qid = drift.agg(F.max("vec_id")).first()[0]
+    before = _recall_at_k(spark, p, emb, qid, nprobe=2)
+    lifecycle.retrain_ivf(spark, p, iters=3)
+    after = _recall_at_k(spark, p, emb, qid, nprobe=2)
+    assert after >= before
+    assert after >= 0.5
+    # watermark moved: immediately after retrain, no retrain needed
+    assert not lifecycle.should_retrain(spark, p, growth_factor=2.0)

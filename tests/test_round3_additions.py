@@ -574,9 +574,18 @@ def test_recall_report_control_and_bounds(emb):
 
     out = {r.tier: r.recall_at_k for r in
            evaluate.recall_report(emb, query_ids=(0, 1, 2), k=10).collect()}
-    assert set(out) == {"exact", "ivf", "sq8", "binary"}
+    assert set(out) == {
+        "exact", "ivf", "sq8", "binary", "pq_adc", "pq_rerank", "ivfpq",
+    }
     assert out["exact"] == 1.0             # control: flat vs itself
     assert out["sq8"] >= 0.8               # 8-bit decode is near-exact
+    # exact rescore of the ADC shortlist can only improve on raw ADC
+    assert out["pq_rerank"] >= out["pq_adc"]
+    assert out["pq_rerank"] >= 0.5
+    # NOTE: ivfpq vs pq_adc is NOT monotone — pruning drops true
+    # neighbors in unprobed lists but also drops ADC false positives
+    # that outrank true ones, so recall can move either way.
+    assert out["ivfpq"] > 0.0
     for tier, r in out.items():
         assert 0.0 <= r <= 1.0
 
