@@ -924,6 +924,92 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- §2e round-3 additions, second wave -----------------------------------
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-part min-cost regional supplier — the
+    correlated scalar subquery decorrelated into a window min that
+    reuses the agg's partitioning (zero extra exchanges)."""
+    return analytics.min_cost_supplier(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts above a fraction of the global traded
+    value — HAVING over a broadcast scalar derived from the rollup
+    itself (the fact scans once)."""
+    return analytics.important_parts(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+def q_ship_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: urgency-class line counts per shipping-delay
+    bucket (join + CASE conditional aggregation, integer-exact)."""
+    return analytics.ship_delay_priority(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    )
+
+
+def q_excess_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding an outsized share of a part
+    family's yearly volume — nested agg-threshold subqueries as
+    rollup → window share → threshold → supplier rollup."""
+    return analytics.excess_parts(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+    )
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: cluster-then-pairwise-cosine semantic dedup — the
+    scale path for embedding near-dup (quadratic work capped per
+    cluster, pairs co-partitioned by list id)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = dedup.semdedup(emb, nlist=16, threshold=0.4)
+    return out.select("vec_id", F.col("list_id").cast("bigint").alias("list_id"))
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style heuristic quality rules: per-doc boolean flags +
+    conjunctive keep, all in one scan-speed projection."""
+    return textstats.gopher_rules(_t(spark, sf_dir, "documents"))
+
+
+def q_merge_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS merge_from: three overlapping shards merged with
+    keep-first id dedup, verified through the stats aggregate (ntotal
+    / dim / avg norm / distinct ids must equal the full corpus)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    shards = [
+        emb.where(F.col("vec_id") < 300),
+        emb.where(F.col("vec_id") >= 250),
+        emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 400)),
+    ]
+    return index_store.index_stats(index_store.merge_stores(shards))
+
+
+def q_binary_rerank_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-coarse / float-fine search (IndexBinaryFlat +
+    IndexRefineFlat): Hamming shortlist over 32×-compressed codes,
+    exact IP rerank over only the shortlist rows."""
+    from faiss_vector_search_spark.operators import binary
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return binary.binary_rerank_search(
+        emb, _query_vec(emb, vec_id=3), k=10, shortlist=50
+    ).select("vec_id", F.col("score").cast(DBL).alias("score"))
+
+
 # --- oracle SQL -----------------------------------------------------------
 
 _IP = "ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv), 6)"
@@ -2477,6 +2563,193 @@ WHERE d.lang = 'en' AND q.quality >= 0.75
 """
 
 
+# --- §2e round-3 second-wave oracles ---------------------------------------
+
+ORACLES.update(
+    {
+        "min_cost_supplier": """
+WITH rsup AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+),
+costs AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS cost
+  FROM lineitem JOIN rsup ON l_suppkey = s_suppkey
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT *, min(cost) OVER (PARTITION BY l_partkey) AS min_cost FROM costs
+)
+SELECT s.s_acctbal, s.s_name, s.n_name, p.p_partkey, p.p_brand,
+       ROUND(b.cost, 6) AS cost
+FROM best b
+JOIN part p ON b.l_partkey = p.p_partkey AND p.p_size IN (1, 4, 7)
+JOIN rsup s ON b.l_suppkey = s.s_suppkey
+WHERE b.cost = b.min_cost
+ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+LIMIT 100
+""",
+        "important_parts": """
+WITH nsup AS (
+  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_0'
+),
+per_part AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,8)))
+             AS value_d
+  FROM lineitem JOIN nsup ON l_suppkey = s_suppkey
+  GROUP BY 1
+),
+total AS (SELECT CAST(sum(value_d) AS DECIMAL(38,8)) AS total_d FROM per_part)
+SELECT l_partkey, CAST(ROUND(value_d, 2) AS DOUBLE) AS value
+FROM per_part, total
+WHERE CAST(value_d AS DOUBLE) > CAST(total_d AS DOUBLE) * 0.001
+ORDER BY value DESC, l_partkey ASC
+LIMIT 100
+""",
+        "ship_delay_priority": """
+SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN 'FAST'
+            WHEN date_diff('day', o_orderdate, l_shipdate) <= 90 THEN 'MEDIUM'
+            ELSE 'SLOW' END AS ship_bucket,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+ORDER BY 1
+""",
+        "excess_parts": """
+WITH pair AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CAST(l_quantity AS DECIMAL(20,2))) AS pair_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%widget%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2
+),
+ex AS (
+  SELECT * FROM (
+    SELECT *, sum(pair_qty) OVER (PARTITION BY l_partkey) AS part_qty
+    FROM pair
+  ) WHERE CAST(pair_qty AS DOUBLE) > CAST(part_qty AS DOUBLE) * 0.3
+)
+SELECT s_name, s_acctbal,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_excess,
+       CAST(ROUND(sum(pair_qty), 2) AS DOUBLE) AS excess_qty
+FROM ex JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY 1, 2
+ORDER BY s_name ASC
+""",
+        "semdedup": f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cvec
+  FROM (SELECT * FROM base ORDER BY vec_id LIMIT 16)
+),
+assigned AS (
+  SELECT b.vec_id, b.v,
+         (SELECT c.cid FROM cents c
+          ORDER BY {_l2sq_sql('b.v', 'c.cvec')} ASC, c.cid ASC LIMIT 1) AS cid
+  FROM base b
+),
+dup AS (
+  SELECT DISTINCT a.vec_id
+  FROM assigned a JOIN assigned b ON a.cid = b.cid AND b.vec_id < a.vec_id
+  WHERE ROUND(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+)
+SELECT s.vec_id, s.cid AS list_id
+FROM assigned s
+WHERE s.vec_id NOT IN (SELECT vec_id FROM dup)
+""",
+        "gopher_quality": f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks, string_split(text, chr(10)) AS lines
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE)
+             / len(toks) AS mean_wl,
+         len(list_filter(toks, w -> w IN
+             ('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with')))
+             AS stop_hits,
+         CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+              AS DOUBLE) / len(toks) AS alpha_ratio,
+         CAST(len(list_filter(lines, ln ->
+              ln LIKE '- %' OR ln LIKE '* %' OR ln LIKE '•%'))
+              AS DOUBLE) / len(lines) AS bullet_ratio,
+         CAST(len(list_filter(lines, ln -> ln LIKE '%...')) AS DOUBLE)
+             / len(lines) AS ellipsis_ratio
+  FROM t
+)
+SELECT doc_id,
+       (n_words >= 20 AND n_words <= 100000) AS ok_words,
+       (mean_wl >= 3.0 AND mean_wl <= 10.0) AS ok_word_len,
+       (bullet_ratio <= 0.9) AS ok_bullets,
+       (ellipsis_ratio <= 0.3) AS ok_ellipsis,
+       (alpha_ratio >= 0.8) AS ok_alpha,
+       (stop_hits >= 2) AS ok_stop,
+       (n_words >= 20 AND n_words <= 100000
+        AND mean_wl >= 3.0 AND mean_wl <= 10.0
+        AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3
+        AND alpha_ratio >= 0.8 AND stop_hits >= 2) AS keep
+FROM m
+""",
+        "merge_indexes": """
+SELECT CAST(count(*) AS BIGINT) AS num_documents,
+       CAST(max(len(embedding)) AS INT) AS dimension,
+       ROUND(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[])))), 6)
+           AS avg_norm,
+       CAST(count(DISTINCT vec_id) AS BIGINT) AS distinct_ids
+FROM embeddings
+""",
+        "binary_rerank_search": """
+WITH b AS (
+  SELECT vec_id,
+         list_transform(
+           generate_series(0, CAST(ceil(len(embedding) / 32.0) AS INT) - 1),
+           w -> list_reduce(
+                  list_prepend(0::BIGINT,
+                    list_transform(embedding[32*w+1 : 32*w+32],
+                      x -> CASE WHEN x > 0 THEN 1::BIGINT
+                           ELSE 0::BIGINT END)),
+                  (acc, x) -> acc * 2 + x)
+         ) AS code
+  FROM embeddings
+),
+q AS (SELECT code AS qc FROM b WHERE vec_id = 3),
+short AS (
+  SELECT b.vec_id,
+         list_sum(list_transform(generate_series(1, len(b.code)), i ->
+           bit_count(xor(b.code[i], q.qc[i])))) AS hamming
+  FROM b, q
+  ORDER BY hamming ASC, b.vec_id ASC
+  LIMIT 50
+),
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 3)
+SELECT e.vec_id,
+       ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), qv.qv), 6) AS score
+FROM embeddings e
+JOIN short ON e.vec_id = short.vec_id, qv
+ORDER BY score DESC, e.vec_id ASC
+LIMIT 10
+""",
+    }
+)
+
+
 # --- driver contract ------------------------------------------------------
 
 
@@ -2488,9 +2761,10 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's CORRECTNESS artifact covered exactly the
     # first 50 insertion-order keys in r2, so the 41 oracle-gated keys that have
-    # no driver-side green row yet come FIRST, followed by a 9-key band of
-    # previously driver-verified queries (re-verification canary), then the rest.
-    # Rotate again next round if the window still caps at 50.
+    # no driver-side green row yet come FIRST, then the 8 NEW round-3 oracle-
+    # gated keys (min_cost_supplier .. binary_rerank_search), then one
+    # previously driver-verified canary (knn_topk_ip) — exactly 50. Rotate
+    # again next round if the window still caps at 50.
     return {
         "json_props_rollup": q_json_props_rollup,
         "event_value_quantiles": q_event_value_quantiles,
@@ -2533,6 +2807,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semi_join": q_bloom_semi_join,
         "curation_pipeline": q_curation_pipeline,
         "knn_filtered_search": q_knn_filtered_search,
+        "min_cost_supplier": q_min_cost_supplier,
+        "important_parts": q_important_parts,
+        "ship_delay_priority": q_ship_delay_priority,
+        "excess_parts": q_excess_parts,
+        "semdedup": q_semdedup,
+        "gopher_quality": q_gopher_quality,
+        "merge_indexes": q_merge_indexes,
+        "binary_rerank_search": q_binary_rerank_search,
         "knn_topk_ip": q_knn_topk_ip,
         "knn_batch": q_knn_batch,
         "ivf_search": q_ivf_search,

@@ -1298,3 +1298,248 @@ def session_window_agg(
             "sum_value",
         )
     )
+
+def min_cost_supplier(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+    sizes: tuple[int, ...] = (1, 4, 7),
+    top_n: int = 100,
+) -> DataFrame:
+    """TPC-H Q2 shape: per part, the regional supplier offering the
+    minimum cost — the correlated scalar ``= (SELECT min(..) ..)``
+    subquery decorrelated into a partition-window min.
+
+    These tables carry no partsupp, so supply cost is the supplier's
+    best observed unit price ``min(l_extendedprice / l_quantity)``
+    over its lineitems for that part. min() of per-row IEEE divisions
+    is summation-order-free, so the window-min equality compare is
+    bit-exact across engines with no rounding contract.
+
+    Scale shape: the region→nation→supplier chain collapses to a tiny
+    broadcast BEFORE the fact scan (pairs from disqualified suppliers
+    never aggregate); one shuffle on (partkey, suppkey) for the cost
+    agg; the window min re-uses that partitioning (partkey is a
+    prefix), so Catalyst plans ZERO extra exchanges for the
+    decorrelation — this is why window-min beats self-join-on-min at
+    100 TB (the join formulation re-shuffles the agg output twice)."""
+    rsup = (
+        supplier.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.where(F.col("r_name") == region_name)),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    costs = (
+        lineitem.join(
+            F.broadcast(rsup.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    )
+    w = Window.partitionBy("l_partkey")
+    best = costs.withColumn("min_cost", F.min("cost").over(w)).where(
+        F.col("cost") == F.col("min_cost")
+    )
+    return (
+        best.join(
+            F.broadcast(
+                part.where(F.col("p_size").isin(*sizes)).select(
+                    "p_partkey", "p_brand"
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(rsup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.round("cost", 6).alias("cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("n_name").asc(),
+            F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+        )
+        .limit(top_n)
+    )
+
+
+def important_parts(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_name: str = "NATION_0",
+    fraction: float = 0.001,
+    top_n: int = 100,
+) -> DataFrame:
+    """TPC-H Q11 shape: parts whose traded value (through one
+    nation's suppliers) exceeds a fraction of the GLOBAL such value —
+    the HAVING-over-global-scalar-subquery pattern.
+
+    The scalar total is a single-row agg cross-joined (broadcast)
+    onto the per-part rollup: at any scale the fact scans once into
+    the partkey agg, the grand total derives from re-aggregating that
+    rollup output (NOT a second fact scan), and the comparison is a
+    map over the rollup. Exact DECIMAL sums both levels, so the
+    threshold compare never depends on double summation order."""
+    nkey = (
+        nation.where(F.col("n_name") == nation_name)
+        .select("n_nationkey")
+    )
+    nsup = supplier.join(
+        F.broadcast(nkey), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    per_part = (
+        lineitem.join(
+            F.broadcast(nsup), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(25,8)"
+                )
+            ).alias("value_d")
+        )
+    )
+    total = per_part.agg(
+        F.sum("value_d").cast("decimal(38,8)").alias("total_d")
+    )
+    # Threshold compare runs in DOUBLE on both engines: the exact
+    # decimals cast to the identical nearest double, so the boundary
+    # can never flip between Spark and the oracle.
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(
+            F.col("value_d").cast("double")
+            > F.col("total_d").cast("double") * F.lit(fraction)
+        )
+        .select(
+            "l_partkey",
+            F.round(F.col("value_d"), 2).cast("double").alias("value"),
+        )
+        .orderBy(F.col("value").desc(), F.col("l_partkey").asc())
+        .limit(top_n)
+    )
+
+
+def ship_delay_priority(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    year: int = 1997,
+    fast_days: int = 30,
+    medium_days: int = 90,
+) -> DataFrame:
+    """TPC-H Q12 shape: line counts by urgency class per shipping
+    bucket — the join + CASE-conditional-aggregation pattern.
+
+    These tables carry no l_shipmode/commitdate/receiptdate, so the
+    bucket is the order→ship latency (datediff orderdate→shipdate):
+    FAST ≤ fast_days < MEDIUM ≤ medium_days < SLOW. Counts only, so
+    the gate is exact with no float contract. The orders side
+    projects two columns into the join; the date-range filter on
+    shipdate reaches the parquet scan."""
+    j = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+    ).join(
+        orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay <= fast_days, "FAST")
+        .when(delay <= medium_days, "MEDIUM")
+        .otherwise("SLOW")
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy(bucket.alias("ship_bucket"))
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(urgent, 0).otherwise(1)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("ship_bucket")
+    )
+
+
+def excess_parts(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    year: int = 1997,
+    share: float = 0.3,
+    name_token: str = "widget",
+) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding an outsized share of a
+    part family's yearly volume — the nested IN(agg-threshold)
+    subquery chain, decorrelated into rollup → threshold join →
+    distinct-part count per supplier.
+
+    Without partsupp, "availability" is the supplier's shipped
+    quantity: a (part, supplier) pair is in excess when its year
+    volume exceeds ``share`` × the part's total year volume across
+    all suppliers. Quantities cast to DECIMAL(20,2) per row before
+    summing, so both rollups and the share compare are exact.
+
+    Scale shape: one shuffle on (partkey, suppkey); the per-part
+    total derives from THAT rollup (window over partkey — prefix of
+    the agg partitioning, no new exchange, same trick as
+    min_cost_supplier); the name-filtered part dim broadcasts; the
+    final supplier rollup moves only excess pairs."""
+    fam = part.where(
+        F.col("p_name").contains(name_token)
+    ).select("p_partkey")
+    pair_qty = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+            & (
+                F.col("l_shipdate")
+                < F.lit(f"{year + 1}-01-01").cast("timestamp")
+            )
+        )
+        .join(F.broadcast(fam), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(20,2)")).alias("pair_qty")
+        )
+    )
+    w = Window.partitionBy("l_partkey")
+    excess = pair_qty.withColumn(
+        "part_qty", F.sum("pair_qty").over(w)
+    ).where(
+        # exact decimals → identical doubles → flip-free compare
+        F.col("pair_qty").cast("double")
+        > F.col("part_qty").cast("double") * F.lit(share)
+    )
+    return (
+        excess.groupBy("l_suppkey")
+        .agg(
+            F.count_distinct("l_partkey").cast("bigint").alias("n_excess"),
+            F.round(F.sum("pair_qty"), 2).cast("double").alias("excess_qty"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name", "s_acctbal")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_name", "s_acctbal", "n_excess", "excess_qty")
+        .orderBy(F.col("s_name").asc())
+    )

@@ -142,3 +142,33 @@ def ivfbin_search_persisted(
         F.col("list_id").isin(probe_ids)
     )
     return hamming_topk(codes, query_code, k=k, id_col=id_col)
+
+def binary_rerank_search(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Binary-coarse / float-fine two-stage search — the FAISS
+    ``IndexBinaryFlat`` + ``IndexRefineFlat`` composition: a Hamming
+    scan over the 32×-compressed sign codes picks a ``shortlist``,
+    then exact inner product re-scores ONLY those rows.
+
+    At 100 TB the first stage reads ~3% of the float scan's bytes and
+    never shuffles (TakeOrderedAndProject); the second stage is a
+    broadcast semi-join of shortlist ids back onto the float corpus —
+    so full-precision vectors are touched for `shortlist` rows total.
+    Same posture as pq.pq_rerank_search one tier cheaper."""
+    from .knn import topk
+
+    codes = binarize(corpus.select(id_col, vec_col), vec_col=vec_col)
+    qcode = binarize(
+        query.select(F.col("query_vec").alias(vec_col)), vec_col=vec_col
+    ).select(F.col("code").alias("query_code"))
+    short = hamming_topk(codes, qcode, k=shortlist, id_col=id_col)
+    hits = corpus.join(
+        F.broadcast(short.select(id_col)), on=id_col, how="left_semi"
+    )
+    return topk(hits, query, k=k, metric="ip", id_col=id_col, vec_col=vec_col)

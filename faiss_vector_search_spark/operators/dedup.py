@@ -616,3 +616,61 @@ def line_dedup(
             .alias("n_dropped"),
         )
     )
+
+def semdedup(
+    emb: DataFrame,
+    nlist: int = 16,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, public): coarse
+    k-means-style clustering first, pairwise cosine ONLY within each
+    cluster, keep a vector iff no lower-id cluster-mate is more similar
+    than ``threshold``.
+
+    This is the scale answer to :func:`embedding_cosine_pairs`'s
+    guarded O(n²): clustering caps the quadratic term at
+    O(Σ|cluster|²) and the self-join keys on ``list_id``, so every
+    pair computation is co-partitioned — with nlist grown ~√N (the
+    FAISS IVF guidance the quantizer already follows) per-cluster
+    work stays bounded while total work stays ~linear. The cluster
+    assignment itself is the IVF map (broadcast centroids, no corpus
+    shuffle, reference index_service.py:91-95's quantizer reused).
+
+    Deterministic/oracle-able: seeded centroids (first nlist by id),
+    argmin-L2 assignment with lowest-cid tie-break, ROUND(cos, 6)
+    before the threshold compare.
+
+    Returns kept rows: (id_col, list_id).
+    """
+    from ..functions.vector import cosine
+    from .ivf import assign_lists, seeded_centroids
+
+    cents = seeded_centroids(emb, nlist, id_col=id_col, vec_col=vec_col)
+    assigned = assign_lists(emb, cents, vec_col=vec_col).select(
+        id_col, vec_col, "list_id"
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("v_a"),
+        F.col("list_id").alias("cl"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("v_b"),
+        F.col("list_id").alias("cl"),
+    )
+    dup = (
+        a.join(b, on="cl")
+        .where(F.col("id_b") < F.col("id_a"))
+        .where(
+            F.round(cosine(F.col("v_a"), F.col("v_b")), JACCARD_DECIMALS)
+            >= threshold
+        )
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dup, on=id_col, how="left_anti").select(
+        id_col, "list_id"
+    )

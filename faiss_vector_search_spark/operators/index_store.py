@@ -110,3 +110,30 @@ def clear_index(spark: SparkSession, path: str) -> None:
     schema survives so a subsequent load/add still binds."""
     schema = spark.read.parquet(path).schema
     spark.createDataFrame([], schema).write.mode("overwrite").parquet(path)
+
+def merge_stores(
+    indexes: list[DataFrame],
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """FAISS ``merge_from`` / ``IndexShards`` composition: combine
+    several flat stores into one searchable corpus, keeping the FIRST
+    store's copy whenever an id appears in more than one shard
+    (FAISS merge_from trusts the caller on dupes; an engine should
+    not silently double-count a vector).
+
+    Later shards anti-join against only the *ids* seen so far — at
+    shard counts that matter the accumulated id set is the small side
+    and broadcasts; no shard's vector payload ever shuffles, and the
+    result is a plain union Catalyst plans as a parallel multi-scan.
+    """
+    if not indexes:
+        raise ValueError("merge_stores needs at least one index")
+    merged = indexes[0]
+    seen_ids = indexes[0].select(id_col)
+    for shard in indexes[1:]:
+        fresh = shard.join(
+            F.broadcast(seen_ids), on=id_col, how="left_anti"
+        )
+        merged = merged.unionByName(fresh, allowMissingColumns=True)
+        seen_ids = seen_ids.union(shard.select(id_col)).distinct()
+    return merged

@@ -483,3 +483,81 @@ def char_entropy(
         n.cast("bigint").alias("n_chars"),
         F.round(ent, 6).alias("entropy_bits"),
     )
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_wl: float = 3.0,
+    max_mean_wl: float = 10.0,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style heuristic quality rules (Rae et al. 2021 §A1.1,
+    public): per-document boolean flags + the conjunctive keep
+    decision a pretraining pipeline applies before any expensive
+    stage.
+
+    Rules: word-count band, mean-word-length band, bullet-line and
+    ellipsis-line ratios, fraction of words containing an alphabetic
+    character, and a minimum count of the 8 canonical stopword hits.
+
+    Everything is one projection over in-row array ops (shared
+    tokenizer, split-on-newline lines) — no explode, no join, no
+    shuffle: the rules run at scan speed and the corpus never moves,
+    which is the posture a 100 TB pre-filter must have."""
+    toks = tokens(F.col(text_col))
+    n_words = F.size(toks)
+    mean_wl = (
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / n_words.cast("double")
+    )
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*GOPHER_STOPWORDS)))
+    alpha_ratio = (
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double")
+        / n_words.cast("double")
+    )
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    bullet_ratio = (
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: ln.startswith("- ")
+                | ln.startswith("* ")
+                | ln.startswith("•"),
+            )
+        ).cast("double")
+        / n_lines.cast("double")
+    )
+    ellipsis_ratio = (
+        F.size(F.filter(lines, lambda ln: ln.endswith("..."))).cast("double")
+        / n_lines.cast("double")
+    )
+    flags = {
+        "ok_words": (n_words >= min_words) & (n_words <= max_words),
+        "ok_word_len": (mean_wl >= min_mean_wl) & (mean_wl <= max_mean_wl),
+        "ok_bullets": bullet_ratio <= max_bullet_ratio,
+        "ok_ellipsis": ellipsis_ratio <= max_ellipsis_ratio,
+        "ok_alpha": alpha_ratio >= min_alpha_ratio,
+        "ok_stop": stop_hits >= min_stop_hits,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return docs.select(
+        F.col(id_col),
+        *[c.alias(name) for name, c in flags.items()],
+        keep.alias("keep"),
+    )

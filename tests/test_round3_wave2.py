@@ -1,0 +1,272 @@
+"""Round-3 second-wave gates (SURVEY.md §2e #116-123): adapted TPC-H
+Q2/Q11/Q12/Q20 shapes, SemDeDup, Gopher quality rules, FAISS
+merge_from, and the binary-coarse/float-fine rerank."""
+
+from __future__ import annotations
+
+import contextlib
+import io as pyio
+
+import pytest
+from pyspark.sql import functions as F
+
+from faiss_vector_search_spark import io as fio
+from faiss_vector_search_spark.operators import (
+    analytics,
+    binary,
+    dedup,
+    index_store,
+    knn,
+    textstats,
+)
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = pyio.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def tables(spark, sf_small):
+    names = "lineitem orders customer supplier part nation region".split()
+    return {n: fio.load_table(spark, sf_small, n) for n in names}
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_small):
+    return fio.load_table(spark, sf_small, "embeddings")
+
+
+# --- TPC-H shapes ---------------------------------------------------------
+
+
+def test_min_cost_supplier_window_reuses_agg_partitioning(tables):
+    out = analytics.min_cost_supplier(
+        tables["lineitem"],
+        tables["part"],
+        tables["supplier"],
+        tables["nation"],
+        tables["region"],
+    )
+    plan = plan_of(out)
+    # The decorrelated window min must NOT introduce an exchange beyond
+    # the single (partkey, suppkey) agg shuffle: partkey is a prefix of
+    # the agg keys, so Catalyst reuses that partitioning for the window.
+    n_shuffles = plan.count("Exchange hashpartitioning")
+    assert n_shuffles <= 1, f"window added exchanges:\n{plan}"
+    assert "BroadcastHashJoin" in plan  # dims broadcast
+
+
+def test_min_cost_supplier_rows_hold_the_min(tables):
+    out = analytics.min_cost_supplier(
+        tables["lineitem"],
+        tables["part"],
+        tables["supplier"],
+        tables["nation"],
+        tables["region"],
+        top_n=10_000,
+    ).collect()
+    assert out, "no qualifying parts"
+    by_part: dict[int, list[float]] = {}
+    for r in out:
+        by_part.setdefault(r.p_partkey, []).append(r.cost)
+    for costs in by_part.values():
+        assert max(costs) == min(costs)  # every surviving row ties the min
+
+
+def test_important_parts_threshold(tables):
+    # sf0.001 has no NATION_0 suppliers (the driver-gated default runs
+    # at sf0.01 where it does) — pick one that exists at this SF
+    nation_name = "NATION_3"
+    out = analytics.important_parts(
+        tables["lineitem"], tables["supplier"], tables["nation"],
+        nation_name=nation_name, fraction=0.001, top_n=10_000,
+    )
+    rows = out.collect()
+    assert rows
+    values = [r.value for r in rows]
+    assert values == sorted(values, reverse=True)
+    # every surviving part clears the fraction of the total traded value
+    # (totals re-derived independently here)
+    nsup = tables["supplier"].join(
+        tables["nation"].where(F.col("n_name") == nation_name),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    total = (
+        tables["lineitem"]
+        .join(nsup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("t")
+        )
+        .collect()[0]
+        .t
+    )
+    assert all(v > total * 0.001 * 0.99 for v in values)
+
+
+def test_ship_delay_priority_counts_partition_the_join(tables):
+    out = analytics.ship_delay_priority(
+        tables["lineitem"], tables["orders"]
+    ).collect()
+    buckets = {r.ship_bucket for r in out}
+    assert buckets <= {"FAST", "MEDIUM", "SLOW"}
+    n_total = sum(r.high_line_count + r.low_line_count for r in out)
+    n_expect = (
+        tables["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(tables["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .count()
+    )
+    assert n_total == n_expect  # conditional counts partition every line
+
+
+def test_excess_parts_share_bound(tables):
+    out = analytics.excess_parts(
+        tables["lineitem"], tables["part"], tables["supplier"], share=0.3
+    ).collect()
+    assert out, "no excess pairs at share=0.3"
+    # a part's total volume can admit at most 3 suppliers above a 30% share
+    # → n_excess per supplier is bounded by the number of family parts; and
+    # at least one supplier must exist since every part has a max-share holder
+    # when it has ≤3 suppliers. Structural sanity only; parity gates values.
+    assert all(r.n_excess >= 1 for r in out)
+
+
+# --- SemDeDup -------------------------------------------------------------
+
+
+def test_semdedup_partitions_and_drops(emb):
+    kept = dedup.semdedup(emb, nlist=16, threshold=0.4)
+    rows = kept.collect()
+    n_total = emb.count()
+    assert 0 < len(rows) < n_total  # drops something, keeps something
+    assert len({r.vec_id for r in rows}) == len(rows)
+    # no kept pair within a cluster may exceed the threshold
+    from faiss_vector_search_spark.functions.vector import cosine
+
+    k = kept.select("vec_id", "list_id").join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    a = k.select(
+        F.col("vec_id").alias("ia"),
+        F.col("embedding").alias("va"),
+        F.col("list_id").alias("cl"),
+    )
+    b = k.select(
+        F.col("vec_id").alias("ib"),
+        F.col("embedding").alias("vb"),
+        F.col("list_id").alias("cl"),
+    )
+    viol = (
+        a.join(b, "cl")
+        .where(F.col("ib") < F.col("ia"))
+        .where(F.round(cosine(F.col("va"), F.col("vb")), 6) >= 0.4)
+        .count()
+    )
+    assert viol == 0
+
+
+def test_semdedup_pairwise_join_keys_on_cluster(emb):
+    plan = plan_of(dedup.semdedup(emb, nlist=16, threshold=0.4))
+    # the quadratic stage must be a keyed equi-join on the cluster id —
+    # never a cartesian over the corpus. (BroadcastNestedLoopJoin DOES
+    # appear, legitimately: it's the single-row centroid-array attach
+    # inside assign_lists, not a corpus×corpus pairing.)
+    assert "CartesianProduct" not in plan
+    assert plan.count("Join cl") >= 1 or "hashpartitioning(cl" in plan or (
+        "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    ), f"no keyed join on cluster id:\n{plan}"
+
+
+# --- Gopher rules ---------------------------------------------------------
+
+
+def test_gopher_rules_flags(spark):
+    rows = [
+        (1, "the cat sat on the mat and that dog went to the park with "
+            "a ball of yarn that it loved to chew " * 3),     # clean → keep
+        (2, "short text"),                                    # too few words
+        (3, " ".join(["pneumonoultramicroscopic"] * 60)),     # mean wl high, no stops
+        (4, "\n".join(["- bullet point line"] * 20)),         # all bullet lines
+        (5, " ".join(["12345"] * 60)),                        # numeric → alpha fail
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in textstats.gopher_rules(docs).collect()}
+    assert out[1].keep
+    assert not out[2].ok_words and not out[2].keep
+    assert not out[3].ok_word_len and not out[3].ok_stop
+    assert not out[4].ok_bullets
+    assert not out[5].ok_alpha
+    for r in out.values():
+        want = all(
+            getattr(r, f)
+            for f in (
+                "ok_words ok_word_len ok_bullets ok_ellipsis "
+                "ok_alpha ok_stop".split()
+            )
+        )
+        assert r.keep == want
+
+
+def test_gopher_rules_no_shuffle(spark, sf_small):
+    docs = fio.load_table(spark, sf_small, "documents")
+    plan = plan_of(textstats.gopher_rules(docs))
+    assert "Exchange" not in plan  # one scan-speed projection
+
+
+# --- merge_stores ---------------------------------------------------------
+
+
+def test_merge_stores_keep_first_and_dedup(spark):
+    a = spark.createDataFrame([(1, "a1"), (2, "a2")], ["vec_id", "payload"])
+    b = spark.createDataFrame([(2, "b2"), (3, "b3")], ["vec_id", "payload"])
+    c = spark.createDataFrame([(3, "c3"), (4, "c4")], ["vec_id", "payload"])
+    merged = {
+        r.vec_id: r.payload
+        for r in index_store.merge_stores([a, b, c]).collect()
+    }
+    assert merged == {1: "a1", 2: "a2", 3: "b3", 4: "c4"}
+
+
+def test_merge_stores_empty_raises():
+    with pytest.raises(ValueError):
+        index_store.merge_stores([])
+
+
+# --- binary rerank --------------------------------------------------------
+
+
+def _qvec(emb, vec_id):
+    return emb.where(F.col("vec_id") == vec_id).select(
+        F.col("embedding").alias("query_vec")
+    )
+
+
+def test_binary_rerank_full_shortlist_equals_exact(emb):
+    n = emb.count()
+    exact = knn.topk(emb, _qvec(emb, 3), k=10, metric="ip").collect()
+    rer = binary.binary_rerank_search(
+        emb, _qvec(emb, 3), k=10, shortlist=n
+    ).collect()
+    assert [r.vec_id for r in rer] == [r.vec_id for r in exact]
+    assert [r.score for r in rer] == [r.score for r in exact]
+
+
+def test_binary_rerank_recall_at_reduced_shortlist(emb):
+    exact_ids = {
+        r.vec_id for r in knn.topk(emb, _qvec(emb, 3), k=10).collect()
+    }
+    rer_ids = {
+        r.vec_id
+        for r in binary.binary_rerank_search(
+            emb, _qvec(emb, 3), k=10, shortlist=50
+        ).collect()
+    }
+    recall = len(exact_ids & rer_ids) / len(exact_ids)
+    assert recall >= 0.5, f"binary shortlist recall too low: {recall}"
