@@ -1010,6 +1010,31 @@ def q_binary_rerank_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", F.col("score").cast(DBL).alias("score"))
 
 
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM fluency score — the declarative
+    perplexity-filter stand-in (train = aggs, apply = join)."""
+    from faiss_vector_search_spark.operators import lm
+
+    docs = _t(spark, sf_dir, "documents")
+    model = lm.bigram_lm_train(docs)
+    return lm.bigram_lm_score(docs, model)
+
+
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with explicit values: per-user event-type count matrix
+    in one map-side-combinable aggregation."""
+    return analytics.event_type_pivot(_t(spark, sf_dir, "events"))
+
+
+def q_churned_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT/anti-join cohort churn per nation."""
+    return analytics.churned_buyers(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
 # --- oracle SQL -----------------------------------------------------------
 
 _IP = "ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv), 6)"
@@ -2655,7 +2680,10 @@ cents AS (
   FROM (SELECT * FROM base ORDER BY vec_id LIMIT 16)
 ),
 assigned AS (
-  SELECT b.vec_id, b.v,
+  -- normalize once per vector (x / sqrt(<v,v>) per component),
+  -- mirroring the Spark operator's pre-normalized pair dot exactly
+  SELECT b.vec_id,
+         list_transform(b.v, x -> x / sqrt(list_dot_product(b.v, b.v))) AS vn,
          (SELECT c.cid FROM cents c
           ORDER BY {_l2sq_sql('b.v', 'c.cvec')} ASC, c.cid ASC LIMIT 1) AS cid
   FROM base b
@@ -2663,9 +2691,7 @@ assigned AS (
 dup AS (
   SELECT DISTINCT a.vec_id
   FROM assigned a JOIN assigned b ON a.cid = b.cid AND b.vec_id < a.vec_id
-  WHERE ROUND(list_dot_product(a.v, b.v)
-              / (sqrt(list_dot_product(a.v, a.v))
-                 * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+  WHERE ROUND(list_dot_product(a.vn, b.vn), 6) >= 0.4
 )
 SELECT s.vec_id, s.cid AS list_id
 FROM assigned s
@@ -2748,6 +2774,60 @@ LIMIT 10
 """,
     }
 )
+
+ORACLES["bigram_lm_score"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tr AS (
+  SELECT doc_id, toks[i] AS prev, toks[i + 1] AS cur
+  FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+),
+counts AS (
+  SELECT prev, cur, count(*) AS c_bigram FROM tr GROUP BY 1, 2
+),
+model AS (
+  SELECT prev, cur,
+         CAST(ROUND(CAST(c_bigram AS DOUBLE)
+                    / CAST(sum(c_bigram) OVER (PARTITION BY prev) AS DOUBLE),
+                    8) AS DECIMAL(12,8)) AS prob
+  FROM counts
+)
+SELECT tr.doc_id,
+       CAST(count(*) AS BIGINT) AS n_transitions,
+       ROUND(CAST(sum(m.prob) AS DOUBLE) / count(*), 6) AS fluency
+FROM tr JOIN model m USING (prev, cur)
+GROUP BY 1
+"""
+
+ORACLES["event_type_pivot"] = """
+SELECT user_id,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+FROM events
+GROUP BY 1
+"""
+
+ORACLES["churned_buyers"] = """
+WITH a AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+),
+b AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+),
+churned AS (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+SELECT n_name, CAST(count(*) AS BIGINT) AS n_churned
+FROM churned
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1
+ORDER BY n_churned DESC, n_name ASC
+"""
 
 
 # --- driver contract ------------------------------------------------------
@@ -2872,6 +2952,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_sketch_rollup": q_distinct_sketch_rollup,
         "bigram_heavy_hitters": q_bigram_heavy_hitters,
         "ann_recall_report": q_ann_recall_report,
+        # post-window round-3 additions: rotate into the 50-entry
+        # driver window in r4
+        "bigram_lm_score": q_bigram_lm_score,
+        "event_type_pivot": q_event_type_pivot,
+        "churned_buyers": q_churned_buyers,
     }
 
 

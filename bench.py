@@ -260,6 +260,15 @@ def main() -> None:
         "bigram_heavy_hitters": qs["bigram_heavy_hitters"],
         "mmr_rerank": qs["mmr_rerank"],
         "pca_project": qs["pca_project"],
+        # §2e round-3 second wave
+        "min_cost_supplier": qs["min_cost_supplier"],
+        "important_parts": qs["important_parts"],
+        "ship_delay_priority": qs["ship_delay_priority"],
+        "excess_parts": qs["excess_parts"],
+        "semdedup": qs["semdedup"],
+        "gopher_quality": qs["gopher_quality"],
+        "merge_indexes": qs["merge_indexes"],
+        "binary_rerank_search": qs["binary_rerank_search"],
     }
 
     def run(fn) -> float:

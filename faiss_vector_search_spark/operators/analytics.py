@@ -1321,11 +1321,15 @@ def min_cost_supplier(
 
     Scale shape: the region→nation→supplier chain collapses to a tiny
     broadcast BEFORE the fact scan (pairs from disqualified suppliers
-    never aggregate); one shuffle on (partkey, suppkey) for the cost
-    agg; the window min re-uses that partitioning (partkey is a
-    prefix), so Catalyst plans ZERO extra exchanges for the
-    decorrelation — this is why window-min beats self-join-on-min at
-    100 TB (the join formulation re-shuffles the agg output twice)."""
+    never aggregate). Two exchanges total, and only the FIRST carries
+    fact-sized data: the (partkey, suppkey) agg keeps map-side combine
+    on the raw lineitems, so the second exchange (the window's
+    partkey re-cluster) moves only the rollup — pair-granularity, a
+    tiny fraction of the fact. (Pre-partitioning by partkey alone
+    would fuse the two into one exchange but would shuffle RAW
+    lineitems with no partial agg — strictly worse at 100 TB.) This
+    is also why window-min beats self-join-on-min: the join
+    formulation shuffles the rollup twice and scans it twice."""
     rsup = (
         supplier.join(
             F.broadcast(
@@ -1500,11 +1504,12 @@ def excess_parts(
     all suppliers. Quantities cast to DECIMAL(20,2) per row before
     summing, so both rollups and the share compare are exact.
 
-    Scale shape: one shuffle on (partkey, suppkey); the per-part
-    total derives from THAT rollup (window over partkey — prefix of
-    the agg partitioning, no new exchange, same trick as
-    min_cost_supplier); the name-filtered part dim broadcasts; the
-    final supplier rollup moves only excess pairs."""
+    Scale shape: the (partkey, suppkey) agg keeps map-side combine on
+    the raw fact, so of the plan's exchanges only that first one
+    carries fact-sized data — the window's partkey re-cluster and the
+    final supplier rollup move pair-granularity rows only (same
+    two-exchange trade as min_cost_supplier); the name-filtered part
+    dim broadcasts."""
     fam = part.where(
         F.col("p_name").contains(name_token)
     ).select("p_partkey")
@@ -1542,4 +1547,72 @@ def excess_parts(
         )
         .select("s_name", "s_acctbal", "n_excess", "excess_qty")
         .orderBy(F.col("s_name").asc())
+    )
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def event_type_pivot(
+    events: DataFrame, types: tuple[str, ...] = EVENT_TYPES
+) -> DataFrame:
+    """Per-user event matrix: one row per user, one count column per
+    event type — the wide-format feature extraction every training
+    pipeline runs before a model join.
+
+    Expressed as conditional aggregation (a CASE-counting column per
+    type), NOT ``RelationalGroupedDataset.pivot``: the built-in pivot
+    plans TWO shuffles even with explicit values (a (user, type)
+    pre-agg exchange, then a pivotfirst exchange on user) and without
+    explicit values adds a whole distinct-scan job to discover the
+    domain. The conditional-agg form is one map-side-combinable
+    aggregate — one shuffle on user_id, one pass over the fact, which
+    is the plan you want 1000 executors to run."""
+    return events.groupBy("user_id").agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, 1))
+            .cast("bigint")
+            .alias(f"n_{t}")
+            for t in types
+        ]
+    )
+
+
+def churned_buyers(
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    year_a: int = 1996,
+    year_b: int = 1997,
+) -> DataFrame:
+    """Buyers active in ``year_a`` but gone in ``year_b``, rolled up
+    per nation — the EXCEPT / anti-join set operation (cohort churn).
+
+    Both cohort sets are distinct-custkey aggregates of the SAME
+    orders scan (Catalyst reuses the exchange); the except runs as a
+    left-anti join of two already-small id sets, then the nation dim
+    broadcasts onto the survivors. The fact table never shuffles more
+    than the two cohort rollups it already needed."""
+    def cohort(year: int) -> DataFrame:
+        return (
+            orders.where(
+                (F.col("o_orderdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    churned = cohort(year_a).join(cohort(year_b), on="o_custkey", how="left_anti")
+    return (
+        churned.join(
+            customer.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.count("*").cast("bigint").alias("n_churned"))
+        .orderBy(F.col("n_churned").desc(), F.col("n_name").asc())
     )

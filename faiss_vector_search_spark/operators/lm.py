@@ -1,0 +1,116 @@
+"""Corpus-trained bigram language-model fluency scoring — the
+declarative stand-in for the KenLM-perplexity quality filter an LLM
+data pipeline runs (CCNet / Gopher both gate on LM perplexity; no LM
+toolkit ships in this container, and a count-based bigram model is the
+same maximum-likelihood estimator expressed as aggregations).
+
+Train = two aggregations over the token stream (bigram counts and
+unigram context counts). Score = mean transition probability per
+document. Everything is DataFrame ops — the model IS a table, so
+"apply the LM" is a join, which is exactly how a 100 TB corpus wants
+to consume a model: broadcast when the vocabulary is small, shuffle
+co-partitioned on the bigram key when it isn't.
+
+Cross-engine determinism: each transition probability is ONE IEEE
+division of two exact counts, rounded to 8 dp and cast to
+DECIMAL(12,8); the per-doc mean divides the exact decimal sum by the
+transition count in one double division. No double ever accumulates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+PROB_DECIMALS = 8
+
+
+def _transitions(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, prev, cur) rows: in-row zip of the token array with its
+    own tail — no self-join, one explode."""
+    toks = tokens(F.col(text_col))
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+    )
+    return docs.select(
+        F.col(id_col), F.explode(pairs).alias("t")
+    ).select(id_col, F.col("t.prev").alias("prev"), F.col("t.cur").alias("cur"))
+
+
+def bigram_lm_train(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximum-likelihood bigram model: P(cur|prev) = c(prev,cur) /
+    c(prev,·). Returns (prev, cur, prob) with prob an exact
+    DECIMAL(12,8) of the rounded division.
+
+    Two aggregations over one transition explode; the context totals
+    derive from the bigram rollup itself (window over ``prev``), not
+    a second pass over the corpus — the bigram agg keeps map-side
+    combine on the exploded fact, so the window's re-cluster moves
+    only model-sized rows (distinct bigrams), never the corpus."""
+    from pyspark.sql import Window
+
+    counts = (
+        _transitions(docs, id_col, text_col)
+        .groupBy("prev", "cur")
+        .agg(F.count("*").alias("c_bigram"))
+    )
+    w = Window.partitionBy("prev")
+    return counts.withColumn(
+        "c_prev", F.sum("c_bigram").over(w)
+    ).select(
+        "prev",
+        "cur",
+        F.round(
+            F.col("c_bigram").cast("double") / F.col("c_prev").cast("double"),
+            PROB_DECIMALS,
+        )
+        .cast(f"decimal(12,{PROB_DECIMALS})")
+        .alias("prob"),
+    )
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unseen_prob: float = 0.0,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Mean transition probability per document under a trained bigram
+    model — higher = more fluent under the training distribution; the
+    gate a pipeline applies is a percentile cut on this score.
+
+    Unseen transitions score ``unseen_prob`` (left join + coalesce),
+    so scoring a NEW corpus against a trusted-reference model — the
+    real CCNet-style deployment — degrades gracefully instead of
+    dropping rows. The model joins broadcast by default (observed
+    bigrams are Zipf-bounded); pass ``broadcast_model=False`` to let
+    the optimizer shuffle co-partitioned on the bigram key when the
+    vocabulary is genuinely huge."""
+    m = F.broadcast(model) if broadcast_model else model
+    trans = _transitions(docs, id_col, text_col)
+    scored = trans.join(m, on=["prev", "cur"], how="left").select(
+        F.col(id_col),
+        F.coalesce(
+            F.col("prob"),
+            F.lit(unseen_prob).cast(f"decimal(12,{PROB_DECIMALS})"),
+        ).alias("prob"),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_transitions"),
+            F.round(
+                F.sum("prob").cast("double") / F.count("*").cast("double"), 6
+            ).alias("fluency"),
+        )
+    )

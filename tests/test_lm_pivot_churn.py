@@ -1,0 +1,144 @@
+"""Gates for the bigram-LM fluency scorer, explicit-values PIVOT, and
+cohort-churn set operation (SURVEY.md §2e #124-126)."""
+
+from __future__ import annotations
+
+import contextlib
+import io as pyio
+
+import pytest
+from pyspark.sql import functions as F
+
+from faiss_vector_search_spark import io as fio
+from faiss_vector_search_spark.operators import analytics, lm
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = pyio.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def n_shuffles(df) -> int:
+    # "Exchange hashpartitioning" only appears on one line in SIMPLE
+    # mode; formatted mode splits the operator name from its arguments
+    # and silently under-counts.
+    return plan_of(df, "simple").count("Exchange hashpartitioning")
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_small):
+    return fio.load_table(spark, sf_small, "documents")
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_small):
+    return fio.load_table(spark, sf_small, "events")
+
+
+# --- bigram LM ------------------------------------------------------------
+
+
+def test_lm_probabilities_sum_to_one_per_context(docs):
+    model = lm.bigram_lm_train(docs)
+    sums = (
+        model.groupBy("prev")
+        .agg(F.sum(F.col("prob").cast("double")).alias("s"))
+        .collect()
+    )
+    assert sums
+    for r in sums:
+        # each context's outgoing probabilities are an 8-dp-rounded
+        # partition of 1 — allow rounding slack of one ulp per branch
+        assert abs(r.s - 1.0) < 1e-4, f"P(.|{r.prev}) sums to {r.s}"
+
+
+def test_lm_score_bounds_and_coverage(docs):
+    model = lm.bigram_lm_train(docs)
+    out = lm.bigram_lm_score(docs, model).collect()
+    n_scoreable = docs.where(
+        F.size(F.split(F.lower("text"), "[^a-z0-9]+")) >= 2
+    ).count()
+    assert len(out) == n_scoreable
+    for r in out:
+        assert 0.0 <= r.fluency <= 1.0
+        assert r.n_transitions >= 1
+
+
+def test_lm_scores_new_docs_with_unseen_fallback(spark, docs):
+    model = lm.bigram_lm_train(docs)
+    new = spark.createDataFrame(
+        [(900001, "zzzunseen wordpair table scan value")], ["doc_id", "text"]
+    )
+    row = lm.bigram_lm_score(new, model, unseen_prob=0.0).collect()[0]
+    # the unseen transition scores 0 instead of dropping the row
+    assert row.n_transitions == 4
+    assert 0.0 <= row.fluency < 1.0
+
+
+def test_lm_train_shuffles_fact_once(docs):
+    # exactly two exchanges: the map-side-combined (prev, cur) agg
+    # (the only one that sees exploded-fact-sized data) and the
+    # context-total window's re-cluster on prev (model-sized)
+    model = lm.bigram_lm_train(docs)
+    assert n_shuffles(model) == 2, plan_of(model, "simple")
+
+
+# --- pivot ----------------------------------------------------------------
+
+
+def test_pivot_counts_match_long_form(events):
+    wide = {
+        r.user_id: r for r in analytics.event_type_pivot(events).collect()
+    }
+    long = (
+        events.groupBy("user_id", "event_type").count().collect()
+    )
+    for r in long:
+        assert getattr(wide[r.user_id], f"n_{r.event_type}") == r["count"]
+    # absent types are zero-filled
+    totals = events.groupBy("user_id").count().collect()
+    for t in totals:
+        w = wide[t.user_id]
+        assert (
+            w.n_click + w.n_error + w.n_purchase + w.n_signup + w.n_view
+            == t["count"]
+        )
+
+
+def test_pivot_single_shuffle_no_domain_scan(events):
+    out = analytics.event_type_pivot(events)
+    # conditional-agg pivot → ONE map-side-combinable aggregate pair,
+    # one exchange, one scan (the built-in pivot() plans two of each)
+    assert n_shuffles(out) == 1, plan_of(out, "simple")
+    # simple mode: formatted repeats the node name in the detail block
+    assert plan_of(out, "simple").count("Scan parquet") == 1
+
+
+# --- churn ----------------------------------------------------------------
+
+
+def test_churned_buyers_against_manual_sets(spark, sf_small):
+    orders = fio.load_table(spark, sf_small, "orders")
+    customer = fio.load_table(spark, sf_small, "customer")
+    nation = fio.load_table(spark, sf_small, "nation")
+    out = analytics.churned_buyers(orders, customer, nation)
+    total = sum(r.n_churned for r in out.collect())
+
+    def buyers(year):
+        return {
+            r.o_custkey
+            for r in orders.where(
+                (F.col("o_orderdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+                & (
+                    F.col("o_orderdate")
+                    < F.lit(f"{year + 1}-01-01").cast("timestamp")
+                )
+            )
+            .select("o_custkey")
+            .distinct()
+            .collect()
+        }
+
+    assert total == len(buyers(1996) - buyers(1997))

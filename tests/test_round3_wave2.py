@@ -28,6 +28,13 @@ def plan_of(df, mode: str = "formatted") -> str:
     return buf.getvalue()
 
 
+def n_shuffles(df) -> int:
+    # "Exchange hashpartitioning" only appears on one line in SIMPLE
+    # mode; formatted mode splits the operator name from its arguments
+    # and silently under-counts.
+    return plan_of(df, "simple").count("Exchange hashpartitioning")
+
+
 @pytest.fixture(scope="module")
 def tables(spark, sf_small):
     names = "lineitem orders customer supplier part nation region".split()
@@ -50,13 +57,12 @@ def test_min_cost_supplier_window_reuses_agg_partitioning(tables):
         tables["nation"],
         tables["region"],
     )
-    plan = plan_of(out)
-    # The decorrelated window min must NOT introduce an exchange beyond
-    # the single (partkey, suppkey) agg shuffle: partkey is a prefix of
-    # the agg keys, so Catalyst reuses that partitioning for the window.
-    n_shuffles = plan.count("Exchange hashpartitioning")
-    assert n_shuffles <= 1, f"window added exchanges:\n{plan}"
-    assert "BroadcastHashJoin" in plan  # dims broadcast
+    # Exactly two exchanges: the (partkey, suppkey) agg (map-side
+    # combined, the only fact-sized one) and the window's partkey
+    # re-cluster (rollup-sized). Anything more means the
+    # decorrelation or a dim join regressed into a shuffle.
+    assert n_shuffles(out) == 2, f"unexpected exchanges:\n{plan_of(out, 'simple')}"
+    assert "BroadcastHashJoin" in plan_of(out)  # dims broadcast
 
 
 def test_min_cost_supplier_rows_hold_the_min(tables):
