@@ -269,6 +269,9 @@ def main() -> None:
         "gopher_quality": qs["gopher_quality"],
         "merge_indexes": qs["merge_indexes"],
         "binary_rerank_search": qs["binary_rerank_search"],
+        "bigram_lm_score": qs["bigram_lm_score"],
+        "event_type_pivot": qs["event_type_pivot"],
+        "churned_buyers": qs["churned_buyers"],
     }
 
     def run(fn) -> float:

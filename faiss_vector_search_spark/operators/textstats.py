@@ -460,16 +460,22 @@ def char_entropy(
         F.col(id_col), F.array_sort(chars).alias("cs")
     ).where(F.size("cs") > 0)
     n = F.size("cs")
-    # 1-based end position of every run of equal chars
+    # 1-based end position of every run of equal chars — materialized
+    # as a column: the run-length zip below references it twice, and
+    # interpreted higher-order exprs get no common-subexpression
+    # elimination, so inlining would run the O(n) boundary filter
+    # twice per row (CollapseProject keeps non-cheap duplicated
+    # expressions staged).
     ends = F.filter(
         F.sequence(F.lit(1), n),
         lambda i: (i == n)
         | (F.element_at("cs", (i + 1).cast("int")) != F.element_at("cs", i.cast("int"))),
     )
+    staged = base.select(F.col(id_col), F.col("cs"), ends.alias("_ends"))
     # run length = this end minus the previous end (0 for the first)
     lens = F.zip_with(
-        ends,
-        F.concat(F.array(F.lit(0)), F.slice(ends, 1, F.size(ends) - 1)),
+        F.col("_ends"),
+        F.concat(F.array(F.lit(0)), F.slice("_ends", 1, F.size("_ends") - 1)),
         lambda e, p: (e - p).cast("double"),
     )
     nd = n.cast("double")
@@ -478,7 +484,7 @@ def char_entropy(
         F.lit(0.0),
         lambda acc, c: acc + (c / nd) * F.log2(c / nd),
     )
-    return base.select(
+    return staged.select(
         F.col(id_col),
         n.cast("bigint").alias("n_chars"),
         F.round(ent, 6).alias("entropy_bits"),
@@ -509,54 +515,72 @@ def gopher_rules(
     ellipsis-line ratios, fraction of words containing an alphabetic
     character, and a minimum count of the 8 canonical stopword hits.
 
-    Everything is one projection over in-row array ops (shared
-    tokenizer, split-on-newline lines) — no explode, no join, no
-    shuffle: the rules run at scan speed and the corpus never moves,
-    which is the posture a 100 TB pre-filter must have."""
-    toks = tokens(F.col(text_col))
+    Staged projections, all in-row (no explode, no join, no shuffle):
+    the token/line arrays materialize ONCE, the scalar metrics
+    reference those columns, and the flags + keep reference the
+    scalars — interpreted higher-order exprs get no common-
+    subexpression elimination, so a single flat projection would
+    re-tokenize per flag and the keep-conjunction would re-run every
+    flag again (~14 tokenizer passes instead of 1). The rules run at
+    scan speed and the corpus never moves — the posture a 100 TB
+    pre-filter must have."""
+    arrays = docs.select(
+        F.col(id_col),
+        tokens(F.col(text_col)).alias("_toks"),
+        F.split(F.col(text_col), "\n").alias("_lines"),
+    )
+    toks, lines = F.col("_toks"), F.col("_lines")
     n_words = F.size(toks)
-    mean_wl = (
-        F.aggregate(
-            F.transform(toks, lambda t: F.length(t).cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        / n_words.cast("double")
-    )
-    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*GOPHER_STOPWORDS)))
-    alpha_ratio = (
-        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double")
-        / n_words.cast("double")
-    )
-    lines = F.split(F.col(text_col), "\n")
     n_lines = F.size(lines)
-    bullet_ratio = (
-        F.size(
-            F.filter(
-                lines,
-                lambda ln: ln.startswith("- ")
-                | ln.startswith("* ")
-                | ln.startswith("•"),
+    metrics = arrays.select(
+        F.col(id_col),
+        n_words.alias("_nw"),
+        (
+            F.aggregate(
+                F.transform(toks, lambda t: F.length(t).cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
             )
-        ).cast("double")
-        / n_lines.cast("double")
-    )
-    ellipsis_ratio = (
-        F.size(F.filter(lines, lambda ln: ln.endswith("..."))).cast("double")
-        / n_lines.cast("double")
+            / n_words.cast("double")
+        ).alias("_mwl"),
+        F.size(F.filter(toks, lambda t: t.isin(*GOPHER_STOPWORDS))).alias(
+            "_stop"
+        ),
+        (
+            F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double")
+            / n_words.cast("double")
+        ).alias("_alpha"),
+        (
+            F.size(
+                F.filter(
+                    lines,
+                    lambda ln: ln.startswith("- ")
+                    | ln.startswith("* ")
+                    | ln.startswith("•"),
+                )
+            ).cast("double")
+            / n_lines.cast("double")
+        ).alias("_bullet"),
+        (
+            F.size(F.filter(lines, lambda ln: ln.endswith("..."))).cast(
+                "double"
+            )
+            / n_lines.cast("double")
+        ).alias("_ellipsis"),
     )
     flags = {
-        "ok_words": (n_words >= min_words) & (n_words <= max_words),
-        "ok_word_len": (mean_wl >= min_mean_wl) & (mean_wl <= max_mean_wl),
-        "ok_bullets": bullet_ratio <= max_bullet_ratio,
-        "ok_ellipsis": ellipsis_ratio <= max_ellipsis_ratio,
-        "ok_alpha": alpha_ratio >= min_alpha_ratio,
-        "ok_stop": stop_hits >= min_stop_hits,
+        "ok_words": (F.col("_nw") >= min_words) & (F.col("_nw") <= max_words),
+        "ok_word_len": (F.col("_mwl") >= min_mean_wl)
+        & (F.col("_mwl") <= max_mean_wl),
+        "ok_bullets": F.col("_bullet") <= max_bullet_ratio,
+        "ok_ellipsis": F.col("_ellipsis") <= max_ellipsis_ratio,
+        "ok_alpha": F.col("_alpha") >= min_alpha_ratio,
+        "ok_stop": F.col("_stop") >= min_stop_hits,
     }
     keep = None
     for c in flags.values():
         keep = c if keep is None else (keep & c)
-    return docs.select(
+    return metrics.select(
         F.col(id_col),
         *[c.alias(name) for name, c in flags.items()],
         keep.alias("keep"),
