@@ -1035,6 +1035,13 @@ def q_churned_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-Res weighted sampling: 100 docs drawn ∝ n_chars,
+    deterministic md5 uniforms, TakeOrdered plan."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.weighted_sample(docs, n=100, weight_col=F.col("n_chars"))
+
+
 # --- oracle SQL -----------------------------------------------------------
 
 _IP = "ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv), 6)"
@@ -2829,6 +2836,20 @@ GROUP BY 1
 ORDER BY n_churned DESC, n_name ASC
 """
 
+ORACLES["weighted_sample"] = """
+WITH keyed AS (
+  SELECT doc_id,
+         ROUND(
+           ln((('0x' || substr(md5('s7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+              / 1152921504606846977.0)
+           / CAST(n_chars AS DOUBLE), 12) AS sample_key
+  FROM documents
+)
+SELECT doc_id, sample_key FROM keyed
+ORDER BY sample_key DESC, doc_id ASC
+LIMIT 100
+"""
+
 
 # --- driver contract ------------------------------------------------------
 
@@ -2957,6 +2978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_score": q_bigram_lm_score,
         "event_type_pivot": q_event_type_pivot,
         "churned_buyers": q_churned_buyers,
+        "weighted_sample": q_weighted_sample,
     }
 
 

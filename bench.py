@@ -272,6 +272,7 @@ def main() -> None:
         "bigram_lm_score": qs["bigram_lm_score"],
         "event_type_pivot": qs["event_type_pivot"],
         "churned_buyers": qs["churned_buyers"],
+        "weighted_sample": qs["weighted_sample"],
     }
 
     def run(fn) -> float:

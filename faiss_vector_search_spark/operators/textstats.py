@@ -585,3 +585,38 @@ def gopher_rules(
         *[c.alias(name) for name, c in flags.items()],
         keep.alias("keep"),
     )
+
+# 2^60 + 1: md5_int yields 60-bit non-negative ints, so (h+1)/DENOM
+# is a uniform draw in (0, 1] — never 0, so ln(u) is finite.
+_ARES_DENOM = float((1 << 60) + 1)
+
+
+def weighted_sample(
+    docs: DataFrame,
+    n: int,
+    weight_col,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement —
+    Efraimidis–Spirakis A-Res (IPL 2006, public): each row draws a
+    uniform u and ranks by u^(1/w); the top-n win with probability
+    proportional to their weights. The uniform is md5-derived from the
+    id, so the sample is reproducible across engines and runs (no RNG
+    state), and re-running on a grown corpus keeps every row's draw
+    stable — rows never churn in and out of the sample except by
+    displacement.
+
+    Ranking uses the monotone-equivalent ``ln(u)/w`` (avoids pow; one
+    log per row), rounded to 12 dp with an id tie-break so the top-n
+    boundary is engine-stable. The whole thing compiles to a map +
+    TakeOrderedAndProject — k·P rows to the driver, no shuffle of the
+    corpus, the same scale posture as flat kNN."""
+    from ..functions.hashing import md5_int
+
+    u = (md5_int(F.col(id_col).cast("string"), seed=7) + 1) / F.lit(_ARES_DENOM)
+    key = F.round(F.log(u) / weight_col.cast("double"), 12)
+    return (
+        docs.select(F.col(id_col), key.alias("sample_key"))
+        .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
+        .limit(n)
+    )

@@ -142,3 +142,34 @@ def test_churned_buyers_against_manual_sets(spark, sf_small):
         }
 
     assert total == len(buyers(1996) - buyers(1997))
+
+
+# --- weighted sampling ----------------------------------------------------
+
+
+def test_weighted_sample_plan_and_determinism(spark, sf_small):
+    from faiss_vector_search_spark.operators import textstats
+
+    docs = fio.load_table(spark, sf_small, "documents")
+    out = textstats.weighted_sample(docs, n=50, weight_col=F.col("n_chars"))
+    assert "TakeOrderedAndProject" in plan_of(out, "simple")
+    a = [r.doc_id for r in out.collect()]
+    b = [r.doc_id for r in out.collect()]
+    assert a == b and len(a) == 50 and len(set(a)) == 50
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    from faiss_vector_search_spark.operators import textstats
+
+    # 500 light rows (w=1) + 500 heavy rows (w=100): heavy rows should
+    # dominate the sample (E[heavy share] ≈ 100/101 per draw)
+    rows = [(i, 1.0 if i < 500 else 100.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    picked = {
+        r.doc_id
+        for r in textstats.weighted_sample(
+            df, n=100, weight_col=F.col("w")
+        ).collect()
+    }
+    heavy = sum(1 for i in picked if i >= 500)
+    assert heavy >= 85, f"only {heavy}/100 heavy rows sampled"
