@@ -349,3 +349,61 @@ def streaming_enrich(
     trigger. The scale contract is the same as a batch broadcast
     join: dimension ≪ executor memory, stream side never shuffles."""
     return events.join(F.broadcast(dim), on, "left")
+
+
+DOC_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+
+def streaming_curation_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    out_path: str,
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """End-to-end streaming training-data ingest: new document batches
+    flow through the Gopher quality rules, then exact-dedup WITHIN the
+    batch and AGAINST everything already curated, and only surviving
+    rows append to the curated corpus — the streaming composition of
+    `textstats.gopher_rules` + `dedup.exact_dedup` semantics.
+
+    Scale posture per micro-batch: the rules are one scan-speed
+    projection over the (small) batch; the cross-batch dedup reads a
+    single column (``text_hash``, stored precisely so this scan is
+    column-pruned) from the curated store and broadcast-anti-joins it
+    against the batch; the append writes only survivors. The curated
+    corpus is never rewritten and never shuffles. With a checkpoint,
+    a crashed batch replays and lands identically (same hashes →
+    same survivors → append-only dedup makes the replay a no-op for
+    rows that already made it)."""
+    from ..operators import textstats
+
+    docs = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+    def curate(batch: DataFrame, batch_id: int) -> None:
+        flags = textstats.gopher_rules(batch).where(F.col("keep")).select(
+            "doc_id"
+        )
+        kept = batch.join(flags, on="doc_id").withColumn(
+            "text_hash", F.md5(F.col("text"))
+        )
+        # keep-first within the batch (lowest doc_id per content hash)
+        w_first = kept.groupBy("text_hash").agg(
+            F.min("doc_id").alias("doc_id")
+        )
+        kept = kept.join(w_first, on=["text_hash", "doc_id"])
+        try:
+            seen = spark.read.parquet(out_path).select("text_hash")
+        except Exception:  # first committed batch
+            kept.write.mode("append").parquet(out_path)
+            return
+        fresh = kept.join(F.broadcast(seen), on="text_hash", how="left_anti")
+        fresh.write.mode("append").parquet(out_path)
+
+    writer = docs.writeStream.foreachBatch(curate).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

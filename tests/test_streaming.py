@@ -295,3 +295,46 @@ def test_watermark_drops_late_events(spark, sf_small, tmp_path):
     assert late_only_hours
     assert not (emitted2 & late_only_hours)  # late data fully dropped
     assert emitted2 == emitted1  # run 2 added no rows at all
+
+
+def test_streaming_curation_ingest_filters_and_dedups(spark, sf_small, tmp_path):
+    """The streamed curated corpus equals the batch composition:
+    gopher-keep docs, one copy per distinct text, keep-lowest-id —
+    across micro-batches AND across duplicate redelivery."""
+    from faiss_vector_search_spark.operators import textstats
+
+    docs = fio.load_table(spark, sf_small, "documents")
+    src = tmp_path / "docs_in"
+    # batch 1: first half; batch 2: second half PLUS a redelivery of
+    # part of batch 1 (at-least-once upstream)
+    docs.where("doc_id < 250").coalesce(1).write.mode("append").parquet(str(src))
+    docs.where("doc_id >= 250").unionByName(
+        docs.where("doc_id < 50")
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    out = tmp_path / "curated"
+    q = streams.streaming_curation_ingest(
+        spark, str(src), str(out), checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+
+    curated = spark.read.parquet(str(out))
+    # batch twin
+    keep_ids = {
+        r.doc_id
+        for r in textstats.gopher_rules(docs).where("keep").collect()
+    }
+    batch_twin = {}
+    for r in docs.collect():
+        if r.doc_id in keep_ids:
+            h = r.text
+            if h not in batch_twin or r.doc_id < batch_twin[h]:
+                batch_twin[h] = r.doc_id
+    got = {(r.text, r.doc_id) for r in curated.select("text", "doc_id").collect()}
+    assert got == set(batch_twin.items())
+    # re-running over the same input adds nothing (append-only dedup)
+    q2 = streams.streaming_curation_ingest(
+        spark, str(src), str(out), checkpoint=str(tmp_path / "ckpt2")
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(str(out)).count() == len(batch_twin)
