@@ -2727,16 +2727,16 @@ m AS (
   FROM t
 )
 SELECT doc_id,
-       (n_words >= 20 AND n_words <= 100000) AS ok_words,
-       (mean_wl >= 3.0 AND mean_wl <= 10.0) AS ok_word_len,
-       (bullet_ratio <= 0.9) AS ok_bullets,
-       (ellipsis_ratio <= 0.3) AS ok_ellipsis,
-       (alpha_ratio >= 0.8) AS ok_alpha,
-       (stop_hits >= 2) AS ok_stop,
-       (n_words >= 20 AND n_words <= 100000
+       COALESCE(n_words >= 20 AND n_words <= 100000, false) AS ok_words,
+       COALESCE(mean_wl >= 3.0 AND mean_wl <= 10.0, false) AS ok_word_len,
+       COALESCE(bullet_ratio <= 0.9, false) AS ok_bullets,
+       COALESCE(ellipsis_ratio <= 0.3, false) AS ok_ellipsis,
+       COALESCE(alpha_ratio >= 0.8, false) AS ok_alpha,
+       COALESCE(stop_hits >= 2, false) AS ok_stop,
+       COALESCE(n_words >= 20 AND n_words <= 100000
         AND mean_wl >= 3.0 AND mean_wl <= 10.0
         AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3
-        AND alpha_ratio >= 0.8 AND stop_hits >= 2) AS keep
+        AND alpha_ratio >= 0.8 AND stop_hits >= 2, false) AS keep
 FROM m
 """,
         "merge_indexes": """

@@ -81,17 +81,24 @@ def quality_exprs(text_col) -> tuple:
     n_punct = F.length(
         F.regexp_replace(F.lower(text_col), "[a-z0-9 ]", "")
     ).cast("double")
-    mean_wl = (
+    # try_divide: ANSI Spark (the 4.x default) throws on x/0, so one
+    # empty document would kill the whole scan; try_divide yields NULL
+    # exactly like the DuckDB oracle's plain division, the NULL rides
+    # through to a NULL quality, and quality_score's n_tokens>0 filter
+    # (or any quality>=t gate) drops the row in both engines.
+    mean_wl = F.try_divide(
         F.aggregate(
             F.transform(toks, lambda t: F.length(t).cast("double")),
             F.lit(0.0),
             lambda acc, x: acc + x,
-        )
-        / n_toks
+        ),
+        n_toks,
     )
     len_score = F.least(n_chars / 500.0, F.lit(1.0))
-    stop_score = F.least(n_stop / n_toks * 5.0, F.lit(1.0))
-    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - n_punct / n_chars * 10.0)
+    stop_score = F.least(F.try_divide(n_stop, n_toks) * 5.0, F.lit(1.0))
+    punct_pen = F.greatest(
+        F.lit(0.0), F.lit(1.0) - F.try_divide(n_punct, n_chars) * 10.0
+    )
     wl_score = F.when((mean_wl >= 3.0) & (mean_wl <= 8.0), 1.0).otherwise(0.5)
     quality = F.round(
         (len_score + stop_score + punct_pen + wl_score) / 4.0, 6
@@ -532,23 +539,28 @@ def gopher_rules(
     toks, lines = F.col("_toks"), F.col("_lines")
     n_words = F.size(toks)
     n_lines = F.size(lines)
+    # try_divide, not `/`: Spark 4 defaults to ANSI mode where x/0
+    # THROWS — a single empty document would kill the whole 100 TB
+    # job. try_divide yields NULL, which is also what the DuckDB
+    # oracle's plain division produces, so the engines stay aligned;
+    # NULL metrics fail their flag via the coalesce(false) below.
     metrics = arrays.select(
         F.col(id_col),
         n_words.alias("_nw"),
-        (
+        F.try_divide(
             F.aggregate(
                 F.transform(toks, lambda t: F.length(t).cast("double")),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
-            )
-            / n_words.cast("double")
+            ),
+            n_words.cast("double"),
         ).alias("_mwl"),
         F.size(F.filter(toks, lambda t: t.isin(*GOPHER_STOPWORDS))).alias(
             "_stop"
         ),
-        (
-            F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double")
-            / n_words.cast("double")
+        F.try_divide(
+            F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double"),
+            n_words.cast("double"),
         ).alias("_alpha"),
         (
             F.size(
@@ -568,14 +580,21 @@ def gopher_rules(
             / n_lines.cast("double")
         ).alias("_ellipsis"),
     )
+    def _flag(cond):
+        # NULL metric (empty doc) → the flag FAILS, not propagates
+        return F.coalesce(cond, F.lit(False))
+
     flags = {
-        "ok_words": (F.col("_nw") >= min_words) & (F.col("_nw") <= max_words),
-        "ok_word_len": (F.col("_mwl") >= min_mean_wl)
-        & (F.col("_mwl") <= max_mean_wl),
-        "ok_bullets": F.col("_bullet") <= max_bullet_ratio,
-        "ok_ellipsis": F.col("_ellipsis") <= max_ellipsis_ratio,
-        "ok_alpha": F.col("_alpha") >= min_alpha_ratio,
-        "ok_stop": F.col("_stop") >= min_stop_hits,
+        "ok_words": _flag(
+            (F.col("_nw") >= min_words) & (F.col("_nw") <= max_words)
+        ),
+        "ok_word_len": _flag(
+            (F.col("_mwl") >= min_mean_wl) & (F.col("_mwl") <= max_mean_wl)
+        ),
+        "ok_bullets": _flag(F.col("_bullet") <= max_bullet_ratio),
+        "ok_ellipsis": _flag(F.col("_ellipsis") <= max_ellipsis_ratio),
+        "ok_alpha": _flag(F.col("_alpha") >= min_alpha_ratio),
+        "ok_stop": _flag(F.col("_stop") >= min_stop_hits),
     }
     keep = None
     for c in flags.values():
@@ -614,7 +633,10 @@ def weighted_sample(
     from ..functions.hashing import md5_int
 
     u = (md5_int(F.col(id_col).cast("string"), seed=7) + 1) / F.lit(_ARES_DENOM)
-    key = F.round(F.log(u) / weight_col.cast("double"), 12)
+    # try_divide: ANSI Spark throws on w=0; NULL (DuckDB's x/0 answer)
+    # sorts last under desc, so zero-weight rows are never sampled —
+    # the semantically right reading of weight 0.
+    key = F.round(F.try_divide(F.log(u), weight_col.cast("double")), 12)
     return (
         docs.select(F.col(id_col), key.alias("sample_key"))
         .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())

@@ -173,3 +173,27 @@ def test_weighted_sample_favors_heavy_rows(spark):
     }
     heavy = sum(1 for i in picked if i >= 500)
     assert heavy >= 85, f"only {heavy}/100 heavy rows sampled"
+
+
+def test_gopher_rules_survives_empty_and_zero_weight(spark):
+    """ANSI-mode hardening: empty docs must not throw DIVIDE_BY_ZERO,
+    they must fail their flags; zero-weight rows must never sample."""
+    from faiss_vector_search_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "the cat and the dog went to the "
+                                  "park with a ball of yarn and that "
+                                  "was the best day of the summer for them")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in textstats.gopher_rules(docs).collect()}
+    assert out[1].keep is False and out[1].ok_word_len is False
+    assert out[2].keep is False
+    df = spark.createDataFrame(
+        [(i, 0.0 if i < 5 else 1.0) for i in range(20)], ["doc_id", "w"]
+    )
+    picked = {
+        r.doc_id
+        for r in textstats.weighted_sample(df, n=15, weight_col=F.col("w")).collect()
+    }
+    assert picked == set(range(5, 20))  # zero-weight rows excluded
