@@ -1042,6 +1042,24 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.weighted_sample(docs, n=100, weight_col=F.col("n_chars"))
 
 
+def q_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 60-minute time-RANGE window per user (event-time
+    frame, exact integer micros interval)."""
+    return analytics.time_range_rolling(_t(spark, sf_dir, "events"))
+
+
+def q_value_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist + decile in one window pass."""
+    return analytics.value_rank_profile(_t(spark, sf_dir, "events"))
+
+
+def q_unpivot_user_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (stack) of the per-user event matrix back to sparse
+    long form — inverse of event_type_pivot."""
+    m = analytics.event_type_pivot(_t(spark, sf_dir, "events"))
+    return analytics.unpivot_user_matrix(m)
+
+
 # --- oracle SQL -----------------------------------------------------------
 
 _IP = "ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv), 6)"
@@ -2851,6 +2869,47 @@ LIMIT 100
 """
 
 
+ORACLES["time_range_rolling"] = """
+SELECT event_id, user_id,
+       epoch_us(ts) AS ts_us,
+       CAST(count(*) OVER w AS BIGINT) AS n_trailing,
+       ROUND(sum(value) OVER w, 2) AS sum_trailing
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+ORACLES["value_rank_profile"] = """
+SELECT event_id, event_type,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cume,
+       CAST(ntile(10) OVER w AS INT) AS decile
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+"""
+
+ORACLES["unpivot_user_matrix"] = """
+WITH m AS (
+  SELECT user_id,
+         CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+         CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+         CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+         CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+         CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+  FROM events GROUP BY 1
+),
+long AS (
+  SELECT user_id, 'click' AS event_type, n_click AS n_events FROM m
+  UNION ALL SELECT user_id, 'error', n_error FROM m
+  UNION ALL SELECT user_id, 'purchase', n_purchase FROM m
+  UNION ALL SELECT user_id, 'signup', n_signup FROM m
+  UNION ALL SELECT user_id, 'view', n_view FROM m
+)
+SELECT user_id, event_type, n_events FROM long WHERE n_events > 0
+"""
+
+
+
 # --- driver contract ------------------------------------------------------
 
 
@@ -2979,6 +3038,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_pivot": q_event_type_pivot,
         "churned_buyers": q_churned_buyers,
         "weighted_sample": q_weighted_sample,
+        "time_range_rolling": q_time_range_rolling,
+        "value_rank_profile": q_value_rank_profile,
+        "unpivot_user_matrix": q_unpivot_user_matrix,
     }
 
 

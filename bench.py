@@ -273,6 +273,9 @@ def main() -> None:
         "event_type_pivot": qs["event_type_pivot"],
         "churned_buyers": qs["churned_buyers"],
         "weighted_sample": qs["weighted_sample"],
+        "time_range_rolling": qs["time_range_rolling"],
+        "value_rank_profile": qs["value_rank_profile"],
+        "unpivot_user_matrix": qs["unpivot_user_matrix"],
     }
 
     def run(fn) -> float:

@@ -1616,3 +1616,71 @@ def churned_buyers(
         .agg(F.count("*").cast("bigint").alias("n_churned"))
         .orderBy(F.col("n_churned").desc(), F.col("n_name").asc())
     )
+
+def time_range_rolling(
+    events: DataFrame, trailing_minutes: int = 60
+) -> DataFrame:
+    """Trailing time-RANGE window per user: sum/count of events in the
+    last ``trailing_minutes`` BY EVENT TIME, not by row count — the
+    frame `rolling_user_activity`'s ROWS-frame cannot express when
+    events are irregularly spaced (a rows-frame mixes hours and
+    seconds of history depending on activity).
+
+    RANGE frames need a numeric ordering key, so time becomes epoch
+    micros; the frame is then an exact integer interval — no float,
+    no rounding. One shuffle on user_id (the window partition), the
+    same partitioning any per-user feature job already pays."""
+    us = 60_000_000 * trailing_minutes
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-us, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.count("*").over(w).cast("bigint").alias("n_trailing"),
+        F.round(F.sum("value").over(w), 2).alias("sum_trailing"),
+    )
+
+
+def value_rank_profile(events: DataFrame) -> DataFrame:
+    """Rank-statistic profile of event values within their type:
+    percent_rank, cume_dist, and decile — the remaining window
+    ranking family in one pass (ntile/row_number live in other
+    operators). All three share ONE (event_type, value) sort, so
+    Catalyst plans a single window exchange + sort.
+
+    percent_rank/cume_dist are exact rational counts divided once per
+    row — deterministic cross-engine with a rounding contract only on
+    the final output."""
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return events.select(
+        "event_id",
+        "event_type",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(10).over(w).cast("int").alias("decile"),
+    )
+
+
+def unpivot_user_matrix(matrix: DataFrame, types: tuple[str, ...] = EVENT_TYPES) -> DataFrame:
+    """Melt the wide per-user event matrix back to long form —
+    `stack()` (UNPIVOT): one generator expression per row, no join,
+    no shuffle; the inverse of :func:`event_type_pivot` minus the
+    zero rows (unpivot drops them so long form stays sparse, matching
+    what a groupBy of the raw facts would produce)."""
+    pairs = ", ".join(f"'{t}', n_{t}" for t in types)
+    return (
+        matrix.select(
+            "user_id",
+            F.expr(
+                f"stack({len(types)}, {pairs}) AS (event_type, n_events)"
+            ),
+        )
+        .where(F.col("n_events") > 0)
+        .select("user_id", "event_type", F.col("n_events").cast("bigint").alias("n_events"))
+    )

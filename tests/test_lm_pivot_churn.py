@@ -197,3 +197,56 @@ def test_gopher_rules_survives_empty_and_zero_weight(spark):
         for r in textstats.weighted_sample(df, n=15, weight_col=F.col("w")).collect()
     }
     assert picked == set(range(5, 20))  # zero-weight rows excluded
+
+
+# --- window breadth -------------------------------------------------------
+
+
+def test_time_range_rolling_uses_event_time_not_row_count(spark):
+    from faiss_vector_search_spark.operators import analytics
+    import datetime as dt
+
+    base = dt.datetime(2000, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, 1, "click", 1.0, None),
+        (2, base + dt.timedelta(minutes=30), 1, "click", 1.0, None),
+        (3, base + dt.timedelta(minutes=200), 1, "click", 1.0, None),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string"
+    )
+    out = {r.event_id: r.n_trailing for r in
+           analytics.time_range_rolling(ev, trailing_minutes=60).collect()}
+    # event 2 sees event 1 (30 min apart); event 3 sees only itself
+    # (200 min gap) — a ROWS-2 frame would wrongly include event 2
+    assert out == {1: 1, 2: 2, 3: 1}
+
+
+def test_value_rank_profile_single_window_pass(spark, sf_small):
+    from faiss_vector_search_spark.operators import analytics
+
+    ev = fio.load_table(spark, sf_small, "events")
+    out = analytics.value_rank_profile(ev)
+    plan = plan_of(out, "simple")
+    assert n_shuffles(out) == 1, plan       # one window exchange
+    assert plan.count("Sort ") <= 2, plan   # one logical sort (AQE may split)
+    rows = out.where(F.col("event_type") == "click").collect()
+    assert max(r.pct_rank for r in rows) == 1.0
+    assert max(r.cume for r in rows) == 1.0
+    assert {r.decile for r in rows} == set(range(1, 11))
+
+
+def test_unpivot_inverts_pivot_sparsely(spark, sf_small):
+    from faiss_vector_search_spark.operators import analytics
+
+    ev = fio.load_table(spark, sf_small, "events")
+    m = analytics.event_type_pivot(ev)
+    long = analytics.unpivot_user_matrix(m)
+    got = {(r.user_id, r.event_type): r.n_events for r in long.collect()}
+    want = {
+        (r.user_id, r.event_type): r["count"]
+        for r in ev.groupBy("user_id", "event_type").count().collect()
+    }
+    assert got == want  # exact sparse inverse
+    assert "Exchange" not in plan_of(long, "simple").split("HashAggregate")[0]
