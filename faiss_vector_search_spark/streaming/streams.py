@@ -407,3 +407,61 @@ def streaming_curation_ingest(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+TOPK_OUT_SCHEMA = "query_id bigint, vec_id bigint, score double, rank int"
+TOPK_STATE_SCHEMA = "ids array<bigint>, scores array<double>"
+
+
+def streaming_topk(
+    scored: DataFrame, k: int = 10
+) -> DataFrame:
+    """Stateful running top-k per query over a stream of scored
+    candidates — FAISS search as a STREAM: candidates arrive in
+    micro-batches (e.g. freshly-indexed vectors scored against a
+    standing query set) and each batch emits the query's current
+    best-k, identical to what a batch top-k over everything seen so
+    far would return.
+
+    State per query is exactly k (id, score) pairs — constant memory
+    per key no matter how much stream has flowed past, the property
+    that makes a standing query cheap at 100 TB/day ingest. Merging a
+    batch is heap-free: concatenate ≤ k state rows with the batch,
+    one sort, cut at k (ties → lowest id, the engine-wide contract).
+    Update-mode output: the latest emission per query is the answer.
+    """
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        if state.exists:
+            ids, scores = state.get
+            ids, scores = list(ids), list(scores)
+        else:
+            ids, scores = [], []
+        for pdf in pdfs:
+            ids.extend(int(v) for v in pdf["vec_id"])
+            scores.extend(float(s) for s in pdf["score"])
+        order = sorted(
+            range(len(ids)), key=lambda i: (-scores[i], ids[i])
+        )[:k]
+        ids = [ids[i] for i in order]
+        scores = [scores[i] for i in order]
+        state.update((ids, scores))
+        yield pd.DataFrame(
+            {
+                "query_id": [key[0]] * len(ids),
+                "vec_id": ids,
+                "score": scores,
+                "rank": list(range(1, len(ids) + 1)),
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return scored.groupBy("query_id").applyInPandasWithState(
+        update,
+        outputStructType=TOPK_OUT_SCHEMA,
+        stateStructType=TOPK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -338,3 +338,43 @@ def test_streaming_curation_ingest_filters_and_dedups(spark, sf_small, tmp_path)
     )
     q2.awaitTermination()
     assert spark.read.parquet(str(out)).count() == len(batch_twin)
+
+
+def test_streaming_topk_matches_batch(spark, sf_small, tmp_path):
+    """Running top-k over streamed candidate batches converges to the
+    batch top-k over everything seen, with the same tie-break."""
+    from faiss_vector_search_spark.operators import knn
+
+    emb = fio.load_table(spark, sf_small, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    scored_all = knn.topk_join(emb, queries, k=10_000).select(
+        "query_id", "vec_id", F.col("score").cast("double").alias("score")
+    )
+    src = tmp_path / "scored_in"
+    # 3 micro-batches of candidates in arbitrary id slices
+    for lo, hi in ((0, 150), (150, 320), (320, 10_000)):
+        scored_all.where(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("query_id bigint, vec_id bigint, score double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = streams.streaming_topk(stream, k=5)
+    streams.run_to_completion(out, "topk_stream", mode="update")
+    # update mode: keep the LAST emission per (query_id, rank)
+    final = {}
+    for r in spark.sql(
+        "SELECT * FROM topk_stream"
+    ).collect():
+        final[(r.query_id, r.rank)] = (r.vec_id, r.score)
+    batch = knn.topk_join(emb, queries, k=5).collect()
+    for r in batch:
+        assert final[(r.query_id, r.rank)] == (r.vec_id, float(r.score)), (
+            r.query_id, r.rank
+        )
