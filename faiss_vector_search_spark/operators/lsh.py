@@ -76,6 +76,49 @@ def lsh_buckets(
     )
 
 
+def query_probe_buckets(
+    query: DataFrame,
+    dim: int = 64,
+    n_tables: int = 24,
+    n_bits: int = 4,
+    seed: int = 42,
+    multiprobe: int = 0,
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """The query's (table, bucket) probe set, optionally multi-probe
+    (Lv et al., VLDB'07, public): beyond the home bucket, probe the
+    buckets reached by flipping the ``multiprobe`` LEAST-CONFIDENT
+    bits — the hyperplanes whose dot product with the query is
+    closest to zero, i.e. exactly where a true neighbor most likely
+    landed on the other side.
+
+    Multi-probe trades query-side probes for index-side tables: the
+    corpus is hashed ONCE into fewer tables (smaller index, less
+    shuffle at build) while recall is recovered at query time from
+    (1 + multiprobe) probes per table. At 100 TB the corpus-side cost
+    is the one that matters, so this is the right direction to spend."""
+    planes = _planes(dim, n_tables, n_bits, seed)
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+    qv = np.vstack(
+        [r[query_vec_col] for r in query.select(query_vec_col).collect()]
+    ).astype(np.float64)
+    margins = qv @ planes.T  # (q, L*B)
+    rows = []
+    for qi in range(margins.shape[0]):
+        m = margins[qi].reshape(n_tables, n_bits)
+        bits = m > 0
+        for t in range(n_tables):
+            home = int(bits[t] @ weights)
+            rows.append((t, home))
+            # flip bits in increasing |margin| order, one at a time
+            for b in np.argsort(np.abs(m[t]))[:multiprobe]:
+                rows.append((t, home ^ int(weights[b])))
+    spark = query.sparkSession
+    return spark.createDataFrame(
+        sorted(set(rows)), "table int, bucket bigint"
+    )
+
+
 def ann_lsh_search(
     corpus: DataFrame,
     query: DataFrame,
@@ -87,21 +130,19 @@ def ann_lsh_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_vec_col: str = "query_vec",
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates = union of the query's buckets
-    across tables, then exact IP scoring of candidates only."""
+    across tables (plus ``multiprobe`` bit-flip perturbations per
+    table), then exact IP scoring of candidates only."""
     from ..functions import vector as V
 
     corpus_buckets = lsh_buckets(
         corpus, dim, n_tables, n_bits, seed, id_col, vec_col
     )
-    query_buckets = lsh_buckets(
-        query.select(
-            F.lit(-1).cast("bigint").alias(id_col),
-            F.col(query_vec_col).alias(vec_col),
-        ),
-        dim, n_tables, n_bits, seed, id_col, vec_col,
-    ).select("table", "bucket")
+    query_buckets = query_probe_buckets(
+        query, dim, n_tables, n_bits, seed, multiprobe, query_vec_col
+    )
 
     cand_ids = (
         corpus_buckets.join(F.broadcast(query_buckets), ["table", "bucket"])

@@ -132,3 +132,45 @@ def test_near_dup_lsh_recall_holds_at_other_seed(spark, emb):
     }
     assert lsh_pairs <= exact_pairs  # precision stays 1.0 at any seed
     assert len(lsh_pairs & exact_pairs) / len(exact_pairs) >= 0.8
+
+
+def test_multiprobe_recovers_recall_with_fewer_tables(spark, emb):
+    """Multi-probe at 8 tables beats plain 8-table recall and reaches
+    the 24-table config's recall class — the index is 3× smaller for
+    the same answer quality (the corpus-side saving that matters)."""
+    qids = (0, 7, 42, 99, 250)
+
+    def mean_recall(n_tables, multiprobe):
+        recalls = []
+        for qid in qids:
+            q = _query(emb, qid)
+            exact = {
+                r.vec_id for r in knn.topk(emb, q, k=10, metric="ip").collect()
+            }
+            approx = {
+                r.vec_id
+                for r in lsh.ann_lsh_search(
+                    emb, q, k=10, dim=64,
+                    n_tables=n_tables, multiprobe=multiprobe,
+                ).collect()
+            }
+            recalls.append(len(exact & approx) / len(exact))
+        return sum(recalls) / len(recalls)
+
+    plain = mean_recall(8, 0)
+    probed = mean_recall(8, 2)
+    assert probed >= plain, (plain, probed)
+    assert probed >= 0.9, (plain, probed)
+
+
+def test_multiprobe_probe_set_shape(spark, emb):
+    q = _query(emb, 0)
+    base = lsh.query_probe_buckets(q, dim=64, n_tables=8, multiprobe=0)
+    probed = lsh.query_probe_buckets(q, dim=64, n_tables=8, multiprobe=2)
+    assert base.count() == 8
+    # ≤ 3 probes per table (home + 2 flips), distinct
+    assert 8 < probed.count() <= 24
+    # home buckets are a subset of the probed set
+    home = {(r.table, r.bucket) for r in base.collect()}
+    allp = {(r.table, r.bucket) for r in probed.collect()}
+    assert home <= allp
