@@ -1060,6 +1060,14 @@ def q_unpivot_user_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.unpivot_user_matrix(m)
 
 
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase positional search, in-row array matching with a
+    pushed LIKE prefilter; top-k by occurrence count."""
+    return lexical.phrase_search(
+        _t(spark, sf_dir, "documents"), "table scan", k=20
+    )
+
+
 # --- oracle SQL -----------------------------------------------------------
 
 _IP = "ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv), 6)"
@@ -2910,6 +2918,26 @@ SELECT user_id, event_type, n_events FROM long WHERE n_events > 0
 
 
 
+ORACLES["phrase_search"] = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+  WHERE lower(text) LIKE '%table scan%'
+),
+hits AS (
+  SELECT doc_id,
+         CAST(len(list_filter(generate_series(1, greatest(len(toks) - 1, 0)),
+              i -> toks[i] = 'table' AND toks[i + 1] = 'scan')) AS BIGINT)
+             AS n_hits
+  FROM t
+  WHERE len(toks) >= 2
+)
+SELECT doc_id, n_hits FROM hits WHERE n_hits > 0
+ORDER BY n_hits DESC, doc_id ASC
+LIMIT 20
+"""
+
+
+
 # --- driver contract ------------------------------------------------------
 
 
@@ -3041,6 +3069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_range_rolling": q_time_range_rolling,
         "value_rank_profile": q_value_rank_profile,
         "unpivot_user_matrix": q_unpivot_user_matrix,
+        "phrase_search": q_phrase_search,
     }
 
 

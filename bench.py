@@ -276,6 +276,7 @@ def main() -> None:
         "time_range_rolling": qs["time_range_rolling"],
         "value_rank_profile": qs["value_rank_profile"],
         "unpivot_user_matrix": qs["unpivot_user_matrix"],
+        "phrase_search": qs["phrase_search"],
     }
 
     def run(fn) -> float:

@@ -227,3 +227,73 @@ def bigram_counts(
         .orderBy(F.col("cnt").desc(), F.col("bigram").asc())
         .limit(top_n)
     )
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    use_prefilter: bool = True,
+) -> DataFrame:
+    """Exact-phrase search: documents containing the token sequence,
+    ranked by occurrence count (ties → lowest id) — the positional
+    query BM25's bag-of-words scoring cannot answer.
+
+    ``use_prefilter`` applies a pushed single-space substring LIKE
+    before the token-array match. It is an optimization ONLY when
+    phrase words are space-separated in the raw text (true of this
+    corpus); pass False for corpora where punctuation can separate
+    the tokens ("table, scan") and the full positional match must
+    judge every row.
+
+    Positional matching is an in-row array scan: candidate start
+    positions filtered by an every-token-matches check via O(1)
+    element_at reads — no token explode, no posting-list shuffle, no
+    join; the top-k compiles to TakeOrderedAndProject. The phrase
+    tokens fold into the plan as literals. The Contains prefilter
+    evaluates right after the scan (parquet pushes only
+    IsNotNull/StartsWith, not Contains) and short-circuits the AND,
+    so non-matching rows never build token arrays; the token array
+    itself is STAGED as a column because predicate pushdown
+    substitutes filter expressions through projections — unstaged,
+    the tokenizer would re-run ~8× per surviving row (once per
+    element_at branch in both the filter and the projection)."""
+    words = [w for w in phrase.lower().split() if w]
+    if not words:
+        raise ValueError("empty phrase")
+    n = len(words)
+    toks = F.col("_toks")
+
+    def match_at(i):
+        cond = None
+        for j, w in enumerate(words):
+            c = F.element_at(toks, i + F.lit(j)) == F.lit(w)
+            cond = c if cond is None else (cond & c)
+        return cond
+
+    # sequence(1, 0) counts DOWN in Spark — guard short docs to empty
+    # (same pitfall text.shingles_from_tokens documents)
+    positions = F.when(
+        F.size(toks) < n, F.array().cast("array<int>")
+    ).otherwise(F.sequence(F.lit(1), F.size(toks) - (n - 1)))
+    n_hits = F.size(F.filter(positions, match_at)).cast("bigint")
+    base = docs
+    if use_prefilter:
+        base = docs.where(
+            F.lower(F.col(text_col)).contains(" ".join(words))
+        )
+    staged = base.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    )
+    # the positivity filter sits ABOVE the top-k: zero-hit rows rank
+    # below every positive row, so the k survivors are identical — and
+    # a where() below the projection would be predicate-pushed through
+    # it, substituting (and re-evaluating) the whole match expression
+    # into a pre-projection Filter, undoing the _toks staging
+    return (
+        staged.select(F.col(id_col), n_hits.alias("n_hits"))
+        .orderBy(F.col("n_hits").desc(), F.col(id_col).asc())
+        .limit(k)
+        .where(F.col("n_hits") > 0)
+    )

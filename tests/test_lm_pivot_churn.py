@@ -250,3 +250,53 @@ def test_unpivot_inverts_pivot_sparsely(spark, sf_small):
     }
     assert got == want  # exact sparse inverse
     assert "Exchange" not in plan_of(long, "simple").split("HashAggregate")[0]
+
+
+# --- phrase search --------------------------------------------------------
+
+
+def test_phrase_search_counts_and_punctuation_contract(spark):
+    from faiss_vector_search_spark.operators import lexical
+
+    docs = spark.createDataFrame(
+        [
+            (1, "table scan beats table scan here"),   # 2 hits
+            (2, "table scan once"),                    # 1 hit
+            (3, "scan table reversed"),                # 0
+            (4, "table, scan punctuated"),             # tokens match, text doesn't
+            (5, "no phrase at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r.n_hits
+        for r in lexical.phrase_search(docs, "table scan").collect()
+    }
+    assert got == {1: 2, 2: 1}
+    # without the prefilter the punctuated doc matches on token positions
+    got2 = {
+        r.doc_id: r.n_hits
+        for r in lexical.phrase_search(
+            docs, "table scan", use_prefilter=False
+        ).collect()
+    }
+    assert got2 == {1: 2, 2: 1, 4: 1}
+
+
+def test_phrase_search_plan_shape(spark, sf_small):
+    from faiss_vector_search_spark.operators import lexical
+
+    docs = fio.load_table(spark, sf_small, "documents")
+    out = lexical.phrase_search(docs, "table scan")
+    plan = plan_of(out)
+    # Contains prefilter evaluates in the post-scan Filter (parquet
+    # can't push Contains) and the tokenizer is staged: split() must
+    # appear exactly once in the filter condition, not once per
+    # element_at branch
+    assert "Contains(lower(text" in plan, plan
+    assert "TakeOrderedAndProject" in plan_of(out, "simple")
+    # the staged token array keeps the tokenizer OUT of the pre-
+    # projection Filter entirely (the positivity filter runs above
+    # the top-k); split() appears only in the match projection
+    pre_filter = plan.split("Condition : ((isnotnull")[-1].split("\n")[0]
+    assert "split(lower" not in pre_filter, pre_filter
