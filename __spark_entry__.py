@@ -1068,6 +1068,20 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity NEAR/3 search: 'table' and 'scan' within 3 tokens,
+    either order, ranked by co-occurring pair count."""
+    return lexical.near_search(
+        _t(spark, sf_dir, "documents"), "table", "scan", window=3, k=20
+    )
+
+
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-query corpus health report: volume, duplication, language
+    mix, mean quality, median length as (metric, value) rows."""
+    return textstats.corpus_profile(_t(spark, sf_dir, "documents"))
+
+
 # --- oracle SQL -----------------------------------------------------------
 
 _IP = "ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv), 6)"
@@ -2938,6 +2952,55 @@ LIMIT 20
 
 
 
+ORACLES["near_search"] = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+  WHERE lower(text) LIKE '%table%' AND lower(text) LIKE '%scan%'
+),
+p AS (
+  SELECT doc_id,
+         list_filter(generate_series(1, len(toks)), i -> toks[i] = 'table') AS pa,
+         list_filter(generate_series(1, len(toks)), i -> toks[i] = 'scan') AS pb
+  FROM t
+),
+c AS (
+  SELECT doc_id,
+         COALESCE(CAST(list_sum(list_transform(pa, i ->
+           len(list_filter(pb, j -> j - i <= 3 AND i - j <= 3 AND j <> i))))
+           AS BIGINT), 0) AS n_pairs
+  FROM p
+)
+SELECT doc_id, n_pairs FROM (
+  SELECT doc_id, n_pairs FROM c ORDER BY n_pairs DESC, doc_id ASC LIMIT 20
+) WHERE n_pairs > 0
+"""
+
+
+
+ORACLES["corpus_profile"] = f"""
+WITH qs AS ({ORACLES["quality_score"]})
+SELECT 'n_docs' AS metric, CAST(count(*) AS DOUBLE) AS value FROM documents
+UNION ALL
+SELECT 'n_tokens', CAST(sum(n_tokens) AS DOUBLE) FROM qs
+UNION ALL
+SELECT 'distinct_texts', CAST(count(DISTINCT text) AS DOUBLE) FROM documents
+UNION ALL
+SELECT 'dup_rate',
+       ROUND(1.0 - CAST(count(DISTINCT text) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE), 6)
+FROM documents
+UNION ALL
+SELECT 'mean_quality',
+       ROUND(CAST(sum(CAST(quality AS DECIMAL(10,6))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6)
+FROM qs
+UNION ALL
+SELECT 'median_chars', CAST(median(n_chars) AS DOUBLE) FROM documents
+UNION ALL
+SELECT 'lang:' || lang, CAST(count(*) AS DOUBLE) FROM documents GROUP BY lang
+"""
+
+
 # --- driver contract ------------------------------------------------------
 
 
@@ -3070,6 +3133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_rank_profile": q_value_rank_profile,
         "unpivot_user_matrix": q_unpivot_user_matrix,
         "phrase_search": q_phrase_search,
+        "near_search": q_near_search,
+        "corpus_profile": q_corpus_profile,
     }
 
 

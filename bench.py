@@ -277,6 +277,8 @@ def main() -> None:
         "value_rank_profile": qs["value_rank_profile"],
         "unpivot_user_matrix": qs["unpivot_user_matrix"],
         "phrase_search": qs["phrase_search"],
+        "near_search": qs["near_search"],
+        "corpus_profile": qs["corpus_profile"],
     }
 
     def run(fn) -> float:

@@ -297,3 +297,57 @@ def phrase_search(
         .limit(k)
         .where(F.col("n_hits") > 0)
     )
+
+def near_search(
+    docs: DataFrame,
+    word_a: str,
+    word_b: str,
+    window: int = 5,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Proximity (NEAR/w) search: documents where ``word_a`` and
+    ``word_b`` co-occur within ``window`` tokens in either order,
+    ranked by co-occurring pair count — the unordered complement of
+    :func:`phrase_search`.
+
+    Both words' position lists extract in-row from the staged token
+    array; the pair count is a position-list cross-fold (|A|·|B| per
+    doc — position lists of single words are short, and the Contains
+    prefilters bound which docs do any work at all). Zero shuffle,
+    TakeOrderedAndProject — the same one-scan posture as phrase
+    search."""
+    wa, wb = word_a.lower(), word_b.lower()
+    toks = F.col("_toks")
+    idxs = F.sequence(F.lit(1), F.size(toks))
+
+    def positions(w):
+        return F.filter(idxs, lambda i: F.element_at(toks, i) == F.lit(w))
+
+    pa, pb = positions(wa), positions(wb)
+    n_pairs = F.aggregate(
+        pa,
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.size(
+            F.filter(
+                pb,
+                lambda j: (j - i <= window)
+                & (i - j <= window)
+                & (j != i),
+            )
+        ).cast("long"),
+    )
+    staged = docs.where(
+        F.lower(F.col(text_col)).contains(wa)
+        & F.lower(F.col(text_col)).contains(wb)
+    ).select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    # positivity filter above the top-k, same predicate-pushdown
+    # rationale as phrase_search
+    return (
+        staged.select(F.col(id_col), n_pairs.alias("n_pairs"))
+        .orderBy(F.col("n_pairs").desc(), F.col(id_col).asc())
+        .limit(k)
+        .where(F.col("n_pairs") > 0)
+    )

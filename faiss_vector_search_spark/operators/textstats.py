@@ -642,3 +642,70 @@ def weighted_sample(
         .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
         .limit(n)
     )
+
+def corpus_profile(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One-query corpus health report — the summary a pipeline
+    operator reads before deciding what to run next: volume (docs,
+    tokens), duplication (distinct texts, dup rate), per-language
+    counts, mean quality, and median length, as (metric, value) rows.
+
+    Every branch is a tiny aggregate of one shared scan; Catalyst
+    plans the union as parallel partial aggregations. Mean quality
+    sums per-doc 6-dp-rounded scores as exact DECIMALs (summation-
+    order-free) and divides once — the same determinism discipline as
+    the TPC-H rollups."""
+    n_tokens, quality = quality_exprs(F.col(text_col))
+    base = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.col("n_chars"),
+        n_tokens.alias("_nt"),
+        quality.alias("_q"),
+    )
+
+    def metric(name, col):
+        return base.agg(col.cast("double").alias("value")).select(
+            F.lit(name).alias("metric"), "value"
+        )
+
+    rows = [
+        metric("n_docs", F.count("*")),
+        metric("n_tokens", F.sum("_nt")),
+        metric("distinct_texts", F.count_distinct(F.col(text_col))),
+        metric(
+            "dup_rate",
+            F.round(
+                1.0
+                - F.count_distinct(F.col(text_col)).cast("double")
+                / F.count("*").cast("double"),
+                6,
+            ),
+        ),
+        metric(
+            "mean_quality",
+            # count("_q") (non-null = scoreable docs), not count(*):
+            # empty docs carry a NULL quality and must not dilute the
+            # mean — the oracle's n_tokens>0 CTE has the same contract
+            F.round(
+                F.sum(F.col("_q").cast("decimal(10,6)")).cast("double")
+                / F.count("_q").cast("double"),
+                6,
+            ),
+        ),
+        metric("median_chars", F.median("n_chars")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    langs = (
+        docs.groupBy("lang")
+        .agg(F.count("*").cast("double").alias("value"))
+        .select(
+            F.concat(F.lit("lang:"), F.col("lang")).alias("metric"), "value"
+        )
+    )
+    return out.unionByName(langs)

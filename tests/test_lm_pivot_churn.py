@@ -300,3 +300,23 @@ def test_phrase_search_plan_shape(spark, sf_small):
     # the top-k); split() appears only in the match projection
     pre_filter = plan.split("Condition : ((isnotnull")[-1].split("\n")[0]
     assert "split(lower" not in pre_filter, pre_filter
+
+
+def test_near_search_window_and_order_semantics(spark):
+    from faiss_vector_search_spark.operators import lexical
+
+    docs = spark.createDataFrame(
+        [
+            (1, "table x scan"),                 # distance 2, in window
+            (2, "scan y z table"),               # reversed, distance 3
+            (3, "table a b c d e f scan"),       # distance 7, out of window
+            (4, "table scan table"),             # two pairs
+            (5, "no match here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r.n_pairs
+        for r in lexical.near_search(docs, "table", "scan", window=3).collect()
+    }
+    assert got == {1: 1, 2: 1, 4: 2}
