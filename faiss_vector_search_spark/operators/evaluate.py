@@ -39,19 +39,26 @@ def recall_report(
     pq_m: int = 8,
     pq_ksub: int = 16,
     pq_iters: int = 3,
+    lsh_tables: int = 8,
+    lsh_bits: int = 4,
+    lsh_multiprobe: int = 2,
 ) -> DataFrame:
     """Recall@k per tier, averaged over the query sample.
 
-    Tiers: flat exact (= 1.0 control), ivf, sq8, binary, and the PQ
+    Tiers: flat exact (= 1.0 control), ivf, sq8, binary, the PQ
     ladder — pq_adc (compressed-domain ranking), pq_rerank (ADC
     shortlist + exact rescore), ivfpq (probe-pruned ADC: the codes
     filtered to the nprobe probed lists before ranking — the exact
     candidate set ivfpq_search_persisted reads via partition pruning,
-    so its recall measures the persisted tier without a write).
-    Output: (tier, recall_at_k)."""
+    so its recall measures the persisted tier without a write) — and
+    the LSH pair: lsh (home buckets only) vs lsh_multiprobe (same
+    index, +``lsh_multiprobe`` bit-flip probes per table), so the
+    report shows what the query-side probes buy against the same
+    corpus-side index. Output: (tier, recall_at_k)."""
     from . import binary as binary_mod
     from . import ivf as ivf_mod
     from . import knn as knn_mod
+    from . import lsh as lsh_mod
     from . import pq as pq_mod
     from . import sq as sq_mod
 
@@ -119,6 +126,13 @@ def recall_report(
                 probed, books, q, k=k, id_col=id_col,
             ), qid, id_col)
         )
+        for tier, mp in (("lsh", 0), ("lsh_multiprobe", lsh_multiprobe)):
+            frames.append(
+                _hits(tier, lsh_mod.ann_lsh_search(
+                    emb, q, k=k, n_tables=lsh_tables, n_bits=lsh_bits,
+                    multiprobe=mp, id_col=id_col, vec_col=vec_col,
+                ), qid, id_col)
+            )
 
     import functools
 

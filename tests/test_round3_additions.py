@@ -576,8 +576,11 @@ def test_recall_report_control_and_bounds(emb):
            evaluate.recall_report(emb, query_ids=(0, 1, 2), k=10).collect()}
     assert set(out) == {
         "exact", "ivf", "sq8", "binary", "pq_adc", "pq_rerank", "ivfpq",
+        "lsh", "lsh_multiprobe",
     }
     assert out["exact"] == 1.0             # control: flat vs itself
+    # query-side probes against the SAME index can only add candidates
+    assert out["lsh_multiprobe"] >= out["lsh"]
     assert out["sq8"] >= 0.8               # 8-bit decode is near-exact
     # exact rescore of the ADC shortlist can only improve on raw ADC
     assert out["pq_rerank"] >= out["pq_adc"]
