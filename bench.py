@@ -187,6 +187,10 @@ def main() -> None:
             spark, _ivfsq_paths[sf], q, nprobe=4, k=10
         )
 
+    def p_semdedup_arrow(spark, sf):
+        emb = fio.load_table(spark, sf, "embeddings")
+        return dedup.semdedup(emb, nlist=16, threshold=0.4, pair_engine="arrow")
+
     def p_decontaminate(spark, sf):
         docs = fio.load_table(spark, sf, "documents")
         bench_set = docs.where(F.col("doc_id") % 50 == 0)
@@ -266,6 +270,7 @@ def main() -> None:
         "ship_delay_priority": qs["ship_delay_priority"],
         "excess_parts": qs["excess_parts"],
         "semdedup": qs["semdedup"],
+        "semdedup_arrow": p_semdedup_arrow,
         "gopher_quality": qs["gopher_quality"],
         "merge_indexes": qs["merge_indexes"],
         "binary_rerank_search": qs["binary_rerank_search"],

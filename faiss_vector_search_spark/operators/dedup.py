@@ -623,6 +623,7 @@ def semdedup(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pair_engine: str = "sql",
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, public): coarse
     k-means-style clustering first, pairwise cosine ONLY within each
@@ -631,16 +632,25 @@ def semdedup(
 
     This is the scale answer to :func:`embedding_cosine_pairs`'s
     guarded O(n²): clustering caps the quadratic term at
-    O(Σ|cluster|²) and the self-join keys on ``list_id``, so every
-    pair computation is co-partitioned — with nlist grown ~√N (the
-    FAISS IVF guidance the quantizer already follows) per-cluster
-    work stays bounded while total work stays ~linear. The cluster
-    assignment itself is the IVF map (broadcast centroids, no corpus
-    shuffle, reference index_service.py:91-95's quantizer reused).
+    O(Σ|cluster|²) and the pair stage is co-partitioned by cluster —
+    with nlist grown ~√N (the FAISS IVF guidance the quantizer
+    already follows) per-cluster work stays bounded while total work
+    stays ~linear. The cluster assignment itself is the IVF map
+    (broadcast centroids, no corpus shuffle, reference
+    index_service.py:91-95's quantizer reused).
 
-    Deterministic/oracle-able: seeded centroids (first nlist by id),
-    argmin-L2 assignment with lowest-cid tie-break, ROUND(cos, 6)
-    before the threshold compare.
+    ``pair_engine`` picks the within-cluster pair implementation —
+    the same oracle/production split the hash_fn operators use:
+
+    - ``"sql"``: equi-join on list id + per-pair fold. Deterministic
+      and oracle-able (seeded centroids, argmin-L2 lowest-cid
+      tie-break, ROUND(cos, 6) before the compare) — but the fold is
+      an interpreted higher-order expr, ~µs per pair.
+    - ``"arrow"``: one ``applyInPandas`` per cluster doing the
+      |C|×d @ d×|C| Gram matmul — how SemDeDup is actually run at
+      scale (BLAS, ~ns per pair). Same keep rule and tie-break;
+      float results can differ from the fold in the last bit, so the
+      oracle gate runs the sql engine.
 
     Returns kept rows: (id_col, list_id).
     """
@@ -655,26 +665,57 @@ def semdedup(
     assigned = assign_lists(emb, cents, vec_col=vec_col).select(
         id_col, normalize(F.col(vec_col)).alias("_vn"), "list_id"
     )
-    a = assigned.select(
-        F.col(id_col).alias("id_a"),
-        F.col("_vn").alias("v_a"),
-        F.col("list_id").alias("cl"),
-    )
-    b = assigned.select(
-        F.col(id_col).alias("id_b"),
-        F.col("_vn").alias("v_b"),
-        F.col("list_id").alias("cl"),
-    )
-    dup = (
-        a.join(b, on="cl")
-        .where(F.col("id_b") < F.col("id_a"))
-        .where(
-            F.round(dot(F.col("v_a"), F.col("v_b")), JACCARD_DECIMALS)
-            >= threshold
+    if pair_engine == "arrow":
+        dup = _semdedup_dup_arrow(assigned, threshold, id_col)
+    elif pair_engine == "sql":
+        a = assigned.select(
+            F.col(id_col).alias("id_a"),
+            F.col("_vn").alias("v_a"),
+            F.col("list_id").alias("cl"),
         )
-        .select(F.col("id_a").alias(id_col))
-        .distinct()
-    )
+        b = assigned.select(
+            F.col(id_col).alias("id_b"),
+            F.col("_vn").alias("v_b"),
+            F.col("list_id").alias("cl"),
+        )
+        dup = (
+            a.join(b, on="cl")
+            .where(F.col("id_b") < F.col("id_a"))
+            .where(
+                F.round(dot(F.col("v_a"), F.col("v_b")), JACCARD_DECIMALS)
+                >= threshold
+            )
+            .select(F.col("id_a").alias(id_col))
+            .distinct()
+        )
+    else:
+        raise ValueError(f"unknown pair_engine: {pair_engine}")
     return assigned.join(dup, on=id_col, how="left_anti").select(
         id_col, "list_id"
+    )
+
+
+def _semdedup_dup_arrow(
+    assigned: DataFrame, threshold: float, id_col: str
+) -> DataFrame:
+    """Dropped-id set via per-cluster Gram matmuls: for each cluster,
+    cos = Vn @ Vn.T in one BLAS call; a row is dropped iff any
+    strictly-lower id in its cluster has ROUND(cos, 6) ≥ threshold.
+    Arrow-batched, cluster-parallel; memory per task is |C|² doubles,
+    bounded by the √N nlist sizing."""
+    import numpy as np
+    import pandas as pd
+
+    def find_dups(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        vn = np.vstack(pdf["_vn"].to_numpy())[order]
+        cos = np.round(vn @ vn.T, JACCARD_DECIMALS)
+        # strict lower-triangle: j < i by id order
+        hit = (np.tril(cos, k=-1) >= threshold).any(axis=1)
+        return pd.DataFrame({id_col: ids[hit]})
+
+    return assigned.groupBy("list_id").applyInPandas(
+        find_dups, schema=f"{id_col} bigint"
     )

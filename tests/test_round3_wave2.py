@@ -276,3 +276,17 @@ def test_binary_rerank_recall_at_reduced_shortlist(emb):
     }
     recall = len(exact_ids & rer_ids) / len(exact_ids)
     assert recall >= 0.5, f"binary shortlist recall too low: {recall}"
+
+
+def test_semdedup_arrow_engine_matches_sql(emb):
+    sql_kept = {
+        (r.vec_id, r.list_id)
+        for r in dedup.semdedup(emb, nlist=16, threshold=0.4).collect()
+    }
+    arrow_kept = {
+        (r.vec_id, r.list_id)
+        for r in dedup.semdedup(
+            emb, nlist=16, threshold=0.4, pair_engine="arrow"
+        ).collect()
+    }
+    assert sql_kept == arrow_kept
