@@ -109,14 +109,19 @@ def bloom_semi_join(
     hashing — otherwise mismatched key types (int vs bigint, decimal
     vs double) would make build and probe positions disagree and the
     pre-filter would silently drop matching rows, which ``exact=True``
-    could never recover. Casting the probe value of a genuinely equal
-    pair yields the build value, so no false negatives are introduced:
-    a probe value the cast mangles could not have equi-joined anyway."""
+    could never recover. try_cast, NOT cast: under ANSI mode (the
+    Spark 4 default this repo runs) a plain cast THROWS on any probe
+    value outside the build type's range (a bigint fact key past int
+    range, a non-numeric string) and kills the job; try_cast yields
+    NULL, might_contain evaluates false, and the row is dropped —
+    correct, because a value the cast cannot represent could not have
+    equi-joined a build key anyway. No false negatives either way:
+    a genuinely equal pair's probe value casts to the build value."""
     fk = fact_key_col or key_col
     build_type = keys.schema[key_col].dataType
     probe = F.col(fk)
     if fact.schema[fk].dataType != build_type:
-        probe = probe.cast(build_type)
+        probe = probe.try_cast(build_type)  # ANSI-safe: NULL, not throw
     bloom = F.broadcast(bloom_build(keys, key_col, bits, num_hashes))
     pre = (
         fact.crossJoin(bloom)

@@ -712,10 +712,19 @@ def _semdedup_dup_arrow(
         ids = ids[order]
         vn = np.vstack(pdf["_vn"].to_numpy())[order]
         cos = np.round(vn @ vn.T, JACCARD_DECIMALS)
-        # strict lower-triangle: j < i by id order
-        hit = (np.tril(cos, k=-1) >= threshold).any(axis=1)
+        # strict lower-triangle mask: j < i by id order. Mask with
+        # -inf, NOT np.tril's zero-fill — a zero-filled diagonal would
+        # make every row (including each cluster's lowest id, which
+        # has no lower-id mates at all) a "duplicate" whenever
+        # threshold <= 0.0, and cosines live in [-1, 1].
+        lower = np.tril(np.ones_like(cos, dtype=bool), k=-1)
+        masked = np.where(lower, cos, -np.inf)
+        hit = (masked >= threshold).any(axis=1)
         return pd.DataFrame({id_col: ids[hit]})
 
+    # output schema follows the input id type (string doc ids must
+    # survive the arrow engine exactly like the sql engine)
+    id_type = assigned.schema[id_col].dataType.simpleString()
     return assigned.groupBy("list_id").applyInPandas(
-        find_dups, schema=f"{id_col} bigint"
+        find_dups, schema=f"{id_col} {id_type}"
     )

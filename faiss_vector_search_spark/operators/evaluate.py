@@ -76,6 +76,15 @@ def recall_report(
         assigned, books, id_col=id_col, vec_col=vec_col,
         keep_cols=("list_id",),
     )
+    # corpus-side LSH index hashed ONCE and shared by both lsh tiers
+    # across every query — the same hoist-the-encoding pattern as the
+    # sq/binary/pq codes above. cache(): unlike those codegen encodes
+    # this one is a Python-side matmul, and without materialization
+    # the shared plan would still re-execute per search (2 tiers ×
+    # |sample| times). Report-scoped working set, LRU-evictable.
+    lsh_index = lsh_mod.lsh_buckets(
+        emb, 64, lsh_tables, lsh_bits, 42, id_col, vec_col
+    ).cache()
 
     frames = []
     exacts = []
@@ -131,6 +140,7 @@ def recall_report(
                 _hits(tier, lsh_mod.ann_lsh_search(
                     emb, q, k=k, n_tables=lsh_tables, n_bits=lsh_bits,
                     multiprobe=mp, id_col=id_col, vec_col=vec_col,
+                    corpus_buckets=lsh_index,
                 ), qid, id_col)
             )
 

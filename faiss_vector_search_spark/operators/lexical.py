@@ -319,8 +319,15 @@ def near_search(
     TakeOrderedAndProject — the same one-scan posture as phrase
     search."""
     wa, wb = word_a.lower(), word_b.lower()
+    if not wa.strip() or not wb.strip():
+        raise ValueError("near_search needs two non-empty words")
     toks = F.col("_toks")
-    idxs = F.sequence(F.lit(1), F.size(toks))
+    # sequence(1, 0) counts DOWN for an empty token array (yielding a
+    # 0 index that element_at rejects under ANSI) — guard to empty,
+    # same pitfall phrase_search and shingles_from_tokens document
+    idxs = F.when(
+        F.size(toks) == 0, F.array().cast("array<int>")
+    ).otherwise(F.sequence(F.lit(1), F.size(toks)))
 
     def positions(w):
         return F.filter(idxs, lambda i: F.element_at(toks, i) == F.lit(w))

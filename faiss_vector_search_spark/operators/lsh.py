@@ -99,9 +99,14 @@ def query_probe_buckets(
     is the one that matters, so this is the right direction to spend."""
     planes = _planes(dim, n_tables, n_bits, seed)
     weights = (1 << np.arange(n_bits)).astype(np.int64)
-    qv = np.vstack(
-        [r[query_vec_col] for r in query.select(query_vec_col).collect()]
-    ).astype(np.float64)
+    spark = query.sparkSession
+    qrows = [r[query_vec_col] for r in query.select(query_vec_col).collect()]
+    if not qrows:
+        # empty query set → empty probe set (np.vstack would raise);
+        # the bucket join then yields an empty result, matching the
+        # old lsh_buckets-based path's behavior
+        return spark.createDataFrame([], "table int, bucket bigint")
+    qv = np.vstack(qrows).astype(np.float64)
     margins = qv @ planes.T  # (q, L*B)
     rows = []
     for qi in range(margins.shape[0]):
@@ -113,7 +118,6 @@ def query_probe_buckets(
             # flip bits in increasing |margin| order, one at a time
             for b in np.argsort(np.abs(m[t]))[:multiprobe]:
                 rows.append((t, home ^ int(weights[b])))
-    spark = query.sparkSession
     return spark.createDataFrame(
         sorted(set(rows)), "table int, bucket bigint"
     )
@@ -131,15 +135,22 @@ def ann_lsh_search(
     vec_col: str = "embedding",
     query_vec_col: str = "query_vec",
     multiprobe: int = 0,
+    corpus_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates = union of the query's buckets
     across tables (plus ``multiprobe`` bit-flip perturbations per
-    table), then exact IP scoring of candidates only."""
+    table), then exact IP scoring of candidates only.
+
+    Pass a precomputed ``corpus_buckets`` (from :func:`lsh_buckets`
+    with the SAME dim/tables/bits/seed) to amortize the corpus-side
+    hashing across many searches — the standing-index usage, and what
+    `evaluate.recall_report` does across its query sample."""
     from ..functions import vector as V
 
-    corpus_buckets = lsh_buckets(
-        corpus, dim, n_tables, n_bits, seed, id_col, vec_col
-    )
+    if corpus_buckets is None:
+        corpus_buckets = lsh_buckets(
+            corpus, dim, n_tables, n_bits, seed, id_col, vec_col
+        )
     query_buckets = query_probe_buckets(
         query, dim, n_tables, n_bits, seed, multiprobe, query_vec_col
     )

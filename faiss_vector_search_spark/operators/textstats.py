@@ -83,9 +83,12 @@ def quality_exprs(text_col) -> tuple:
     ).cast("double")
     # try_divide: ANSI Spark (the 4.x default) throws on x/0, so one
     # empty document would kill the whole scan; try_divide yields NULL
-    # exactly like the DuckDB oracle's plain division, the NULL rides
-    # through to a NULL quality, and quality_score's n_tokens>0 filter
-    # (or any quality>=t gate) drops the row in both engines.
+    # like the DuckDB oracle's plain division. NOTE the NULL does NOT
+    # propagate through least()/greatest() (both skip NULLs — an empty
+    # doc would otherwise score 0.375), so quality is explicitly
+    # nulled for zero-token docs below: the oracle computes quality
+    # only over its len(toks) > 0 CTE, and any downstream mean or
+    # quality>=t gate must see the same scoreable-row set.
     mean_wl = F.try_divide(
         F.aggregate(
             F.transform(toks, lambda t: F.length(t).cast("double")),
@@ -100,8 +103,9 @@ def quality_exprs(text_col) -> tuple:
         F.lit(0.0), F.lit(1.0) - F.try_divide(n_punct, n_chars) * 10.0
     )
     wl_score = F.when((mean_wl >= 3.0) & (mean_wl <= 8.0), 1.0).otherwise(0.5)
-    quality = F.round(
-        (len_score + stop_score + punct_pen + wl_score) / 4.0, 6
+    quality = F.when(
+        n_toks > 0,
+        F.round((len_score + stop_score + punct_pen + wl_score) / 4.0, 6),
     )
     return n_toks.cast("bigint"), quality
 

@@ -395,11 +395,18 @@ def streaming_curation_ingest(
             F.min("doc_id").alias("doc_id")
         )
         kept = kept.join(w_first, on=["text_hash", "doc_id"])
-        try:
-            seen = spark.read.parquet(out_path).select("text_hash")
-        except Exception:  # first committed batch
+        # explicit existence check, NOT try/except around the read: a
+        # transient read failure (FS blip, concurrent compaction)
+        # caught as "first batch" would append the whole batch WITHOUT
+        # cross-batch dedup — silent duplicates in the curated corpus.
+        # Real read errors must propagate and fail the micro-batch so
+        # the checkpoint retries it.
+        import os
+
+        if not os.path.isdir(out_path):
             kept.write.mode("append").parquet(out_path)
             return
+        seen = spark.read.parquet(out_path).select("text_hash")
         fresh = kept.join(F.broadcast(seen), on="text_hash", how="left_anti")
         fresh.write.mode("append").parquet(out_path)
 

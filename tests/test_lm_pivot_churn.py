@@ -320,3 +320,38 @@ def test_near_search_window_and_order_semantics(spark):
         for r in lexical.near_search(docs, "table", "scan", window=3).collect()
     }
     assert got == {1: 1, 2: 1, 4: 2}
+
+
+def test_near_search_empty_docs_and_words(spark):
+    from faiss_vector_search_spark.operators import lexical
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "table next to scan")], ["doc_id", "text"]
+    )
+    # empty token arrays must not trip sequence(1,0)/element_at(0)
+    got = {r.doc_id for r in
+           lexical.near_search(docs, "table", "scan", window=3).collect()}
+    assert got == {2}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        lexical.near_search(docs, " ", "scan")
+
+
+def test_quality_is_null_for_empty_docs_and_profile_mean_aligns(spark):
+    from pyspark.sql import functions as F2
+    from faiss_vector_search_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "", "en", "s", 0), (2, "the cat and the dog went to the park "
+                                    "with a ball of red yarn today", "en", "s", 66)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    _, quality = textstats.quality_exprs(F2.col("text"))
+    rows = {r.doc_id: r.q for r in
+            docs.select("doc_id", quality.alias("q")).collect()}
+    assert rows[1] is None          # empty doc: NULL, not 0.375
+    assert rows[2] is not None
+    prof = {r.metric: r.value for r in
+            textstats.corpus_profile(docs).collect()}
+    # the mean covers ONLY the scoreable doc — same set as the oracle
+    assert abs(prof["mean_quality"] - rows[2]) < 1e-9

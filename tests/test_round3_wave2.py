@@ -290,3 +290,29 @@ def test_semdedup_arrow_engine_matches_sql(emb):
         ).collect()
     }
     assert sql_kept == arrow_kept
+
+
+def test_semdedup_arrow_threshold_zero_keeps_cluster_minima(emb):
+    """threshold<=0 regression: the arrow engine's masked Gram matrix
+    must never mark a cluster's lowest id as a duplicate (tril's
+    zero-fill once did, emptying the corpus)."""
+    sql_kept = {
+        r.vec_id
+        for r in dedup.semdedup(emb, nlist=16, threshold=0.0).collect()
+    }
+    arrow_kept = {
+        r.vec_id
+        for r in dedup.semdedup(
+            emb, nlist=16, threshold=0.0, pair_engine="arrow"
+        ).collect()
+    }
+    assert arrow_kept == sql_kept
+    assert len(arrow_kept) == 16  # exactly the per-cluster minima survive
+
+
+def test_semdedup_arrow_string_ids(spark):
+    rows = [(f"doc{i:03d}", [float(i), 1.0]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    out = dedup.semdedup(df, nlist=2, threshold=0.99, pair_engine="arrow")
+    kept = {r.vec_id for r in out.collect()}
+    assert kept and all(isinstance(v, str) for v in kept)
