@@ -102,10 +102,18 @@ def quality_exprs(text_col) -> tuple:
     punct_pen = F.greatest(
         F.lit(0.0), F.lit(1.0) - F.try_divide(n_punct, n_chars) * 10.0
     )
-    wl_score = F.when((mean_wl >= 3.0) & (mean_wl <= 8.0), 1.0).otherwise(0.5)
-    quality = F.when(
-        n_toks > 0,
-        F.round((len_score + stop_score + punct_pen + wl_score) / 4.0, 6),
+    # wl_score carries the zero-token NULL (an unconditional
+    # otherwise(0.5) would swallow it): NULL + the other scores nulls
+    # the whole sum, so quality is NULL exactly when n_toks == 0
+    # (least/greatest skip NULLs, so no other term can carry it). The
+    # second branch tests n_toks — size only — and runs only when the
+    # band check came back false/NULL, which is the cheapest way to
+    # distinguish "out of band" from "no tokens at all".
+    wl_score = F.when((mean_wl >= 3.0) & (mean_wl <= 8.0), 1.0).when(
+        n_toks > 0, 0.5
+    )
+    quality = F.round(
+        (len_score + stop_score + punct_pen + wl_score) / 4.0, 6
     )
     return n_toks.cast("bigint"), quality
 
