@@ -2882,7 +2882,7 @@ WITH keyed AS (
          ROUND(
            ln((('0x' || substr(md5('s7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
               / 1152921504606846977.0)
-           / CAST(n_chars AS DOUBLE), 12) AS sample_key
+           / CAST(CASE WHEN n_chars > 0 THEN n_chars END AS DOUBLE), 12) AS sample_key
   FROM documents
 )
 SELECT doc_id, sample_key FROM keyed

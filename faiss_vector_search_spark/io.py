@@ -30,22 +30,21 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # Engine-wide timestamp contract (also pinned by session.get_spark,
-    # re-asserted here UNCONDITIONALLY for sessions the factory didn't
-    # build, e.g. the round driver's): the session zone is UTC from the
-    # first load_table call onward — a constant invariant, not a
-    # load-order-dependent side effect. The parquet stores naive
-    # timestamps (TIMESTAMP_NTZ); the oracle (DuckDB) interprets them
-    # as-written, i.e. as UTC instants, so the NTZ→LTZ cast below is
-    # the same interpretation under a UTC session zone. The cast is
-    # unwrapped by UnwrapCastInBinaryComparison, so date predicates
-    # still reach the parquet scan as PushedFilters (test_plans) — an
-    # opaque per-column rewrite (to_utc_timestamp) would block that
-    # pushdown, which is why the session-zone pin is the chosen form.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # Older testdata generations carried TIMESTAMP(NANOS); read as
-    # long (ns since epoch). Harmless for µs data.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Engine-wide timestamp contract: all timestamps are UTC instants,
+    # pinned ONCE at session build (session.get_spark sets
+    # spark.sql.session.timeZone=UTC and legacy nanosAsLong). load_table
+    # deliberately does NOT mutate session conf — a loader that flips
+    # session-global settings makes a foreign caller's behavior depend
+    # on load order. Sessions not built by the factory (e.g. the round
+    # driver's) inherit the JVM default zone, which this environment
+    # pins to UTC; the parquet stores naive µs timestamps
+    # (TIMESTAMP_NTZ), the oracle (DuckDB) interprets them as-written,
+    # and the NTZ→LTZ cast below gives the same interpretation under a
+    # UTC session zone. The cast is unwrapped by
+    # UnwrapCastInBinaryComparison, so date predicates still reach the
+    # parquet scan as PushedFilters (test_plans) — an opaque per-column
+    # rewrite (to_utc_timestamp) would block that pushdown, which is
+    # why the session-zone contract is the chosen form.
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     ntz = [
         f.name
@@ -55,6 +54,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if ntz:
         df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     return df
+
+
+def path_exists(spark: SparkSession, path: str) -> bool:
+    """Filesystem-agnostic existence check via the Hadoop FileSystem
+    API — works for local paths, HDFS, and object stores (s3a://, ...)
+    alike, unlike ``os.path``, which silently answers False for any
+    non-local URI. Used wherever a write path branches on "does the
+    store exist yet" (e.g. first-batch detection in streaming ingest),
+    where a wrong False is a silent-correctness bug, not a crash."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(hconf).exists(p)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -155,7 +155,7 @@ def recall_report(
     matched = tiers.join(
         truth.withColumn("is_true", F.lit(1)), ["query_id", "hit_id"], "left"
     )
-    return (
+    report = (
         matched.groupBy("tier")
         .agg(
             F.round(
@@ -166,3 +166,10 @@ def recall_report(
         )
         .orderBy(F.col("recall_at_k").desc(), F.col("tier").asc())
     )
+    # Evaluate EAGERLY (the report is one row per tier) so the cached
+    # LSH buckets can be released here instead of staying pinned in
+    # executor storage for the rest of the session. The caller still
+    # gets a DataFrame, just one backed by the collected rows.
+    rows = report.collect()
+    lsh_index.unpersist()
+    return spark.createDataFrame(rows, report.schema)

@@ -263,7 +263,13 @@ def write_snapshot(df, path: str) -> int:
     This is the lakehouse snapshot-isolation pattern in plain
     parquet: concurrent readers of version n keep a consistent view
     while version n+1 lands; rollback = read an older version.
-    Single-writer by contract (no manifest CAS on plain files)."""
+    Single-writer by contract (no manifest CAS on plain files).
+
+    Manifest I/O is deliberately driver-local-FS (``open``/
+    ``os.replace`` for the atomic commit) — ``path`` must be a local
+    or NFS-mounted path. On HDFS/S3 the commit point needs a store
+    with atomic rename or CAS (a Delta/Iceberg-style log); this
+    operator models the versioning semantics, not that log."""
     import json
     import os
 

@@ -645,10 +645,14 @@ def weighted_sample(
     from ..functions.hashing import md5_int
 
     u = (md5_int(F.col(id_col).cast("string"), seed=7) + 1) / F.lit(_ARES_DENOM)
-    # try_divide: ANSI Spark throws on w=0; NULL (DuckDB's x/0 answer)
-    # sorts last under desc, so zero-weight rows are never sampled —
-    # the semantically right reading of weight 0.
-    key = F.round(F.try_divide(F.log(u), weight_col.cast("double")), 12)
+    # Non-positive weights → NULL key, which sorts last under desc, so
+    # w<=0 rows are never sampled — the semantically right reading of
+    # "no weight". The explicit w>0 gate matters for w<0: ln(u)<0
+    # divided by a negative weight is POSITIVE and would otherwise
+    # deterministically beat every valid row. try_divide keeps the
+    # w→0⁻ ANSI-safety as a second fence.
+    w = F.when(weight_col > 0, weight_col).cast("double")
+    key = F.round(F.try_divide(F.log(u), w), 12)
     return (
         docs.select(F.col(id_col), key.alias("sample_key"))
         .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())

@@ -400,10 +400,13 @@ def streaming_curation_ingest(
         # caught as "first batch" would append the whole batch WITHOUT
         # cross-batch dedup — silent duplicates in the curated corpus.
         # Real read errors must propagate and fail the micro-batch so
-        # the checkpoint retries it.
-        import os
+        # the checkpoint retries it. Hadoop FS API, not os.path: on
+        # HDFS/S3 an os.path check is always False, which would make
+        # EVERY batch take the first-batch path — the exact silent-
+        # duplicate failure this branch exists to prevent.
+        from ..io import path_exists
 
-        if not os.path.isdir(out_path):
+        if not path_exists(spark, out_path):
             kept.write.mode("append").parquet(out_path)
             return
         seen = spark.read.parquet(out_path).select("text_hash")
@@ -416,8 +419,11 @@ def streaming_curation_ingest(
     return writer.start()
 
 
-TOPK_OUT_SCHEMA = "query_id bigint, vec_id bigint, score double, rank int"
-TOPK_STATE_SCHEMA = "ids array<bigint>, scores array<double>"
+TOPK_OUT_SCHEMA = (
+    "query_id bigint, vec_id bigint, score double, rank int,"
+    " state_version bigint"
+)
+TOPK_STATE_SCHEMA = "ids array<bigint>, scores array<double>, version bigint"
 
 
 def streaming_topk(
@@ -435,16 +441,21 @@ def streaming_topk(
     that makes a standing query cheap at 100 TB/day ingest. Merging a
     batch is heap-free: concatenate ≤ k state rows with the batch,
     one sort, cut at k (ties → lowest id, the engine-wide contract).
-    Update-mode output: the latest emission per query is the answer.
+    Update-mode output: the latest emission per query is the answer —
+    and "latest" is explicit, not positional: every emission carries a
+    per-key ``state_version`` (monotone update counter from the state
+    itself), so a consumer reading an unordered sink selects the
+    max-version row per (query_id, rank) instead of trusting sink row
+    order, which micro-batch sinks do not guarantee.
     """
     import pandas as pd
 
     def update(key, pdfs, state):
         if state.exists:
-            ids, scores = state.get
+            ids, scores, version = state.get
             ids, scores = list(ids), list(scores)
         else:
-            ids, scores = [], []
+            ids, scores, version = [], [], 0
         for pdf in pdfs:
             ids.extend(int(v) for v in pdf["vec_id"])
             scores.extend(float(s) for s in pdf["score"])
@@ -453,13 +464,15 @@ def streaming_topk(
         )[:k]
         ids = [ids[i] for i in order]
         scores = [scores[i] for i in order]
-        state.update((ids, scores))
+        version = int(version) + 1
+        state.update((ids, scores, version))
         yield pd.DataFrame(
             {
                 "query_id": [key[0]] * len(ids),
                 "vec_id": ids,
                 "score": scores,
                 "rank": list(range(1, len(ids) + 1)),
+                "state_version": [version] * len(ids),
             }
         )
 

@@ -10,6 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from faiss_vector_search_spark import io as fio
+from faiss_vector_search_spark.functions import text as text_fn
 from faiss_vector_search_spark.operators import analytics, lm
 
 
@@ -57,9 +58,10 @@ def test_lm_probabilities_sum_to_one_per_context(docs):
 def test_lm_score_bounds_and_coverage(docs):
     model = lm.bigram_lm_train(docs)
     out = lm.bigram_lm_score(docs, model).collect()
-    n_scoreable = docs.where(
-        F.size(F.split(F.lower("text"), "[^a-z0-9]+")) >= 2
-    ).count()
+    # mirror the engine's tokens() (empty strings filtered): a raw
+    # split() counts the empty trailing element of "word." and would
+    # overshoot on any doc with one real token plus trailing punct
+    n_scoreable = docs.where(F.size(text_fn.tokens(F.col("text"))) >= 2).count()
     assert len(out) == n_scoreable
     for r in out:
         assert 0.0 <= r.fluency <= 1.0

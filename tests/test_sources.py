@@ -9,6 +9,7 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
+from faiss_vector_search_spark import io as fio
 from faiss_vector_search_spark.sources import docx, multimodal, text_dir
 
 
@@ -267,3 +268,47 @@ class TestPythonDataSource:
             "50.0" in l for l in plan.splitlines() if "Filter" in l
         )  # Spark still evaluates what the source declined
         assert all(r.value > 50.0 for r in df.collect())
+
+
+class TestLoadTableSessionHygiene:
+    """load_table must not mutate session-global conf (the UTC /
+    nanosAsLong contract is pinned once at session build by
+    session.get_spark); a loader that flips session settings makes a
+    foreign caller's behavior depend on load order."""
+
+    def test_load_table_leaves_session_conf_untouched(self, spark, sf_small):
+        key = "spark.sql.session.timeZone"
+        before = spark.conf.get(key)
+        try:
+            spark.conf.set(key, "America/New_York")
+            fio.load_table(spark, sf_small, "documents")  # plan only
+            assert spark.conf.get(key) == "America/New_York"
+        finally:
+            spark.conf.set(key, before)
+
+    def test_factory_session_pins_the_timestamp_contract(self, spark):
+        # the shared fixture session comes from session.get_spark()
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        assert (
+            spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+        )
+
+    def test_path_exists_hadoop_fs(self, spark, tmp_path, sf_small):
+        assert fio.path_exists(spark, f"{sf_small}/documents.parquet")
+        assert not fio.path_exists(spark, str(tmp_path / "nope"))
+        # URI-schemed local path resolves through the same FS API
+        assert fio.path_exists(spark, f"file://{sf_small}/documents.parquet")
+
+    def test_timestamps_read_as_utc_instants(self, spark, sf_small):
+        import duckdb
+
+        got = (
+            fio.load_table(spark, sf_small, "events")
+            .select(F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss"))
+            .first()[0]
+        )
+        want = duckdb.sql(
+            f"SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') "
+            f"FROM '{sf_small}/events.parquet'"
+        ).fetchone()[0]
+        assert got == want

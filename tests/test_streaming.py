@@ -367,12 +367,16 @@ def test_streaming_topk_matches_batch(spark, sf_small, tmp_path):
     )
     out = streams.streaming_topk(stream, k=5)
     streams.run_to_completion(out, "topk_stream", mode="update")
-    # update mode: keep the LAST emission per (query_id, rank)
+    # update mode: keep the LAST emission per (query_id, rank) —
+    # selected by the emitted state_version, NOT by sink row order
+    # (memory-sink ordering across micro-batches is not a contract)
     final = {}
-    for r in spark.sql(
-        "SELECT * FROM topk_stream"
-    ).collect():
-        final[(r.query_id, r.rank)] = (r.vec_id, r.score)
+    best_version = {}
+    for r in spark.sql("SELECT * FROM topk_stream").collect():
+        k_ = (r.query_id, r.rank)
+        if r.state_version > best_version.get(k_, 0):
+            best_version[k_] = r.state_version
+            final[k_] = (r.vec_id, r.score)
     batch = knn.topk_join(emb, queries, k=5).collect()
     for r in batch:
         assert final[(r.query_id, r.rank)] == (r.vec_id, float(r.score)), (
