@@ -269,8 +269,14 @@ def main() -> None:
         "important_parts": qs["important_parts"],
         "ship_delay_priority": qs["ship_delay_priority"],
         "excess_parts": qs["excess_parts"],
-        "semdedup": qs["semdedup"],
-        "semdedup_arrow": p_semdedup_arrow,
+        # semdedup headline = the production arrow engine (per-cluster
+        # BLAS Gram matmul); the md5/sql profile that the DuckDB oracle
+        # gate requires stays measured as semdedup_oracle. r4 rename:
+        # BENCH keys before r4 tracked the sql profile as "semdedup"
+        # (r3 floor 3.79s) — the arrow engine's r3 measurement was
+        # "semdedup_arrow" (1.68s), which is this key's floor now.
+        "semdedup": p_semdedup_arrow,
+        "semdedup_oracle": qs["semdedup"],
         "gopher_quality": qs["gopher_quality"],
         "merge_indexes": qs["merge_indexes"],
         "binary_rerank_search": qs["binary_rerank_search"],
