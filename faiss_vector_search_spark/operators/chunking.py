@@ -43,8 +43,15 @@ def chunk_fixed(
             f"the start sequence degenerate or fail at runtime"
         )
     stride = size - overlap
-    starts = F.sequence(
-        F.lit(1), F.greatest(F.length(text_col), F.lit(1)), F.lit(stride)
+    # greatest(len, 1): an empty-string doc still gets its one (empty)
+    # chunk. NULL text stays NULL → explode drops the doc entirely —
+    # without the guard, greatest(NULL, 1) = 1 would emit a phantom
+    # NULL chunk per NULL-text doc (caught by test_adversarial).
+    starts = F.when(
+        F.col(text_col).isNotNull(),
+        F.sequence(
+            F.lit(1), F.greatest(F.length(text_col), F.lit(1)), F.lit(stride)
+        ),
     )
     return docs.select(
         F.col(id_col),
@@ -226,7 +233,12 @@ def pack_sequences(
     shard_hash = hashed(F.col(id_col).cast("string"), seed=21, hash_fn=hash_fn)
     sized = docs.select(
         F.col(id_col),
-        F.size(tokens(F.col(text_col))).cast("bigint").alias("n_tok"),
+        # NULL text → 0 tokens, NOT NULL: a NULL n_tok reaches the
+        # Arrow packer as NaN and int(NaN) throws — one degenerate row
+        # would kill the whole packing job (caught by test_adversarial)
+        F.coalesce(
+            F.size(tokens(F.col(text_col))).cast("bigint"), F.lit(0)
+        ).alias("n_tok"),
         F.pmod(shard_hash, F.lit(n_shards)).alias("shard"),
     ).repartition(n_shards, "shard")
 
