@@ -42,6 +42,7 @@ def recall_report(
     lsh_tables: int = 8,
     lsh_bits: int = 4,
     lsh_multiprobe: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Recall@k per tier, averaged over the query sample.
 
@@ -54,7 +55,15 @@ def recall_report(
     the LSH pair: lsh (home buckets only) vs lsh_multiprobe (same
     index, +``lsh_multiprobe`` bit-flip probes per table), so the
     report shows what the query-side probes buy against the same
-    corpus-side index. Output: (tier, recall_at_k)."""
+    corpus-side index. Output: (tier, recall_at_k).
+
+    ``centroids``: pass a persisted index's SAVED coarse quantizer
+    (e.g. ``spark.read.parquet(f"{path}/_centroids")``) to report the
+    recall that index actually delivers on the current corpus — the
+    drift-monitoring deployment, where the corpus has grown past what
+    the quantizer was trained on and this report is what trips
+    :func:`lifecycle.should_retrain`'s operator into action. Default
+    None trains seeded centroids on the corpus as before."""
     from . import binary as binary_mod
     from . import ivf as ivf_mod
     from . import knn as knn_mod
@@ -63,7 +72,11 @@ def recall_report(
     from . import sq as sq_mod
 
     spark = emb.sparkSession
-    cents = ivf_mod.seeded_centroids(emb, nlist, id_col=id_col, vec_col=vec_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_mod.seeded_centroids(emb, nlist, id_col=id_col, vec_col=vec_col)
+    )
     bounds = sq_mod.sq_train(emb, vec_col=vec_col)
     codes = sq_mod.sq_encode(emb, bounds, id_col=id_col, vec_col=vec_col)
     bcodes = binary_mod.binarize(emb, vec_col=vec_col)
