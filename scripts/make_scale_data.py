@@ -1,0 +1,193 @@
+"""Deterministic scale-up of the driver's sf0.1 testdata for the
+100x rehearsal (VERDICT r3 item 5).
+
+The driver only ships sf<=0.1; the rehearsal needs sf1/sf10 (10x /
+100x the bench SF) to demonstrate that the committed plan shapes —
+partition pruning on persisted IVF tiers, no-cartesian semdedup,
+bucketed LSH joins, pushed-down curation filters — hold when the data
+is 100x bigger. This script replicates sf0.1 `reps` times with
+key-space shifting, exactly the way a larger TPC-H SF extends the key
+space, so per-key densities, join fan-outs, and value distributions
+match the originals:
+
+- Fact/dim keys shift by ``r * N_base`` per replica r, so foreign keys
+  stay consistent and join selectivities are unchanged.
+- ``documents.text`` gets a per-replica token suffix (replica 0 stays
+  byte-exact), so each replica preserves the original's internal
+  near-dup structure while cross-replica shingle overlap is zero —
+  corpus-level duplicate DENSITY stays constant instead of every doc
+  acquiring ``reps-1`` artificial twins (which would grow candidate
+  pairs quadratically in reps by construction, not by engine
+  behavior).
+- ``embeddings.embedding`` gets a per-replica isometry (coordinate
+  roll + deterministic sign flips; replica 0 exact): norms and ALL
+  within-replica pairwise angles are preserved, while cross-replica
+  similarity is ~random. Cluster count grows ~reps-fold, which is the
+  realistic regime for the nlist ~ sqrt(N) IVF guidance.
+- ``events`` keeps the same 30-day time range with reps-times the
+  users, so windowed aggregations see higher per-window density —
+  the scale direction that actually stresses them.
+
+Everything is driven by deterministic hashes of (replica, position);
+no RNG, so re-runs are byte-stable.
+
+Usage: python scripts/make_scale_data.py OUT_DIR REPS [SRC_DIR]
+e.g.   python scripts/make_scale_data.py /root/repo/_scaledata/sf1 10
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import DataFrame, functions as F
+
+sys.path.insert(0, ".")
+
+from faiss_vector_search_spark.session import get_spark  # noqa: E402
+
+DIM = 64
+TARGET_ROWS_PER_FILE = 2_000_000
+
+
+def _replicate(df: DataFrame, reps: int) -> DataFrame:
+    """Cross the table with replica ids 0..reps-1 (broadcast 1-row
+    array explode — no shuffle of the base table)."""
+    return df.withColumn(
+        "r", F.explode(F.sequence(F.lit(0), F.lit(reps - 1)))
+    )
+
+
+def _write(df: DataFrame, out_dir: str, name: str, approx_rows: int) -> None:
+    n_files = max(1, approx_rows // TARGET_ROWS_PER_FILE)
+    path = os.path.join(out_dir, f"{name}.parquet")
+    df.repartition(n_files).write.mode("overwrite").parquet(path)
+    print(f"  wrote {name}: ~{approx_rows} rows, {n_files} file(s)")
+
+
+def main() -> None:
+    out_dir = sys.argv[1]
+    reps = int(sys.argv[2])
+    src = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+
+    spark = get_spark(app_name="fvs-make-scale-data", master="local[32]",
+                      shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def t(name: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(src, f"{name}.parquet"))
+
+    counts = {
+        name: t(name).count()
+        for name in ("customer", "supplier", "part", "orders", "lineitem",
+                     "events", "documents", "embeddings")
+    }
+    n_users = t("events").agg(F.max("user_id")).collect()[0][0] + 1
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    # Dimension tables that do not scale with SF: byte-copy.
+    for name in ("region", "nation"):
+        t(name).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{name}.parquet")
+        )
+        print(f"  copied {name}")
+
+    cust = _replicate(t("customer"), reps).select(
+        (F.col("c_custkey") + F.col("r") * counts["customer"]).alias("c_custkey"),
+        F.format_string("Customer#%09d",
+                        F.col("c_custkey") + F.col("r") * counts["customer"]
+                        ).alias("c_name"),
+        "c_nationkey", "c_acctbal", "c_mktsegment",
+    )
+    _write(cust, out_dir, "customer", counts["customer"] * reps)
+
+    supp = _replicate(t("supplier"), reps).select(
+        (F.col("s_suppkey") + F.col("r") * counts["supplier"]).alias("s_suppkey"),
+        F.format_string("Supplier#%09d",
+                        F.col("s_suppkey") + F.col("r") * counts["supplier"]
+                        ).alias("s_name"),
+        "s_nationkey", "s_acctbal",
+    )
+    _write(supp, out_dir, "supplier", counts["supplier"] * reps)
+
+    part = _replicate(t("part"), reps).select(
+        (F.col("p_partkey") + F.col("r") * counts["part"]).alias("p_partkey"),
+        "p_name", "p_brand", "p_type", "p_size", "p_retailprice",
+    )
+    _write(part, out_dir, "part", counts["part"] * reps)
+
+    orders = _replicate(t("orders"), reps).select(
+        (F.col("o_orderkey") + F.col("r") * counts["orders"]).alias("o_orderkey"),
+        (F.col("o_custkey") + F.col("r") * counts["customer"]).alias("o_custkey"),
+        "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority",
+    )
+    _write(orders, out_dir, "orders", counts["orders"] * reps)
+
+    li = _replicate(t("lineitem"), reps).select(
+        (F.col("l_orderkey") + F.col("r") * counts["orders"]).alias("l_orderkey"),
+        (F.col("l_partkey") + F.col("r") * counts["part"]).alias("l_partkey"),
+        (F.col("l_suppkey") + F.col("r") * counts["supplier"]).alias("l_suppkey"),
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
+    )
+    _write(li, out_dir, "lineitem", counts["lineitem"] * reps)
+
+    ev = _replicate(t("events"), reps).select(
+        (F.col("event_id") + F.col("r") * counts["events"]).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("r") * n_users).alias("user_id"),
+        "event_type", "value", "props",
+    )
+    _write(ev, out_dir, "events", counts["events"] * reps)
+
+    # documents: replica 0 byte-exact; replicas r>0 suffix every token
+    # with "xr<r>" so within-replica shingle sets are images of the
+    # originals (near-dup structure preserved) and cross-replica
+    # overlap is zero.
+    docs = _replicate(t("documents"), reps)
+    new_text = F.when(F.col("r") == 0, F.col("text")).otherwise(
+        F.regexp_replace(
+            F.col("text"),
+            F.lit(r"(\S+)"),
+            F.concat(F.lit("$1xr"), F.col("r").cast("string")),
+        )
+    )
+    docs = docs.select(
+        (F.col("doc_id") + F.col("r") * counts["documents"]).alias("doc_id"),
+        new_text.alias("text"),
+        "lang", "source",
+        F.length(new_text).cast("bigint").alias("n_chars"),
+    )
+    _write(docs, out_dir, "documents", counts["documents"] * reps)
+
+    # embeddings: per-replica isometry. new[i] = sign(r,i) *
+    # old[(i + roll(r)) % DIM]; norms and within-replica angles exact,
+    # cross-replica ~orthogonal. Replica 0 identity.
+    roll = F.pmod(F.xxhash64(F.lit("roll"), F.col("r")), F.lit(DIM))
+    idx = F.sequence(F.lit(0), F.lit(DIM - 1))
+    new_emb = F.transform(
+        idx,
+        lambda i: (
+            F.when(
+                F.pmod(F.xxhash64(F.lit("sign"), F.col("r"), i), F.lit(2)) == 0,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0))
+            * F.element_at(
+                F.col("embedding"), (F.pmod(i + roll, F.lit(DIM)) + 1).cast("int")
+            )
+        ).cast("float"),
+    )
+    emb = _replicate(t("embeddings"), reps).select(
+        (F.col("vec_id") + F.col("r") * counts["embeddings"]).alias("vec_id"),
+        F.when(F.col("r") == 0, F.col("embedding"))
+        .otherwise(new_emb).alias("embedding"),
+        "label",
+    )
+    _write(emb, out_dir, "embeddings", counts["embeddings"] * reps)
+
+    print(f"done: {out_dir} at {reps}x {src}")
+
+
+if __name__ == "__main__":
+    main()
