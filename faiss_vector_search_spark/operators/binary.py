@@ -97,6 +97,7 @@ def save_ivfbin(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign_engine: str = "sql",
 ) -> None:
     """Persist an IVF-binary index (FAISS ``IndexBinaryIVF``
     analogue): binary sign codes partitioned by coarse list — probe
@@ -110,7 +111,9 @@ def save_ivfbin(
     time — and gives strictly better list placement)."""
     from .ivf import assign_lists
 
-    assigned = assign_lists(corpus, centroids, vec_col=vec_col)
+    assigned = assign_lists(
+        corpus, centroids, vec_col=vec_col, engine=assign_engine
+    )
     codes = binarize(assigned, vec_col=vec_col)
     codes.write.mode("overwrite").partitionBy("list_id").parquet(
         f"{path}/codes"

@@ -662,7 +662,12 @@ def semdedup(
     # costs one fold per pair instead of three (a·b, a·a, b·b). The
     # per-component divide-then-dot is the exact expression the
     # oracle mirrors, so the 6-dp rounding contract still holds.
-    assigned = assign_lists(emb, cents, vec_col=vec_col).select(
+    # The assignment engine follows pair_engine: the production
+    # (arrow) profile gets the BLAS argmin too, the oracle (sql)
+    # profile stays fold-deterministic end to end.
+    assigned = assign_lists(
+        emb, cents, vec_col=vec_col, engine=pair_engine
+    ).select(
         id_col, normalize(F.col(vec_col)).alias("_vn"), "list_id"
     )
     if pair_engine == "arrow":

@@ -74,13 +74,34 @@ def assign_lists(
     corpus: DataFrame,
     centroids: DataFrame,
     vec_col: str = "embedding",
+    engine: str = "sql",
 ) -> DataFrame:
     """corpus + ``list_id``: argmin squared-L2 over centroids,
     ties → lowest cid (matches the SQL oracle's row_number tie-break).
 
-    Per-row aggregate over the broadcast centroid array — the corpus
-    never shuffles; this is the map FAISS does at add() time.
+    The corpus never shuffles in either engine — this is the map FAISS
+    does at add() time. ``engine`` picks the per-row argmin
+    implementation, the same oracle/production split semdedup's
+    pair_engine and the hash operators use:
+
+    - ``"sql"``: per-row interpreted fold over the broadcast centroid
+      array. Bit-deterministic against the DuckDB oracle, but costs
+      O(nlist·dim) interpreted expression evaluation per row — with
+      the nlist ≈ √N sizing that is O(N^1.5·dim) total, which the r4
+      100× rehearsal measured as the dominant index-build cost at
+      sf1+.
+    - ``"arrow"``: ``mapInPandas`` batches doing one
+      (batch × dim) @ (dim × nlist) BLAS matmul + argmin per batch —
+      FAISS's own add()-time strategy. Centroids ride the closure
+      (driver-sized by the seeded_centroids contract). np.argmin's
+      first-minimum rule reproduces the lowest-cid tie-break; only
+      float-summation-order differences on exact centroid-distance
+      ties can diverge from the fold, so the oracle gate keeps "sql".
     """
+    if engine == "arrow":
+        return _assign_lists_arrow(corpus, centroids, vec_col)
+    if engine != "sql":
+        raise ValueError(f"unknown assign engine: {engine}")
     init = F.struct(
         F.lit(-1).cast("int").alias("cid"),
         F.lit(float("inf")).alias("d"),
@@ -100,6 +121,41 @@ def assign_lists(
         .withColumn("list_id", F.col("_best")["cid"])
         .drop("cents", "_best")
     )
+
+
+def _assign_lists_arrow(
+    corpus: DataFrame, centroids: DataFrame, vec_col: str
+) -> DataFrame:
+    """Arrow engine for :func:`assign_lists`: argmin ||x-c||² ==
+    argmin (||c||² - 2x·c) per Arrow batch via one BLAS matmul."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rows = centroids.orderBy(F.col("cid").asc()).collect()
+    cids = np.array([r.cid for r in rows], dtype=np.int64)
+    cmat = np.vstack([np.asarray(r.cvec, dtype=np.float64) for r in rows])
+    cnorm = (cmat * cmat).sum(axis=1)
+    out_schema = T.StructType(
+        list(corpus.schema.fields) + [T.StructField("list_id", T.IntegerType())]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            if pdf.empty:
+                pdf["list_id"] = pd.Series(dtype="int32")
+                yield pdf
+                continue
+            x = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            # ||x||² is constant per row — drop it from the argmin
+            d = cnorm - 2.0 * (x @ cmat.T)
+            pdf["list_id"] = cids[np.argmin(d, axis=1)].astype("int32")
+            yield pdf
+
+    return corpus.mapInPandas(assign, schema=out_schema)
 
 
 def probe_lists(
@@ -243,14 +299,19 @@ def save_ivf(
     centroids: DataFrame,
     path: str,
     vec_col: str = "embedding",
+    assign_engine: str = "sql",
 ) -> None:
     """Assign lists and persist the index *partitioned by list_id* —
     the FAISS posting-list layout as a parquet partitioning scheme.
     Centroids save alongside (``<path>/_centroids``) so a later
-    session reopens the index without retraining."""
+    session reopens the index without retraining.
+    ``assign_engine`` → :func:`assign_lists` (production builds use
+    "arrow")."""
     from .index_store import save_index
 
-    assigned = assign_lists(corpus, centroids, vec_col=vec_col)
+    assigned = assign_lists(
+        corpus, centroids, vec_col=vec_col, engine=assign_engine
+    )
     save_index(assigned, f"{path}/vectors", partition_by="list_id")
     centroids.write.mode("overwrite").parquet(f"{path}/_centroids")
 

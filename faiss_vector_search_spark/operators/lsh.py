@@ -41,6 +41,33 @@ def _planes(dim: int, n_tables: int, n_bits: int, seed: int) -> np.ndarray:
     return rng.standard_normal((n_tables * n_bits, dim))
 
 
+def lsh_bits_for(
+    n: int, target_bucket_size: int = 64, min_bits: int = 4
+) -> int:
+    """Bucket-bit sizing rule: ``ceil(log2(n / target_bucket_size))``,
+    floored at ``min_bits``.
+
+    A FIXED n_bits does not survive a scale-up: buckets hold
+    ``n / 2^bits`` vectors, so the in-bucket candidate-pair stage costs
+    ``L · n²/2^bits`` — quadratic in corpus size. Measured in the r4
+    100× rehearsal (scripts/scale_rehearsal.py): near_dup_lsh at the
+    small-SF default ``n_bits=5`` took 54× the wall time at 10× the
+    vectors. Growing bits with log₂(n) pins the bucket size, making
+    candidate pairs ``L · n · target/2`` — linear, constant per-vector
+    cost, which is the only posture that holds at 100 TB.
+
+    The price is per-table recall ``p^bits`` (module docstring); spend
+    tables or query-side multi-probe (:func:`query_probe_buckets`) to
+    buy it back. For weak-similarity thresholds (cos ≲ 0.5) no
+    affordable bit count blocks well — use the IVF-blocked
+    :func:`~faiss_vector_search_spark.operators.dedup.semdedup` family
+    there instead; hyperplane LSH is the high-similarity
+    (near-duplicate) tool."""
+    import math
+
+    return max(min_bits, math.ceil(math.log2(max(1.0, n / target_bucket_size))))
+
+
 def lsh_buckets(
     vectors: DataFrame,
     dim: int = 64,

@@ -93,17 +93,52 @@ def pq_train(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_sample: int | None = None,
+    engine: str = "sql",
 ) -> DataFrame:
     """Train per-subspace codebooks → DataFrame (j, cid, cvec).
 
     Seeding is deterministic (subvectors of the first ``ksub`` vectors
     by id), so train → encode → search reproduces bit-identically.
+
+    ``train_sample`` caps the training set by deterministic id-stride
+    (every ``N/train_sample``-th id — covers the whole key range, no
+    sort, no collect of the full corpus). This is FAISS's own posture:
+    codebooks train on a bounded sample (~10⁵ vectors), never the full
+    corpus, so TRAIN cost is O(sample·ksub·iters) — independent of N —
+    while encode stays the one full-corpus map. Without it the r4
+    rehearsal measured train at sf1 dominating the whole index build.
+
+    ``engine``: "sql" iterates Lloyd as DataFrame aggs with the
+    interpreted argmin fold (oracle-deterministic); "arrow" collects
+    the (bounded — requires ``train_sample``) sample once and runs
+    Lloyd in numpy/BLAS on the driver — exactly how FAISS trains, and
+    how model-sized state is treated everywhere else in this repo
+    (centroids/bounds/codebooks are already driver-held broadcasts).
+    Both engines share seeding, the empty-cell keep-old rule, and the
+    9-dp model rounding; only float summation order differs.
     """
     spark = corpus.sparkSession
     dim = len(corpus.select(vec_col).first()[0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
+
+    if train_sample is not None:
+        n = corpus.count()
+        stride = max(1, n // train_sample)
+        corpus = corpus.where(F.col(id_col) % stride == 0)
+    if engine == "arrow":
+        if train_sample is None:
+            raise ValueError(
+                "engine='arrow' trains driver-side and needs the "
+                "bounded train_sample contract"
+            )
+        return _pq_train_numpy(
+            spark, corpus, m, ksub, iters, dsub, id_col, vec_col
+        )
+    if engine != "sql":
+        raise ValueError(f"unknown pq_train engine: {engine}")
 
     seed_rows = (
         corpus.orderBy(F.col(id_col).asc())
@@ -171,21 +206,68 @@ def pq_train(
     )
 
 
+def _pq_train_numpy(
+    spark, sample: DataFrame, m, ksub, iters, dsub, id_col, vec_col
+) -> DataFrame:
+    """Driver-side Lloyd over the bounded training sample — the arrow
+    engine of :func:`pq_train`. Same seeding / empty-cell / rounding
+    contract as the sql engine."""
+    import numpy as np
+
+    rows = sample.select(id_col, vec_col).orderBy(F.col(id_col).asc()).collect()
+    x = np.vstack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        books[j] = x[:ksub, j * dsub : (j + 1) * dsub]
+    for _ in range(iters):
+        for j in range(m):
+            xj = x[:, j * dsub : (j + 1) * dsub]
+            cb = books[j]
+            d = ((cb * cb).sum(axis=1)) - 2.0 * (xj @ cb.T)
+            code = np.argmin(d, axis=1)  # first min = lowest cid
+            for c in range(ksub):
+                hit = code == c
+                if hit.any():  # empty cell keeps its old centroid
+                    books[j, c] = np.round(xj[hit].mean(axis=0), 9)
+    return spark.createDataFrame(
+        [
+            (j, c, [float(v) for v in books[j, c]])
+            for j in range(m)
+            for c in range(ksub)
+        ],
+        "j int, cid int, cvec array<double>",
+    )
+
+
 def pq_encode(
     corpus: DataFrame,
     codebooks: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep_cols: tuple[str, ...] = (),
+    engine: str = "sql",
 ) -> DataFrame:
     """corpus → (id, codes array<int>): m nearest-centroid ids per
     vector. Map-only over the broadcast codebooks — at rest these
     codes are the index (m small ints ≈ m bytes vs 4·dim).
-    ``keep_cols`` ride along unchanged (e.g. an IVF ``list_id``)."""
+    ``keep_cols`` ride along unchanged (e.g. an IVF ``list_id``).
+
+    ``engine``: "sql" = interpreted per-row argmin fold (oracle-
+    deterministic); "arrow" = one BLAS argmin per subspace per Arrow
+    batch (production encode — encode is the one full-corpus pass in
+    a PQ build, so this is where the interpreted fold hurts at
+    scale). np.argmin's first-minimum rule matches the fold's
+    lowest-cid tie-break."""
     mk = codebooks.agg(
         F.max("j").alias("jmax"), F.size(F.first("cvec")).alias("dsub")
     ).first()
     m, dsub = mk.jmax + 1, mk.dsub
+    if engine == "arrow":
+        return _pq_encode_arrow(
+            corpus, codebooks, m, dsub, id_col, vec_col, keep_cols
+        )
+    if engine != "sql":
+        raise ValueError(f"unknown pq_encode engine: {engine}")
     return corpus.crossJoin(_codebook_row(codebooks)).select(
         F.col(id_col),
         *[F.col(c) for c in keep_cols],
@@ -202,6 +284,62 @@ def pq_encode(
             ]
         ).alias("codes"),
     )
+
+
+def _pq_encode_arrow(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    dsub: int,
+    id_col: str,
+    vec_col: str,
+    keep_cols: tuple[str, ...],
+) -> DataFrame:
+    """Arrow engine for :func:`pq_encode`: per batch, one
+    (batch × dsub) @ (dsub × ksub) matmul + argmin per subspace."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cb_rows = codebooks.orderBy("j", "cid").collect()
+    cbs = [
+        np.vstack([
+            np.asarray(r.cvec, dtype=np.float64)
+            for r in cb_rows
+            if r.j == j
+        ])
+        for j in range(m)
+    ]
+    cnorms = [(cb * cb).sum(axis=1) for cb in cbs]
+    in_fields = {f.name: f for f in corpus.schema.fields}
+    out_schema = T.StructType(
+        [in_fields[id_col]]
+        + [in_fields[c] for c in keep_cols]
+        + [T.StructField("codes", T.ArrayType(T.IntegerType()))]
+    )
+    cols = [id_col, *keep_cols, vec_col]
+
+    def encode(batches):
+        for pdf in batches:
+            if pdf.empty:
+                out = pdf[[id_col, *keep_cols]].copy()
+                out["codes"] = pd.Series(dtype="object")
+                yield out
+                continue
+            x = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                xj = x[:, j * dsub : (j + 1) * dsub]
+                codes[:, j] = np.argmin(
+                    cnorms[j] - 2.0 * (xj @ cbs[j].T), axis=1
+                )
+            out = pdf[[id_col, *keep_cols]].copy()
+            out["codes"] = list(codes)
+            yield out
+
+    return corpus.select(*cols).mapInPandas(encode, schema=out_schema)
 
 
 def pq_topk_adc(
@@ -298,6 +436,8 @@ def save_ivfpq(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign_engine: str = "sql",
+    encode_engine: str = "sql",
 ) -> None:
     """Persist an IVF-PQ index: vectors coarse-assigned to lists,
     stored as PQ CODES partitioned by ``list_id``; the coarse
@@ -315,10 +455,12 @@ def save_ivfpq(
     """
     from .ivf import assign_lists
 
-    assigned = assign_lists(corpus, centroids, vec_col=vec_col)
+    assigned = assign_lists(
+        corpus, centroids, vec_col=vec_col, engine=assign_engine
+    )
     codes = pq_encode(
         assigned, codebooks, id_col=id_col, vec_col=vec_col,
-        keep_cols=("list_id",),
+        keep_cols=("list_id",), engine=encode_engine,
     )
     codes.write.mode("overwrite").partitionBy("list_id").parquet(
         f"{path}/codes"

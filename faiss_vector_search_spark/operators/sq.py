@@ -146,6 +146,7 @@ def save_ivfsq(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign_engine: str = "sql",
 ) -> None:
     """Persist an IVF-SQ8 index (FAISS ``IndexIVFScalarQuantizer``):
     vectors coarse-assigned to lists, stored as uint8 CODES
@@ -161,7 +162,9 @@ def save_ivfsq(
     :func:`sq_topk` runs unchanged on any probe union."""
     from .ivf import assign_lists
 
-    assigned = assign_lists(corpus, centroids, vec_col=vec_col)
+    assigned = assign_lists(
+        corpus, centroids, vec_col=vec_col, engine=assign_engine
+    )
     codes = sq_encode(
         assigned, bounds, id_col=id_col, vec_col=vec_col,
         keep_cols=("list_id",),

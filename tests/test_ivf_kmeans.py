@@ -69,3 +69,25 @@ def test_ivf_kmeans_recall_at_10(spark, emb, trained):
         }
         recalls.append(len(exact & approx) / len(exact))
     assert sum(recalls) / len(recalls) >= 0.85, recalls
+
+
+def test_assign_arrow_matches_sql_fold(spark, emb, trained):
+    """The arrow (BLAS argmin) assignment engine must produce the
+    same list map as the oracle-deterministic sql fold on the test
+    corpus — same contract as semdedup's pair-engine equality gate."""
+    sql_rows = {
+        r.vec_id: r.list_id
+        for r in ivf.assign_lists(emb, trained, engine="sql")
+        .select("vec_id", "list_id").collect()
+    }
+    arrow_rows = {
+        r.vec_id: r.list_id
+        for r in ivf.assign_lists(emb, trained, engine="arrow")
+        .select("vec_id", "list_id").collect()
+    }
+    assert sql_rows == arrow_rows
+
+
+def test_assign_unknown_engine_raises(spark, emb, trained):
+    with pytest.raises(ValueError, match="unknown assign engine"):
+        ivf.assign_lists(emb, trained, engine="bogus")

@@ -174,3 +174,21 @@ def test_multiprobe_probe_set_shape(spark, emb):
     home = {(r.table, r.bucket) for r in base.collect()}
     allp = {(r.table, r.bucket) for r in probed.collect()}
     assert home <= allp
+
+
+def test_lsh_bits_for_sizing_rule():
+    """Bucket bits grow with log2(n): pinned bucket size keeps the
+    candidate-pair stage linear in corpus size (r4 rehearsal: fixed
+    bits went 54x slower at 10x the vectors)."""
+    from faiss_vector_search_spark.operators.lsh import lsh_bits_for
+
+    assert lsh_bits_for(2_000, target_bucket_size=64) == 5
+    assert lsh_bits_for(20_000, target_bucket_size=64) == 9
+    assert lsh_bits_for(200_000, target_bucket_size=64) == 12
+    # 10x data -> bucket size unchanged at the suggested bits
+    for n in (2_000, 20_000, 200_000):
+        bits = lsh_bits_for(n, target_bucket_size=64)
+        assert n / (1 << bits) <= 64
+    # floor: tiny corpora never go below min_bits
+    assert lsh_bits_for(10) == 4
+    assert lsh_bits_for(0) == 4

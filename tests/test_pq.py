@@ -169,3 +169,61 @@ class TestIVFPQ:
             r.vec_id for r in pq.pq_topk_adc(codes, books, q, k=10).collect()
         }
         assert got == flat
+
+
+def test_encode_arrow_matches_sql(emb, books, codes):
+    """Production BLAS encode must emit the same codes as the
+    oracle-deterministic fold (same argmin + lowest-cid tie-break)."""
+    sql_codes = {r.vec_id: list(r.codes) for r in codes.collect()}
+    arrow_codes = {
+        r.vec_id: list(r.codes)
+        for r in pq.pq_encode(emb, books, engine="arrow").collect()
+    }
+    assert sql_codes == arrow_codes
+
+
+def test_encode_arrow_keeps_keep_cols(emb, books):
+    out = pq.pq_encode(
+        emb.withColumn("list_id", F.lit(3)), books,
+        keep_cols=("list_id",), engine="arrow",
+    )
+    assert out.columns == ["vec_id", "list_id", "codes"]
+    assert out.where(F.col("list_id") != 3).count() == 0
+
+
+def test_train_sample_full_stride_equals_unsampled(emb):
+    """train_sample >= N keeps stride 1 — identical codebooks to the
+    unsampled train (the cap is a no-op below its threshold)."""
+    n = emb.count()
+    full = pq.pq_train(emb, m=M, ksub=KSUB, iters=2)
+    capped = pq.pq_train(emb, m=M, ksub=KSUB, iters=2, train_sample=n)
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, capped.collect())
+    )
+
+
+def test_train_arrow_codebooks_usable_and_close(emb):
+    """The driver-side numpy trainer shares seeding/rounding with the
+    sql engine; codebooks agree to float tolerance and the ADC
+    shortlist built from them overlaps the exact top-k."""
+    sql_books = pq.pq_train(emb, m=M, ksub=KSUB, iters=2, train_sample=500)
+    np_books = pq.pq_train(
+        emb, m=M, ksub=KSUB, iters=2, train_sample=500, engine="arrow"
+    )
+    a = {(r.j, r.cid): r.cvec for r in sql_books.collect()}
+    b = {(r.j, r.cid): r.cvec for r in np_books.collect()}
+    assert a.keys() == b.keys()
+    worst = max(
+        abs(x - y) for k in a for x, y in zip(a[k], b[k])
+    )
+    assert worst < 1e-6, worst
+
+
+def test_train_arrow_requires_sample(emb):
+    with pytest.raises(ValueError, match="train_sample"):
+        pq.pq_train(emb, m=M, ksub=KSUB, engine="arrow")
+
+
+def test_encode_unknown_engine_raises(emb, books):
+    with pytest.raises(ValueError, match="unknown pq_encode engine"):
+        pq.pq_encode(emb, books, engine="bogus")
