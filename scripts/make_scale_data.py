@@ -164,25 +164,71 @@ def main() -> None:
     # embeddings: per-replica isometry. new[i] = sign(r,i) *
     # old[(i + roll(r)) % DIM]; norms and within-replica angles exact,
     # cross-replica ~orthogonal. Replica 0 identity.
+    #
+    # PLANTED NEAR-DUPS: the base corpus has no real near-duplicate
+    # pairs (max pairwise cos = 0.60), so a near-dup rehearsal on pure
+    # replicas measures only the random tail. In each replica r>0, 1%
+    # of vectors (base id % 100 == 1) become a small-jitter copy of
+    # their id-predecessor's vector in the SAME replica (cos ≈ 0.99).
+    # Clique size is exactly 2, so true near-dup pairs grow linearly
+    # with N: 0.01·N_base·(reps-1) pairs, never a quadratic
+    # duplicate-clique artifact of the replication itself.
     roll = F.pmod(F.xxhash64(F.lit("roll"), F.col("r")), F.lit(DIM))
     idx = F.sequence(F.lit(0), F.lit(DIM - 1))
-    new_emb = F.transform(
-        idx,
-        lambda i: (
-            F.when(
-                F.pmod(F.xxhash64(F.lit("sign"), F.col("r"), i), F.lit(2)) == 0,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0))
-            * F.element_at(
-                F.col("embedding"), (F.pmod(i + roll, F.lit(DIM)) + 1).cast("int")
+
+    def isometry(vec):
+        return F.transform(
+            idx,
+            lambda i: (
+                F.when(
+                    F.pmod(
+                        F.xxhash64(F.lit("sign"), F.col("r"), i), F.lit(2)
+                    ) == 0,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0))
+                * F.element_at(
+                    vec, (F.pmod(i + roll, F.lit(DIM)) + 1).cast("int")
+                )
+            ).cast("float"),
+        )
+
+    jittered_prev = F.transform(
+        isometry(F.col("prev_emb")),
+        lambda x, i: (
+            x
+            + (
+                F.pmod(
+                    F.xxhash64(F.lit("jit"), F.col("vec_id"), F.col("r"), i),
+                    F.lit(1001),
+                )
+                - F.lit(500)
             )
+            / F.lit(500.0)
+            * F.lit(0.03)
         ).cast("float"),
     )
-    emb = _replicate(t("embeddings"), reps).select(
-        (F.col("vec_id") + F.col("r") * counts["embeddings"]).alias("vec_id"),
-        F.when(F.col("r") == 0, F.col("embedding"))
-        .otherwise(new_emb).alias("embedding"),
-        "label",
+    base_emb = t("embeddings")
+    prev = base_emb.select(
+        (F.col("vec_id") + 1).alias("vec_id"),
+        F.col("embedding").alias("prev_emb"),
+    )
+    emb = (
+        _replicate(base_emb, reps)
+        .join(prev, "vec_id", "left")
+        .select(
+            (F.col("vec_id") + F.col("r") * counts["embeddings"]).alias(
+                "out_id"
+            ),
+            F.when(F.col("r") == 0, F.col("embedding"))
+            .when(
+                (F.col("vec_id") % 100 == 1) & F.col("prev_emb").isNotNull(),
+                jittered_prev,
+            )
+            .otherwise(isometry(F.col("embedding")))
+            .alias("embedding"),
+            "label",
+        )
+        .withColumnRenamed("out_id", "vec_id")
     )
     _write(emb, out_dir, "embeddings", counts["embeddings"] * reps)
 
