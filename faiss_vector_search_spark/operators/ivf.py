@@ -183,6 +183,8 @@ def kmeans_centroids(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_sample: int | None = None,
+    engine: str = "sql",
 ) -> DataFrame:
     """Lloyd-refined quantizer — the Spark analogue of FAISS
     ``IndexIVFFlat.train`` (reference index_service.py:179-185 trains
@@ -195,8 +197,18 @@ def kmeans_centroids(
     nlist × dim aggregate cells, never vectors. The driver holds just
     the model state (nlist × dim doubles), exactly like MLlib KMeans;
     empty lists keep their previous centroid.
+
+    Scale knobs (same contract as :func:`pq_train`): ``train_sample``
+    caps the training set by deterministic id-stride — FAISS trains
+    coarse quantizers on a bounded sample, never the full corpus —
+    and ``engine`` picks the per-iteration assignment implementation
+    (:func:`assign_lists`; "arrow" = BLAS argmin).
     """
     spark = corpus.sparkSession
+    if train_sample is not None:
+        n = corpus.count()
+        stride = max(1, n // train_sample)
+        corpus = corpus.where(F.col(id_col) % stride == 0)
     cents = {
         r.cid: [float(x) for x in r.cvec]
         for r in seeded_centroids(corpus, nlist, id_col, vec_col).collect()
@@ -205,7 +217,9 @@ def kmeans_centroids(
         cents_df = spark.createDataFrame(
             sorted(cents.items()), "cid int, cvec array<double>"
         )
-        assigned = assign_lists(corpus, cents_df, vec_col=vec_col)
+        assigned = assign_lists(
+            corpus, cents_df, vec_col=vec_col, engine=engine
+        )
         mean_rows = (
             assigned.select(
                 "list_id",

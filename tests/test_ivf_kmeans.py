@@ -91,3 +91,35 @@ def test_assign_arrow_matches_sql_fold(spark, emb, trained):
 def test_assign_unknown_engine_raises(spark, emb, trained):
     with pytest.raises(ValueError, match="unknown assign engine"):
         ivf.assign_lists(emb, trained, engine="bogus")
+
+
+def test_kmeans_arrow_engine_matches_sql(spark, emb):
+    """Arrow-assignment Lloyd must land on the same centroids as the
+    sql fold (assignment equality holds per iteration, and the mean
+    aggregation is shared)."""
+    a = ivf.kmeans_centroids(emb, NLIST, iters=2)
+    b = ivf.kmeans_centroids(emb, NLIST, iters=2, engine="arrow")
+    ra = {r.cid: r.cvec for r in a.collect()}
+    rb = {r.cid: r.cvec for r in b.collect()}
+    assert ra.keys() == rb.keys()
+    worst = max(abs(x - y) for k in ra for x, y in zip(ra[k], rb[k]))
+    assert worst < 1e-9, worst
+
+
+def test_kmeans_train_sample_full_equals_unsampled(spark, emb):
+    n = emb.count()
+    a = ivf.kmeans_centroids(emb, NLIST, iters=2)
+    b = ivf.kmeans_centroids(emb, NLIST, iters=2, train_sample=n)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_kmeans_sampled_centroids_still_improve_quantizer(spark, emb):
+    """A half-corpus training sample must still beat the seeded
+    quantizer on the FULL corpus — the property that justifies
+    bounded-sample training at scale."""
+    n = emb.count()
+    sampled = ivf.kmeans_centroids(
+        emb, NLIST, iters=3, train_sample=n // 2, engine="arrow"
+    )
+    seeded = ivf.seeded_centroids(emb, NLIST)
+    assert _objective(emb, sampled) < _objective(emb, seeded)
