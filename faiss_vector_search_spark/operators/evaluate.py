@@ -43,6 +43,8 @@ def recall_report(
     lsh_bits: int = 4,
     lsh_multiprobe: int = 2,
     centroids: DataFrame | None = None,
+    engine: str = "sql",
+    pq_train_sample: int | None = None,
 ) -> DataFrame:
     """Recall@k per tier, averaged over the query sample.
 
@@ -56,6 +58,14 @@ def recall_report(
     index, +``lsh_multiprobe`` bit-flip probes per table), so the
     report shows what the query-side probes buy against the same
     corpus-side index. Output: (tier, recall_at_k).
+
+    ``engine`` routes the model-application stages (coarse
+    assignment, PQ encode, and — when ``pq_train_sample`` is set — PQ
+    training) through the "sql" fold or "arrow" BLAS implementations;
+    the report is a production diagnostic, so run it with the same
+    engines the indexes it monitors were built with.
+    ``pq_train_sample`` bounds codebook training by id-stride
+    (:func:`~faiss_vector_search_spark.operators.pq.pq_train`).
 
     ``centroids``: pass a persisted index's SAVED coarse quantizer
     (e.g. ``spark.read.parquet(f"{path}/_centroids")``) to report the
@@ -83,11 +93,16 @@ def recall_report(
     books = pq_mod.pq_train(
         emb, m=pq_m, ksub=pq_ksub, iters=pq_iters,
         id_col=id_col, vec_col=vec_col,
+        train_sample=pq_train_sample,
+        # the arrow trainer needs the bounded-sample contract
+        engine=engine if pq_train_sample is not None else "sql",
     )
-    assigned = ivf_mod.assign_lists(emb, cents, vec_col=vec_col)
+    assigned = ivf_mod.assign_lists(
+        emb, cents, vec_col=vec_col, engine=engine
+    )
     pq_codes = pq_mod.pq_encode(
         assigned, books, id_col=id_col, vec_col=vec_col,
-        keep_cols=("list_id",),
+        keep_cols=("list_id",), engine=engine,
     )
     # corpus-side LSH index hashed ONCE and shared by both lsh tiers
     # across every query — the same hoist-the-encoding pattern as the
@@ -116,6 +131,9 @@ def recall_report(
             _hits("ivf", ivf_mod.ivf_search(
                 emb, q, nlist=nlist, nprobe=nprobe, k=k,
                 id_col=id_col, vec_col=vec_col, centroids=cents,
+                # reuse the one shared corpus assignment instead of
+                # re-assigning per query
+                assigned=assigned,
             ), qid, id_col)
         )
         frames.append(

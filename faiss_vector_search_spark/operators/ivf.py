@@ -251,6 +251,8 @@ def ivf_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    assigned: DataFrame | None = None,
+    assign_engine: str = "sql",
 ) -> DataFrame:
     """End-to-end IVF search (seeded quantizer by default, or pass
     ``centroids`` e.g. from :func:`kmeans_centroids`).
@@ -259,13 +261,23 @@ def ivf_search(
     on the (broadcast) probe set → score only surviving rows → local
     top-k. With a persisted index the assignment step is replaced by
     partition pruning on ``list_id``.
+
+    ``assigned``: pass a precomputed :func:`assign_lists` frame (must
+    match ``centroids``) to skip the per-call corpus assignment —
+    what a caller searching the same corpus repeatedly (e.g.
+    :func:`~faiss_vector_search_spark.operators.evaluate.recall_report`
+    across tiers and queries) should always do. ``assign_engine`` →
+    :func:`assign_lists` when assignment does run here.
     """
     cents = (
         centroids
         if centroids is not None
         else seeded_centroids(corpus, nlist, id_col=id_col, vec_col=vec_col)
     )
-    assigned = assign_lists(corpus, cents, vec_col=vec_col)
+    if assigned is None:
+        assigned = assign_lists(
+            corpus, cents, vec_col=vec_col, engine=assign_engine
+        )
     probes = probe_lists(query, cents, nprobe)
     candidates = assigned.join(
         F.broadcast(probes),

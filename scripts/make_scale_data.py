@@ -142,16 +142,21 @@ def main() -> None:
     _write(ev, out_dir, "events", counts["events"] * reps)
 
     # documents: replica 0 byte-exact; replicas r>0 suffix every token
-    # with "xr<r>" so within-replica shingle sets are images of the
-    # originals (near-dup structure preserved) and cross-replica
-    # overlap is zero.
+    # with a CONSTANT-WIDTH 3-char tag ("x" + two base-26 letters) so
+    # within-replica shingle sets are images of the originals
+    # (near-dup structure preserved), cross-replica overlap is zero,
+    # AND per-token length shift is identical for every replica —
+    # a variable-width "xr<r>" suffix made length-sensitive quality
+    # filters reject 4-char-suffix replicas (r >= 10) that 3-char
+    # replicas passed, so filter selectivity silently depended on SF.
     docs = _replicate(t("documents"), reps)
+    tag = F.concat(
+        F.lit("$1x"),
+        F.expr("char(97 + cast(r / 26 as int))"),
+        F.expr("char(97 + cast(r % 26 as int))"),
+    )
     new_text = F.when(F.col("r") == 0, F.col("text")).otherwise(
-        F.regexp_replace(
-            F.col("text"),
-            F.lit(r"(\S+)"),
-            F.concat(F.lit("$1xr"), F.col("r").cast("string")),
-        )
+        F.regexp_replace(F.col("text"), F.lit(r"(\S+)"), tag)
     )
     docs = docs.select(
         (F.col("doc_id") + F.col("r") * counts["documents"]).alias("doc_id"),
