@@ -5,8 +5,10 @@ bits, bounded-sample PQ training, arrow engines), so the rehearsal
 records not just that index searches stay fast at 100x the vectors,
 but what recall@10 each ANN tier still delivers there.
 
-Usage: python scripts/scale_recall.py SF_DIR [CPUS]
+Usage: python scripts/scale_recall.py SF_DIR [CPUS] [NPROBE]
 Prints one JSON line: per-tier recall plus the parameters used.
+NPROBE overrides the default nlist//32 — the recall/scan-fraction
+dial; run twice to record the tradeoff curve's slope at scale.
 """
 
 from __future__ import annotations
@@ -41,7 +43,9 @@ def main() -> None:
     emb = fio.load_table(spark, sf_dir, "embeddings").cache()
     n = emb.count()
     nlist = max(16, int(math.sqrt(n)))
-    nprobe = max(4, nlist // 32)
+    nprobe = (
+        int(sys.argv[3]) if len(sys.argv) > 3 else max(4, nlist // 32)
+    )
     bits = lsh_bits_for(n, target_bucket_size=64)
     # id-strided query sample across the whole corpus (every replica
     # orientation is represented)
