@@ -233,7 +233,13 @@ def near_dup_lsh(
     generation + exact cosine verification — the scale variant of
     ``dedup.embedding_cosine_pairs`` (same output contract).
     ``max_bucket_size`` enables the skew guard (see
-    :func:`cap_bucket_size`)."""
+    :func:`cap_bucket_size`).
+
+    SIZE ``n_bits`` WITH THE CORPUS: pass
+    ``n_bits=lsh_bits_for(corpus_rows)`` — the small-SF default (5)
+    keeps only 32 buckets per table, so candidate pairs grow
+    quadratically with corpus size (measured 54× wall at 10× vectors
+    in the r4 rehearsal; see :func:`lsh_bits_for`)."""
     from ..functions import vector as V
 
     # repartition on the join keys: the explicit exchange becomes the
