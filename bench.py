@@ -292,6 +292,17 @@ def main() -> None:
         "corpus_profile": qs["corpus_profile"],
     }
 
+    # Scaling-sweep knobs (default: off — the driver's per-round run
+    # measures every key). SPARK_GRAFT_SKIP / SPARK_GRAFT_ONLY take
+    # comma-separated keys; used by the r4 100x rehearsal to exclude
+    # the documented small-SF-only oracle profiles (semdedup_oracle's
+    # interpreted pair fold at FIXED nlist=16 is quadratic per
+    # cluster — ~25 min/run at sf1 — and the bench
+    # dedup_embedding_lsh override pins the small-SF n_bits=5) when
+    # benchmarking at sf1/sf10.
+    skip = set(filter(None, os.environ.get("SPARK_GRAFT_SKIP", "").split(",")))
+    only = set(filter(None, os.environ.get("SPARK_GRAFT_ONLY", "").split(",")))
+
     def run(fn) -> float:
         df = fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()  # codegen compile
@@ -304,6 +315,8 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in headline.items():
+        if name in skip or (only and name not in only):
+            continue
         timings[name] = round(run(fn), 3)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
