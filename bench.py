@@ -70,7 +70,12 @@ def main() -> None:
 
     def p_embedding_near_dup(spark, sf):
         emb = fio.load_table(spark, sf, "embeddings")
-        return lsh.near_dup_lsh(emb, threshold=0.45, dim=64)
+        # production sizing: bucket bits grow with log2(N) so the
+        # candidate stage stays linear (lsh_bits_for docstring; at
+        # the bench SF n=2000 this resolves to 5 = the old constant,
+        # so the committed floor is unchanged)
+        bits = lsh.lsh_bits_for(emb.count(), target_bucket_size=64)
+        return lsh.near_dup_lsh(emb, threshold=0.45, dim=64, n_bits=bits)
 
     def p_ann_lsh(spark, sf):
         emb = fio.load_table(spark, sf, "embeddings")
