@@ -47,7 +47,13 @@ sys.path.insert(0, ".")
 from faiss_vector_search_spark.session import get_spark  # noqa: E402
 
 DIM = 64
-TARGET_ROWS_PER_FILE = 2_000_000
+# Small enough that documents/embeddings split into multiple files at
+# sf10 — one ~50 MB parquet file is a SINGLE scan split under the
+# default 128 MB maxPartitionBytes, which serializes every map-only
+# pass over that table (observed in the r4 rehearsal: doc/embedding
+# scans ran 1 task wide; recorded times are therefore conservative
+# upper bounds for a real many-file layout).
+TARGET_ROWS_PER_FILE = 125_000
 
 
 def _replicate(df: DataFrame, reps: int) -> DataFrame:
