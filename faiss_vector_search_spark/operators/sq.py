@@ -117,11 +117,24 @@ def sq_topk(
     k: int = 10,
     id_col: str = "vec_id",
     query_vec_col: str = "query_vec",
+    engine: str = "sql",
 ) -> DataFrame:
     """Approximate top-k inner product over SQ8 codes: decode the
     midpoint reconstruction in-row, dot with the broadcast query,
     rank. Compiles to scan + TakeOrderedAndProject — the 4×-smaller
-    codes are all that is read, and nothing shuffles."""
+    codes are all that is read, and nothing shuffles.
+
+    ``engine``: "sql" = the interpreted decode+dot fold, association-
+    order-exact against the DuckDB oracle; "arrow" = one BLAS
+    decode+matvec per Arrow batch (production full-corpus scans — the
+    r4 sweep measured the fold at 11.2s for a 200k-row flat scan; the
+    persisted IVF-SQ8 tier reads only nprobe/nlist of the codes, so
+    there the fold cost is already marginal). Scores round to the
+    same 6 decimals; only float summation order differs."""
+    if engine == "arrow":
+        return _sq_topk_arrow(codes, bounds, query, k, id_col, query_vec_col)
+    if engine != "sql":
+        raise ValueError(f"unknown sq_topk engine: {engine}")
     scored = codes.crossJoin(_bounds_row(bounds)).crossJoin(
         F.broadcast(query)
     ).select(
@@ -135,6 +148,51 @@ def sq_topk(
             ),
             SCORE_DECIMALS,
         ).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def _sq_topk_arrow(
+    codes: DataFrame,
+    bounds: DataFrame,
+    query: DataFrame,
+    k: int,
+    id_col: str,
+    query_vec_col: str,
+) -> DataFrame:
+    """Arrow engine for :func:`sq_topk`: decoded = mn + (c+0.5)·scale
+    vectorized per batch, scored with one matvec."""
+    import numpy as np
+    import pandas as pd
+
+    brows = bounds.orderBy("pos").collect()
+    mn = np.array([r.vmin for r in brows], dtype=np.float64)
+    mx = np.array([r.vmax for r in brows], dtype=np.float64)
+    scale = (mx - mn) / 256.0
+    q = np.asarray(
+        query.select(query_vec_col).first()[0], dtype=np.float64
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col],
+                     "score": pd.Series(dtype="float64")}
+                )
+                continue
+            c = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["codes"]]
+            )
+            x = mn + (c + 0.5) * scale
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "score": np.round(x @ q, SCORE_DECIMALS),
+            })
+
+    id_type = codes.schema[id_col].dataType.simpleString()
+    scored = codes.select(id_col, "codes").mapInPandas(
+        score, schema=f"{id_col} {id_type}, score double"
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
@@ -184,11 +242,12 @@ def ivfsq_search_persisted(
     k: int = 10,
     id_col: str = "vec_id",
     query_vec_col: str = "query_vec",
+    engine: str = "sql",
 ) -> DataFrame:
     """Search a persisted IVF-SQ8 index: probe the nprobe nearest
     coarse centroids, prune the codes scan to those list partitions,
     decode-and-rank inside them. Scan cost = (nprobe/nlist) × 1/4 of
-    a flat float scan's bytes."""
+    a flat float scan's bytes. ``engine`` → :func:`sq_topk`."""
     from .ivf import probe_lists
 
     cents = spark.read.parquet(f"{path}/_centroids")
@@ -201,5 +260,5 @@ def ivfsq_search_persisted(
     )
     return sq_topk(
         codes, bounds, query, k=k, id_col=id_col,
-        query_vec_col=query_vec_col,
+        query_vec_col=query_vec_col, engine=engine,
     )

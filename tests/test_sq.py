@@ -194,3 +194,20 @@ class TestIVFSQPersisted:
         }
         out = sq.ivfsq_search_persisted(spark, index_path, q, nprobe=2, k=10)
         assert {r.vec_id for r in out.collect()} <= allowed
+
+
+def test_sq_topk_arrow_matches_sql(emb, bounds, codes):
+    """Production BLAS decode+matvec returns the same ranked rows —
+    ids AND 6-dp scores — as the oracle fold, for several queries."""
+    for qid in (0, 7, 42):
+        q = _query(emb, qid)
+        a = sq.sq_topk(codes, bounds, q, k=10).collect()
+        b = sq.sq_topk(codes, bounds, q, k=10, engine="arrow").collect()
+        assert [(r.vec_id, r.score) for r in a] == [
+            (r.vec_id, r.score) for r in b
+        ]
+
+
+def test_sq_topk_unknown_engine_raises(emb, bounds, codes):
+    with pytest.raises(ValueError, match="unknown sq_topk engine"):
+        sq.sq_topk(codes, bounds, _query(emb, 0), engine="bogus")
