@@ -65,7 +65,7 @@ def _replicate(df: DataFrame, reps: int) -> DataFrame:
 
 
 def _write(df: DataFrame, out_dir: str, name: str, approx_rows: int) -> None:
-    n_files = max(1, approx_rows // TARGET_ROWS_PER_FILE)
+    n_files = max(1, -(-approx_rows // TARGET_ROWS_PER_FILE))  # ceil
     path = os.path.join(out_dir, f"{name}.parquet")
     df.repartition(n_files).write.mode("overwrite").parquet(path)
     print(f"  wrote {name}: ~{approx_rows} rows, {n_files} file(s)")
