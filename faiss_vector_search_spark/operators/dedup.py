@@ -657,6 +657,10 @@ def semdedup(
     from ..functions.vector import dot, normalize
     from .ivf import assign_lists, seeded_centroids
 
+    # validate BEFORE forwarding to assign_lists, so a bad value gets
+    # the pair_engine error, not assign_lists' "unknown assign engine"
+    if pair_engine not in ("sql", "arrow"):
+        raise ValueError(f"unknown pair_engine: {pair_engine}")
     cents = seeded_centroids(emb, nlist, id_col=id_col, vec_col=vec_col)
     # L2-normalize ONCE per vector before the pair join: cosine then
     # costs one fold per pair instead of three (a·b, a·a, b·b). The

@@ -97,9 +97,13 @@ def recall_report(
         # the arrow trainer needs the bounded-sample contract
         engine=engine if pq_train_sample is not None else "sql",
     )
+    # cache(): the shared assignment feeds one ivf_search branch per
+    # query plus pq_encode; without materialization each union branch
+    # re-runs the full-corpus argmin in the single eager collect (only
+    # the plan, not the work, was shared). Released with lsh_index.
     assigned = ivf_mod.assign_lists(
         emb, cents, vec_col=vec_col, engine=engine
-    )
+    ).cache()
     pq_codes = pq_mod.pq_encode(
         assigned, books, id_col=id_col, vec_col=vec_col,
         keep_cols=("list_id",), engine=engine,
@@ -203,4 +207,5 @@ def recall_report(
     # gets a DataFrame, just one backed by the collected rows.
     rows = report.collect()
     lsh_index.unpersist()
+    assigned.unpersist()
     return spark.createDataFrame(rows, report.schema)

@@ -207,7 +207,9 @@ def kmeans_centroids(
     spark = corpus.sparkSession
     if train_sample is not None:
         n = corpus.count()
-        stride = max(1, n // train_sample)
+        # ceiling division keeps the sample <= train_sample (floor
+        # admitted up to ~2x whenever n < 2*train_sample)
+        stride = max(1, -(-n // train_sample))
         corpus = corpus.where(F.col(id_col) % stride == 0)
     cents = {
         r.cid: [float(x) for x in r.cvec]

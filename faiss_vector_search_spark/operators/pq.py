@@ -126,7 +126,9 @@ def pq_train(
 
     if train_sample is not None:
         n = corpus.count()
-        stride = max(1, n // train_sample)
+        # ceiling division: floor gave up to ~2x train_sample rows
+        # whenever n < 2*train_sample, silently voiding the bound
+        stride = max(1, -(-n // train_sample))
         corpus = corpus.where(F.col(id_col) % stride == 0)
     if engine == "arrow":
         if train_sample is None:
@@ -215,6 +217,12 @@ def _pq_train_numpy(
     import numpy as np
 
     rows = sample.select(id_col, vec_col).orderBy(F.col(id_col).asc()).collect()
+    if len(rows) < ksub:
+        raise ValueError(
+            f"PQ train sample has {len(rows)} rows < ksub={ksub}; "
+            "raise train_sample (the sql engine degrades to fewer "
+            "codebook rows, the arrow seeding needs ksub rows)"
+        )
     x = np.vstack([np.asarray(r[1], dtype=np.float64) for r in rows])
     books = np.empty((m, ksub, dsub))
     for j in range(m):

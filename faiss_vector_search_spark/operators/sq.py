@@ -135,6 +135,13 @@ def sq_topk(
         return _sq_topk_arrow(codes, bounds, query, k, id_col, query_vec_col)
     if engine != "sql":
         raise ValueError(f"unknown sq_topk engine: {engine}")
+    # single-query contract (enforced in BOTH engines): the crossJoin
+    # below would silently pool scores across a multi-row query frame
+    if query.limit(2).count() != 1:
+        raise ValueError(
+            "sq_topk takes exactly one query row; use knn_batch for "
+            "multi-query retrieval"
+        )
     scored = codes.crossJoin(_bounds_row(bounds)).crossJoin(
         F.broadcast(query)
     ).select(
@@ -169,9 +176,16 @@ def _sq_topk_arrow(
     mn = np.array([r.vmin for r in brows], dtype=np.float64)
     mx = np.array([r.vmax for r in brows], dtype=np.float64)
     scale = (mx - mn) / 256.0
-    q = np.asarray(
-        query.select(query_vec_col).first()[0], dtype=np.float64
-    )
+    qrows = query.select(query_vec_col).limit(2).collect()
+    if len(qrows) != 1:
+        raise ValueError(
+            "sq_topk takes exactly one query row (the sql engine "
+            "crossJoins the query frame; a multi-row frame would "
+            "silently diverge between engines) — got "
+            f"{'0' if not qrows else '>=2'}; use knn_batch for "
+            "multi-query retrieval"
+        )
+    q = np.asarray(qrows[0][0], dtype=np.float64)
 
     def score(batches):
         for pdf in batches:

@@ -78,3 +78,60 @@ def test_dedup_clusters_no_warning_when_converged(spark, recwarn):
     out = {r.doc_id: r.cluster_id for r in dedup.dedup_clusters(docs, pairs).collect()}
     assert out == {0: 0, 1: 0, 2: 2, 3: 2}
     assert not [w for w in recwarn.list if issubclass(w.category, RuntimeWarning)]
+
+
+# --- r5 advisor-fix regression guards ---------------------------------
+
+
+def _emb8(spark, n):
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") * (i + 1)).cast("double") for i in range(8)]).alias(
+            "embedding"
+        ),
+    )
+
+
+def test_train_sample_is_a_hard_bound(spark):
+    """Ceiling-division stride: n=150, train_sample=100 used to sample
+    every row (stride 1 via floor); the bound must actually hold."""
+    from faiss_vector_search_spark.operators import ivf, pq
+
+    emb = _emb8(spark, 150)
+    n = 150
+    for ts in (100, 149, 151):
+        stride = max(1, -(-n // ts))
+        sampled = emb.where(F.col("vec_id") % stride == 0).count()
+        assert sampled <= ts, (ts, sampled)
+    # end-to-end: kmeans_centroids with train_sample=100 on 150 rows
+    # must still produce nlist centroids from <=100 training rows
+    cents = ivf.kmeans_centroids(emb, nlist=4, iters=1, train_sample=100)
+    assert cents.count() == 4
+
+
+def test_pq_arrow_train_sample_smaller_than_ksub_raises(spark):
+    from faiss_vector_search_spark.operators import pq
+
+    emb = _emb8(spark, 40)
+    with pytest.raises(ValueError, match="ksub"):
+        pq.pq_train(
+            emb, m=2, ksub=16, iters=1, train_sample=8, engine="arrow"
+        )
+
+
+@pytest.mark.parametrize("engine", ["sql", "arrow"])
+def test_sq_topk_rejects_multi_row_query(spark, engine):
+    from faiss_vector_search_spark.operators import sq
+
+    emb = _emb8(spark, 32)
+    bounds = sq.sq_train(emb, vec_col="embedding")
+    codes = sq.sq_encode(emb, bounds, id_col="vec_id", vec_col="embedding")
+    query2 = emb.limit(2).select(F.col("embedding").alias("query_vec"))
+    with pytest.raises(ValueError, match="exactly one query row"):
+        sq.sq_topk(codes, bounds, query2, k=5, engine=engine)
+
+
+def test_semdedup_bad_pair_engine_message(spark):
+    emb = _emb8(spark, 8)
+    with pytest.raises(ValueError, match="unknown pair_engine"):
+        dedup.semdedup(emb, nlist=2, pair_engine="bogus")
