@@ -324,6 +324,14 @@ def main() -> None:
     # benchmarking at sf1/sf10.
     skip = set(filter(None, os.environ.get("SPARK_GRAFT_SKIP", "").split(",")))
     only = set(filter(None, os.environ.get("SPARK_GRAFT_ONLY", "").split(",")))
+    # semdedup_oracle (md5/sql pair-fold, r4 floor 5.7s) is opt-in
+    # rather than a default headline: it is the documented
+    # small-SF-only oracle profile (excluded from every scale sweep;
+    # the production twin "semdedup" stays measured), and its bytes
+    # helped push the r3/r4 summary line past the driver's 2000-char
+    # tail capture (BENCH_r03/r04 "parsed": null).
+    if not only:
+        skip.add("semdedup_oracle")
 
     def run(fn) -> float:
         df = fn(spark, sf_dir)
@@ -340,23 +348,46 @@ def main() -> None:
         if name in skip or (only and name not in only):
             continue
         timings[name] = round(run(fn), 3)
+        # one small self-contained JSON line per query, flushed as it
+        # completes: each parses on its own, so a tail-capture that
+        # cannot hold the full summary still records per-key numbers
+        print(json.dumps({"query": name, "sec": timings[name]}),
+              flush=True)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+    summary = {
+        "metric": "headline_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    # full-precision copy on disk first: survives any stdout capture
+    try:
+        os.makedirs("artifacts", exist_ok=True)
+        with open("artifacts/bench_last.json", "w") as fh:
+            json.dump(summary, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass  # read-only checkout: stdout lines still carry everything
+    # The driver keeps only the LAST 2000 chars of stdout and parses
+    # the summary from that tail — a line longer than the budget gets
+    # head-truncated into unparseable JSON (BENCH_r03/r04). Emit the
+    # summary LAST, compact, and degrade per-query precision 3dp→2dp
+    # →1dp until the line fits the budget with margin.
+    budget = 1980
+    line = json.dumps(summary, separators=(",", ":"))
+    for nd in (2, 1):
+        if len(line) <= budget:
+            break
+        summary["queries"] = {k: round(v, nd) for k, v in timings.items()}
+        summary["value"] = round(sum(timings.values()), nd)
+        line = json.dumps(summary, separators=(",", ":"))
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
