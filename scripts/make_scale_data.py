@@ -54,6 +54,12 @@ DIM = 64
 # scans ran 1 task wide; recorded times are therefore conservative
 # upper bounds for a real many-file layout).
 TARGET_ROWS_PER_FILE = 125_000
+# Floor on files per scaled table: a row-count target alone still
+# emits ONE file for small-but-hot tables (sf1 documents = 50k rows =
+# 1 file = every map pass serial on 1 task). 8 files ≈ the minimum
+# that lets local[32] overlap scan tasks the way a real many-file
+# lake layout would.
+MIN_FILES = 8
 
 
 def _replicate(df: DataFrame, reps: int) -> DataFrame:
@@ -65,13 +71,102 @@ def _replicate(df: DataFrame, reps: int) -> DataFrame:
 
 
 def _write(df: DataFrame, out_dir: str, name: str, approx_rows: int) -> None:
-    n_files = max(1, -(-approx_rows // TARGET_ROWS_PER_FILE))  # ceil
+    n_files = max(MIN_FILES, -(-approx_rows // TARGET_ROWS_PER_FILE))  # ceil
     path = os.path.join(out_dir, f"{name}.parquet")
     df.repartition(n_files).write.mode("overwrite").parquet(path)
     print(f"  wrote {name}: ~{approx_rows} rows, {n_files} file(s)")
 
 
+def _gauss(tag: str, *keys):
+    """Deterministic standard-normal from xxhash64 via Box–Muller:
+    u1, u2 uniform on (0,1] from two salted hashes, z = √(−2 ln u1)
+    · cos(2π u2). No RNG — byte-stable across re-runs like the rest
+    of the generator."""
+    u1 = (F.pmod(F.xxhash64(F.lit(tag + "1"), *keys), F.lit(1_000_000))
+          + F.lit(1.0)) / F.lit(1_000_001.0)
+    u2 = (F.pmod(F.xxhash64(F.lit(tag + "2"), *keys), F.lit(1_000_000))
+          + F.lit(1.0)) / F.lit(1_000_001.0)
+    return F.sqrt(F.lit(-2.0) * F.log(u1)) * F.cos(F.lit(2.0 * 3.141592653589793) * u2)
+
+
+def make_clustered_embeddings(spark, out_dir: str, n: int,
+                              n_clusters: int | None = None,
+                              spread: float = 0.5) -> None:
+    """Synthesize a CLUSTERED embeddings corpus (Gaussian mixture) of
+    the same schema as the replica corpus — the r4 recall tables were
+    measured on a documented worst-case near-random corpus, so a
+    reader can't separate index quality from corpus pathology; this
+    is the structured counterpart (VERDICT r4 ask #3).
+
+    vec(id) = L2-normalized( center(cid) + spread·noise(id) ) with
+    cid = hash(id) mod C, centers and noise i.i.d.-style N(0,1) from
+    deterministic hashes. E[cos] between same-cluster members is
+    ≈ 1/(1+spread²) (0.8 at the 0.5 default) — tight enough that a
+    trained coarse quantizer can win, far enough below 0.99 that the
+    planted near-dup truth stays unambiguous.
+
+    PLANTED NEAR-DUPS: same rule as the replica corpus (id % 100 == 1
+    ⇒ jittered copy of id−1's vector, cos ≈ 0.99, clique size exactly
+    2) so the planted-pair recall gates run unchanged on either
+    corpus. Because vec() is a pure function of id, the partner's
+    vector is recomputed inline — no self-join.
+    """
+    if n_clusters is None:
+        n_clusters = max(32, n // 200)
+    idx = F.sequence(F.lit(0), F.lit(DIM - 1))
+
+    def raw_vec(vid):
+        cid = F.pmod(F.xxhash64(F.lit("cl"), vid), F.lit(n_clusters))
+        return F.transform(
+            idx,
+            lambda i: _gauss("c", cid, i)
+            + F.lit(spread) * _gauss("n", vid, i),
+        )
+
+    def unit(vec):
+        norm = F.sqrt(F.aggregate(
+            vec, F.lit(0.0), lambda acc, x: acc + x * x))
+        # stage the norm via array_repeat (evaluated once) so the
+        # interpreted lambda doesn't recompute the fold per component
+        return F.zip_with(
+            vec, F.array_repeat(norm, DIM),
+            lambda x, nn: (x / nn).cast("float"),
+        )
+
+    base = spark.range(n).select(F.col("id").alias("vec_id"))
+    vid = F.col("vec_id")
+    jitter = F.transform(
+        unit(raw_vec(vid - 1)),
+        lambda x, i: (
+            x.cast("double")
+            + (F.pmod(F.xxhash64(F.lit("jit"), vid, i), F.lit(1001))
+               - F.lit(500)) / F.lit(500.0) * F.lit(0.03)
+        ),
+    )
+    emb = base.select(
+        "vec_id",
+        F.when(vid % 100 == 1, unit(jitter))
+        .otherwise(unit(raw_vec(vid)))
+        .alias("embedding"),
+        F.pmod(F.xxhash64(F.lit("lb"), vid), F.lit(8)).cast("int")
+        .alias("label"),
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    _write(emb, out_dir, "embeddings", n)
+    print(f"done: {out_dir} clustered embeddings n={n} C={n_clusters}")
+
+
 def main() -> None:
+    if sys.argv[1] == "--clustered":
+        # Usage: make_scale_data.py --clustered OUT_DIR N [C]
+        spark = get_spark(app_name="fvs-make-clustered",
+                          master="local[32]", shuffle_partitions=32)
+        spark.sparkContext.setLogLevel("ERROR")
+        make_clustered_embeddings(
+            spark, sys.argv[2], int(sys.argv[3]),
+            int(sys.argv[4]) if len(sys.argv) > 4 else None,
+        )
+        return
     out_dir = sys.argv[1]
     reps = int(sys.argv[2])
     src = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
