@@ -3000,8 +3000,93 @@ UNION ALL
 SELECT 'lang:' || lang, CAST(count(*) AS DOUBLE) FROM documents GROUP BY lang
 """
 
+ORACLES["rag_context"] = f"""
+WITH hits AS ({ORACLES["text_search"]}),
+ranked AS (
+  SELECT h.doc_id, h.score, d.text,
+         row_number() OVER (ORDER BY h.score DESC, h.doc_id ASC) AS rnk,
+         CAST(len(list_filter(regexp_split_to_array(lower(d.text),
+              '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS ntok
+  FROM hits h JOIN documents d USING (doc_id)
+),
+packed AS (
+  SELECT *, sum(ntok) OVER (ORDER BY rnk ROWS UNBOUNDED PRECEDING)
+            AS cum_tok
+  FROM ranked
+),
+kept AS (SELECT * FROM packed WHERE cum_tok <= 250)
+SELECT coalesce(string_agg(
+         printf('[Document %d] (Relevance: %d%%)', rnk,
+                CAST(floor(score * 100) AS INT))
+           || chr(10) || text,
+         chr(10) || chr(10) ORDER BY rnk), '') AS context,
+       count(*)::BIGINT AS n_docs,
+       coalesce(sum(ntok), 0)::BIGINT AS n_tokens
+FROM kept
+"""
+
 
 # --- driver contract ------------------------------------------------------
+
+
+def q_rag_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval → budgeted context assembly (the reference's
+    retrieve-then-build-prompt path, prompt_service.py:133-163):
+    text_search top-5, broadcast join-back, greedy token-budget pack
+    (budget 250 < the 5-hit total, so the cut is exercised),
+    rank-ordered '[Document i] (Relevance: p%)' assembly."""
+    from faiss_vector_search_spark.operators import embed as embed_mod
+
+    return embed_mod.rag_context(
+        _t(spark, sf_dir, "documents"),
+        "batch window vector hash fast stream",
+        k=5, token_budget=250,
+    )
+
+
+def q_embed_text_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION learned-model embedding path: the committed numpy
+    MLP through the Arrow-batched mapInPandas slot where the reference
+    runs sentence-transformers (embedding_service.py:64-122). Emits
+    per-doc vector norm + first component so the schema is stable and
+    compact. Rows-only: a model forward pass has no SQL twin; pytest
+    gates batch-size/partitioning invariance + self-retrieval
+    (tests/test_embed_model.py)."""
+    from faiss_vector_search_spark.operators import embed as embed_mod
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    out = embed_mod.embed_documents(docs, model="numpy", batch_size=64)
+    return out.select(
+        "doc_id",
+        F.round(
+            F.aggregate(
+                F.col("embedding"), F.lit(0.0), lambda a, x: a + x * x
+            ),
+            6,
+        ).alias("norm2"),
+        F.round(F.element_at(F.col("embedding"), 1), 6).alias("c0"),
+    ).orderBy("doc_id")
+
+
+def q_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe dial helper (evaluate.nprobe_for_recall): walk the
+    IVF probe grid until recall@10 meets the target, return the
+    measured curve with the recommended setting flagged. Rows-only:
+    the walk is iterative/measured; pytest gates the termination and
+    monotonicity contracts."""
+    from faiss_vector_search_spark.operators import evaluate
+
+    out = evaluate.nprobe_for_recall(
+        _t(spark, sf_dir, "embeddings"), target=0.9,
+        query_ids=(0, 1, 2), k=10, nlist=16,
+    )
+    rows = [
+        (int(p), float(r), p == out["nprobe"])
+        for p, r in sorted(out["curve"].items())
+    ]
+    return spark.createDataFrame(
+        rows, "nprobe int, recall_at_10 double, recommended boolean"
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3135,6 +3220,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_sketch_rollup": q_distinct_sketch_rollup,
         "bigram_heavy_hitters": q_bigram_heavy_hitters,
         "ann_recall_report": q_ann_recall_report,
+        # r5 additions (oracle-gated rag_context sits OUTSIDE this
+        # round's 50-window; standing rotation policy puts new keys
+        # at the front next round)
+        "rag_context": q_rag_context,
+        "embed_text_model": q_embed_text_model,
+        "nprobe_recall_curve": q_nprobe_recall_curve,
     }
 
 

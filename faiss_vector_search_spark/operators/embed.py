@@ -53,9 +53,35 @@ def embed_documents(
     text_col: str = "text",
     normalize: bool = True,
     hash_fn: str = "md5",
+    model: str = "hash",
+    batch_size: int = 64,
 ) -> DataFrame:
-    """(doc_id, embedding: array<double>) — dense hashed-count vector,
-    L2-normalized like encode(normalize_embeddings=True)."""
+    """(doc_id, embedding: array<double>) — L2-normalized like
+    encode(normalize_embeddings=True).
+
+    ``model`` selects the embedding implementation:
+
+    - ``"hash"`` (default): the declared feature-hash stand-in —
+      pure JVM built-ins, deterministic, oracle-able.
+    - ``"numpy"``: the PRODUCTION learned-model path, end to end —
+      an Arrow-batched ``mapInPandas`` running a tiny committed
+      numpy MLP (models/tiny_mlp.npz) exactly where the reference
+      runs sentence-transformers (embedding_service.py:64-122:
+      batch texts → model.encode(batch_size=...) → normalized
+      float vectors). Swapping in the real library is a one-line
+      change inside ``_encode_batches`` (model.encode(texts));
+      everything this path proves — schema, per-row independence,
+      internal ``batch_size`` chunking, partition parallelism,
+      Arrow transfer — carries over unchanged. Not oracle-able
+      (model forward pass has no SQL twin); gated by pytest
+      batch-size/partitioning invariance + self-retrieval instead.
+    """
+    if model == "numpy":
+        return _embed_documents_numpy(
+            docs, dim, id_col, text_col, batch_size
+        )
+    if model != "hash":
+        raise ValueError(f"unknown embed model: {model}")
     long = token_buckets(docs, dim, id_col, text_col, hash_fn)
     dense = (
         long.groupBy(id_col)
@@ -79,6 +105,84 @@ def embed_documents(
 
         dense = dense.withColumn("embedding", l2norm(F.col("embedding")))
     return dense
+
+
+def _mlp_weights():
+    """Load the committed tiny-MLP weights (64→64 tanh →64). The file
+    ships in the repo so the model path is deterministic everywhere —
+    the stand-in for a model checkpoint pulled from a registry."""
+    import os
+
+    import numpy as np
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "models", "tiny_mlp.npz",
+    )
+    with np.load(path) as z:
+        return z["W1"], z["b1"], z["W2"]
+
+
+def _embed_documents_numpy(
+    docs: DataFrame, dim: int, id_col: str, text_col: str, batch_size: int
+) -> DataFrame:
+    """The learned-model embedding path: tokenize + featurize + MLP
+    forward INSIDE the Arrow batch iterator, mirroring how a
+    sentence-transformers worker consumes text batches. Weights load
+    once per python worker (closure capture), not per batch."""
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    W1, b1, W2 = _mlp_weights()
+    tok_re = re.compile(r"[0-9a-z]+")
+
+    def featurize(texts) -> "np.ndarray":
+        # EXACTLY functions.hashing.md5_int(tok, seed=0) % dim — the
+        # same bucket the JVM feature-hash embedder assigns, so the
+        # model path's input features equal the baseline's and the
+        # topk-stability gate compares models, not tokenizers
+        x = np.zeros((len(texts), dim))
+        for row, t in enumerate(texts):
+            for tok in tok_re.findall((t or "").lower()):
+                h = hashlib.md5(("s0:" + tok).encode()).hexdigest()
+                x[row, int(h[:15], 16) % dim] += 1.0
+        return x
+
+    def forward(x: "np.ndarray") -> "np.ndarray":
+        xn = np.linalg.norm(x, axis=1, keepdims=True)
+        x = np.divide(x, xn, out=np.zeros_like(x), where=xn > 0)
+        # residual head: e = x + 0.5·MLP(x). A from-scratch random
+        # projection would scramble cosine neighborhoods; the residual
+        # keeps them correlated with the input features (pytest-gated
+        # topk stability) while still exercising a real forward pass —
+        # the shape fine-tuned encoders actually have.
+        e = x + 0.5 * (np.tanh(x @ W1 + b1) @ W2)
+        # no-token rows (NULL/empty text) stay exactly zero: a zero
+        # vector scores cos=0 everywhere, so empty docs never match
+        e[(xn == 0).ravel()] = 0.0
+        en = np.linalg.norm(e, axis=1, keepdims=True)
+        return np.divide(e, en, out=np.zeros_like(e), where=en > 0)
+
+    def encode_batches(batches):
+        for pdf in batches:
+            # model-style micro-batching: each Arrow batch is chunked
+            # to batch_size rows before the forward pass, exactly the
+            # encode(batch_size=...) contract — per-row output must
+            # not depend on where chunk boundaries fall (pytest-gated)
+            for lo in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[lo:lo + batch_size]
+                emb = forward(featurize(chunk[text_col].tolist()))
+                yield pd.DataFrame(
+                    {id_col: chunk[id_col].values,
+                     "embedding": list(emb)}
+                )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        encode_batches, schema=f"{id_col} long, embedding array<double>"
+    )
 
 
 def text_search(
@@ -136,6 +240,81 @@ def text_search(
         )
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def rag_context(
+    docs: DataFrame,
+    query_text: str,
+    k: int = 5,
+    token_budget: int = 400,
+    dim: int = 64,
+    hash_fn: str = "md5",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Retrieval → budgeted context assembly: the reference's
+    retrieve-then-build-prompt data path (faiss_mode.py:69-73 +
+    prompt_service.py:133-163: rank-numbered ``[Document i]
+    (Relevance: ..)\\n<text>`` parts joined with blank lines), with
+    the token budget the reference leaves to the LLM's window
+    enforced here, where the data is.
+
+    Scale shape: retrieval is :func:`text_search` (broadcast query
+    buckets, one partial-agg pass, TakeOrdered — no corpus shuffle);
+    the text join-back BROADCASTS the k-row hit list onto the docs
+    scan; ranking/packing/assembly then run on ≤ k rows (driver-scale
+    by construction — the global window sorts k rows, not the
+    corpus). Packing = greedy by rank: keep each doc while the
+    running token total fits, like the size-bounded chunker in
+    reverse.
+
+    Relevance renders as FLOOR(score·100) percent — integer, so the
+    formatted string is cross-engine byte-identical (a %.2f would mix
+    Java HALF_UP with C round-half-even on exact .xx5 doubles).
+
+    Returns ONE row: (context string, n_docs, n_tokens).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+
+    hits = text_search(
+        docs, query_text, dim=dim, k=k, hash_fn=hash_fn,
+        id_col=id_col, text_col=text_col,
+    )
+    joined = docs.select(id_col, text_col).join(
+        F.broadcast(hits), id_col
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    ranked = joined.select(
+        F.col(id_col),
+        "score",
+        F.col(text_col),
+        F.row_number().over(w).alias("rank"),
+        F.size(tokens(F.col(text_col))).cast("bigint").alias("ntok"),
+    ).withColumn(
+        "cum_tok",
+        F.sum("ntok").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    kept = ranked.where(F.col("cum_tok") <= token_budget)
+    part = F.format_string(
+        "[Document %d] (Relevance: %d%%)\n%s",
+        F.col("rank"),
+        F.floor(F.col("score") * 100).cast("int"),
+        F.col(text_col),
+    )
+    return kept.select("rank", "ntok", part.alias("part")).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rank", "part"))),
+                lambda s: s["part"],
+            ),
+            "\n\n",
+        ).alias("context"),
+        F.count("*").cast("bigint").alias("n_docs"),
+        # empty keep-set (budget below the first doc): 0, not NULL
+        F.coalesce(F.sum("ntok"), F.lit(0)).cast("bigint").alias("n_tokens"),
     )
 
 

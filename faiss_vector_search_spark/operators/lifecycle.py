@@ -194,6 +194,8 @@ def retrain_ivf(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    engine: str = "sql",
+    train_sample: int | None = None,
 ) -> DataFrame:
     """Retrain a persisted IVF-FLAT index on its CURRENT corpus: Lloyd
     refinement seeded from the saved centroids' count, full reassign,
@@ -215,7 +217,13 @@ def retrain_ivf(
     )
     if nlist is None:
         nlist = spark.read.parquet(f"{path}/_centroids").count()
-    cents = kmeans_centroids(vecs, nlist, iters, id_col, vec_col)
-    save_ivf(vecs, cents, path, vec_col=vec_col)
+    # engine/train_sample: the production retrain profile (arrow BLAS
+    # Lloyd over a bounded id-strided sample) — the same knobs the
+    # scale rehearsal forced on first-time training
+    cents = kmeans_centroids(
+        vecs, nlist, iters, id_col, vec_col,
+        train_sample=train_sample, engine=engine,
+    )
+    save_ivf(vecs, cents, path, vec_col=vec_col, assign_engine=engine)
     write_train_meta(spark, path, vecs.count())
     return cents

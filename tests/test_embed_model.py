@@ -1,0 +1,155 @@
+"""The learned-model embedding path (embed_documents(model="numpy")):
+proves the production mapInPandas slot end to end with a committed
+tiny numpy MLP, so a real sentence-transformers checkpoint is a
+drop-in (reference components/core/embedding_service.py:64-122).
+
+Gates (VERDICT r4 ask #6): batch-size invariance, partitioning
+invariance, self-retrieval, and cosine-topk stability against the
+feature-hash baseline."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from faiss_vector_search_spark import io as fio
+from faiss_vector_search_spark.operators import embed, knn
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_small):
+    return fio.load_table(spark, sf_small, "documents").select(
+        "doc_id", "text"
+    )
+
+
+def _vecs(df, id_col="doc_id"):
+    return {r[0]: tuple(r[1]) for r in df.collect()}
+
+
+def test_numpy_model_schema_and_norms(docs):
+    out = embed.embed_documents(docs, model="numpy")
+    assert out.columns == ["doc_id", "embedding"]
+    rows = out.limit(20).collect()
+    assert rows and all(len(r.embedding) == 64 for r in rows)
+    for r in rows:
+        n2 = sum(x * x for x in r.embedding)
+        assert abs(n2 - 1.0) < 1e-9 or n2 == 0.0
+
+
+def test_numpy_model_batch_size_invariance(docs):
+    """encode(batch_size=7) == encode(batch_size=64) bit-exactly: the
+    forward pass must be row-independent regardless of where the
+    micro-batch boundaries fall."""
+    a = _vecs(embed.embed_documents(docs, model="numpy", batch_size=7))
+    b = _vecs(embed.embed_documents(docs, model="numpy", batch_size=64))
+    assert a == b
+
+
+def test_numpy_model_partitioning_invariance(docs):
+    """1 partition vs 8: same vectors — no cross-partition state."""
+    a = _vecs(embed.embed_documents(docs.repartition(1), model="numpy"))
+    b = _vecs(embed.embed_documents(docs.repartition(8), model="numpy"))
+    assert a == b
+
+
+def test_numpy_model_rejects_unknown_model(docs):
+    with pytest.raises(ValueError, match="unknown embed model"):
+        embed.embed_documents(docs, model="bert")
+
+
+def test_numpy_model_null_text_is_zero_vector(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "hello world")],
+        "doc_id long, text string",
+    )
+    v = _vecs(embed.embed_documents(df, model="numpy"))
+    assert v[1] == v[2] == tuple([0.0] * 64)
+    assert any(x != 0.0 for x in v[3])
+
+
+def test_numpy_model_self_retrieval(spark, docs):
+    """Embedding a doc's own text as the query must retrieve that doc
+    at rank 1 with score ~1 — the end-to-end query→embed→top-k loop
+    of the reference's search_detailed, on the model path."""
+    corpus = embed.embed_documents(docs, model="numpy").withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    for target in (5, 42):
+        qtext = docs.where(F.col("doc_id") == target).first().text
+        qdf = spark.createDataFrame([(0, qtext)], "doc_id long, text string")
+        qvec = embed.embed_documents(qdf, model="numpy").select(
+            F.col("embedding").alias("query_vec")
+        )
+        top = knn.topk(corpus, qvec, k=3).collect()
+        assert top[0].vec_id == target
+        assert top[0].score > 0.999
+
+
+def test_numpy_model_topk_stability_vs_hash_baseline(spark, docs):
+    """The MLP embeds the same hashed-count features, so its cosine
+    neighborhoods must stay correlated with the feature-hash
+    baseline's: mean top-10 overlap over a query sample well above
+    the ~10/N random-agreement floor."""
+    hash_emb = embed.embed_documents(docs).withColumnRenamed(
+        "doc_id", "vec_id"
+    ).cache()
+    mlp_emb = embed.embed_documents(docs, model="numpy").withColumnRenamed(
+        "doc_id", "vec_id"
+    ).cache()
+    try:
+        overlaps = []
+        for qid in (5, 42, 99):
+            tops = []
+            for emb_df in (hash_emb, mlp_emb):
+                q = emb_df.where(F.col("vec_id") == qid).select(
+                    F.col("embedding").alias("query_vec")
+                )
+                tops.append({
+                    r.vec_id for r in knn.topk(emb_df, q, k=10).collect()
+                })
+            overlaps.append(len(tops[0] & tops[1]) / 10)
+        assert sum(overlaps) / len(overlaps) >= 0.6, overlaps
+    finally:
+        hash_emb.unpersist()
+        mlp_emb.unpersist()
+
+
+# --- rag_context (retrieve -> budgeted context assembly) ---------------
+
+
+@pytest.fixture(scope="module")
+def rag_docs(spark):
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma"),
+        (3, "alpha beta"),
+        (4, "unrelated words entirely different topic"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_rag_context_orders_by_relevance_and_packs(rag_docs):
+    out = embed.rag_context(
+        rag_docs, "alpha beta gamma delta", k=3, token_budget=7
+    ).collect()[0]
+    # doc 1 is the exact match (rank 1, 4 tokens); doc 2 next (3
+    # tokens, cum 7 fits); doc 3 would overflow the budget
+    assert out.n_docs == 2 and out.n_tokens == 7
+    assert out.context.startswith("[Document 1] (Relevance: ")
+    assert "\n\n[Document 2] (Relevance: " in out.context
+    assert "alpha beta gamma delta" in out.context
+    assert "unrelated" not in out.context
+
+
+def test_rag_context_zero_budget_yields_empty_row(rag_docs):
+    out = embed.rag_context(
+        rag_docs, "alpha beta", k=3, token_budget=0
+    ).collect()[0]
+    assert (out.context, out.n_docs, out.n_tokens) == ("", 0, 0)
+
+
+def test_rag_context_broadcasts_hit_list(rag_docs):
+    df = embed.rag_context(rag_docs, "alpha beta", k=3, token_budget=100)
+    assert "BroadcastHashJoin" in df._jdf.queryExecution().executedPlan().toString() or \
+           "BroadcastHashJoin" in df._jdf.queryExecution().toString()

@@ -690,3 +690,26 @@ def test_sketch_store_non_string_slice_col(spark, tmp_path):
     assert {r.bucket for r in out} == {0, 1, 2, 3, None}
     total = next(r.approx_distinct for r in out if r.bucket is None)
     assert abs(total - 97) <= 5
+
+
+def test_nprobe_for_recall_walks_dial_to_target(emb):
+    from faiss_vector_search_spark.operators import evaluate
+
+    out = evaluate.nprobe_for_recall(
+        emb, target=0.9, query_ids=(0, 1, 2), k=10, nlist=8
+    )
+    assert out["nprobe"] is not None
+    assert out["recall"] >= 0.9
+    assert out["nprobe"] in out["curve"]
+    # the walk stops at the FIRST grid point meeting the target, so
+    # every earlier point must have missed it
+    for p, r in out["curve"].items():
+        if p < out["nprobe"]:
+            assert r < 0.9
+    # nprobe = nlist scans every list = the exact control; a 1.0
+    # target is therefore always reachable
+    full = evaluate.nprobe_for_recall(
+        emb, target=1.0, query_ids=(0, 1, 2), k=10, nlist=8,
+        nprobe_grid=(8,),
+    )
+    assert full["nprobe"] == 8 and full["recall"] == 1.0

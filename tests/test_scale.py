@@ -1,0 +1,174 @@
+"""Scale-rehearsal recall gates (`pytest -m scale`, VERDICT r4 asks
+#3/#7): the ivf-kmeans / ann-lsh / planted-near-dup recall properties
+that the default suite proves at sf0.001 re-asserted on the 10x
+rehearsal corpora in `_scaledata/` — 20k vectors instead of ~200, the
+production parameter sizing (nlist ~ sqrt(N), log2-scaled LSH bits,
+bounded-sample arrow training) instead of toy constants.
+
+Opt-in twice over: the `scale` marker keeps `pytest tests/ -x -q`
+(the driver's per-round run) fast, and the skipif guards keep the
+suite green on a checkout where the gitignored `_scaledata/` corpora
+have not been generated (scripts/make_scale_data.py).
+
+Run:  SPARK_GRAFT_SCALE_TESTS=1 python -m pytest tests/ -m scale -q
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF1 = "/root/repo/_scaledata/sf1"
+SF1C = "/root/repo/_scaledata/sf1c"
+
+pytestmark = [
+    pytest.mark.scale,
+    pytest.mark.skipif(
+        not os.environ.get("SPARK_GRAFT_SCALE_TESTS"),
+        reason="scale suite is opt-in: SPARK_GRAFT_SCALE_TESTS=1",
+    ),
+]
+
+
+def _table(spark, sf_dir, name):
+    from faiss_vector_search_spark import io as fio
+
+    if not os.path.isdir(os.path.join(sf_dir, f"{name}.parquet")):
+        pytest.skip(f"{sf_dir}/{name}.parquet not generated")
+    return fio.load_table(spark, sf_dir, name)
+
+
+@pytest.fixture(scope="module")
+def emb_sf1(spark):
+    return _table(spark, SF1, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def emb_sf1c(spark):
+    return _table(spark, SF1C, "embeddings").cache()
+
+
+def _exact_topk_ids(emb, qid, k=10):
+    from faiss_vector_search_spark.operators import knn
+
+    q = emb.where(F.col("vec_id") == qid).select(
+        F.col("embedding").alias("query_vec")
+    )
+    return {r[0] for r in knn.topk(emb, q, k=k).select("vec_id").collect()}
+
+
+# --- VERDICT #7: existing recall property gates at sf1 -----------------
+
+
+def test_ivf_kmeans_recall_sf1(spark, emb_sf1):
+    """kmeans-trained IVF at production sizing on the 10x replica
+    corpus (the documented worst case: top-10 neighbors at cos
+    0.2-0.6). The r4 seeded-centroid dial measured 0.80 at a 14% scan
+    fraction on sf10; the kmeans quantizer at a ~23% fraction must
+    clear 0.6 here — well above the 0.41 the 3% fraction delivers."""
+    from faiss_vector_search_spark.operators import ivf
+
+    n = emb_sf1.count()
+    nlist = max(16, int(math.sqrt(n)))  # 141
+    cents = ivf.kmeans_centroids(
+        emb_sf1, nlist=nlist, iters=3, train_sample=10_000, engine="arrow"
+    )
+    assigned = ivf.assign_lists(emb_sf1, cents, engine="arrow").cache()
+    try:
+        recalls = []
+        for qid in (2, 5002, 10002, 15002):
+            q = emb_sf1.where(F.col("vec_id") == qid).select(
+                F.col("embedding").alias("query_vec")
+            )
+            got = {
+                r[0]
+                for r in ivf.ivf_search(
+                    emb_sf1, q, nlist=nlist, nprobe=nlist // 4, k=10,
+                    centroids=cents, assigned=assigned,
+                ).select("vec_id").collect()
+            }
+            recalls.append(len(got & _exact_topk_ids(emb_sf1, qid)) / 10)
+        assert sum(recalls) / len(recalls) >= 0.6, recalls
+    finally:
+        assigned.unpersist()
+
+
+def test_ann_lsh_recall_sf1(spark, emb_sf1):
+    """Multiprobe hyperplane LSH with corpus-sized bucket bits
+    (lsh_bits_for) at sf1 — r4 measured 0.90 mean recall@10; gate at
+    0.75 to absorb query-sample wobble."""
+    from faiss_vector_search_spark.operators import lsh
+
+    n = emb_sf1.count()
+    bits = lsh.lsh_bits_for(n, target_bucket_size=64)
+    index = lsh.lsh_buckets(emb_sf1, 64, 24, bits, 42, "vec_id", "embedding").cache()
+    try:
+        recalls = []
+        for qid in (2, 5002, 10002, 15002):
+            q = emb_sf1.where(F.col("vec_id") == qid).select(
+                F.col("embedding").alias("query_vec")
+            )
+            got = {
+                r[0]
+                for r in lsh.ann_lsh_search(
+                    emb_sf1, q, k=10, n_tables=24, n_bits=bits,
+                    multiprobe=4, corpus_buckets=index,
+                ).select("vec_id").collect()
+            }
+            recalls.append(len(got & _exact_topk_ids(emb_sf1, qid)) / 10)
+        assert sum(recalls) / len(recalls) >= 0.75, recalls
+    finally:
+        index.unpersist()
+
+
+def test_dedup_embedding_lsh_planted_recall_sf1(spark, emb_sf1):
+    """Every planted near-dup pair (cos ~ 0.99, truth linear in N by
+    construction — make_scale_data.py) must surface from the
+    bucketed near-dup join: the r4 rehearsal measured 100% planted
+    recall at every SF once bucket bits scaled with the corpus."""
+    from faiss_vector_search_spark.operators import lsh
+
+    n = emb_sf1.count()
+    n_base = 2000  # sf0.1 embeddings rows, replicated 10x
+    truth = {
+        (g - 1, g)
+        for g in range(n_base, n)
+        if (g % n_base) % 100 == 1
+    }
+    assert truth, "plant rule produced no pairs — corpus layout changed?"
+    bits = lsh.lsh_bits_for(n, target_bucket_size=64)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in lsh.near_dup_lsh(
+            emb_sf1, threshold=0.9, dim=64, n_bits=bits,
+            max_bucket_size=4096,
+        ).collect()
+    }
+    missed = truth - pairs
+    assert not missed, f"missed {len(missed)}/{len(truth)} planted pairs"
+
+
+# --- VERDICT #3: nprobe dial helper on the clustered corpus ------------
+
+
+def test_nprobe_for_recall_clustered_sf1c(spark, emb_sf1c):
+    """On a corpus with real cluster structure (Gaussian mixture,
+    C=100) the dial helper must find a nprobe WELL below exhaustive
+    for a 0.9 target — the whole point of separating index quality
+    from the near-random replica corpus's pathology."""
+    from faiss_vector_search_spark.operators import evaluate
+
+    n = emb_sf1c.count()
+    nlist = max(16, int(math.sqrt(n)))  # 141
+    out = evaluate.nprobe_for_recall(
+        emb_sf1c, target=0.9, query_ids=(2, 5002, 10002, 15002),
+        k=10, nlist=nlist, engine="arrow",
+    )
+    assert out["nprobe"] is not None, out
+    assert out["recall"] >= 0.9
+    # clustered corpus: the target must be reachable at a fraction of
+    # the lists (near-random sf10 needed 14% for just 0.80)
+    assert out["nprobe"] <= nlist // 2, out
