@@ -89,9 +89,11 @@ def _gauss(tag: str, *keys):
     return F.sqrt(F.lit(-2.0) * F.log(u1)) * F.cos(F.lit(2.0 * 3.141592653589793) * u2)
 
 
-def make_clustered_embeddings(spark, out_dir: str, n: int,
-                              n_clusters: int | None = None,
-                              spread: float = 0.5) -> None:
+def clustered_embeddings_df(spark, n: int,
+                            n_clusters: int | None = None,
+                            spread: float = 0.5,
+                            salt: str = "",
+                            id_offset: int = 0) -> DataFrame:
     """Synthesize a CLUSTERED embeddings corpus (Gaussian mixture) of
     the same schema as the replica corpus — the r4 recall tables were
     measured on a documented worst-case near-random corpus, so a
@@ -110,17 +112,23 @@ def make_clustered_embeddings(spark, out_dir: str, n: int,
     2) so the planted-pair recall gates run unchanged on either
     corpus. Because vec() is a pure function of id, the partner's
     vector is recomputed inline — no self-join.
+
+    ``salt`` shifts BOTH the center and noise hash streams, so a
+    salted batch draws from n_clusters brand-new mixture components —
+    the "new domain arrives in ingest" drift batch for the lifecycle
+    rehearsal (scripts/scale_drift.py). ``id_offset`` shifts vec_ids
+    so the batch appends cleanly after an existing corpus.
     """
     if n_clusters is None:
         n_clusters = max(32, n // 200)
     idx = F.sequence(F.lit(0), F.lit(DIM - 1))
 
     def raw_vec(vid):
-        cid = F.pmod(F.xxhash64(F.lit("cl"), vid), F.lit(n_clusters))
+        cid = F.pmod(F.xxhash64(F.lit("cl" + salt), vid), F.lit(n_clusters))
         return F.transform(
             idx,
-            lambda i: _gauss("c", cid, i)
-            + F.lit(spread) * _gauss("n", vid, i),
+            lambda i: _gauss("c" + salt, cid, i)
+            + F.lit(spread) * _gauss("n" + salt, vid, i),
         )
 
     def unit(vec):
@@ -133,7 +141,9 @@ def make_clustered_embeddings(spark, out_dir: str, n: int,
             lambda x, nn: (x / nn).cast("float"),
         )
 
-    base = spark.range(n).select(F.col("id").alias("vec_id"))
+    base = spark.range(n).select(
+        (F.col("id") + id_offset).alias("vec_id")
+    )
     vid = F.col("vec_id")
     jitter = F.transform(
         unit(raw_vec(vid - 1)),
@@ -143,7 +153,7 @@ def make_clustered_embeddings(spark, out_dir: str, n: int,
                - F.lit(500)) / F.lit(500.0) * F.lit(0.03)
         ),
     )
-    emb = base.select(
+    return base.select(
         "vec_id",
         F.when(vid % 100 == 1, unit(jitter))
         .otherwise(unit(raw_vec(vid)))
@@ -151,9 +161,17 @@ def make_clustered_embeddings(spark, out_dir: str, n: int,
         F.pmod(F.xxhash64(F.lit("lb"), vid), F.lit(8)).cast("int")
         .alias("label"),
     )
+
+
+def make_clustered_embeddings(spark, out_dir: str, n: int,
+                              n_clusters: int | None = None,
+                              spread: float = 0.5) -> None:
+    """Write :func:`clustered_embeddings_df` as a scaled-corpus dir."""
+    emb = clustered_embeddings_df(spark, n, n_clusters, spread)
     os.makedirs(out_dir, exist_ok=True)
     _write(emb, out_dir, "embeddings", n)
-    print(f"done: {out_dir} clustered embeddings n={n} C={n_clusters}")
+    print(f"done: {out_dir} clustered embeddings n={n} "
+          f"C={n_clusters if n_clusters else max(32, n // 200)}")
 
 
 def main() -> None:

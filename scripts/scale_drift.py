@@ -59,20 +59,45 @@ def main() -> None:
 
     emb = fio.load_table(spark, sf_dir, "embeddings").cache()
     n = emb.count()
-    n_batch = n // 10
-    base = emb.where(F.col("vec_id") < n - n_batch)
-    drift = emb.where(F.col("vec_id") >= n - n_batch)
-    n_base = n - n_batch
+    clustered = sf_dir.rstrip("/").endswith("c")
+    if clustered:
+        # clustered corpus: the WHOLE corpus is the trained base; the
+        # drift batch is synthesized from 10 brand-new mixture
+        # components (salted hash streams) — a new domain arriving in
+        # ingest, which is the scenario where retraining actually has
+        # structure to recover (the replica corpus is near-random, so
+        # its retrain delta is small by information theory, not by
+        # implementation; both rows are recorded side by side)
+        sys.path.insert(0, "scripts")
+        from make_scale_data import clustered_embeddings_df
+
+        n_base, n_batch = n, n // 10
+        base = emb
+        drift = clustered_embeddings_df(
+            spark, n_batch, n_clusters=10, salt="drift", id_offset=n
+        )
+        drift_qids = tuple(n + 2 + i * (n_batch // 4) for i in range(4))
+    else:
+        n_batch = n // 10
+        n_base = n - n_batch
+        base = emb.where(F.col("vec_id") < n_base)
+        drift = emb.where(F.col("vec_id") >= n_base)
+        # queries FROM the drifted batch: the vectors the stale
+        # quantizer has never seen are where recall decays
+        drift_qids = tuple(n_base + 2 + i * (n_batch // 4) for i in range(4))
     nlist = max(16, int(math.sqrt(n_base)))
-    # queries FROM the drifted batch: the vectors the stale quantizer
-    # has never seen are where recall decays
-    drift_qids = tuple(n - n_batch + 2 + i * (n_batch // 4) for i in range(4))
     base_qids = tuple(2 + i * (n_base // 4) for i in range(4))
 
     def ivf_recall(corpus, cents, qids) -> float:
+        # the scale_recall.py production dial: ~3% scan fraction.
+        # On a trained quantizer each cluster co-locates in one list
+        # so few probes suffice; a STALE quantizer scatters drifted
+        # clusters across many lists, which is exactly what a small
+        # probe budget exposes (a wide-open nprobe hides the decay
+        # by brute force).
         report = evaluate.recall_report(
             corpus, query_ids=qids, k=10, nlist=nlist,
-            nprobe=max(4, nlist // 8), centroids=cents,
+            nprobe=max(4, nlist // 32), centroids=cents,
             engine="arrow", pq_train_sample=10_000,
             lsh_bits=8, lsh_tables=8,
         )
@@ -115,6 +140,9 @@ def main() -> None:
     new_cents = lifecycle.retrain_ivf(
         spark, path, iters=4, engine="arrow", train_sample=10_000
     )
+    # re-read: retrain_ivf rewrote <path>/vectors, so the pre-retrain
+    # lazy plan over that path now points at deleted files
+    grown = spark.read.parquet(f"{path}/vectors").drop("list_id")
     r_post = ivf_recall(grown, new_cents, drift_qids)
     print(json.dumps({
         "stage": "retrained", "retrain_sec": round(time.time() - t0, 1),
