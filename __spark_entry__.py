@@ -872,12 +872,20 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     reps = dedup.exact_dedup(docs).select("doc_id")
-    n_tokens, quality = textstats.quality_exprs(F.col("text"))
+    # stage the token array once: quality_exprs consumes it four
+    # times and ws_tokens a fifth — five tokenizer evals per row
+    # collapse to one (SURVEY §4 interpreted-HOF discipline)
+    n_tokens, quality = textstats.quality_exprs(
+        F.col("text"), F.col("_toks")
+    )
     sig = docs.where(F.col("lang") == "en").select(
+        "doc_id", "source", "text",
+        _tokens(F.col("text")).alias("_toks"),
+    ).select(
         "doc_id",
         "source",
         quality.cast(DBL).alias("quality"),
-        F.size(_tokens(F.col("text"))).cast("bigint").alias("ws_tokens"),
+        F.size(F.col("_toks")).cast("bigint").alias("ws_tokens"),
         n_tokens.alias("n_tokens"),
     )
     return (
