@@ -29,14 +29,19 @@ PROB_DECIMALS = 8
 
 def _transitions(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, prev, cur) rows: in-row zip of the token array with its
-    own tail — no self-join, one explode."""
-    toks = tokens(F.col(text_col))
+    own tail — no self-join, one explode. The token array stages as a
+    real column first: the zip references it four times (two slices,
+    two sizes), and interpreted higher-order args get no CSE, so the
+    inline expression re-tokenized per reference."""
+    toks = F.col("_toks")
     pairs = F.zip_with(
         F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
         F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
         lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
     )
     return docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).select(
         F.col(id_col), F.explode(pairs).alias("t")
     ).select(id_col, F.col("t.prev").alias("prev"), F.col("t.cur").alias("cur"))
 

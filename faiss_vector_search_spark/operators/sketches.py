@@ -77,13 +77,24 @@ def bigram_heavy_hitters(
     sketch shuffles one ~max_tracked-entry summary per partition."""
     from ..functions.text import tokens
 
-    toks = tokens(F.col(text_col))
+    # stage the token array as a COLUMN before the transform: the
+    # lambda's element_at(toks, i+2) is an interpreted HOF body with
+    # no CSE, so an inlined tokenizer expression would re-run
+    # lower+split+filter over the whole text PER BIGRAM POSITION —
+    # O(tokens · chars) per doc (measured 9x on this op: 4.97→0.55 s
+    # at sf0.1, 7.28→0.77 s at sf1)
+    staged = docs.select(tokens(F.col(text_col)).alias("_toks"))
     bigrams = F.transform(
-        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-        lambda t, i: F.concat_ws(" ", t, F.element_at(toks, i + 2)),
+        F.slice(
+            F.col("_toks"), 1,
+            F.greatest(F.size(F.col("_toks")) - 1, F.lit(0)),
+        ),
+        lambda t, i: F.concat_ws(
+            " ", t, F.element_at(F.col("_toks"), i + 2)
+        ),
     )
     return (
-        docs.select(F.explode(bigrams).alias("bigram"))
+        staged.select(F.explode(bigrams).alias("bigram"))
         .agg(
             F.expr(f"approx_top_k(bigram, {k}, {max_tracked})").alias("top")
         )

@@ -198,16 +198,21 @@ def token_count(
     text_col: str = "text",
 ) -> DataFrame:
     """Whitespace tokens, BPE-ish regex tokens (letter runs / digit
-    runs / single symbols), and distinct token count."""
-    toks = tokens(F.col(text_col))
+    runs / single symbols), and distinct token count. The token array
+    stages as a real column (two consumers: size + array_distinct)."""
     bpe_re = "[a-z]+|[0-9]+|[^a-z0-9 ]"
     return docs.select(
         F.col(id_col),
-        F.size(toks).cast("bigint").alias("ws_tokens"),
+        F.col(text_col),
+        tokens(F.col(text_col)).alias("_toks"),
+    ).select(
+        F.col(id_col),
+        F.size(F.col("_toks")).cast("bigint").alias("ws_tokens"),
         F.size(
             F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(bpe_re), 0)
         ).cast("bigint").alias("bpe_tokens"),
-        F.size(F.array_distinct(toks)).cast("bigint").alias("distinct_tokens"),
+        F.size(F.array_distinct(F.col("_toks"))).cast("bigint")
+        .alias("distinct_tokens"),
     )
 
 
