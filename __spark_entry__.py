@@ -3008,6 +3008,24 @@ UNION ALL
 SELECT 'lang:' || lang, CAST(count(*) AS DOUBLE) FROM documents GROUP BY lang
 """
 
+ORACLES["diversified_search"] = f"""
+WITH hits AS (
+  {ORACLES["text_search"].replace("LIMIT 5", "LIMIT 20")}
+),
+ranked AS (
+  SELECT h.doc_id, d.source, h.score,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY h.score DESC, h.doc_id ASC)
+           AS source_rank
+  FROM hits h JOIN documents d USING (doc_id)
+)
+SELECT doc_id, source, score, source_rank
+FROM ranked
+WHERE source_rank <= 2
+ORDER BY score DESC, doc_id ASC
+LIMIT 5
+"""
+
 ORACLES["rag_context"] = f"""
 WITH hits AS ({ORACLES["text_search"]}),
 ranked AS (
@@ -3035,6 +3053,19 @@ FROM kept
 
 
 # --- driver contract ------------------------------------------------------
+
+
+def q_diversified_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-diversified retrieval: relevance top-5 under a
+    2-per-source cap over a 20-candidate text_search pool — the
+    search-result diversification guard for RAG contexts."""
+    from faiss_vector_search_spark.operators import embed as embed_mod
+
+    return embed_mod.diversified_search(
+        _t(spark, sf_dir, "documents"),
+        "batch window vector hash fast stream",
+        k=5, per_source_cap=2, pool=20,
+    )
 
 
 def q_rag_context(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3232,6 +3263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round's 50-window; standing rotation policy puts new keys
         # at the front next round)
         "rag_context": q_rag_context,
+        "diversified_search": q_diversified_search,
         "embed_text_model": q_embed_text_model,
         "nprobe_recall_curve": q_nprobe_recall_curve,
     }

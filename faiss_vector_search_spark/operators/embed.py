@@ -318,6 +318,54 @@ def rag_context(
     )
 
 
+def diversified_search(
+    docs: DataFrame,
+    query_text: str,
+    k: int = 5,
+    per_source_cap: int = 2,
+    pool: int = 20,
+    dim: int = 64,
+    hash_fn: str = "md5",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Source-diversified retrieval: top-``k`` by relevance subject to
+    at most ``per_source_cap`` hits per source — the standard search
+    result diversification cap, applied to the reference's retrieval
+    so one boilerplate-heavy source cannot monopolize a RAG context
+    (the failure mode :func:`rag_context` inherits from plain top-k).
+
+    Two stages, same scale posture as rag_context: a relevance pool
+    of ``pool`` candidates from :func:`text_search` (broadcast query,
+    TakeOrdered — no corpus shuffle), then the cap and final cut run
+    as windows over ≤ pool rows (driver-scale by construction). The
+    pool bound is the usual diversity trade: a source beyond its cap
+    frees slots for rank pool+1 onward, which a bigger pool restores.
+
+    Returns (id, source, score, source_rank), relevance-ordered.
+    """
+    from pyspark.sql import Window
+
+    hits = text_search(
+        docs, query_text, dim=dim, k=pool, hash_fn=hash_fn,
+        id_col=id_col, text_col=text_col,
+    )
+    pooled = docs.select(id_col, source_col).join(
+        F.broadcast(hits), id_col
+    )
+    per_src = Window.partitionBy(source_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    ranked = pooled.select(
+        F.col(id_col), F.col(source_col), "score",
+        F.row_number().over(per_src).alias("source_rank"),
+    ).where(F.col("source_rank") <= per_source_cap)
+    return ranked.orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    ).limit(k)
+
+
 def label_centroids(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -153,3 +153,22 @@ def test_rag_context_broadcasts_hit_list(rag_docs):
     df = embed.rag_context(rag_docs, "alpha beta", k=3, token_budget=100)
     assert "BroadcastHashJoin" in df._jdf.queryExecution().executedPlan().toString() or \
            "BroadcastHashJoin" in df._jdf.queryExecution().toString()
+
+
+def test_diversified_search_enforces_source_cap(spark):
+    rows = [
+        (i, "alpha beta gamma", f"src{0 if i < 5 else 1}")
+        for i in range(8)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = embed.diversified_search(
+        docs, "alpha beta gamma", k=4, per_source_cap=2, pool=8
+    ).collect()
+    assert len(out) == 4
+    from collections import Counter
+    by_src = Counter(r.source for r in out)
+    assert max(by_src.values()) <= 2
+    # plain top-k would take doc_ids 0-3, all src0; the cap forces
+    # src1 rows in
+    assert by_src == {"src0": 2, "src1": 2}
+    assert all(r.source_rank <= 2 for r in out)
