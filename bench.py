@@ -75,7 +75,13 @@ def main() -> None:
         # the bench SF n=2000 this resolves to 5 = the old constant,
         # so the committed floor is unchanged)
         bits = lsh.lsh_bits_for(emb.count(), target_bucket_size=64)
-        return lsh.near_dup_lsh(emb, threshold=0.45, dim=64, n_bits=bits)
+        # engine="arrow" (r5): per-bucket Gram verify — the sql
+        # per-pair fold ships 2 vectors per candidate pair (113.8 s
+        # at sf10 vs 14.9 s arrow, 7.6x); pair-set equality gated in
+        # tests/test_lsh.py. sql remains the oracle profile.
+        return lsh.near_dup_lsh(
+            emb, threshold=0.45, dim=64, n_bits=bits, engine="arrow"
+        )
 
     def p_ann_lsh(spark, sf):
         emb = fio.load_table(spark, sf, "embeddings")

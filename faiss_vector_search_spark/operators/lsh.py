@@ -228,6 +228,7 @@ def near_dup_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket_size: int | None = None,
+    engine: str = "sql",
 ) -> DataFrame:
     """Embedding near-dup pairs via bucket-blocked candidate
     generation + exact cosine verification — the scale variant of
@@ -239,7 +240,23 @@ def near_dup_lsh(
     ``n_bits=lsh_bits_for(corpus_rows)`` — the small-SF default (5)
     keeps only 32 buckets per table, so candidate pairs grow
     quadratically with corpus size (measured 54× wall at 10× vectors
-    in the r4 rehearsal; see :func:`lsh_bits_for`)."""
+    in the r4 rehearsal; see :func:`lsh_bits_for`).
+
+    ``engine`` picks the pair-VERIFY implementation (same candidate
+    semantics): "sql" = candidate equi-join + per-pair interpreted
+    cosine fold, deterministic oracle profile; "arrow" = per-(table,
+    bucket) Gram matmul via applyInPandas — the decisive difference
+    is DATA MOVEMENT, not just BLAS-vs-fold: the sql shape ships two
+    64-float vectors per candidate PAIR (~49 GB at sf10's 48M
+    candidates; a per-pair-batch arrow verify won back only 13%),
+    the bucket shape ships each vector once per table (~2.4 GB at
+    sf10) and the quadratic work happens in-memory per bucket —
+    measured 113.8→14.9 s at sf10 (**7.6x**; sf1→sf10 now scales
+    8.5→14.9 = 1.8x at 10x vectors — bucket-hashing-bound instead of
+    pair-bound). Pair-set
+    equality vs sql is pytest-gated (tests/test_lsh.py); a pair
+    found in several tables computes bit-identical cosine in each,
+    so the cross-table distinct dedups exactly."""
     from ..functions import vector as V
 
     # repartition on the join keys: the explicit exchange becomes the
@@ -251,6 +268,12 @@ def near_dup_lsh(
     ).repartition("table", "bucket")
     if max_bucket_size is not None:
         buckets = cap_bucket_size(buckets, max_bucket_size)
+    if engine == "arrow":
+        return _near_dup_buckets_arrow(
+            buckets, emb, threshold, id_col, vec_col
+        )
+    if engine != "sql":
+        raise ValueError(f"unknown near_dup_lsh engine: {engine}")
     left = buckets.select(
         F.col(id_col).alias("id_a"), "table", "bucket"
     )
@@ -277,3 +300,50 @@ def near_dup_lsh(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def _near_dup_buckets_arrow(
+    buckets: DataFrame, emb: DataFrame, threshold: float,
+    id_col: str, vec_col: str,
+) -> DataFrame:
+    """Arrow verify for near_dup_lsh: one Gram matmul per (table,
+    bucket) group. Each vector ships once per table it hashes into
+    instead of once per candidate pair, and the quadratic pair work
+    runs as in-memory BLAS inside the (capped) bucket. Duplicate
+    pairs across tables compute bit-identical cosines, so the final
+    distinct collapses them exactly; zero-norm vectors yield NaN
+    which the threshold comparison drops (the sql try_divide NULL
+    behaves the same)."""
+    import numpy as np
+    import pandas as pd
+
+    def pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"),
+                 "id_b": pd.Series(dtype="int64"),
+                 "cosine": pd.Series(dtype="float64")}
+            )
+        order = np.argsort(pdf[id_col].values, kind="stable")
+        ids = pdf[id_col].values[order]
+        x = np.vstack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["_v"].values]
+        )[order]
+        norms = np.linalg.norm(x, axis=1)
+        g = x @ x.T
+        denom = np.outer(norms, norms)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.round(g / denom, 6)
+        ia, ib = np.triu_indices(len(ids), 1)
+        keep = cos[ia, ib] >= threshold  # NaN -> False
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
+             "cosine": cos[ia[keep], ib[keep]]}
+        )
+
+    grouped = buckets.join(
+        emb.select(F.col(id_col), F.col(vec_col).alias("_v")), id_col
+    )
+    return grouped.groupBy("table", "bucket").applyInPandas(
+        pairs, schema="id_a long, id_b long, cosine double"
+    ).distinct()

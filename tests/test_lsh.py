@@ -192,3 +192,24 @@ def test_lsh_bits_for_sizing_rule():
     # floor: tiny corpora never go below min_bits
     assert lsh_bits_for(10) == 4
     assert lsh_bits_for(0) == 4
+
+
+def test_near_dup_lsh_arrow_engine_equals_sql(spark, emb):
+    sql = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in lsh.near_dup_lsh(emb, threshold=0.45, n_bits=5).collect()
+    }
+    arrow = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in lsh.near_dup_lsh(
+            emb, threshold=0.45, n_bits=5, engine="arrow"
+        ).collect()
+    }
+    assert sql == arrow and sql
+
+
+def test_near_dup_lsh_unknown_engine_raises(spark, emb):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown near_dup_lsh engine"):
+        lsh.near_dup_lsh(emb, engine="bogus")

@@ -124,7 +124,8 @@ def test_ann_lsh_recall_sf1(spark, emb_sf1):
         index.unpersist()
 
 
-def test_dedup_embedding_lsh_planted_recall_sf1(spark, emb_sf1):
+@pytest.mark.parametrize("engine", ["sql", "arrow"])
+def test_dedup_embedding_lsh_planted_recall_sf1(spark, emb_sf1, engine):
     """Every planted near-dup pair (cos ~ 0.99, truth linear in N by
     construction — make_scale_data.py) must surface from the
     bucketed near-dup join: the r4 rehearsal measured 100% planted
@@ -144,7 +145,7 @@ def test_dedup_embedding_lsh_planted_recall_sf1(spark, emb_sf1):
         (r.id_a, r.id_b)
         for r in lsh.near_dup_lsh(
             emb_sf1, threshold=0.9, dim=64, n_bits=bits,
-            max_bucket_size=4096,
+            max_bucket_size=4096, engine=engine,
         ).collect()
     }
     missed = truth - pairs
