@@ -172,3 +172,35 @@ def test_diversified_search_enforces_source_cap(spark):
     # src1 rows in
     assert by_src == {"src0": 2, "src1": 2}
     assert all(r.source_rank <= 2 for r in out)
+
+
+def test_rag_context_survives_hostile_text(spark):
+    """Percent signs (format-string args, not templates), unicode,
+    newlines, and NULL text must flow through assembly unharmed."""
+    rows = [
+        (1, "alpha beta 100% gros %s %d %% legit"),
+        (2, "alpha ümläut 中文 line\nbreak beta"),
+        (3, None),
+        (4, "alpha beta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = embed.rag_context(docs, "alpha beta", k=4, token_budget=50).collect()[0]
+    assert out.n_docs >= 2
+    assert "100% gros %s %d %%" in out.context
+    assert "ümläut" in out.context
+
+
+def test_diversified_search_null_source_groups_together(spark):
+    rows = [
+        (1, "alpha beta", None),
+        (2, "alpha beta", None),
+        (3, "alpha beta", None),
+        (4, "alpha beta", "src1"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = embed.diversified_search(
+        docs, "alpha beta", k=4, per_source_cap=2, pool=4
+    ).collect()
+    # NULL sources form one group: capped at 2, so src1 makes it 3
+    assert len(out) == 3
+    assert sum(1 for r in out if r.source is None) == 2
