@@ -202,7 +202,13 @@ def kmeans_centroids(
     caps the training set by deterministic id-stride — FAISS trains
     coarse quantizers on a bounded sample, never the full corpus —
     and ``engine`` picks the per-iteration assignment implementation
-    (:func:`assign_lists`; "arrow" = BLAS argmin).
+    (:func:`assign_lists`; "arrow" = BLAS argmin; "mllib" delegates
+    the whole training loop to ``pyspark.ml.clustering.KMeans`` —
+    the stock distributed trainer with k-means|| init, seeded for
+    reproducibility within a Spark version. Same (cid, cvec) output
+    contract either way, so save_ivf / ivf_search / retrain_ivf
+    compose with any engine; quantizer-quality and recall gates are
+    the cross-engine contract, not byte equality).
     """
     spark = corpus.sparkSession
     if train_sample is not None:
@@ -211,6 +217,8 @@ def kmeans_centroids(
         # admitted up to ~2x whenever n < 2*train_sample)
         stride = max(1, -(-n // train_sample))
         corpus = corpus.where(F.col(id_col) % stride == 0)
+    if engine == "mllib":
+        return _kmeans_mllib(spark, corpus, nlist, iters, vec_col)
     cents = {
         r.cid: [float(x) for x in r.cvec]
         for r in seeded_centroids(corpus, nlist, id_col, vec_col).collect()
@@ -241,6 +249,32 @@ def kmeans_centroids(
     return spark.createDataFrame(
         sorted(cents.items()), "cid int, cvec array<double>"
     )
+
+
+def _kmeans_mllib(spark, corpus: DataFrame, nlist: int, iters: int,
+                  vec_col: str) -> DataFrame:
+    """MLlib engine for :func:`kmeans_centroids`: array column →
+    ml Vector UDF → ``pyspark.ml.clustering.KMeans`` (k-means||
+    init, fixed seed) → centers back as the (cid, cvec) contract.
+    The stock distributed trainer the BASELINE "MLlib batch index
+    build" approach names — tree-aggregated updates, no driver-side
+    iteration state beyond the model."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("features")
+    )
+    model = KMeans(
+        k=nlist, maxIter=iters, seed=42, initMode="k-means||"
+    ).fit(feats)
+    centers = [
+        (cid, [float(x) for x in c])
+        for cid, c in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(centers, "cid int, cvec array<double>")
 
 
 def ivf_search(

@@ -123,3 +123,34 @@ def test_kmeans_sampled_centroids_still_improve_quantizer(spark, emb):
     )
     seeded = ivf.seeded_centroids(emb, NLIST)
     assert _objective(emb, sampled) < _objective(emb, seeded)
+
+
+def test_kmeans_mllib_engine_contract_and_quality(spark, emb, trained):
+    """engine="mllib" (the BASELINE-named stock trainer) returns the
+    same (cid, cvec) contract and a quantizer at least as good as the
+    seeded centroids it competes with."""
+    from faiss_vector_search_spark.operators import ivf
+
+    ml = ivf.kmeans_centroids(emb, nlist=NLIST, iters=5, engine="mllib")
+    assert ml.columns == ["cid", "cvec"]
+    assert ml.count() <= NLIST  # mllib may drop empty clusters
+    assert len(ml.first().cvec) == 64
+    seeded = ivf.seeded_centroids(emb, NLIST)
+
+    def objective(cents):
+        assigned = ivf.assign_lists(emb, cents)
+        joined = assigned.join(
+            cents.withColumnRenamed("cid", "list_id"), "list_id"
+        )
+        return joined.select(
+            F.aggregate(
+                F.zip_with(
+                    "embedding", "cvec",
+                    lambda a, b: (a.cast("double") - b) ** 2,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d2")
+        ).agg(F.sum("d2")).first()[0]
+
+    assert objective(ml) <= objective(seeded) * 1.001
