@@ -123,6 +123,13 @@ def main() -> None:
     # identical bytes either way. (Before r4 they used the sql folds;
     # at the rehearsal SFs that made the untimed build phase dominate
     # the whole bench run — pq_train alone ~40 min at sf10.)
+    def p_char_entropy_arrow(spark, sf):
+        from faiss_vector_search_spark.operators import textstats
+
+        return textstats.char_entropy(
+            fio.load_table(spark, sf, "documents"), engine="arrow"
+        )
+
     def p_ivf_arrow(spark, sf):
         # production engine for the in-memory IVF path (r5): the sql
         # assignment fold is the ORACLE profile (interpreted argmin,
@@ -305,7 +312,11 @@ def main() -> None:
         "nation_market_share": qs["nation_market_share"],
         "session_window_agg": qs["session_window_agg"],
         "binary_hamming_search": qs["binary_hamming_search"],
-        "char_entropy": qs["char_entropy"],
+        # production arrow engine (r5): np.unique histogram per doc
+        # vs the interpreted in-row sort+fold — 4.7x at sf0.1, 6.1x
+        # at sf1, BIT-identical output (equality pytest-gated incl.
+        # hostile unicode). sql stays the oracle profile.
+        "char_entropy": p_char_entropy_arrow,
         "bloom_semi_join": qs["bloom_semi_join"],
         "curation_pipeline": qs["curation_pipeline"],
         "knn_filtered_search": qs["knn_filtered_search"],

@@ -522,6 +522,7 @@ def char_entropy(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    engine: str = "sql",
 ) -> DataFrame:
     """Character-level Shannon entropy per document — the classic
     gibberish / low-information filter (random keyboard mash scores
@@ -534,7 +535,19 @@ def char_entropy(
     explode, no shuffle — a global char-histogram groupBy would
     shuffle |docs|×|alphabet| rows for a per-doc statistic that never
     needed to leave the row. The fold visits runs in sorted-char
-    order, the same order as the SQL oracle (identical float ops)."""
+    order, the same order as the SQL oracle (identical float ops).
+
+    ``engine``: "sql" (default) = the oracle-deterministic in-row
+    fold above; "arrow" = per-batch numpy histogram (np.unique per
+    doc over UTF-16 units — the same units Java's split("") yields) —
+    one C-speed pass instead of an interpreted O(n log n) sort +
+    boundary filter per row. 6-dp-rounded equality vs sql is
+    pytest-gated on the corpus + adversarial unicode docs (float
+    summation order can differ in the last ulp, invisible at 6 dp)."""
+    if engine == "arrow":
+        return _char_entropy_arrow(docs, id_col, text_col)
+    if engine != "sql":
+        raise ValueError(f"unknown char_entropy engine: {engine}")
     chars = F.filter(
         F.split(F.lower(F.col(text_col)), ""), lambda c: c != F.lit("")
     )
@@ -571,6 +584,43 @@ def char_entropy(
         n.cast("bigint").alias("n_chars"),
         F.round(ent, 6).alias("entropy_bits"),
     )
+
+
+def _char_entropy_arrow(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Arrow engine for :func:`char_entropy`: np.unique over the
+    lowered text's UTF-16 code units per doc. Empty/NULL docs are
+    dropped, matching the sql path's size > 0 filter."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, ns, ents = [], [], []
+            for i, t in zip(pdf[id_col].values, pdf[text_col].values):
+                if t is None:
+                    continue
+                units = np.frombuffer(
+                    t.lower().encode("utf-16-le"), dtype=np.uint16
+                )
+                if units.size == 0:
+                    continue
+                _, counts = np.unique(units, return_counts=True)
+                p = counts / units.size
+                ids.append(i)
+                ns.append(units.size)
+                ents.append(round(float(-(p * np.log2(p)).sum()), 6))
+            yield pd.DataFrame(
+                {id_col: pd.Series(ids, dtype="int64"),
+                 "n_chars": pd.Series(ns, dtype="int64"),
+                 "entropy_bits": pd.Series(ents, dtype="float64")}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        kernel, schema=f"{id_col} long, n_chars bigint, entropy_bits double"
+    )
+
 
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 

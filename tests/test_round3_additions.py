@@ -713,3 +713,28 @@ def test_nprobe_for_recall_walks_dial_to_target(emb):
         nprobe_grid=(8,),
     )
     assert full["nprobe"] == 8 and full["recall"] == 1.0
+
+
+def test_char_entropy_arrow_engine_equals_sql(spark, sf_medium):
+    from faiss_vector_search_spark.operators import textstats
+
+    docs = fio.load_table(spark, sf_medium, "documents")
+    hostile = spark.createDataFrame(
+        [(100001, "aaaa"), (100002, "ümläut 中文 İ mixed"),
+         (100003, None), (100004, ""), (100005, "a\nb\tc a\nb\tc")],
+        "doc_id long, text string",
+    )
+    both = docs.select("doc_id", "text").unionByName(hostile)
+    sql = {(r.doc_id, r.n_chars, r.entropy_bits)
+           for r in textstats.char_entropy(both).collect()}
+    arrow = {(r.doc_id, r.n_chars, r.entropy_bits)
+             for r in textstats.char_entropy(both, engine="arrow").collect()}
+    assert sql == arrow and len(sql) > 400
+
+
+def test_char_entropy_unknown_engine_raises(spark, sf_small):
+    from faiss_vector_search_spark.operators import textstats
+
+    docs = fio.load_table(spark, sf_small, "documents")
+    with pytest.raises(ValueError, match="unknown char_entropy engine"):
+        textstats.char_entropy(docs, engine="bogus")
