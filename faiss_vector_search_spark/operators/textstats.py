@@ -223,6 +223,7 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_fn: str = "md5",
+    engine: str = "sql",
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
     hash every char k-gram, slide a w-window over the hash sequence,
@@ -233,7 +234,23 @@ def winnow_fingerprints(
     row* — no explode, no per-gram shuffle, no sort. A doc's grams
     never leave their scan partition; the alternative (explode 15M+
     gram rows and window-min over a doc-partitioned sort) shuffles and
-    sorts the entire gram stream for a per-doc-local computation."""
+    sorts the entire gram stream for a per-doc-local computation.
+
+    ``engine``: "sql" (default) hashes each gram with ``hash_fn``
+    (md5 = the oracle profile, xxhash64 = the JVM production hash);
+    "arrow" is a numpy engine — one vectorized polynomial rolling
+    hash + fmix64 finalizer + padded sliding-min per doc, C speed
+    instead of one interpreted hash call per gram. A DIFFERENT hash
+    family, so summaries are not comparable across engines (any
+    consistent family is a valid winnowing instance); the numpy
+    vectorization is equality-gated against a plain-Python reference
+    of the same family (tests/test_round3_additions.py), and the
+    algorithm (positions, tail-shrinking windows, distinct) mirrors
+    this path exactly."""
+    if engine == "arrow":
+        return _winnow_arrow(docs, k, w, id_col, text_col)
+    if engine != "sql":
+        raise ValueError(f"unknown winnow engine: {engine}")
     hash_arr = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(text_col) - (k - 1), F.lit(1))),
         lambda i: hashed(F.col(text_col).substr(i, F.lit(k)), seed=11, hash_fn=hash_fn),
@@ -256,6 +273,82 @@ def winnow_fingerprints(
         F.size("fps").cast("bigint").alias("n_fingerprints"),
         F.array_min("fps").alias("min_fp"),
         F.array_max("fps").alias("max_fp"),
+    )
+
+
+def winnow_numpy_doc(text: str, k: int, w: int):
+    """One doc's winnowing fingerprint SET under the numpy engine's
+    hash family (polynomial over UTF-16 units + fmix64). Exposed so
+    tests can check the Schleimer guarantee (shared substrings ⇒
+    shared fingerprints) and so the vectorized engine has a
+    same-family reference surface. Returns a sorted list of signed
+    int64 fingerprints (empty for NULL text)."""
+    import numpy as np
+
+    if text is None:
+        return []
+    units = np.frombuffer(
+        text.encode("utf-16-le"), dtype=np.uint16
+    ).astype(np.uint64)
+    L = len(units)
+    B = np.uint64(1000003)
+    with np.errstate(over="ignore"):
+        if L >= k:
+            pows = B ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+            win = np.lib.stride_tricks.sliding_window_view(units, k)
+            h = (win * pows).sum(axis=1, dtype=np.uint64)
+        else:  # short doc: one gram = the whole text (sql substr tail)
+            pows = B ** np.arange(max(L, 1) - 1, -1, -1, dtype=np.uint64)
+            h = np.array(
+                [(units * pows).sum(dtype=np.uint64)] if L else [np.uint64(0)],
+                dtype=np.uint64,
+            )
+        # fmix64 finalizer: the raw polynomial is monotone-ish in the
+        # leading unit, which would bias window minima
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+    if w > 1:
+        pad = np.full(w - 1, np.iinfo(np.uint64).max, dtype=np.uint64)
+        h = np.lib.stride_tricks.sliding_window_view(
+            np.concatenate([h, pad]), w
+        ).min(axis=1)
+    return sorted(np.unique(h.view(np.int64)).tolist())
+
+
+def _winnow_arrow(
+    docs: DataFrame, k: int, w: int, id_col: str, text_col: str
+) -> DataFrame:
+    """Arrow engine for :func:`winnow_fingerprints`: the per-doc
+    kernel above, batched. NULL text mirrors the sql path's shape
+    (one NULL fingerprint row)."""
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, ns, mns, mxs = [], [], [], []
+            for i, t in zip(pdf[id_col].values, pdf[text_col].values):
+                fps = winnow_numpy_doc(t, k, w)
+                ids.append(i)
+                if not fps:  # NULL text: [null] after distinct in sql
+                    ns.append(1)
+                    mns.append(None)
+                    mxs.append(None)
+                else:
+                    ns.append(len(fps))
+                    mns.append(fps[0])
+                    mxs.append(fps[-1])
+            yield pd.DataFrame(
+                {id_col: pd.Series(ids, dtype="int64"),
+                 "n_fingerprints": pd.Series(ns, dtype="int64"),
+                 "min_fp": pd.Series(mns, dtype="object"),
+                 "max_fp": pd.Series(mxs, dtype="object")}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        kernel,
+        schema=f"{id_col} long, n_fingerprints bigint, "
+               "min_fp bigint, max_fp bigint",
     )
 
 

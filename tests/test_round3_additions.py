@@ -738,3 +738,77 @@ def test_char_entropy_unknown_engine_raises(spark, sf_small):
     docs = fio.load_table(spark, sf_small, "documents")
     with pytest.raises(ValueError, match="unknown char_entropy engine"):
         textstats.char_entropy(docs, engine="bogus")
+
+
+class TestWinnowArrowEngine:
+    def _py_reference(self, text, k, w):
+        """Plain-Python same-family reference: loops, no numpy."""
+        if text is None:
+            return []
+        units = [u for u in text.encode("utf-16-le")]
+        # reassemble uint16 little-endian units
+        units = [units[i] | (units[i + 1] << 8)
+                 for i in range(0, len(units), 2)]
+        B, MASK = 1000003, (1 << 64) - 1
+
+        def fmix(x):
+            x ^= x >> 33
+            x = (x * 0xFF51AFD7ED558CCD) & MASK
+            x ^= x >> 33
+            return x
+
+        def poly(g):
+            h = 0
+            for u in g:
+                h = (h * B + u) & MASK
+            return fmix(h)
+
+        L = len(units)
+        if L >= k:
+            h = [poly(units[i:i + k]) for i in range(L - k + 1)]
+        else:
+            h = [poly(units)]
+        mins = [min(h[i:i + w]) for i in range(len(h))]
+        signed = [m - (1 << 64) if m >= (1 << 63) else m for m in mins]
+        return sorted(set(signed))
+
+    def test_vectorized_matches_python_reference(self, spark, sf_small):
+        from faiss_vector_search_spark.operators import textstats
+
+        docs = fio.load_table(spark, sf_small, "documents")
+        texts = [r.text for r in docs.limit(50).collect()]
+        texts += ["", "ab", "aaaaaaaaaaaa", "ümläut 中文 winnow",
+                  "x" * 7, "x" * 8, "x" * 9]
+        for t in texts:
+            assert textstats.winnow_numpy_doc(t, 8, 4) == \
+                self._py_reference(t, 8, 4), repr(t[:40])
+
+    def test_shared_substring_shares_fingerprints(self):
+        """The Schleimer guarantee: any shared substring of length
+        >= k + w - 1 forces at least one shared fingerprint."""
+        from faiss_vector_search_spark.operators import textstats
+
+        shared = "the quick brown fox jumps over the lazy dog"
+        a = set(textstats.winnow_numpy_doc("AAAA " + shared + " BBBB", 8, 4))
+        b = set(textstats.winnow_numpy_doc("cccccc " + shared, 8, 4))
+        c = set(textstats.winnow_numpy_doc("entirely different words here", 8, 4))
+        assert a & b
+        assert not (a & c)
+
+    def test_engine_summary_contract(self, spark, sf_small):
+        from faiss_vector_search_spark.operators import textstats
+
+        docs = fio.load_table(spark, sf_small, "documents")
+        out = textstats.winnow_fingerprints(docs, engine="arrow")
+        assert out.columns == ["doc_id", "n_fingerprints", "min_fp", "max_fp"]
+        rows = out.collect()
+        assert len(rows) == docs.count()
+        assert all(r.n_fingerprints >= 1 and r.min_fp <= r.max_fp
+                   for r in rows)
+
+    def test_unknown_engine_raises(self, spark, sf_small):
+        from faiss_vector_search_spark.operators import textstats
+
+        docs = fio.load_table(spark, sf_small, "documents")
+        with pytest.raises(ValueError, match="unknown winnow engine"):
+            textstats.winnow_fingerprints(docs, engine="bogus")
