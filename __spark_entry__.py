@@ -3068,6 +3068,59 @@ def q_diversified_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode, FUNCTIONAL end to end: deterministic BMP
+    images and WAV clips synthesized in-flight, decoded by the
+    pure-numpy codecs (sources/multimodal.py — public struct
+    layouts, no image/audio library), resized, and profiled. One row
+    per item: (item_id, modality, width/height or frames/rate,
+    feature). Rows-only: binary codec plumbing has no SQL twin;
+    correctness is pytest-gated against hand-packed reference bytes
+    (tests/test_sources.py TestBuiltinCodecs)."""
+    import numpy as np
+
+    from faiss_vector_search_spark.sources import multimodal as mm
+
+    rng = np.random.default_rng(11)
+    img_rows = [
+        (i, "image",
+         mm.bmp_encode(rng.integers(0, 256, size=(8 + i, 12, 3),
+                                    dtype=np.uint8)), {})
+        for i in range(4)
+    ]
+    import struct
+
+    def wav(n, rate=8000):
+        t = np.arange(n)
+        s = (12000 * np.sin(2 * np.pi * 440 * t / rate)).astype("<i2")
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        return (b"RIFF" + struct.pack("<I", 36 + 2 * n) + b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", 2 * n) + s.tobytes())
+
+    wav_rows = [(10 + i, "audio", wav(4000 + 1000 * i), {}) for i in range(3)]
+    items = spark.createDataFrame(img_rows + wav_rows, mm.ITEM_SCHEMA)
+    imgs = mm.resize_images(
+        items.where(F.col("modality") == "image"), 6, 6
+    )
+    decoded = mm.decode_images(imgs.select("item_id", "payload"))
+    img_out = decoded.select(
+        "item_id", F.lit("image").alias("modality"),
+        F.col("width").cast("bigint").alias("a"),
+        F.col("height").cast("bigint").alias("b"),
+        F.lit(None).cast("double").alias("feature"),
+    )
+    aud_out = mm.audio_stats(
+        items.where(F.col("modality") == "audio")
+    ).select(
+        "item_id", F.lit("audio").alias("modality"),
+        F.col("n_frames").alias("a"),
+        F.col("sample_rate").cast("bigint").alias("b"),
+        F.col("rms").alias("feature"),
+    )
+    return img_out.unionByName(aud_out).orderBy("item_id")
+
+
 def q_rag_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval → budgeted context assembly (the reference's
     retrieve-then-build-prompt path, prompt_service.py:133-163):
@@ -3266,6 +3319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diversified_search": q_diversified_search,
         "embed_text_model": q_embed_text_model,
         "nprobe_recall_curve": q_nprobe_recall_curve,
+        "multimodal_decode": q_multimodal_decode,
     }
 
 

@@ -312,3 +312,118 @@ class TestLoadTableSessionHygiene:
             f"FROM '{sf_small}/events.parquet'"
         ).fetchone()[0]
         assert got == want
+
+
+class TestBuiltinCodecs:
+    """The pure-numpy BMP/WAV codecs (public struct layouts, no
+    library): real decode in this container, upgrading the decode
+    stubs to functional operators for these formats."""
+
+    def _bmp_bytes_reference(self):
+        """Hand-packed 3x2 24bpp BMP, bottom-up, stride padded 9->12.
+        Built with struct only — independent of bmp_encode."""
+        import struct
+
+        # image rows top-to-bottom: row0 = red,green,blue; row1 = 3x gray
+        # BMP stores BGR bottom-up: file row0 = image row1
+        px_row1 = bytes([128, 128, 128] * 3) + b"\x00\x00\x00"
+        px_row0 = bytes([0, 0, 255, 0, 255, 0, 255, 0, 0]) + b"\x00\x00\x00"
+        data = px_row1 + px_row0
+        header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+        header += struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 24, 0,
+                              len(data), 2835, 2835, 0, 0)
+        return header + data
+
+    def test_bmp_decode_hand_packed_reference(self):
+        img = multimodal.bmp_decode(self._bmp_bytes_reference())
+        assert img.shape == (2, 3, 3)
+        # row 0 after un-flip: red,green,blue in BGR storage order
+        assert img[0, 0].tolist() == [0, 0, 255]     # red as BGR
+        assert img[0, 1].tolist() == [0, 255, 0]
+        assert img[0, 2].tolist() == [255, 0, 0]
+        assert (img[1] == 128).all()
+
+    @pytest.mark.parametrize("shape", [(2, 3, 3), (5, 5, 1), (4, 2, 4)])
+    def test_bmp_roundtrip(self, shape):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        out = multimodal.bmp_decode(multimodal.bmp_encode(img))
+        assert (out == img).all()
+
+    def test_bmp_rejects_non_bmp(self):
+        with pytest.raises(ValueError, match="not a BMP"):
+            multimodal.bmp_decode(b"\xff\xd8" + bytes(100))
+
+    def test_decode_images_works_on_bmp_without_kernel(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        rows = [
+            (i, "image",
+             multimodal.bmp_encode(
+                 rng.integers(0, 256, size=(4 + i, 6, 3), dtype=np.uint8)),
+             {})
+            for i in range(3)
+        ]
+        items = spark.createDataFrame(rows, multimodal.ITEM_SCHEMA)
+        out = {r.item_id: r for r in multimodal.decode_images(items).collect()}
+        assert len(out) == 3
+        for i in range(3):
+            assert (out[i].width, out[i].height, out[i].channels) == (6, 4 + i, 3)
+
+    def test_resize_images_nearest_neighbor(self, spark):
+        import numpy as np
+
+        img = np.zeros((4, 4, 3), dtype=np.uint8)
+        img[:2, 2:] = 50   # quadrants
+        img[2:, :2] = 150
+        img[2:, 2:] = 250
+        items = spark.createDataFrame(
+            [(1, "image", multimodal.bmp_encode(img), {})],
+            multimodal.ITEM_SCHEMA,
+        )
+        row = multimodal.resize_images(items, 2, 2).collect()[0]
+        assert (row.width, row.height) == (2, 2)
+        small = multimodal.bmp_decode(bytes(row.payload))
+        assert small[0, 0].tolist() == [0, 0, 0]
+        assert small[0, 1].tolist() == [50, 50, 50]
+        assert small[1, 0].tolist() == [150, 150, 150]
+        assert small[1, 1].tolist() == [250, 250, 250]
+
+    def _wav_bytes(self, rate=8000, n_ch=1, amp=16384, n=8000):
+        import struct
+
+        import numpy as np
+
+        t = np.arange(n)
+        samples = (amp * np.sin(2 * np.pi * 440 * t / rate)).astype("<i2")
+        if n_ch == 2:
+            samples = np.repeat(samples, 2)
+        data = samples.tobytes()
+        fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * 2 * n_ch,
+                          2 * n_ch, 16)
+        return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    def test_wav_decode_and_audio_stats(self, spark):
+        items = spark.createDataFrame(
+            [(1, "audio", self._wav_bytes(), {}),
+             (2, "audio", self._wav_bytes(rate=16000, n_ch=2, n=4000), {})],
+            multimodal.ITEM_SCHEMA,
+        )
+        out = {r.item_id: r for r in multimodal.audio_stats(items).collect()}
+        assert out[1].sample_rate == 8000 and out[1].n_channels == 1
+        assert out[1].n_frames == 8000 and out[1].duration_sec == 1.0
+        # sine rms = amp/sqrt(2) in [-1,1] units = 0.3536
+        assert abs(out[1].rms - 16384 / 32768 / 2 ** 0.5) < 0.01
+        assert out[2].sample_rate == 16000 and out[2].n_channels == 2
+        assert out[2].duration_sec == 0.25
+
+    def test_wav_rejects_malformed(self):
+        with pytest.raises(ValueError, match="not a WAV"):
+            multimodal.wav_decode(b"OggS" + bytes(50))
+        with pytest.raises(ValueError, match="missing fmt/data"):
+            multimodal.wav_decode(b"RIFF\x04\x00\x00\x00WAVE")
