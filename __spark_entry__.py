@@ -3068,6 +3068,40 @@ def q_diversified_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docx_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """docx → text ingest, FUNCTIONAL end to end with the pure-stdlib
+    OPC decoder (sources/docx.py, no python-docx; reference
+    preprocessing/process_docx_files.py): synthesize a dir of real
+    .docx packages, binaryFile-scan + mapInPandas decode, return the
+    extracted text. Rows-only: ZIP/XML decode has no SQL twin;
+    correctness is pytest-gated on hand-built packages."""
+    import io
+    import tempfile
+    import zipfile
+
+    from faiss_vector_search_spark.sources import docx as docx_mod
+
+    ns = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    d = tempfile.mkdtemp(prefix="fvs_docx_")
+    for i in range(5):
+        body = "".join(
+            f'<w:p><w:r><w:t xml:space="preserve">{t}</w:t></w:r></w:p>'
+            for t in (f"document {i} title", f"paragraph body {i} " * 3)
+        )
+        xml = (f'<?xml version="1.0" encoding="UTF-8"?>'
+               f'<w:document xmlns:w="{ns}"><w:body>{body}</w:body>'
+               f'</w:document>')
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr("[Content_Types].xml", "<Types/>")
+            z.writestr("word/document.xml", xml)
+        with open(f"{d}/doc{i}.docx", "wb") as fh:
+            fh.write(buf.getvalue())
+    out = docx_mod.read_docx_dir(spark, d)
+    # path/doc_id embed the temp dir — project the deterministic cols
+    return out.select("text", "n_bytes").orderBy("text")
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode, FUNCTIONAL end to end: deterministic BMP
     images and WAV clips synthesized in-flight, decoded by the
@@ -3320,6 +3354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_text_model": q_embed_text_model,
         "nprobe_recall_curve": q_nprobe_recall_curve,
         "multimodal_decode": q_multimodal_decode,
+        "docx_ingest": q_docx_ingest,
     }
 
 

@@ -2,12 +2,15 @@
 walks a files/ dir, converts each .docx to markdown-ish text for the
 chunker).
 
-The container has no ``python-docx``, so the byte-level decode is
-STUBBED: :func:`default_docx_decoder` import-tries the real library
-and otherwise raises ``NotImplementedError``. Everything Spark-side —
-the binaryFile scan, the Arrow-batched ``mapInPandas`` decode, the
-output contract feeding the chunker — is real and tested with an
-injected fake decoder."""
+FUNCTIONAL without ``python-docx`` (r5): a .docx is a ZIP (OPC
+package, public ECMA-376 spec) whose ``word/document.xml`` holds the
+text — both the container (``zipfile``) and the XML (``xml.etree``)
+parse with the standard library. :func:`stdlib_docx_decoder` walks
+``<w:p>`` paragraphs collecting ``<w:t>`` runs (plus ``<w:tab>`` /
+``<w:br>`` whitespace), joined by blank lines — the same
+paragraphs-to-markdown-ish shape the reference produces via
+python-docx. ``decoder=`` still swaps in python-docx (or anything
+else) unchanged."""
 
 from __future__ import annotations
 
@@ -19,21 +22,49 @@ from pyspark.sql import functions as F
 
 DOCX_SCHEMA = "doc_id bigint, path string, text string, n_bytes bigint"
 
+_W_NS = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+
+
+def stdlib_docx_decoder(data: bytes) -> str:
+    """Pure-stdlib .docx → text: unzip ``word/document.xml``, walk
+    each ``w:p`` paragraph's ``w:t`` text runs (tabs/breaks become
+    whitespace), join non-empty paragraphs with blank lines."""
+    import io
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    with zipfile.ZipFile(io.BytesIO(data)) as z:
+        root = ET.fromstring(z.read("word/document.xml"))
+    paragraphs = []
+    for p in root.iter(f"{_W_NS}p"):
+        parts = []
+        for node in p.iter():
+            if node.tag == f"{_W_NS}t":
+                parts.append(node.text or "")
+            elif node.tag == f"{_W_NS}tab":
+                parts.append("\t")
+            elif node.tag in (f"{_W_NS}br", f"{_W_NS}cr"):
+                parts.append("\n")
+        text = "".join(parts)
+        if text.strip():
+            paragraphs.append(text)
+    return "\n\n".join(paragraphs)
+
 
 def default_docx_decoder(data: bytes) -> str:
-    """Real decode path (python-docx paragraphs joined by blank
-    lines, matching the reference's markdown-ish output); STUB when
-    the library is absent."""
+    """python-docx when available (byte-for-byte the reference's
+    library path); otherwise the stdlib decoder above — a REAL
+    decode either way, no stub."""
     try:
         import io
 
         import docx  # type: ignore[import-not-found]
-    except ImportError as e:  # pragma: no cover - container has no python-docx
-        raise NotImplementedError(
-            "python-docx is not installed; pass decoder= to read_docx_dir"
-        ) from e
-    document = docx.Document(io.BytesIO(data))
-    return "\n\n".join(p.text for p in document.paragraphs if p.text.strip())
+    except ImportError:  # container has no python-docx: stdlib path
+        return stdlib_docx_decoder(data)
+    document = docx.Document(io.BytesIO(data))  # pragma: no cover
+    return "\n\n".join(  # pragma: no cover
+        p.text for p in document.paragraphs if p.text.strip()
+    )
 
 
 def read_docx_dir(

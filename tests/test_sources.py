@@ -59,10 +59,59 @@ class TestTextDir:
         assert all(abs(r.n2 - 1.0) < 1e-9 for r in norms)
 
 
+def _make_docx(paragraphs) -> bytes:
+    """Minimal valid OPC .docx built with stdlib zipfile only —
+    independent of the decoder under test."""
+    import io
+    import zipfile
+
+    ns = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    body = "".join(
+        f"<w:p><w:r><w:t xml:space=\"preserve\">{p}</w:t></w:r></w:p>"
+        for p in paragraphs
+    )
+    xml = (f'<?xml version="1.0" encoding="UTF-8"?>'
+           f'<w:document xmlns:w="{ns}"><w:body>{body}</w:body></w:document>')
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr("word/document.xml", xml)
+    return buf.getvalue()
+
+
 class TestDocx:
-    def test_default_decoder_stubbed(self):
-        with pytest.raises(NotImplementedError):
-            docx.default_docx_decoder(b"PK\x03\x04fake")
+    def test_stdlib_decoder_extracts_paragraphs(self):
+        data = _make_docx(["Hello world", "", "Second paragraph"])
+        assert docx.stdlib_docx_decoder(data) == \
+            "Hello world\n\nSecond paragraph"
+
+    def test_stdlib_decoder_handles_runs_tabs_breaks(self):
+        import io
+        import zipfile
+
+        ns = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+        xml = (f'<w:document xmlns:w="{ns}"><w:body><w:p>'
+               f'<w:r><w:t>a</w:t></w:r><w:r><w:tab/><w:t>b</w:t>'
+               f'<w:br/><w:t>c</w:t></w:r></w:p></w:body></w:document>')
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr("word/document.xml", xml)
+        assert docx.stdlib_docx_decoder(buf.getvalue()) == "a\tb\nc"
+
+    def test_default_decoder_is_functional_without_library(self):
+        # python-docx is absent in this container: the default path
+        # must fall through to the stdlib decoder and WORK
+        data = _make_docx(["real decode"])
+        assert docx.default_docx_decoder(data) == "real decode"
+
+    def test_read_docx_dir_end_to_end_no_injection(self, spark, tmp_path):
+        for i in range(3):
+            (tmp_path / f"f{i}.docx").write_bytes(
+                _make_docx([f"doc {i} first", f"doc {i} second"])
+            )
+        rows = docx.read_docx_dir(spark, str(tmp_path)).orderBy("path").collect()
+        assert len(rows) == 3
+        assert rows[1].text == "doc 1 first\n\ndoc 1 second"
 
     def test_read_docx_dir_with_injected_decoder(self, spark, tmp_path):
         for i in range(3):
