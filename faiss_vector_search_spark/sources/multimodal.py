@@ -133,10 +133,108 @@ def wav_decode(payload: bytes) -> tuple[int, int, "np.ndarray"]:
     return rate, n_ch, samples.reshape(-1, n_ch)
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def png_decode(payload: bytes) -> "np.ndarray":
+    """Pure stdlib+numpy PNG decode (the public RFC 2083 layout:
+    chunk walk → zlib inflate → per-row unfilter). Supports the
+    mainstream shape — 8-bit depth, gray / RGB / RGBA, no interlace.
+    Returns (height, width, channels) uint8. Filters 0-2 vectorize
+    (None/Sub-as-cumsum/Up); Average/Paeth rows fall back to a
+    per-pixel loop (left-neighbor serial dependency) — correctness-
+    complete; route perf-critical PNG corpora through the Pillow
+    ``kernel=`` swap-in."""
+    import struct
+    import zlib
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, meta = 8, [], None
+    while pos + 8 <= len(payload):
+        ln, ctype = struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8:pos + 8 + ln]
+        if ctype == b"IHDR":
+            meta = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if meta is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = meta
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if depth != 8 or channels is None or comp != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG: depth={depth} color={color} "
+            f"interlace={interlace}"
+        )
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = 1 + w * channels
+    rows = raw.reshape(h, stride)
+    out = np.zeros((h, w * channels), dtype=np.uint8)
+    ch = channels
+    for y in range(h):
+        f, line = rows[y, 0], rows[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros_like(line)
+        if f == 0:
+            rec = line
+        elif f == 1:  # Sub: cumsum per channel lane
+            rec = np.cumsum(
+                line.reshape(w, ch).astype(np.int64), axis=0
+            ).reshape(-1) % 256
+        elif f == 2:  # Up
+            rec = line + prev
+        elif f in (3, 4):  # Average / Paeth: left-serial
+            rec = np.zeros_like(line)
+            for i in range(line.size):
+                a = rec[i - ch] if i >= ch else 0
+                b = prev[i]
+                if f == 3:
+                    rec[i] = line[i] + ((a + b) >> 1)
+                else:
+                    c = prev[i - ch] if i >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c)
+                    rec[i] = line[i] + pr
+                rec[i] %= 256
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = rec % 256
+    return out.reshape(h, w, ch)
+
+
+def png_encode(img: "np.ndarray") -> bytes:
+    """Inverse of :func:`png_decode`: (h, w, ch) uint8 → PNG bytes
+    (filter 0 rows, one zlib stream). Pure stdlib."""
+    import struct
+    import zlib
+
+    h, w, ch = img.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    rows = np.zeros((h, 1 + w * ch), dtype=np.uint8)
+    rows[:, 1:] = img.reshape(h, w * ch)
+    return (PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(rows.tobytes()))
+            + chunk(b"IEND", b""))
+
+
 def _default_image_kernel(payload: bytes) -> tuple[int, int, int]:
-    """BMP decodes built-in; other formats need Pillow."""
+    """BMP and PNG decode built-in; other formats need Pillow."""
     if payload[:2] == b"BM":
         img = bmp_decode(payload)
+        return img.shape[1], img.shape[0], img.shape[2]
+    if payload[:8] == PNG_SIG:
+        img = png_decode(payload)
         return img.shape[1], img.shape[0], img.shape[2]
     try:  # pragma: no cover - library absent in this container
         import io
@@ -225,11 +323,12 @@ def resize_images(
     out_w: int,
     out_h: int,
 ) -> DataFrame:
-    """Nearest-neighbor resize for BMP payloads, fully functional in
-    pure numpy: decode → index-stride resample → re-encode. Emits
-    (item_id, payload, width, height) — the standard thumbnail /
-    model-input-normalization preprocessing stage, payload-in
-    payload-out so it chains ahead of :func:`extract_features`.
+    """Nearest-neighbor resize for BMP/PNG payloads, fully functional
+    in pure numpy+stdlib: decode → index-stride resample → re-encode
+    in the SAME format. Emits (item_id, payload, width, height) — the
+    standard thumbnail / model-input-normalization preprocessing
+    stage, payload-in payload-out so it chains ahead of
+    :func:`extract_features`.
 
     Scale shape: one mapInPandas over the payload scan; resized
     payloads are strictly smaller than inputs for downscales, so the
@@ -240,11 +339,15 @@ def resize_images(
                 continue
             ids, outs = [], []
             for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
-                img = bmp_decode(bytes(payload))
+                raw = bytes(payload)
+                if raw[:8] == PNG_SIG:
+                    img, enc = png_decode(raw), png_encode
+                else:
+                    img, enc = bmp_decode(raw), bmp_encode
                 h, w, _ = img.shape
                 yi = (np.arange(out_h) * h) // out_h
                 xi = (np.arange(out_w) * w) // out_w
-                outs.append(bmp_encode(img[yi][:, xi]))
+                outs.append(enc(img[yi][:, xi]))
                 ids.append(item_id)
             yield pd.DataFrame(
                 {"item_id": ids, "payload": outs,

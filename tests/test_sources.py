@@ -476,3 +476,120 @@ class TestBuiltinCodecs:
             multimodal.wav_decode(b"OggS" + bytes(50))
         with pytest.raises(ValueError, match="missing fmt/data"):
             multimodal.wav_decode(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+class TestPngCodec:
+    def _png_reference_decode(self, payload):
+        """Slow pure-Python per-byte reference unfilter."""
+        import struct
+        import zlib
+
+        pos, idat, meta = 8, [], None
+        while pos + 8 <= len(payload):
+            ln, ctype = struct.unpack_from(">I4s", payload, pos)
+            body = payload[pos + 8:pos + 8 + ln]
+            if ctype == b"IHDR":
+                meta = struct.unpack(">IIBBBBB", body)
+            elif ctype == b"IDAT":
+                idat.append(body)
+            pos += 12 + ln
+        w, h, _, color, _, _, _ = meta
+        ch = {0: 1, 2: 3, 6: 4}[color]
+        raw = zlib.decompress(b"".join(idat))
+        stride = 1 + w * ch
+        out = []
+        for y in range(h):
+            row = raw[y * stride:(y + 1) * stride]
+            f, line = row[0], list(row[1:])
+            prev = out[y - 1] if y else [0] * len(line)
+            rec = []
+            for i, x in enumerate(line):
+                a = rec[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                if f == 0: pred = 0
+                elif f == 1: pred = a
+                elif f == 2: pred = b
+                elif f == 3: pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec.append((x + pred) & 0xFF)
+            out.append(rec)
+        import numpy as np
+
+        return np.array(out, dtype=np.uint8).reshape(h, w, ch)
+
+    def _png_with_filters(self, img, filters):
+        """Encode with a CHOSEN filter per row (deltas computed by
+        inverting the reference predictor), to exercise every type."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        h, w, ch = img.shape
+        flat = img.reshape(h, w * ch).astype(int)
+        lines = []
+        for y, f in zip(range(h), filters):
+            prev = flat[y - 1] if y else np.zeros(w * ch, dtype=int)
+            cur = flat[y]
+            line = []
+            for i in range(w * ch):
+                a = cur[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                if f == 0: pred = 0
+                elif f == 1: pred = a
+                elif f == 2: pred = b
+                elif f == 3: pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line.append((cur[i] - pred) & 0xFF)
+            lines.append(bytes([f]) + bytes(line))
+        def chunk(ctype, body):
+            return (struct.pack(">I", len(body)) + ctype + body
+                    + struct.pack(">I", zlib.crc32(ctype + body)))
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, {1: 0, 3: 2, 4: 6}[ch], 0, 0, 0)
+        return (multimodal.PNG_SIG + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+                + chunk(b"IEND", b""))
+
+    @pytest.mark.parametrize("shape", [(3, 4, 3), (5, 2, 1), (2, 2, 4)])
+    def test_roundtrip_filter0(self, shape):
+        import numpy as np
+
+        img = np.random.default_rng(5).integers(0, 256, shape, dtype=np.uint8)
+        assert (multimodal.png_decode(multimodal.png_encode(img)) == img).all()
+
+    def test_all_filter_types_match_reference(self):
+        import numpy as np
+
+        img = np.random.default_rng(9).integers(0, 256, (5, 6, 3), dtype=np.uint8)
+        payload = self._png_with_filters(img, [0, 1, 2, 3, 4])
+        got = multimodal.png_decode(payload)
+        assert (got == img).all()
+        assert (got == self._png_reference_decode(payload)).all()
+
+    def test_decode_images_and_resize_on_png(self, spark):
+        import numpy as np
+
+        img = np.random.default_rng(4).integers(0, 256, (8, 6, 3), dtype=np.uint8)
+        items = spark.createDataFrame(
+            [(1, "image", multimodal.png_encode(img), {})],
+            multimodal.ITEM_SCHEMA,
+        )
+        d = multimodal.decode_images(items).collect()[0]
+        assert (d.width, d.height, d.channels) == (6, 8, 3)
+        r = multimodal.resize_images(items, 3, 4).collect()[0]
+        small = multimodal.png_decode(bytes(r.payload))
+        assert small.shape == (4, 3, 3)
+        # nearest-neighbor: every output pixel exists in the input
+        assert (small == img[::2, ::2]).all()
+
+    def test_rejects_unsupported(self):
+        with pytest.raises(ValueError, match="not a PNG"):
+            multimodal.png_decode(b"GIF89a" + bytes(50))
