@@ -250,6 +250,15 @@ def main() -> None:
         bench_set = docs.where(F.col("doc_id") % 50 == 0)
         return dedup.decontaminate(docs, bench_set, n=8, hash_fn="xxhash64")
 
+    def p_fuzzy_decontaminate(spark, sf):
+        docs = fio.load_table(spark, sf, "documents")
+        bench_set = docs.where(F.col("doc_id") % 50 == 0)
+        return dedup.fuzzy_decontaminate(docs, bench_set, hash_fn="xxhash64")
+
+    def p_repeated_spans(spark, sf):
+        docs = fio.load_table(spark, sf, "documents")
+        return dedup.repeated_spans(docs, w=8, min_count=2, hash_fn="xxhash64")
+
     headline = {
         "knn_topk_ip": qs["knn_topk_ip"],
         "knn_batch": qs["knn_batch"],
@@ -304,6 +313,8 @@ def main() -> None:
         "repetition_score": qs["repetition_score"],
         "redact_pii": qs["redact_pii"],
         "decontaminate": p_decontaminate,
+        "fuzzy_decontaminate": p_fuzzy_decontaminate,
+        "repeated_spans": p_repeated_spans,
         "customer_order_distribution": qs["customer_order_distribution"],
         "returned_item_report": qs["returned_item_report"],
         "sole_returned_supplier": qs["sole_returned_supplier"],

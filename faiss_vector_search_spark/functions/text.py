@@ -66,3 +66,22 @@ def shingles_sql(expr: str, n: int = 3) -> str:
         f"list_distinct(list_transform(generate_series(1, len(toks) - {n - 1}),"
         f" i -> array_to_string(toks[i:i+{n - 1}], ' '))) END FROM t)"
     )
+
+
+def positional_windows(toks: Column, w: int) -> Column:
+    """(pos, gram) structs for EVERY w-token window, 1-based position,
+    duplicates kept — the positional twin of
+    :func:`shingles_from_tokens` (which distincts and drops position).
+    Used by span-level dedup, where *where* a gram sits matters."""
+    k = F.size(toks) - (w - 1)
+    return F.transform(
+        F.when(k <= 0, F.array().cast("array<int>")).otherwise(
+            F.sequence(F.lit(1), k)
+        ),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(w)]
+            ).alias("gram"),
+        ),
+    )

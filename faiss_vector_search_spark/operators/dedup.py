@@ -149,25 +149,13 @@ def minhash_signatures(
     return exploded.groupBy(id_col).agg(*aggs)
 
 
-def minhash_lsh_pairs(
-    docs: DataFrame,
-    n: int = 3,
-    num_hashes: int = 16,
-    bands: int = 4,
-    threshold: float = 0.8,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    hash_fn: str = "md5",
-) -> DataFrame:
-    """MinHash + banded LSH near-dup pairs, verified with exact
-    Jaccard. rows/band = num_hashes/bands; a pair collides with
-    probability 1-(1-j^r)^b — at 16/4 the 0.8-Jaccard collision
-    probability is ≈0.93, and every surviving pair is *verified*, so
-    precision is exact and only recall is probabilistic."""
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, n, num_hashes, id_col, text_col, hash_fn)
-
-    band_structs = F.array(
+def _band_structs(bands: int, rows_per_band: int, hash_fn: str):
+    """array<struct(band, bval)> over sig_0..sig_{bands*rows-1} columns
+    — the banded-LSH bucket keys, shared by within-corpus pair mining
+    (:func:`minhash_lsh_pairs`) and cross-corpus decontamination
+    (:func:`fuzzy_decontaminate`); both sides of a band join MUST hash
+    with identical seeds (100+band) to collide."""
+    return F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
@@ -186,6 +174,27 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, verified with exact
+    Jaccard. rows/band = num_hashes/bands; a pair collides with
+    probability 1-(1-j^r)^b — at 16/4 the 0.8-Jaccard collision
+    probability is ≈0.93, and every surviving pair is *verified*, so
+    precision is exact and only recall is probabilistic."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, n, num_hashes, id_col, text_col, hash_fn)
+
+    band_structs = _band_structs(bands, rows_per_band, hash_fn)
     # Band join + pair dedup on (id, band, bval) triples ONLY — the
     # shingle arrays would otherwise ride the shuffle 2×bands times
     # per doc. Candidates re-join the (small) shingle table by id.
@@ -736,4 +745,145 @@ def _semdedup_dup_arrow(
     id_type = assigned.schema[id_col].dataType.simpleString()
     return assigned.groupBy("list_id").applyInPandas(
         find_dups, schema=f"{id_col} {id_type}"
+    )
+
+
+def repeated_spans(
+    docs: DataFrame,
+    w: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Repeated-substring span detection — the fixed-window variant of
+    ExactSubstr dedup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", ACL 2022: their suffix-array finds 50+-char
+    repeats; public pipelines re-block it as w-token windows). Reference
+    scope analogue: the chunk-level dedup the reference's preprocessing
+    leaves to its single FAISS store (components/core at small N) —
+    re-expressed as a corpus-scale scan.
+
+    Output: one row per maximal run of consecutive repeated windows —
+    (id, span_start, span_end, n_windows), token positions 1-based
+    inclusive; a span whose w-gram hash occurs >= min_count times
+    ANYWHERE in the corpus (same doc included, matching ExactSubstr's
+    self-repeat semantics).
+
+    Plan shape for 100 TB:
+    - windows stay IN-ROW (one transform over a staged token array,
+      element_at per offset) until the single explode to
+      (id, pos, gram-hash) triples — 24-byte rows, no text ever
+      shuffles;
+    - the repeated-gram dictionary is built by groupBy(gh) with
+      map-side partial aggregation, then filtered to count >=
+      min_count BEFORE the join back. Repeats are rare in a healthy
+      corpus, so the dictionary is small and AQE converts the join to
+      a broadcast — the window triples themselves never shuffle for
+      it (a count-over-window would shuffle every window);
+    - only surviving (repeated) windows shuffle by id for the
+      gaps-and-islands merge (pos - row_number() is constant within a
+      run of consecutive positions), and that set is output-sized.
+    ``hash_fn="md5"`` is the cross-engine oracle profile; xxhash64 is
+    the production path (60 vs 64 bits of gram identity — collisions
+    mark a false span, the standard blocked-ExactSubstr tradeoff).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import positional_windows
+
+    tokd = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).where(F.size("_toks") >= w)
+    wins = tokd.select(
+        F.col(id_col), F.explode(positional_windows(F.col("_toks"), w)).alias("t")
+    ).select(
+        F.col(id_col),
+        F.col("t.pos").cast("bigint").alias("pos"),
+        hashed(F.col("t.gram"), seed=0, hash_fn=hash_fn).alias("gh"),
+    )
+    repeated = (
+        wins.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+        .select("gh")
+    )
+    hits = wins.join(repeated, "gh").select(id_col, "pos")
+    rn = F.row_number().over(
+        Window.partitionBy(id_col).orderBy(F.col("pos").asc())
+    )
+    return (
+        hits.withColumn("_grp", F.col("pos") - rn)
+        .groupBy(id_col, "_grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(w - 1)).cast("bigint").alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(id_col, "span_start", "span_end", "n_windows")
+    )
+
+
+def fuzzy_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id: str = "bench_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Fuzzy benchmark decontamination: MinHash-banded candidate join
+    between the training corpus and a held-out benchmark set, verified
+    with exact shingle Jaccard — the near-duplicate complement of
+    :func:`decontaminate`'s exact n-gram overlap (public practice:
+    paraphrased or lightly-edited eval questions slip past exact
+    n-grams; fuzzy dedup against benchmarks is standard in open
+    pipeline reports). Output: (doc_id, bench_id, jaccard) per
+    contaminated (corpus doc, benchmark doc) pair at or above
+    ``threshold``.
+
+    Plan shape for 100 TB: benchmarks are thousands of rows, so every
+    benchmark-side artifact — band keys AND shingle sets — BROADCASTS.
+    The corpus reduces to (id, band, bval) triples for the candidate
+    probe and never shuffles; only candidate hits (output-sized) join
+    back to corpus shingles by id. Same banding math as
+    :func:`minhash_lsh_pairs` (identical seeds via
+    :func:`_band_structs` — the two sides must agree to collide):
+    collision probability 1-(1-j^r)^b, every survivor verified, so
+    precision is exact and only recall is probabilistic.
+    ``hash_fn="md5"`` is the cross-engine oracle profile."""
+    rows_per_band = num_hashes // bands
+    bstructs = _band_structs(bands, rows_per_band, hash_fn)
+
+    def banded(frame, out_id):
+        sig = minhash_signatures(frame, n, num_hashes, id_col, text_col, hash_fn)
+        return sig.select(
+            F.col(id_col).alias(out_id), F.explode(bstructs).alias("bs")
+        ).select(out_id, F.col("bs.band").alias("band"), F.col("bs.bval").alias("bval"))
+
+    cand = (
+        banded(docs, id_col)
+        .join(F.broadcast(banded(benchmark, bench_id)), ["band", "bval"])
+        .select(id_col, bench_id)
+        .dropDuplicates([id_col, bench_id])
+    )
+    sh_d = _shingle_sets(docs, n, id_col, text_col)
+    sh_b = _shingle_sets(benchmark, n, id_col, text_col).select(
+        F.col(id_col).alias(bench_id), F.col("shingles").alias("sh_b")
+    )
+    return (
+        cand.join(sh_d, id_col)
+        .join(F.broadcast(sh_b), bench_id)
+        .select(
+            id_col,
+            bench_id,
+            F.round(
+                _jaccard(F.col("shingles"), F.col("sh_b")), JACCARD_DECIMALS
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
     )
