@@ -566,6 +566,43 @@ def q_pq_rerank_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.col("score").cast(DBL).alias("score"))
 
 
+_OPQ_STATE: dict[str, tuple] = {}
+
+
+def _opq_state(spark: SparkSession, sf_dir: str):
+    """Train-once (rotation, rotated-codebooks) cache — OPQ model
+    state, amortized like _pq_books."""
+    if sf_dir not in _OPQ_STATE:
+        from faiss_vector_search_spark.operators import transform
+
+        emb = _t(spark, sf_dir, "embeddings")
+        model = transform.opq_train(emb, m=16)
+        rotated = transform.opq_apply(emb, model)
+        books = pq.pq_train(rotated, m=16, ksub=64, iters=4)
+        _OPQ_STATE[sf_dir] = (model, books)
+    return _OPQ_STATE[sf_dir]
+
+
+def q_opq_rerank_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-rotated PQ shortlist + exact re-rank (transform.opq_train:
+    eigenvalue-allocated rotation balances subquantizer variance).
+    Codes and the ADC probe live in the rotated basis; the re-rank
+    scores ORIGINAL vectors against the ORIGINAL query, so like
+    q_pq_rerank_search it recovers the exact top-10 and shares the
+    flat-IP oracle."""
+    from faiss_vector_search_spark.operators import transform
+
+    emb = _t(spark, sf_dir, "embeddings")
+    model, books = _opq_state(spark, sf_dir)
+    rotated = transform.opq_apply(emb, model)
+    codes = pq.pq_encode(rotated, books)
+    expand = 10 if emb.count() < 1000 else 5
+    out = pq.opq_topk_rerank(
+        emb, codes, books, _query_vec(emb), model, k=10, expand=expand
+    )
+    return out.select("vec_id", F.col("score").cast(DBL).alias("score"))
+
+
 def q_pricing_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets with grouping-level bitmask."""
     return analytics.pricing_cube(_t(spark, sf_dir, "lineitem"))
@@ -2172,6 +2209,8 @@ FROM spine s LEFT JOIN hourly h USING (user_id, bucket)
 # identical output contract to the flat scan: the hash gate proves
 # the two-stage PQ path is lossless on this corpus
 ORACLES["pq_rerank_search"] = _oracle_topk_ip(0, 10)
+# OPQ rerank is lossless the same way (rotation never touches scores)
+ORACLES["opq_rerank_search"] = _oracle_topk_ip(0, 10)
 
 from faiss_vector_search_spark.functions.hashing import (  # noqa: E402
     md5_int_sql,
@@ -3327,6 +3366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diversified_search": q_diversified_search,
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
         "repeated_spans": q_repeated_spans,
+        "opq_rerank_search": q_opq_rerank_search,
         "lang_id": q_lang_id,
         "chunk_fixed": q_chunk_fixed,
         "pack_sequences": q_pack_sequences,
@@ -3369,7 +3409,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hopping": q_events_hopping,
         "customers_without_orders": q_customers_without_orders,
         "small_quantity_revenue": q_small_quantity_revenue,
-        "pricing_rollup": q_pricing_rollup,
         "bigram_lm_score": q_bigram_lm_score,
         "char_entropy": q_char_entropy,
         "corpus_profile": q_corpus_profile,
@@ -3378,6 +3417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "important_parts": q_important_parts,
         "ship_delay_priority": q_ship_delay_priority,
         "excess_parts": q_excess_parts,
+        "pricing_rollup": q_pricing_rollup,
         "minmax_scale_events": q_minmax_scale_events,
         "distinct_users_by_type": q_distinct_users_by_type,
         "event_type_pivot": q_event_type_pivot,

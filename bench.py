@@ -188,6 +188,33 @@ def main() -> None:
         )
         return pq_mod.pq_topk_adc(codes, books, q, k=10)
 
+    _opq_state: dict[str, tuple] = {}
+
+    def p_opq_rerank(spark, sf):
+        """OPQ-rotated ADC shortlist + exact rerank. Rotation + PQ
+        train + encode are the amortized build (outside the timer,
+        arrow engines); timed = rotated-query ADC scan over cached
+        codes + broadcast-semi-join rerank on originals."""
+        from faiss_vector_search_spark.operators import transform as tf_mod
+
+        if sf not in _opq_state:
+            emb = fio.load_table(spark, sf, "embeddings")
+            model = tf_mod.opq_train(emb, m=16)
+            rotated = tf_mod.opq_apply(emb, model)
+            books = pq_mod.pq_train(
+                rotated, m=16, ksub=64, iters=4,
+                train_sample=20_000, engine="arrow",
+            )
+            codes = pq_mod.pq_encode(rotated, books, engine="arrow").cache()
+            codes.count()
+            _opq_state[sf] = (model, books, codes)
+        model, books, codes = _opq_state[sf]
+        emb = fio.load_table(spark, sf, "embeddings")
+        q = emb.where(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("query_vec")
+        )
+        return pq_mod.opq_topk_rerank(emb, codes, books, q, model, k=10, expand=5)
+
     _ivfpq_paths: dict[str, str] = {}
 
     def p_ivfpq_persisted(spark, sf):
@@ -267,6 +294,7 @@ def main() -> None:
         "ivf_search_persisted": p_ivf_persisted,
         "ann_lsh_search": p_ann_lsh,
         "pq_adc_search": p_pq_adc,
+        "opq_rerank_search": p_opq_rerank,
         "ivfpq_search_persisted": p_ivfpq_persisted,
         "ivfsq_search_persisted": p_ivfsq_persisted,
         # sq_search stays on the sql decode fold: at bench SFs the

@@ -506,3 +506,42 @@ def ivfpq_search_persisted(
         codes, books, query, k=k, id_col=id_col,
         query_vec_col=query_vec_col,
     )
+
+
+def opq_topk_rerank(
+    corpus: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    query: DataFrame,
+    model,
+    k: int = 10,
+    expand: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Two-stage search over OPQ-ROTATED codes (transform.opq_train):
+    the ADC shortlist probes codes built in the rotated basis with the
+    rotated query — rotation is metric-preserving, so the shortlist
+    approximates the same neighborhood with better-balanced
+    subquantizers — while the exact re-scoring stage keeps the
+    ORIGINAL vectors and ORIGINAL query (scores, and therefore oracle
+    hashes, never see the rotation). Same broadcast-semi-join scan
+    posture as :func:`pq_topk_rerank`."""
+    from .transform import opq_rotate_query
+
+    rq = opq_rotate_query(query, model, query_vec_col)
+    shortlist = pq_topk_adc(
+        codes, codebooks, rq, k=k * expand,
+        id_col=id_col, query_vec_col=query_vec_col,
+    ).select(id_col)
+    candidates = corpus.join(F.broadcast(shortlist), id_col, "left_semi")
+    scored = candidates.crossJoin(F.broadcast(query)).select(
+        F.col(id_col),
+        F.round(
+            V.ip_score(F.col(vec_col), F.col(query_vec_col)), SCORE_DECIMALS
+        ).alias("score"),
+    )
+    return scored.orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    ).limit(k)

@@ -102,3 +102,108 @@ def pca_apply(
 
     out = F.array(*[proj(j) for j in range(model.components.shape[1])])
     return df.withColumn(out_col, out)
+
+
+class OPQModel(NamedTuple):
+    rotation: np.ndarray  # (d, d), orthonormal; y = R @ x
+
+
+def opq_train(
+    df: DataFrame,
+    m: int = 8,
+    vec_col: str = "embedding",
+) -> OPQModel:
+    """Parametric OPQ rotation (Ge et al., "Optimized Product
+    Quantization", CVPR 2013 §4; FAISS OPQMatrix): PCA eigenbasis +
+    eigenvalue allocation, the closed-form variant that assumes a
+    Gaussian spectrum instead of alternating Lloyd/Procrustes rounds.
+
+    Plain PQ splits dims by POSITION, so when variance concentrates in
+    a few directions some subquantizers see almost all the signal and
+    others see noise. The fix: rotate into the eigenbasis, then deal
+    the principal directions across the m subspaces so each gets an
+    (approximately) equal variance PRODUCT — greedy: eigenvalues
+    descending, each assigned to the non-full subspace with the
+    smallest current log-product (FAISS's eigenvalue allocation).
+
+    The result is a PURE rotation — no centering — because ADC search
+    must preserve the metric exactly: (Rx)·(Rq) = x·q for orthonormal
+    R, so codes quantize rotated vectors while reranks and oracles
+    keep scoring ORIGINAL vectors. Training reuses :func:`pca_train`'s
+    one-pass (n, Σx, ΣxxT) statistics — same driver-held-model-state
+    posture, one distributed pass."""
+    first = df.select(vec_col).first()
+    if first is None:
+        raise ValueError("opq_train: empty corpus")
+    d = len(first[0])
+    if d % m != 0:
+        raise ValueError(f"opq_train: dim {d} not divisible by m={m}")
+    dsub = d // m
+    full = pca_train(df, k=d, vec_col=vec_col)
+    evals = full.explained_variance  # descending
+    # greedy eigenvalue allocation: log-products, capacity dsub each
+    logs = np.log(np.maximum(evals, 1e-12))
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    sums = np.zeros(m)
+    for i in range(d):
+        free = [b for b in range(m) if len(buckets[b]) < dsub]
+        b = min(free, key=lambda j: sums[j])
+        buckets[b].append(i)
+        sums[b] += logs[i]
+    perm = [i for b in buckets for i in b]
+    # rows of R = permuted principal directions: y_j = c_{perm[j]} · x
+    return OPQModel(rotation=full.components[:, perm].T.copy())
+
+
+def opq_apply(
+    df: DataFrame,
+    model: OPQModel,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """(id, R@x) — rotate the corpus into the OPQ basis. A d×d matvec
+    per row is the textbook interpreted-HOF scale killer (SURVEY §4),
+    so application is one Arrow-batched BLAS matmul per batch; the
+    rotation only gates which codes a vector gets, never a returned
+    score, so float-summation-order nondeterminism cannot reach an
+    oracle hash (reranks score original vectors)."""
+    import pandas as pd
+
+    r_t = model.rotation.T.astype(np.float64)
+
+    def kernel(batches):
+        for pdf in batches:
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            y = x @ r_t
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, out_col: list(y)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        kernel, schema=f"{id_col} bigint, {out_col} array<double>"
+    )
+
+
+def opq_rotate_query(
+    query: DataFrame,
+    model: OPQModel,
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Rotate a (single-row) query frame in-plan: one literal-folded
+    dot product per output dim — declarative, deterministic, and
+    O(d²) on ONE row, so no Arrow round-trip is warranted."""
+    vec = F.col(query_vec_col).cast("array<double>")
+    rows = [
+        F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(v)) for v in model.rotation[j]]),
+                lambda x, r: x * r,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        for j in range(model.rotation.shape[0])
+    ]
+    return query.withColumn(query_vec_col, F.array(*rows))
