@@ -677,6 +677,24 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023, unigram variant):
+    top-100 corpus docs by target-vs-source log-likelihood ratio
+    (stand-in target domain: every 50th doc)."""
+    from faiss_vector_search_spark.operators import lm
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("doc_id") % 50 == 0)
+    return lm.dsir_sample(docs, target, n=100)
+
+
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style text canonicalization: control chars, whitespace runs,
+    punctuation squeeze — plus the removal accounting a pipeline gates
+    on."""
+    return textstats.normalize_text(_t(spark, sf_dir, "documents"))
+
+
 def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-doc repetition profile (boilerplate/spam detector)."""
     return textstats.repetition_score(_t(spark, sf_dir, "documents"))
@@ -3156,6 +3174,54 @@ SELECT * FROM (
 ) WHERE jaccard >= 0.8
 """
 
+ORACLES["dsir_sample"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+ttoks AS (
+  SELECT unnest({_TOKS}) AS tok FROM documents WHERE doc_id % 50 = 0
+),
+src AS (SELECT tok, count(*) AS c_s FROM toks GROUP BY tok),
+tgt AS (SELECT tok, count(*) AS c_t FROM ttoks GROUP BY tok),
+vocab AS (
+  SELECT coalesce(s.tok, g.tok) AS tok,
+         coalesce(c_s, 0) AS c_s, coalesce(c_t, 0) AS c_t
+  FROM src s FULL JOIN tgt g ON s.tok = g.tok
+),
+tot AS (SELECT sum(c_s) AS n_s, sum(c_t) AS n_t, count(*) AS v FROM vocab),
+model AS (
+  SELECT tok,
+         CAST(ROUND(ln((c_t + 1)::DOUBLE / (n_t + v)::DOUBLE)
+                    - ln((c_s + 1)::DOUBLE / (n_s + v)::DOUBLE), 8)
+              AS DECIMAL(16,8)) AS r
+  FROM vocab, tot
+),
+scored AS (
+  SELECT doc_id,
+         ROUND(sum(r)::DOUBLE / count(*)::DOUBLE, 6) AS importance
+  FROM toks JOIN model USING (tok) GROUP BY doc_id
+)
+SELECT doc_id, importance FROM scored
+ORDER BY importance DESC, doc_id ASC LIMIT 100
+"""
+
+ORACLES["normalize_text"] = r"""
+WITH norm AS (
+  SELECT doc_id, text,
+    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(text,
+        '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', ' ', 'g'),
+      '[ \t\n\r]+', ' ', 'g'),
+      '!!+', '!', 'g'),
+      '\?\?+', '?', 'g'),
+      '\.\.\.\.+', '...', 'g')) AS norm_text
+  FROM documents
+)
+SELECT doc_id, norm_text, norm_text <> text AS changed,
+       CAST(length(text) - length(norm_text) AS BIGINT) AS n_chars_removed
+FROM norm
+"""
+
 ORACLES["repeated_spans"] = f"""
 WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 wins AS (
@@ -3367,6 +3433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
         "repeated_spans": q_repeated_spans,
         "opq_rerank_search": q_opq_rerank_search,
+        "dsir_sample": q_dsir_sample,
+        "normalize_text": q_normalize_text,
         "lang_id": q_lang_id,
         "chunk_fixed": q_chunk_fixed,
         "pack_sequences": q_pack_sequences,
@@ -3407,8 +3475,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling": q_events_tumbling,
         "rolling_user_activity": q_rolling_user_activity,
         "events_hopping": q_events_hopping,
-        "customers_without_orders": q_customers_without_orders,
-        "small_quantity_revenue": q_small_quantity_revenue,
         "bigram_lm_score": q_bigram_lm_score,
         "char_entropy": q_char_entropy,
         "corpus_profile": q_corpus_profile,
@@ -3417,6 +3483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "important_parts": q_important_parts,
         "ship_delay_priority": q_ship_delay_priority,
         "excess_parts": q_excess_parts,
+        "customers_without_orders": q_customers_without_orders,
+        "small_quantity_revenue": q_small_quantity_revenue,
         "pricing_rollup": q_pricing_rollup,
         "minmax_scale_events": q_minmax_scale_events,
         "distinct_users_by_type": q_distinct_users_by_type,

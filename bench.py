@@ -343,6 +343,8 @@ def main() -> None:
         "decontaminate": p_decontaminate,
         "fuzzy_decontaminate": p_fuzzy_decontaminate,
         "repeated_spans": p_repeated_spans,
+        "dsir_sample": qs["dsir_sample"],
+        "normalize_text": qs["normalize_text"],
         "customer_order_distribution": qs["customer_order_distribution"],
         "returned_item_report": qs["returned_item_report"],
         "sole_returned_supplier": qs["sole_returned_supplier"],

@@ -119,3 +119,97 @@ def bigram_lm_score(
             ).alias("fluency"),
         )
     )
+
+
+IMP_DECIMALS = 8
+
+
+def _token_counts(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, tok) explode of the staged token array."""
+    return docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).select(F.col(id_col), F.explode("_toks").alias("tok"))
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al., NeurIPS
+    2023), unigram-feature variant: score each corpus document by the
+    mean log-likelihood RATIO between a target-domain unigram model and
+    the source-corpus unigram model — positive = looks more like the
+    target than like the average source doc. The standard "select
+    pretraining data that resembles the high-quality target" curation
+    step, expressed entirely as aggregations + one model join.
+
+    Both models are add-1-smoothed over the SHARED vocabulary, so the
+    per-token ratio r(t) = ln((c_t(t)+1)/(N_t+V)) − ln((c_s(t)+1)/(N_s+V))
+    is one exact-integer-ratio log each, rounded to 8 dp and carried as
+    DECIMAL — per-doc means never accumulate raw doubles (the lm.py
+    determinism discipline).
+
+    Plan shape for 100 TB: source counts are one map-side-combinable
+    groupBy of the token explode; the target side is benchmark-sized;
+    the model IS a (token, ratio) table — Zipf-bounded, broadcast by
+    default (``broadcast_model=False`` shuffles co-partitioned on the
+    token when a vocabulary genuinely outgrows broadcast). Scoring
+    re-uses the same explode shape + per-doc mean as bigram_lm_score."""
+    src = _token_counts(docs, id_col, text_col).groupBy("tok").agg(
+        F.count("*").alias("c_s")
+    )
+    tgt = _token_counts(target, id_col, text_col).groupBy("tok").agg(
+        F.count("*").alias("c_t")
+    )
+    vocab = src.join(tgt, "tok", "full_outer").select(
+        "tok",
+        F.coalesce(F.col("c_s"), F.lit(0)).alias("c_s"),
+        F.coalesce(F.col("c_t"), F.lit(0)).alias("c_t"),
+    )
+    totals = vocab.agg(
+        F.sum("c_s").alias("n_s"),
+        F.sum("c_t").alias("n_t"),
+        F.count("*").alias("v"),
+    )
+    model = vocab.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        F.round(
+            F.log((F.col("c_t") + 1).cast("double")
+                  / (F.col("n_t") + F.col("v")).cast("double"))
+            - F.log((F.col("c_s") + 1).cast("double")
+                    / (F.col("n_s") + F.col("v")).cast("double")),
+            IMP_DECIMALS,
+        ).cast(f"decimal(16,{IMP_DECIMALS})").alias("r"),
+    )
+    m = F.broadcast(model) if broadcast_model else model
+    return (
+        _token_counts(docs, id_col, text_col)
+        .join(m, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum("r").cast("double") / F.count("*").cast("double"), 6
+            ).alias("importance"),
+        )
+    )
+
+
+def dsir_sample(
+    docs: DataFrame,
+    target: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-n corpus documents by DSIR importance (deterministic
+    greedy selection — the id tie-break makes the cut engine-stable).
+    Compiles to the importance aggregation + TakeOrderedAndProject:
+    n·P rows reach the driver, the corpus never globally sorts."""
+    imp = dsir_importance(docs, target, id_col, text_col)
+    return imp.orderBy(
+        F.col("importance").desc(), F.col(id_col).asc()
+    ).limit(n).select(id_col, "importance")

@@ -934,3 +934,42 @@ def corpus_profile(
         )
     )
     return out.unionByName(langs)
+
+
+def normalize_text(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Canonical text cleanup — the C4/RefinedWeb-style normalization
+    pass a pipeline runs before hashing or dedup (control characters
+    poison exact-dedup hashes; whitespace and punctuation runs inflate
+    shingle diversity between otherwise-identical documents).
+
+    Steps, each a single codegen'd regexp_replace (patterns restricted
+    to the Java-regex ∩ RE2 subset — character classes and ``+``, no
+    backreferences, which RE2 lacks):
+      1. C0/DEL control characters (except tab/newline handled next)
+         become spaces;
+      2. whitespace runs collapse to one space;
+      3. ``!``/``?`` runs squeeze to one; 4+ dot runs to ``...``;
+      4. trim.
+    Output keeps the cleaned text plus (changed, n_chars_removed) so a
+    pipeline can gate on "how much cleanup happened" — heavy removal
+    correlates with boilerplate/binary junk. Zero shuffle, zero joins:
+    a pure projection at scan speed."""
+    s = F.col(text_col)
+    s = F.regexp_replace(s, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", " ")
+    s = F.regexp_replace(s, "[ \\t\\n\\r]+", " ")
+    s = F.regexp_replace(s, "!!+", "!")
+    s = F.regexp_replace(s, "\\?\\?+", "?")
+    s = F.regexp_replace(s, "\\.\\.\\.\\.+", "...")
+    s = F.trim(s)
+    return docs.select(
+        F.col(id_col),
+        s.alias("norm_text"),
+        (s != F.col(text_col)).alias("changed"),
+        (F.length(text_col) - F.length(s)).cast("bigint").alias(
+            "n_chars_removed"
+        ),
+    )
