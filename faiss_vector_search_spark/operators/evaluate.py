@@ -45,6 +45,7 @@ def recall_report(
     centroids: DataFrame | None = None,
     engine: str = "sql",
     pq_train_sample: int | None = None,
+    include_opq: bool = False,
 ) -> DataFrame:
     """Recall@k per tier, averaged over the query sample.
 
@@ -73,7 +74,13 @@ def recall_report(
     drift-monitoring deployment, where the corpus has grown past what
     the quantizer was trained on and this report is what trips
     :func:`lifecycle.should_retrain`'s operator into action. Default
-    None trains seeded centroids on the corpus as before."""
+    None trains seeded centroids on the corpus as before.
+
+    ``include_opq=True`` adds the OPQ ladder rung (transform.opq_train
+    rotation, same pq_m/ksub/iters/train_sample budget): ``opq_adc``
+    vs ``pq_adc`` isolates what the eigenvalue-allocated rotation buys
+    in the compressed domain, ``opq_rerank`` the two-stage recovery.
+    Off by default so pre-r5 rehearsal artifacts stay comparable."""
     from . import binary as binary_mod
     from . import ivf as ivf_mod
     from . import knn as knn_mod
@@ -117,6 +124,24 @@ def recall_report(
     lsh_index = lsh_mod.lsh_buckets(
         emb, 64, lsh_tables, lsh_bits, 42, id_col, vec_col
     ).cache()
+
+    opq_model = opq_books = opq_codes = None
+    if include_opq:
+        from . import transform as tf_mod
+
+        opq_model = tf_mod.opq_train(emb, m=pq_m, vec_col=vec_col)
+        rotated = tf_mod.opq_apply(
+            emb, opq_model, id_col=id_col, vec_col=vec_col, out_col=vec_col
+        )
+        opq_books = pq_mod.pq_train(
+            rotated, m=pq_m, ksub=pq_ksub, iters=pq_iters,
+            id_col=id_col, vec_col=vec_col,
+            train_sample=pq_train_sample,
+            engine=engine if pq_train_sample is not None else "sql",
+        )
+        opq_codes = pq_mod.pq_encode(
+            rotated, opq_books, id_col=id_col, vec_col=vec_col, engine=engine
+        )
 
     frames = []
     exacts = []
@@ -170,6 +195,22 @@ def recall_report(
                 probed, books, q, k=k, id_col=id_col,
             ), qid, id_col)
         )
+        if include_opq:
+            from . import transform as tf_mod
+
+            frames.append(
+                _hits("opq_adc", pq_mod.pq_topk_adc(
+                    opq_codes, opq_books,
+                    tf_mod.opq_rotate_query(q, opq_model),
+                    k=k, id_col=id_col,
+                ), qid, id_col)
+            )
+            frames.append(
+                _hits("opq_rerank", pq_mod.opq_topk_rerank(
+                    emb, opq_codes, opq_books, q, opq_model, k=k,
+                    id_col=id_col, vec_col=vec_col,
+                ), qid, id_col)
+            )
         for tier, mp in (("lsh", 0), ("lsh_multiprobe", lsh_multiprobe)):
             frames.append(
                 _hits(tier, lsh_mod.ann_lsh_search(

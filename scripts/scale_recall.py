@@ -66,6 +66,7 @@ def main() -> None:
         lsh_multiprobe=4,
         engine="arrow",
         pq_train_sample=20_000,
+        include_opq=True,
     )
     recalls = {r.tier: r.recall_at_k for r in report.collect()}
     print(json.dumps({

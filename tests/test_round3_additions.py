@@ -593,6 +593,20 @@ def test_recall_report_control_and_bounds(emb):
         assert 0.0 <= r <= 1.0
 
 
+def test_recall_report_opq_tiers(emb):
+    from faiss_vector_search_spark.operators import evaluate
+
+    out = {r.tier: r.recall_at_k for r in
+           evaluate.recall_report(
+               emb, query_ids=(0, 1), k=10, include_opq=True
+           ).collect()}
+    assert {"opq_adc", "opq_rerank"} <= set(out)
+    # exact rescore of a shortlist ⊇ the ADC top-k keeps every truth
+    # member the shortlist contains — rerank recall is monotone in ADC
+    assert out["opq_rerank"] >= out["opq_adc"]
+    assert 0.0 <= out["opq_adc"] <= 1.0
+
+
 # --- IVF-binary persisted index -------------------------------------------
 
 
