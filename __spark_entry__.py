@@ -695,6 +695,14 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.normalize_text(_t(spark, sf_dir, "documents"))
 
 
+def q_strip_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr removal: rebuild every doc with all-but-the-first
+    occurrence of each repeated 8-token window dropped."""
+    return dedup.strip_repeated_spans(
+        _t(spark, sf_dir, "documents"), w=8, min_count=2, hash_fn="md5"
+    )
+
+
 def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-doc repetition profile (boilerplate/spam detector)."""
     return textstats.repetition_score(_t(spark, sf_dir, "documents"))
@@ -3174,6 +3182,54 @@ SELECT * FROM (
 ) WHERE jaccard >= 0.8
 """
 
+ORACLES["strip_repeated_spans"] = f"""
+WITH tok AS (
+  SELECT doc_id, coalesce({_TOKS}, []) AS toks FROM documents
+),
+wins AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         {_md5i("'s0:' || array_to_string(toks[i:i+7], ' ')")} AS gh,
+         doc_id * 1000000 + i AS okey
+  FROM tok, UNNEST(generate_series(1, len(toks) - 7)) AS u(i)
+  WHERE len(toks) >= 8
+),
+owners AS (
+  SELECT gh, min(okey) AS own FROM wins GROUP BY gh HAVING count(*) >= 2
+),
+red AS (
+  SELECT w.doc_id, w.pos,
+         row_number() OVER (PARTITION BY w.doc_id ORDER BY w.pos) AS rn
+  FROM wins w JOIN owners o USING (gh) WHERE w.okey <> o.own
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e
+  FROM red GROUP BY doc_id, pos - rn
+),
+postok AS (
+  SELECT t.doc_id, t.toks[p] AS tok, CAST(p AS BIGINT) AS p
+  FROM tok t, UNNEST(generate_series(1, len(t.toks))) AS u(p)
+),
+kept AS (
+  SELECT pt.doc_id, pt.tok, pt.p FROM postok pt
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = pt.doc_id AND pt.p BETWEEN s.s AND s.e
+  )
+),
+agg AS (
+  SELECT doc_id,
+         string_agg(tok, ' ' ORDER BY p) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(len(t.toks) - coalesce(a.n_kept, 0) AS BIGINT)
+         AS n_tokens_removed
+FROM tok t LEFT JOIN agg a USING (doc_id)
+"""
+
 ORACLES["dsir_sample"] = f"""
 WITH toks AS (
   SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
@@ -3435,6 +3491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "opq_rerank_search": q_opq_rerank_search,
         "dsir_sample": q_dsir_sample,
         "normalize_text": q_normalize_text,
+        "strip_repeated_spans": q_strip_repeated_spans,
         "lang_id": q_lang_id,
         "chunk_fixed": q_chunk_fixed,
         "pack_sequences": q_pack_sequences,
@@ -3474,7 +3531,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_tumbling": q_events_tumbling,
         "rolling_user_activity": q_rolling_user_activity,
-        "events_hopping": q_events_hopping,
         "bigram_lm_score": q_bigram_lm_score,
         "char_entropy": q_char_entropy,
         "corpus_profile": q_corpus_profile,
@@ -3483,6 +3539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "important_parts": q_important_parts,
         "ship_delay_priority": q_ship_delay_priority,
         "excess_parts": q_excess_parts,
+        "events_hopping": q_events_hopping,
         "customers_without_orders": q_customers_without_orders,
         "small_quantity_revenue": q_small_quantity_revenue,
         "pricing_rollup": q_pricing_rollup,

@@ -286,6 +286,12 @@ def main() -> None:
         docs = fio.load_table(spark, sf, "documents")
         return dedup.repeated_spans(docs, w=8, min_count=2, hash_fn="xxhash64")
 
+    def p_strip_repeated_spans(spark, sf):
+        docs = fio.load_table(spark, sf, "documents")
+        return dedup.strip_repeated_spans(
+            docs, w=8, min_count=2, hash_fn="xxhash64"
+        )
+
     headline = {
         "knn_topk_ip": qs["knn_topk_ip"],
         "knn_batch": qs["knn_batch"],
@@ -343,6 +349,7 @@ def main() -> None:
         "decontaminate": p_decontaminate,
         "fuzzy_decontaminate": p_fuzzy_decontaminate,
         "repeated_spans": p_repeated_spans,
+        "strip_repeated_spans": p_strip_repeated_spans,
         "dsir_sample": qs["dsir_sample"],
         "normalize_text": qs["normalize_text"],
         "customer_order_distribution": qs["customer_order_distribution"],

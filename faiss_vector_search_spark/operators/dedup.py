@@ -887,3 +887,117 @@ def fuzzy_decontaminate(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def strip_repeated_spans(
+    docs: DataFrame,
+    w: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Removal half of the ExactSubstr recipe (Lee et al. ACL 2022
+    keep ONE occurrence of each duplicated substring): every repeated
+    w-token window except its global first occurrence — ordered by
+    (doc id, position) — is redundant; redundant windows merge into
+    token spans per doc, and the spanned tokens are dropped from the
+    rebuilt text. Output: (id, clean_text, n_tokens, n_tokens_removed)
+    for EVERY input doc (docs without repeats pass through intact,
+    with original inter-token whitespace canonicalized to single
+    spaces by the rebuild).
+
+    Plan shape for 100 TB (extends :func:`repeated_spans`):
+    - windows → (id, pos, gram-hash) triples, one explode, no text
+      shuffled;
+    - the owner of each repeated gram is min(doc·10⁶+pos) from the
+      same map-side-combinable groupBy that finds repeats — the
+      redundant-window dictionary is (repeated grams × occurrences),
+      output-sized, and AQE broadcasts it back onto the triples;
+    - removal spans collapse per doc (gaps-and-islands, shuffles only
+      redundant windows), collect_list packs each doc's spans into ONE
+      array row (bounded: spans ≤ tokens/w per doc), and that
+      span table — sized by CONTAMINATED docs only — broadcasts onto
+      the full corpus scan for an IN-ROW token filter. The corpus
+      text itself never shuffles, never explodes.
+    Positions use doc·10⁶+pos arithmetic, so ``pos < 10⁶`` windows per
+    doc (a million-token doc should be chunked long before this op).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import positional_windows
+
+    # NULL text ≡ empty doc (the adversarial-suite convention: counts
+    # come out 0, clean_text "", instead of NULL-poisoning downstream)
+    tokd = docs.select(
+        F.col(id_col),
+        F.coalesce(
+            tokens(F.col(text_col)), F.array().cast("array<string>")
+        ).alias("_toks"),
+    )
+    wins = tokd.where(F.size("_toks") >= w).select(
+        F.col(id_col),
+        F.explode(positional_windows(F.col("_toks"), w)).alias("t"),
+    ).select(
+        F.col(id_col),
+        F.col("t.pos").cast("bigint").alias("pos"),
+        hashed(F.col("t.gram"), seed=0, hash_fn=hash_fn).alias("gh"),
+    ).withColumn("okey", F.col(id_col) * 1_000_000 + F.col("pos"))
+    owners = (
+        wins.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("okey").alias("own"))
+        .where(F.col("cnt") >= min_count)
+        .select("gh", "own")
+    )
+    redundant = (
+        wins.join(owners, "gh")
+        .where(F.col("okey") != F.col("own"))
+        .select(id_col, "pos")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(id_col).orderBy(F.col("pos").asc())
+    )
+    spans = (
+        redundant.withColumn("_grp", F.col("pos") - rn)
+        .groupBy(id_col, "_grp")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + F.lit(w - 1)).alias("e"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("s", "e")).alias("_spans"))
+    )
+    joined = tokd.join(F.broadcast(spans), id_col, "left")
+    # guard: sequence(1, 0) counts DOWN and zip_with pads with nulls,
+    # so an empty token array must short-circuit to an empty struct
+    # array (same discipline as text.positional_windows)
+    pos_toks = F.when(
+        F.size("_toks") == 0,
+        F.array().cast("array<struct<tok:string,p:int>>"),
+    ).otherwise(
+        F.zip_with(
+            F.col("_toks"),
+            F.sequence(F.lit(1), F.greatest(F.size("_toks"), F.lit(1))),
+            lambda t, p: F.struct(t.alias("tok"), p.alias("p")),
+        )
+    )
+    kept = F.filter(
+        pos_toks,
+        lambda s: ~F.exists(
+            F.coalesce(
+                F.col("_spans"),
+                F.array().cast("array<struct<s:bigint,e:bigint>>"),
+            ),
+            lambda sp: (s["p"] >= sp["s"]) & (s["p"] <= sp["e"]),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.array_join(
+            F.transform(kept, lambda s: s["tok"]), " "
+        ).alias("clean_text"),
+        F.size("_toks").cast("bigint").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).cast("bigint").alias(
+            "n_tokens_removed"
+        ),
+    )

@@ -128,3 +128,55 @@ def test_fuzzy_decontaminate_benchmark_broadcasts(spark, sf_small):
         docs, bench, hash_fn="xxhash64"
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_strip_repeated_spans_keep_first(spark):
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        2: "prefix alpha beta gamma delta epsilon zeta eta theta tail",
+        3: "unrelated words entirely",
+        4: "a b c d e f g h a b c d e f g h",  # self-repeat
+        5: "",
+    }
+    docs = _docs(spark, list(texts.items()))
+    got = {
+        r.doc_id: r
+        for r in dedup.strip_repeated_spans(docs, w=8, min_count=2).collect()
+    }
+    assert len(got) == len(texts)  # every doc survives (possibly empty)
+    # global first occurrence (doc 1) keeps its text verbatim
+    assert got[1].clean_text == texts[1]
+    assert got[1].n_tokens_removed == 0
+    # the later copy loses exactly the shared 8-token run
+    assert got[2].clean_text == "prefix tail"
+    assert got[2].n_tokens_removed == 8
+    # self-repeat: the SECOND in-doc copy goes, the first stays
+    assert got[4].clean_text == "a b c d e f g h"
+    assert got[4].n_tokens_removed == 8
+    assert got[3].n_tokens_removed == 0
+    assert got[5].clean_text == "" and got[5].n_tokens == 0
+
+
+def test_strip_conserves_tokens(spark, sf_small):
+    """n_tokens == |tokens(clean_text)| + n_tokens_removed for every
+    doc, and stripping strictly reduces the corpus's repeated-window
+    mass on a corpus with planted near-dups."""
+    import re
+
+    from faiss_vector_search_spark import io as fio
+
+    docs = fio.load_table(spark, sf_small, "documents")
+    out = dedup.strip_repeated_spans(docs, w=8, min_count=2).collect()
+    for r in out:
+        kept = [t for t in re.split(r"[^a-z0-9]+", r.clean_text.lower()) if t]
+        assert len(kept) == r.n_tokens - r.n_tokens_removed
+    before = sum(
+        r.n_windows for r in dedup.repeated_spans(docs, w=8).collect()
+    )
+    cleaned = docs.sparkSession.createDataFrame(
+        [(r.doc_id, r.clean_text) for r in out], "doc_id long, text string"
+    )
+    after = sum(
+        r.n_windows for r in dedup.repeated_spans(cleaned, w=8).collect()
+    )
+    assert before > 0 and after < before
