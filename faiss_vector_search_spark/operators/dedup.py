@@ -922,6 +922,13 @@ def strip_repeated_spans(
       text itself never shuffles, never explodes.
     Positions use doc·10⁶+pos arithmetic, so ``pos < 10⁶`` windows per
     doc (a million-token doc should be chunked long before this op).
+
+    Removal is SPAN-granular: a redundant window's full w-token extent
+    is dropped even where it overlaps the kept first occurrence, so a
+    degenerate doc of one token repeated n times keeps exactly its
+    first token (windows 2..n−w+1 are all redundant and their merged
+    extent reaches back to position 2). Deterministic, and the right
+    bias for a dedup pass — over-removal of pathological repetition.
     """
     from pyspark.sql import Window
 

@@ -439,3 +439,82 @@ def test_fuzz_hash_split_is_a_stable_partition(spark, ids):
     grown_split = {r.doc_id: r.split for r in textstats.hash_split(grown).collect()}
     for r in rows:
         assert grown_split[r.doc_id] == r.split
+
+
+class TestR5LateOpsOnNasty:
+    """The late-r5 text operators over the same adversarial corpus:
+    no exception, contractual grain and bounds hold on NULL/unicode/
+    control-char/degenerate docs."""
+
+    def test_normalize_text_grain_and_bounds(self, nasty):
+        from faiss_vector_search_spark.operators import textstats
+
+        rows = textstats.normalize_text(nasty).collect()
+        assert len(rows) == N  # row-per-doc, NULLs included
+        for r in rows:
+            if r.norm_text is None:
+                assert r.changed is None and r.n_chars_removed is None
+                continue
+            assert r.n_chars_removed >= 0
+            # normalized text never contains runs the pass removes
+            assert "  " not in r.norm_text
+            assert "\n" not in r.norm_text and "\t" not in r.norm_text
+            assert "!!" not in r.norm_text and "??" not in r.norm_text
+            assert r.norm_text == r.norm_text.strip()
+
+    def test_repeated_spans_on_nasty(self, nasty):
+        from faiss_vector_search_spark.operators import dedup
+
+        # "the "*500 repeats its own 8-gram massively -> one giant span
+        spans = {r.doc_id: r for r in dedup.repeated_spans(
+            nasty, w=8, min_count=2, hash_fn="xxhash64"
+        ).collect()}
+        rep_id = NASTY_TEXTS.index("the " * 500)
+        assert rep_id in spans
+        s = spans[rep_id]
+        assert s.span_start >= 1 and s.span_end <= 500
+
+    def test_strip_repeated_spans_on_nasty(self, nasty):
+        from faiss_vector_search_spark.operators import dedup
+
+        out = {r.doc_id: r for r in dedup.strip_repeated_spans(
+            nasty, w=8, min_count=2, hash_fn="xxhash64"
+        ).collect()}
+        assert len(out) == N
+        rep_id = NASTY_TEXTS.index("the " * 500)
+        # degenerate self-overlap: every window from pos 2 on is
+        # redundant and their merged extent [2,500] eats into the kept
+        # first window's tail — removal is SPAN-granular (documented),
+        # so exactly the first token survives
+        assert out[rep_id].clean_text == "the"
+        assert out[rep_id].n_tokens_removed == 499
+        for r in out.values():
+            assert r.n_tokens >= 0 and 0 <= r.n_tokens_removed <= r.n_tokens
+
+    def test_dsir_on_nasty(self, nasty):
+        from faiss_vector_search_spark.operators import lm
+
+        target = nasty.where(F.col("doc_id") % 3 == 0)
+        imp = lm.dsir_importance(nasty, target).collect()
+        # only token-bearing docs get scores; every score is finite
+        import math
+
+        for r in imp:
+            assert r.n_tokens > 0
+            assert math.isfinite(r.importance)
+
+    def test_fuzzy_decontaminate_on_nasty(self, nasty):
+        from faiss_vector_search_spark.operators import dedup
+
+        out = dedup.fuzzy_decontaminate(
+            nasty, nasty.where(F.col("doc_id") % 3 == 0),
+            threshold=0.8, hash_fn="xxhash64",
+        ).collect()
+        # token-bearing docs in both sides must self-match at 1.0
+        matched = {(r.doc_id, r.bench_id): r.jaccard for r in out}
+        for i, t in enumerate(NASTY_TEXTS):
+            if i % 3 == 0 and t and len([w for w in t.split() if w]) >= 3:
+                if (i, i) in matched:
+                    assert matched[(i, i)] == 1.0
+        for r in out:
+            assert r.jaccard >= 0.8
