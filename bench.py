@@ -243,6 +243,39 @@ def main() -> None:
             spark, _ivfpq_paths[sf], q, nprobe=4, k=10
         )
 
+    _ivfpq_res_paths: dict[str, str] = {}
+
+    def p_ivfpq_residual_persisted(spark, sf):
+        """FAISS-default residual encoding: codes quantize x − c_list
+        (trained quantizer — residual value depends on it; see
+        BENCH_BASELINE), search adds ⟨c,q⟩ back. Same timed shape as
+        the raw tier: probe-pruned ADC over persisted codes."""
+        if sf not in _ivfpq_res_paths:
+            emb = fio.load_table(spark, sf, "embeddings")
+            cents = ivf_mod.kmeans_centroids(
+                emb, 16, iters=4, train_sample=20_000, engine="arrow"
+            )
+            res = pq_mod.ivf_residual_frame(
+                emb, cents, assign_engine="arrow"
+            )
+            books = pq_mod.pq_train(
+                res, m=16, ksub=64, iters=4,
+                train_sample=20_000, engine="arrow",
+            )
+            path = tempfile.mkdtemp(prefix="fvs_ivfpqres_bench_")
+            pq_mod.save_ivfpq(
+                emb, cents, books, path, residual=True,
+                assign_engine="arrow", encode_engine="arrow",
+            )
+            _ivfpq_res_paths[sf] = path
+        emb = fio.load_table(spark, sf, "embeddings")
+        q = emb.where(F.col("vec_id") == 2).select(
+            F.col("embedding").alias("query_vec")
+        )
+        return pq_mod.ivfpq_search_persisted(
+            spark, _ivfpq_res_paths[sf], q, nprobe=4, k=10
+        )
+
     _ivfsq_paths: dict[str, str] = {}
 
     def p_ivfsq_persisted(spark, sf):
@@ -302,6 +335,7 @@ def main() -> None:
         "pq_adc_search": p_pq_adc,
         "opq_rerank_search": p_opq_rerank,
         "ivfpq_search_persisted": p_ivfpq_persisted,
+        "ivfpq_residual_persisted": p_ivfpq_residual_persisted,
         "ivfsq_search_persisted": p_ivfsq_persisted,
         # sq_search stays on the sql decode fold: at bench SFs the
         # plan is train+encode-dominated and the arrow matvec adds

@@ -357,13 +357,20 @@ def pq_topk_adc(
     k: int = 10,
     id_col: str = "vec_id",
     query_vec_col: str = "query_vec",
+    offset_col: str | None = None,
 ) -> DataFrame:
     """Approximate top-k by asymmetric distance: score(v) ≈
     Σ_j  ⟨q_sub_j, codebook[j][codes[j]]⟩  — m lookups into the
     query's precomputed inner-product table. The table is one tiny
     row (m × ksub doubles) broadcast onto the codes scan; ranking
     compiles to TakeOrderedAndProject. Ties break to the lowest id
-    like the exact kNN path."""
+    like the exact kNN path.
+
+    ``offset_col``: per-row DOUBLE added to the ADC sum before
+    rounding — residual-encoded IVF-PQ passes the list's ⟨c_list, q⟩
+    here, because x·q = c·q + r·q decomposes the score into a per-list
+    constant plus the residual lookup (one shared LUT for all lists,
+    the identity that makes IP-metric residual ADC cheap)."""
     dsub = codebooks.select(F.size(F.first("cvec"))).first()[0]
     tbl = (
         query.crossJoin(_codebook_row(codebooks))
@@ -382,20 +389,20 @@ def pq_topk_adc(
             ).alias("tbl")
         )
     )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("tbl"),
+            lambda c, row: F.element_at(row, c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    if offset_col is not None:
+        adc = adc + F.col(offset_col)
     scored = codes.crossJoin(F.broadcast(tbl)).select(
         F.col(id_col),
-        F.round(
-            F.aggregate(
-                F.zip_with(
-                    F.col("codes"),
-                    F.col("tbl"),
-                    lambda c, row: F.element_at(row, c + 1),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            SCORE_DECIMALS,
-        ).alias("score"),
+        F.round(adc, SCORE_DECIMALS).alias("score"),
     )
     return scored.orderBy(
         F.col("score").desc(), F.col(id_col).asc()
@@ -437,6 +444,40 @@ def pq_topk_rerank(
     ).limit(k)
 
 
+def ivf_residual_frame(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_engine: str = "sql",
+) -> DataFrame:
+    """(id, list_id, vec_col = x − c_list): coarse-assign, then
+    subtract each vector's own centroid in-row (broadcast centroid
+    join + zip_with — no Python, no extra shuffle). Residuals are what
+    FAISS ``IndexIVFPQ`` quantizes by default: within a list they have
+    a fraction of the raw vectors' variance, so the same codebook
+    budget quantizes them much more finely on clustered data. Train
+    codebooks ON this frame and pass ``residual=True`` to
+    :func:`save_ivfpq` so search adds the ⟨c_list, q⟩ offset back."""
+    from .ivf import assign_lists
+
+    assigned = assign_lists(
+        corpus, centroids, vec_col=vec_col, engine=assign_engine
+    )
+    cents = centroids.select(
+        F.col("cid").alias("list_id"), F.col("cvec").alias("_cvec")
+    )
+    return assigned.join(F.broadcast(cents), "list_id").select(
+        F.col(id_col),
+        F.col("list_id"),
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.col("_cvec"),
+            lambda x, c: x - c,
+        ).alias(vec_col),
+    )
+
+
 def save_ivfpq(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -446,6 +487,7 @@ def save_ivfpq(
     vec_col: str = "embedding",
     assign_engine: str = "sql",
     encode_engine: str = "sql",
+    residual: bool = False,
 ) -> None:
     """Persist an IVF-PQ index: vectors coarse-assigned to lists,
     stored as PQ CODES partitioned by ``list_id``; the coarse
@@ -457,15 +499,25 @@ def save_ivfpq(
     floats — the two multiplicative scan reductions that make
     billion-vector search tractable.
 
-    Codes quantize the RAW vector, not the centroid residual (FAISS
-    supports both; raw keeps one shared codebook valid across lists
-    and lets :func:`pq_topk_adc` run unchanged on any probe union).
+    ``residual=False`` quantizes the RAW vector (one shared codebook
+    valid across any probe union, :func:`pq_topk_adc` unchanged);
+    ``residual=True`` quantizes x − c_list (FAISS ``IndexIVFPQ``'s
+    default — finer codes on clustered data for the same bits;
+    codebooks must then be TRAINED on :func:`ivf_residual_frame`, and
+    search adds the per-list ⟨c, q⟩ offset back, which the persisted
+    ``_meta`` records so a later session reopens correctly).
     """
     from .ivf import assign_lists
 
-    assigned = assign_lists(
-        corpus, centroids, vec_col=vec_col, engine=assign_engine
-    )
+    if residual:
+        assigned = ivf_residual_frame(
+            corpus, centroids, id_col=id_col, vec_col=vec_col,
+            assign_engine=assign_engine,
+        )
+    else:
+        assigned = assign_lists(
+            corpus, centroids, vec_col=vec_col, engine=assign_engine
+        )
     codes = pq_encode(
         assigned, codebooks, id_col=id_col, vec_col=vec_col,
         keep_cols=("list_id",), engine=encode_engine,
@@ -475,6 +527,10 @@ def save_ivfpq(
     )
     centroids.write.mode("overwrite").parquet(f"{path}/_centroids")
     codebooks.write.mode("overwrite").parquet(f"{path}/_codebooks")
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(bool(residual),)], "residual boolean"
+    ).write.mode("overwrite").parquet(f"{path}/_meta")
 
 
 def ivfpq_search_persisted(
@@ -496,15 +552,35 @@ def ivfpq_search_persisted(
 
     cents = spark.read.parquet(f"{path}/_centroids")
     books = spark.read.parquet(f"{path}/_codebooks")
+    try:
+        residual = spark.read.parquet(f"{path}/_meta").first().residual
+    except Exception:  # pre-residual index layout: raw codes
+        residual = False
     probe_ids = [
         r.probe_cid for r in probe_lists(query, cents, nprobe).collect()
     ]
     codes = spark.read.parquet(f"{path}/codes").where(
         F.col("list_id").isin(probe_ids)
     )
+    if not residual:
+        return pq_topk_adc(
+            codes, books, query, k=k, id_col=id_col,
+            query_vec_col=query_vec_col,
+        )
+    # residual codes: x·q = ⟨c_list, q⟩ + ⟨r, q⟩ — the probed lists'
+    # constants ride in as a broadcast (nprobe rows), the residual ADC
+    # shares ONE query LUT across lists
+    offs = (
+        cents.where(F.col("cid").isin(probe_ids))
+        .crossJoin(F.broadcast(query))
+        .select(
+            F.col("cid").alias("list_id"),
+            V.dot(F.col("cvec"), F.col(query_vec_col)).alias("_off"),
+        )
+    )
     return pq_topk_adc(
-        codes, books, query, k=k, id_col=id_col,
-        query_vec_col=query_vec_col,
+        codes.join(F.broadcast(offs), "list_id"), books, query, k=k,
+        id_col=id_col, query_vec_col=query_vec_col, offset_col="_off",
     )
 
 
