@@ -695,6 +695,23 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.normalize_text(_t(spark, sf_dir, "documents"))
 
 
+_BPE_MERGES: dict[str, list] = {}
+
+
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE tokenization (Sennrich et al. 2016): merges trained
+    once per corpus (driver-held model, like centroids/codebooks),
+    applied Arrow-batched. Rows-only: the iterative merge loop is not
+    SQL-expressible; round-trip/determinism gates in tests/test_bpe.py."""
+    from faiss_vector_search_spark.operators import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    if sf_dir not in _BPE_MERGES:
+        _BPE_MERGES[sf_dir] = bpe.bpe_train(docs, num_merges=200)
+    out = bpe.bpe_encode(docs, _BPE_MERGES[sf_dir])
+    return out.select("doc_id", "n_pieces", "n_words")
+
+
 def q_strip_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr removal: rebuild every doc with all-but-the-first
     occurrence of each repeated 8-token window dropped."""
@@ -3610,6 +3627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_report": q_ann_recall_report,
         # remaining r5 additions (rows-only by design: model inference,
         # recall curves, binary decode — no SQL oracle exists)
+        "bpe_tokenize": q_bpe_tokenize,
         "embed_text_model": q_embed_text_model,
         "nprobe_recall_curve": q_nprobe_recall_curve,
         "multimodal_decode": q_multimodal_decode,

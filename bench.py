@@ -386,6 +386,7 @@ def main() -> None:
         "strip_repeated_spans": p_strip_repeated_spans,
         "dsir_sample": qs["dsir_sample"],
         "normalize_text": qs["normalize_text"],
+        "bpe_tokenize": qs["bpe_tokenize"],
         "customer_order_distribution": qs["customer_order_distribution"],
         "returned_item_report": qs["returned_item_report"],
         "sole_returned_supplier": qs["sole_returned_supplier"],
