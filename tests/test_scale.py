@@ -173,3 +173,27 @@ def test_nprobe_for_recall_clustered_sf1c(spark, emb_sf1c):
     # clustered corpus: the target must be reachable at a fraction of
     # the lists (near-random sf10 needed 14% for just 0.80)
     assert out["nprobe"] <= nlist // 2, out
+
+
+def test_repeated_spans_truth_scales_linearly(spark):
+    """The sf1 replica corpus is 10 deterministic copies of sf0.1 (with
+    FK-shifted ids and constant-width token tags), so every repeated
+    span found at 1x must appear in each replica: total span-window
+    mass at 10x = exactly 10x the 1x mass, and the gram dictionary
+    join must stay broadcast (2 exchanges) at both SFs."""
+    from faiss_vector_search_spark.operators import dedup
+
+    from faiss_vector_search_spark import io as fio
+
+    base = fio.load_table(spark, "/root/testdata/sf0.1", "documents")
+    big = _table(spark, SF1, "documents")
+    out_small = dedup.repeated_spans(base, w=8, hash_fn="xxhash64")
+    out_big = dedup.repeated_spans(big, w=8, hash_fn="xxhash64")
+    small_mass = out_small.agg(F.sum("n_windows")).first()[0]
+    big_mass = out_big.agg(F.sum("n_windows")).first()[0]
+    assert small_mass > 0
+    # cross-replica token tags keep replicas from matching EACH OTHER,
+    # so the planted within-replica repeats replicate exactly 10x
+    assert big_mass == 10 * small_mass
+    plan = out_big._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
