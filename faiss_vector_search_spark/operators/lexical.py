@@ -51,21 +51,41 @@ def bm25_search(
         return docs.select(F.col(id_col)).limit(0).withColumn(
             "score", F.lit(0.0)
         )
-    qdf = F.broadcast(spark.createDataFrame([(t,) for t in q_terms], "term string"))
-
-    toks = docs.select(
-        F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("term")
-    ).where(F.col("term").isNotNull())
-    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    # The corpus never fully explodes (r5 rewrite, hash-identical
+    # output): dl is an IN-ROW size over the staged token array, and
+    # only tokens matching the (literal, tiny) query-term set explode
+    # for tf — at 100 TB the exploded stream is proportional to hits,
+    # not corpus tokens, and the old full-corpus dl groupBy shuffle is
+    # gone entirely (dl rides the tf grouping key, functionally
+    # dependent on the doc id).
+    qlit = F.array(*[F.lit(t) for t in q_terms])
+    tokd = docs.select(
+        F.col(id_col),
+        F.coalesce(
+            tokens(F.col(text_col)), F.array().cast("array<string>")
+        ).alias("_toks"),
+    ).select(
+        F.col(id_col), F.col("_toks"), F.size("_toks").alias("dl")
+    ).where(F.col("dl") > 0)  # empty docs never counted (explode_outer
+    #                           + non-null filter had the same effect)
     stats = F.broadcast(
-        dl.agg(
+        tokd.agg(
             F.count("*").alias("n_docs"),
             F.sum("dl").alias("sum_dl"),
         )
     )
+    matched = tokd.select(
+        F.col(id_col),
+        F.col("dl"),
+        F.filter(
+            F.col("_toks"), lambda t: F.array_contains(qlit, t)
+        ).alias("_m"),
+    ).where(F.size("_m") > 0)
     tf = (
-        toks.join(qdf, "term")
-        .groupBy(id_col, "term")
+        matched.select(
+            F.col(id_col), F.col("dl"), F.explode("_m").alias("term")
+        )
+        .groupBy(id_col, "term", "dl")
         .agg(F.count("*").alias("tf"))
     )
     df_ = F.broadcast(
@@ -73,7 +93,6 @@ def bm25_search(
     )
     contrib = (
         tf.join(df_, "term")
-        .join(dl, id_col)
         .crossJoin(stats)
         .select(
             F.col(id_col),
