@@ -38,6 +38,7 @@ def main() -> None:
     from faiss_vector_search_spark.operators import (
         chunking,
         dedup,
+        embed,
         lsh,
         textstats,
     )
@@ -361,7 +362,13 @@ def main() -> None:
         "top_customers_by_nation": qs["top_customers_by_nation"],
         "shipping_priority": qs["shipping_priority"],
         "regional_supplier_volume": qs["regional_supplier_volume"],
-        "text_search": qs["text_search"],
+        # production hash profile (xxhash64), like the dedup family —
+        # qs["text_search"] keeps md5 only because the oracle needs it
+        "text_search": lambda spark, sf: embed.text_search(
+            fio.load_table(spark, sf, "documents"),
+            "batch window vector hash fast stream",
+            dim=64, k=5, hash_fn="xxhash64",
+        ),
         "bm25_search": qs["bm25_search"],
         "hybrid_search": qs["hybrid_search"],
         # §2d round-2 additions
