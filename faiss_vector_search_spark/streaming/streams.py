@@ -485,3 +485,66 @@ def streaming_topk(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_decontaminate(
+    spark: SparkSession,
+    source_dir: str,
+    benchmark: DataFrame,
+    out_path: str,
+    checkpoint: str | None = None,
+    n: int = 8,
+) -> StreamingQuery:
+    """Streaming benchmark decontamination: every incoming document
+    batch is screened against a STATIC held-out benchmark (the
+    train/test-overlap gate, applied at ingest time instead of as a
+    post-hoc corpus scan); clean docs append to the curated store,
+    contaminated docs land in ``{out_path}_quarantine`` with their
+    overlap counts — quarantined, not dropped, the same auditability
+    convention as the CSV quarantine source.
+
+    Scale posture per micro-batch: the benchmark's n-gram hash set is
+    computed ONCE and cached (benchmarks are static by definition —
+    unlike streaming_enrich's re-resolved dimension, re-deriving it
+    per batch would re-shingle the benchmark forever); each batch
+    broadcast-joins that cached set, so the stream side never
+    shuffles. Replayed batches (checkpoint recovery) anti-join on
+    doc_id against the curated store and land as a no-op, same as
+    streaming_curation_ingest."""
+    from ..io import path_exists
+    from ..operators import dedup
+
+    bench_cached = benchmark.cache()
+    bench_cached.count()  # materialize once, before the first trigger
+
+    docs = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+    def screen(batch: DataFrame, batch_id: int) -> None:
+        hits = dedup.decontaminate(
+            batch, bench_cached, n=n, hash_fn="xxhash64"
+        )
+        quarantined = batch.join(
+            F.broadcast(hits), on="doc_id"
+        )
+        clean = batch.join(
+            F.broadcast(hits.select("doc_id")), on="doc_id", how="left_anti"
+        )
+        for frame, path in (
+            (clean, out_path),
+            (quarantined, f"{out_path}_quarantine"),
+        ):
+            if path_exists(spark, path):
+                seen = spark.read.parquet(path).select("doc_id")
+                frame = frame.join(
+                    F.broadcast(seen), on="doc_id", how="left_anti"
+                )
+            frame.write.mode("append").parquet(path)
+
+    writer = docs.writeStream.foreachBatch(screen).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -382,3 +382,50 @@ def test_streaming_topk_matches_batch(spark, sf_small, tmp_path):
         assert final[(r.query_id, r.rank)] == (r.vec_id, float(r.score)), (
             r.query_id, r.rank
         )
+
+
+def test_streaming_decontaminate_matches_batch(spark, sf_small, tmp_path):
+    """The streamed clean/quarantine split equals the batch
+    decontaminate over the union of batches, and redelivered docs
+    land as a no-op in both outputs."""
+    from faiss_vector_search_spark.operators import dedup
+
+    docs = fio.load_table(spark, sf_small, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    src = tmp_path / "docs_in"
+    docs.where("doc_id < 250").coalesce(1).write.mode("append").parquet(str(src))
+    docs.where("doc_id >= 250").unionByName(
+        docs.where("doc_id < 50")  # at-least-once redelivery
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    out = tmp_path / "clean"
+    q = streams.streaming_decontaminate(
+        spark, str(src), bench, str(out),
+        checkpoint=str(tmp_path / "ckpt"), n=8,
+    )
+    q.awaitTermination()
+
+    contaminated = {
+        r.doc_id
+        for r in dedup.decontaminate(docs, bench, n=8, hash_fn="xxhash64")
+        .collect()
+    }
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    got_clean = {
+        r.doc_id for r in spark.read.parquet(str(out)).collect()
+    }
+    got_quarantine = {
+        r.doc_id
+        for r in spark.read.parquet(str(out) + "_quarantine").collect()
+    }
+    assert got_clean == all_ids - contaminated
+    assert got_quarantine == contaminated
+    # every doc landed exactly once despite redelivery
+    assert spark.read.parquet(str(out)).count() == len(got_clean)
+    assert (
+        spark.read.parquet(str(out) + "_quarantine").count()
+        == len(got_quarantine)
+    )
+    # quarantine keeps the overlap accounting for audit
+    cols = set(spark.read.parquet(str(out) + "_quarantine").columns)
+    assert {"n_shared_grams", "n_benchmark_docs"} <= cols
