@@ -695,6 +695,19 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.normalize_text(_t(spark, sf_dir, "documents"))
 
 
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics over lineitem (the engine's
+    catalog/CBO pass): rows, nulls, exact distincts, min/max per
+    column in one aggregation."""
+    return analytics.table_profile(
+        _t(spark, sf_dir, "lineitem"),
+        # integer/varchar columns: their string casts render byte-
+        # identically in Spark and DuckDB (double/timestamp don't)
+        cols=("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+              "l_linestatus"),
+    )
+
+
 _BPE_MERGES: dict[str, list] = {}
 
 
@@ -3199,6 +3212,19 @@ SELECT * FROM (
 ) WHERE jaccard >= 0.8
 """
 
+ORACLES["table_profile"] = "\nUNION ALL\n".join(
+    f"""
+SELECT '{c}' AS "column",
+       count(*)::BIGINT AS n_rows,
+       (count(*) - count({c}))::BIGINT AS n_nulls,
+       count(DISTINCT {c})::BIGINT AS n_distinct,
+       min(CAST({c} AS VARCHAR)) AS min_value,
+       max(CAST({c} AS VARCHAR)) AS max_value
+FROM lineitem"""
+    for c in ("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+              "l_linestatus")
+)
+
 ORACLES["strip_repeated_spans"] = f"""
 WITH tok AS (
   SELECT doc_id, coalesce({_TOKS}, []) AS toks FROM documents
@@ -3509,6 +3535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": q_dsir_sample,
         "normalize_text": q_normalize_text,
         "strip_repeated_spans": q_strip_repeated_spans,
+        "table_profile": q_table_profile,
         "lang_id": q_lang_id,
         "chunk_fixed": q_chunk_fixed,
         "pack_sequences": q_pack_sequences,
@@ -3547,7 +3574,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": q_events_range_join,
         "events_sessionize": q_events_sessionize,
         "events_tumbling": q_events_tumbling,
-        "rolling_user_activity": q_rolling_user_activity,
         "bigram_lm_score": q_bigram_lm_score,
         "char_entropy": q_char_entropy,
         "corpus_profile": q_corpus_profile,
@@ -3556,6 +3582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "important_parts": q_important_parts,
         "ship_delay_priority": q_ship_delay_priority,
         "excess_parts": q_excess_parts,
+        "rolling_user_activity": q_rolling_user_activity,
         "events_hopping": q_events_hopping,
         "customers_without_orders": q_customers_without_orders,
         "small_quantity_revenue": q_small_quantity_revenue,

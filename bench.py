@@ -394,6 +394,7 @@ def main() -> None:
         "dsir_sample": qs["dsir_sample"],
         "normalize_text": qs["normalize_text"],
         "bpe_tokenize": qs["bpe_tokenize"],
+        "table_profile": qs["table_profile"],
         "customer_order_distribution": qs["customer_order_distribution"],
         "returned_item_report": qs["returned_item_report"],
         "sole_returned_supplier": qs["sole_returned_supplier"],

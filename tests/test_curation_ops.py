@@ -96,3 +96,18 @@ def test_dsir_importance_is_mean_log_ratio(spark):
     want = round((r(1, 1) + r(0, 1)) / 2, 6)
     assert got.n_tokens == 2
     assert got.importance == pytest.approx(want, abs=1e-9)
+
+
+def test_table_profile_stats(spark):
+    from faiss_vector_search_spark.operators import analytics
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "b")],
+        "k long, v string",
+    )
+    got = {r.column: r for r in analytics.table_profile(df, ("k", "v")).collect()}
+    assert got["k"].n_rows == 4 and got["k"].n_nulls == 1
+    assert got["k"].n_distinct == 2
+    assert got["k"].min_value == "1" and got["k"].max_value == "2"
+    assert got["v"].n_nulls == 1 and got["v"].n_distinct == 2
+    assert got["v"].min_value == "a" and got["v"].max_value == "b"
