@@ -1008,3 +1008,163 @@ def strip_repeated_spans(
             "n_tokens_removed"
         ),
     )
+
+
+NEARDUP_BUCKETS = 64  # partition fanout per band: bval % 64
+
+
+def neardup_index_save(
+    docs: DataFrame,
+    path: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+) -> None:
+    """Persist a near-duplicate index over a document corpus — the
+    dedup-as-a-service layout: every future ingest batch asks "is
+    this a near-dup of ANYTHING already collected?" without touching
+    the corpus text.
+
+    Layout (the IVF posting-list idea applied to MinHash bands):
+    - ``{path}/bands``: (id, bval) partitioned by (band, bucket =
+      pmod(bval, 64)) — a query doc collides in at most ``bands``
+      (band, bucket) partitions, so the probe reads bands/(bands×64)
+      = 1/64 of the band files, exactly like nprobe/nlist pruning;
+    - ``{path}/shingles``: (id, shingle set) for candidate
+      verification, re-joined by id only for (output-sized) hits;
+    - ``{path}/_meta``: the banding parameters, so queries can never
+      probe with mismatched seeds (the bands must agree to collide).
+    """
+    sig = minhash_signatures(docs, n, num_hashes, id_col, text_col, hash_fn)
+    rows_per_band = num_hashes // bands
+    banded = sig.select(
+        F.col(id_col), F.explode(_band_structs(bands, rows_per_band, hash_fn)).alias("bs")
+    ).select(
+        F.col(id_col),
+        F.col("bs.band").alias("band"),
+        F.col("bs.bval").alias("bval"),
+        F.pmod(F.col("bs.bval"), F.lit(NEARDUP_BUCKETS)).alias("bucket"),
+    )
+    banded.write.mode("overwrite").partitionBy("band", "bucket").parquet(
+        f"{path}/bands"
+    )
+    _shingle_sets(docs, n, id_col, text_col).write.mode("overwrite").parquet(
+        f"{path}/shingles"
+    )
+    spark = docs.sparkSession
+    spark.createDataFrame(
+        [(n, num_hashes, bands, hash_fn)],
+        "n int, num_hashes int, bands int, hash_fn string",
+    ).write.mode("overwrite").parquet(f"{path}/_meta")
+
+
+def neardup_index_append(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incrementally add a batch to a persisted near-dup index: new
+    band rows land ONLY in their own (band, bucket) partitions
+    (append, untouched partitions never rewritten — the
+    lifecycle.ivf_append posture), new shingle rows append."""
+    spark = docs.sparkSession
+    meta = spark.read.parquet(f"{path}/_meta").first()
+    sig = minhash_signatures(
+        docs, meta.n, meta.num_hashes, id_col, text_col, meta.hash_fn
+    )
+    rows_per_band = meta.num_hashes // meta.bands
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            _band_structs(meta.bands, rows_per_band, meta.hash_fn)
+        ).alias("bs"),
+    ).select(
+        F.col(id_col),
+        F.col("bs.band").alias("band"),
+        F.col("bs.bval").alias("bval"),
+        F.pmod(F.col("bs.bval"), F.lit(NEARDUP_BUCKETS)).alias("bucket"),
+    )
+    banded.write.mode("append").partitionBy("band", "bucket").parquet(
+        f"{path}/bands"
+    )
+    _shingle_sets(docs, meta.n, id_col, text_col).write.mode("append").parquet(
+        f"{path}/shingles"
+    )
+
+
+def neardup_index_query(
+    spark,
+    path: str,
+    batch: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_id: str = "batch_id",
+) -> DataFrame:
+    """Probe the persisted near-dup index with an ingest batch:
+    (batch doc id, indexed doc id, jaccard) for every pair at or
+    above ``threshold``.
+
+    Scale posture: the batch's (band, bucket) pairs collect (at most
+    |batch|×bands driver-sized rows) and prune the bands scan to just
+    those partitions — the corpus-side index is READ 1/64th per band
+    probed, never scanned. Candidates (output-sized) semi-join the
+    shingle store by id; the batch's own bands and shingles broadcast.
+    Banding parameters come from ``_meta`` — a probe can never use
+    mismatched seeds."""
+    meta = spark.read.parquet(f"{path}/_meta").first()
+    rows_per_band = meta.num_hashes // meta.bands
+    sig = minhash_signatures(
+        batch, meta.n, meta.num_hashes, id_col, text_col, meta.hash_fn
+    )
+    qb = sig.select(
+        F.col(id_col).alias(batch_id),
+        F.explode(
+            _band_structs(meta.bands, rows_per_band, meta.hash_fn)
+        ).alias("bs"),
+    ).select(
+        F.col(batch_id),
+        F.col("bs.band").alias("band"),
+        F.col("bs.bval").alias("bval"),
+        F.pmod(F.col("bs.bval"), F.lit(NEARDUP_BUCKETS)).alias("bucket"),
+    )
+    probe_pairs = [
+        (r.band, r.bucket) for r in qb.select("band", "bucket").distinct().collect()
+    ]
+    # an OR of (band=b AND bucket=k) conjunctions — the predicate form
+    # Spark's partition pruning understands (a struct-isin would scan
+    # everything); both are partition columns, so the scan's
+    # PartitionFilters prune to exactly the probed directories
+    if probe_pairs:
+        pred = None
+        for b, k in probe_pairs:
+            clause = (F.col("band") == b) & (F.col("bucket") == k)
+            pred = clause if pred is None else (pred | clause)
+    else:
+        pred = F.lit(False)
+    store = spark.read.parquet(f"{path}/bands").where(pred)
+    cand = (
+        store.join(F.broadcast(qb), ["band", "bval"])
+        .select(id_col, batch_id)
+        .dropDuplicates([id_col, batch_id])
+    )
+    sh_store = spark.read.parquet(f"{path}/shingles")
+    sh_batch = _shingle_sets(batch, meta.n, id_col, text_col).select(
+        F.col(id_col).alias(batch_id), F.col("shingles").alias("sh_b")
+    )
+    return (
+        cand.join(sh_store, id_col)
+        .join(F.broadcast(sh_batch), batch_id)
+        .select(
+            batch_id,
+            id_col,
+            F.round(
+                _jaccard(F.col("shingles"), F.col("sh_b")), JACCARD_DECIMALS
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
