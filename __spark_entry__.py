@@ -708,6 +708,34 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-bigram collocations by PMI (support floor 5) —
+    the statistical phrase detector of a tokenizer-prep pipeline."""
+    return lexical.pmi_collocations(
+        _t(spark, sf_dir, "documents"), min_count=5, top_n=50
+    )
+
+
+def q_domain_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL(domain ‖ corpus) over unigram distributions —
+    the mixture-drift statistic tracked per dump/source."""
+    from faiss_vector_search_spark.operators import lm
+
+    return lm.domain_kl_report(_t(spark, sf_dir, "documents"))
+
+
+def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed training-batch plan with per-batch padding
+    waste (batch 32, bucket width 64, 8 deterministic shards)."""
+    return chunking.length_bucket_batches(
+        _t(spark, sf_dir, "documents"),
+        batch_size=32,
+        bucket_width=64,
+        n_shards=8,
+        hash_fn="md5",
+    )
+
+
 _BPE_MERGES: dict[str, list] = {}
 
 
@@ -3340,6 +3368,84 @@ SELECT doc_id, MIN(pos) AS span_start, CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
 FROM rep GROUP BY doc_id, pos - rn
 """
 
+ORACLES["pmi_collocations"] = f"""
+WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+uni AS (
+  SELECT tok, count(*) AS c_uni
+  FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1
+),
+bi AS (
+  SELECT a, b, count(*) AS c_bi
+  FROM (SELECT toks[i] AS a, toks[i + 1] AS b
+        FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+        WHERE len(toks) >= 2)
+  GROUP BY 1, 2
+),
+tot AS (SELECT (SELECT sum(c_uni) FROM uni) AS n_uni,
+               (SELECT sum(c_bi) FROM bi) AS n_bi)
+SELECT b.a AS term_a, b.b AS term_b, CAST(b.c_bi AS BIGINT) AS n_pair,
+       ROUND(ln((b.c_bi::DOUBLE / t.n_bi)
+                / ((ua.c_uni::DOUBLE / t.n_uni)
+                   * (ub.c_uni::DOUBLE / t.n_uni))), 6) AS pmi
+FROM bi b
+JOIN uni ua ON ua.tok = b.a
+JOIN uni ub ON ub.tok = b.b, tot t
+WHERE b.c_bi >= 5
+ORDER BY pmi DESC, term_a ASC, term_b ASC
+LIMIT 50
+"""
+
+ORACLES["domain_kl"] = f"""
+WITH t AS (SELECT source, {_TOKS} AS toks FROM documents),
+dom AS (
+  SELECT source, tok, count(*) AS c_st
+  FROM (SELECT source, unnest(toks) AS tok FROM t) GROUP BY 1, 2
+),
+corpus AS (SELECT tok, sum(c_st) AS c_t FROM dom GROUP BY 1),
+dt AS (SELECT source, sum(c_st) AS n_s FROM dom GROUP BY 1),
+nt AS (SELECT sum(c_t) AS n_corpus FROM corpus),
+contrib AS (
+  SELECT d.source, d.c_st,
+         CAST(ROUND((d.c_st::DOUBLE / s.n_s)
+                    * ln((d.c_st::DOUBLE / s.n_s)
+                         / (c.c_t::DOUBLE / n.n_corpus)), 8)
+              AS DECIMAL(18,8)) AS kl_term
+  FROM dom d JOIN corpus c USING (tok) JOIN dt s USING (source), nt n
+)
+SELECT source, CAST(sum(c_st) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       ROUND(sum(kl_term)::DOUBLE, 6) AS kl_nats
+FROM contrib GROUP BY 1
+"""
+
+ORACLES["length_batches"] = f"""
+WITH s AS (
+  SELECT doc_id, coalesce(len({_TOKS}), 0)::BIGINT AS n_tok FROM documents
+),
+b AS (
+  SELECT doc_id, n_tok, n_tok // 64 AS bucket,
+         ({_md5i("'s27:' || doc_id::VARCHAR")} % 8) AS shard
+  FROM s
+),
+w AS (
+  SELECT bucket, shard, n_tok,
+         (row_number() OVER (PARTITION BY bucket, shard
+                             ORDER BY n_tok ASC, doc_id ASC) - 1) // 32
+           AS batch
+  FROM b
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, CAST(shard AS INT) AS shard,
+       CAST(batch AS BIGINT) AS batch,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(n_tok) AS BIGINT) AS max_tokens,
+       CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+       CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT) AS padding,
+       ROUND(CASE WHEN max(n_tok) > 0
+                  THEN (count(*) * max(n_tok) - sum(n_tok))::DOUBLE
+                       / (count(*) * max(n_tok))::DOUBLE
+                  ELSE 0.0 END, 6) AS pad_frac
+FROM w GROUP BY 1, 2, 3
+"""
 
 
 # --- driver contract ------------------------------------------------------
@@ -3526,7 +3632,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # min_cost_supplier, important_parts, ship_delay_priority, excess_parts)
     # sit at positions 51-55 — freshest green, first to rotate back in r6.
     # r1-r4 union of driver-green oracle-gated keys: 105/105 (+2 new in r5).
+    # Third-wave r5 additions (pmi_collocations / domain_kl /
+    # length_batches) are never-green, so they lead; the 3 r2-green
+    # keys they displace (events_range_join / events_sessionize /
+    # events_tumbling) move to the head of the 51+ backfill region.
     return {
+        "pmi_collocations": q_pmi_collocations,
+        "domain_kl": q_domain_kl,
+        "length_batches": q_length_batches,
         "rag_context": q_rag_context,
         "diversified_search": q_diversified_search,
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
@@ -3571,9 +3684,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regional_supplier_volume": q_regional_supplier_volume,
         "order_priority_check": q_order_priority_check,
         "events_asof_join": q_events_asof_join,
-        "events_range_join": q_events_range_join,
-        "events_sessionize": q_events_sessionize,
-        "events_tumbling": q_events_tumbling,
         "bigram_lm_score": q_bigram_lm_score,
         "char_entropy": q_char_entropy,
         "corpus_profile": q_corpus_profile,
@@ -3582,6 +3692,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "important_parts": q_important_parts,
         "ship_delay_priority": q_ship_delay_priority,
         "excess_parts": q_excess_parts,
+        "events_range_join": q_events_range_join,
+        "events_sessionize": q_events_sessionize,
+        "events_tumbling": q_events_tumbling,
         "rolling_user_activity": q_rolling_user_activity,
         "events_hopping": q_events_hopping,
         "customers_without_orders": q_customers_without_orders,

@@ -461,6 +461,15 @@ def main() -> None:
         "phrase_search": qs["phrase_search"],
         "near_search": qs["near_search"],
         "corpus_profile": qs["corpus_profile"],
+        # r5 third wave
+        "pmi_collocations": qs["pmi_collocations"],
+        "domain_kl": qs["domain_kl"],
+        # production hash profile (xxhash64); qs key keeps md5 for the
+        # oracle, same split as pack_sequences
+        "length_batches": lambda spark, sf: chunking.length_bucket_batches(
+            fio.load_table(spark, sf, "documents"),
+            batch_size=32, bucket_width=64, n_shards=8, hash_fn="xxhash64",
+        ),
     }
 
     # Scaling-sweep knobs (default: off — the driver's per-round run

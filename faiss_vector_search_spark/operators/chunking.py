@@ -273,3 +273,87 @@ def pack_sequences(
         )
 
     return sized.groupBy("shard").applyInPandas(pack, schema=PACK_SCHEMA)
+
+
+def length_bucket_batches(
+    docs: DataFrame,
+    batch_size: int = 32,
+    bucket_width: int = 64,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Padding-efficiency batch plan: group documents into fixed-size
+    training batches bucketed by token length, and report each batch's
+    padding waste — the length-bucketed batching every padded-attention
+    trainer uses (the complement of :func:`pack_sequences`, which
+    concatenates instead of padding).
+
+    Docs bucket by ``n_tokens // bucket_width``, then hash into
+    ``n_shards`` shards per bucket (deterministic, :mod:`hashing`
+    seed 27) so batch numbering parallelizes — a single global
+    row_number per bucket would serialize each bucket through one
+    partition at 100 TB, and per-shard numbering changes WHICH docs
+    share a batch but not the waste statistics a capacity planner
+    reads. Within a shard, docs order by (n_tokens, id) — near-equal
+    lengths land in the same batch, minimizing pad-to-batch-max waste.
+
+    Output: one row per (bucket, shard, batch) with n_docs, max/sum
+    tokens, padding = n_docs·max − sum, and pad_frac — feeding both the
+    trainer's batch manifest and the "how much compute does padding
+    burn" report. The window shuffles (bucket, shard)-partitioned
+    integer triples only — text never moves.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.hashing import hashed
+    from ..functions.text import tokens
+
+    sized = docs.select(
+        F.col(id_col),
+        F.coalesce(
+            F.size(tokens(F.col(text_col))).cast("bigint"), F.lit(0)
+        ).alias("n_tok"),
+    ).select(
+        F.col(id_col),
+        F.col("n_tok"),
+        (F.col("n_tok") / bucket_width).cast("bigint").alias("bucket"),
+        F.pmod(
+            hashed(F.col(id_col).cast("string"), seed=27, hash_fn=hash_fn),
+            F.lit(n_shards),
+        ).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("bucket", "shard").orderBy(
+        F.col("n_tok").asc(), F.col(id_col).asc()
+    )
+    batched = sized.withColumn(
+        "batch", ((F.row_number().over(w) - 1) / batch_size).cast("bigint")
+    )
+    return (
+        batched.groupBy("bucket", "shard", "batch")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.max("n_tok").alias("max_tokens"),
+            F.sum("n_tok").alias("sum_tokens"),
+        )
+        .select(
+            "bucket",
+            "shard",
+            "batch",
+            "n_docs",
+            "max_tokens",
+            "sum_tokens",
+            (F.col("n_docs") * F.col("max_tokens") - F.col("sum_tokens"))
+            .alias("padding"),
+            F.round(
+                F.when(
+                    F.col("max_tokens") > 0,
+                    (F.col("n_docs") * F.col("max_tokens") - F.col("sum_tokens"))
+                    .cast("double")
+                    / (F.col("n_docs") * F.col("max_tokens")).cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("pad_frac"),
+        )
+    )

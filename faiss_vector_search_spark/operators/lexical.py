@@ -247,6 +247,86 @@ def bigram_counts(
         .limit(top_n)
     )
 
+def pmi_collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    top_n: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-N adjacent-bigram collocations by pointwise mutual
+    information — the statistical phrase detector (Church & Hanks 1990;
+    the word2vec phrase-merge preprocessing step) a training-data
+    pipeline runs to find multi-word units worth treating as tokens.
+
+    pmi = ln( (c_ab / N_bi) / ((c_a / N_uni) · (c_b / N_uni)) ), with
+    a ``min_count`` support floor so rare-pair noise (PMI's known
+    pathology) never ranks.
+
+    Plan shape for 100 TB: both count tables are ONE map-side-combined
+    groupBy each over in-row built streams (the bigram pairs come from
+    the same zip-with-tail shape as lm.py's transitions — no self-join);
+    totals reduce from the MODEL tables, not the corpus; the
+    ``min_count`` filter cuts the bigram table to near-output size
+    BEFORE it broadcasts onto the two unigram lookups, so the joins
+    move candidate-sized, never vocab-sized, data. The one log of an
+    exact-count ratio keeps the score bit-deterministic cross-engine.
+    """
+    staged = docs.select(tokens(F.col(text_col)).alias("_toks"))
+    toks = F.col("_toks")
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    uni = (
+        staged.select(F.explode(toks).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c_uni"))
+    )
+    bi = (
+        staged.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c_bi"))
+    )
+    totals = F.broadcast(
+        uni.agg(F.sum("c_uni").alias("n_uni")).crossJoin(
+            bi.agg(F.sum("c_bi").alias("n_bi"))
+        )
+    )
+    cand = bi.where(F.col("c_bi") >= min_count)
+    # the candidate side stays broadcast through BOTH unigram lookups
+    # (it only grows by one count column), so the vocab-sized unigram
+    # table is scanned twice but never shuffled
+    with_a = uni.join(F.broadcast(cand), uni["t"] == cand["a"]).select(
+        "a", "b", "c_bi", F.col("c_uni").alias("c_a")
+    )
+    scored = (
+        uni.join(F.broadcast(with_a), uni["t"] == with_a["b"])
+        .select("a", "b", "c_bi", "c_a", F.col("c_uni").alias("c_b"))
+        .crossJoin(totals)
+        .select(
+            F.col("a").alias("term_a"),
+            F.col("b").alias("term_b"),
+            F.col("c_bi").cast("bigint").alias("n_pair"),
+            F.round(
+                F.log(
+                    (F.col("c_bi").cast("double") / F.col("n_bi"))
+                    / (
+                        (F.col("c_a").cast("double") / F.col("n_uni"))
+                        * (F.col("c_b").cast("double") / F.col("n_uni"))
+                    )
+                ),
+                SCORE_DECIMALS,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("term_a").asc(), F.col("term_b").asc()
+    ).limit(top_n)
+
+
 def phrase_search(
     docs: DataFrame,
     phrase: str,

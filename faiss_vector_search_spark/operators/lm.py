@@ -198,6 +198,71 @@ def dsir_importance(
     )
 
 
+def domain_kl_report(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-domain distribution-shift report: KL(domain ‖ corpus) over
+    unigram distributions — the mixture-monitoring statistic a
+    pretraining pipeline tracks per source/dump (a drifting crawl or a
+    boilerplate-heavy domain shows up as a KL spike long before it
+    shows up in loss curves).
+
+    KL(p_s ‖ q) = Σ_t p_s(t)·ln(p_s(t)/q(t)) needs no smoothing: the
+    sum ranges over tokens PRESENT in the domain, and every such token
+    is also in the corpus model, so q(t) > 0 wherever p_s(t) > 0.
+
+    Determinism: each term contribution is exact-integer ratios through
+    one ln and one multiply, rounded to 8 dp and carried as
+    DECIMAL(18,8); per-domain sums add decimals exactly (the lm.py
+    no-raw-double-accumulation discipline).
+
+    Plan shape for 100 TB: ONE map-side-combinable groupBy over the
+    token explode builds the (domain, token) model; the corpus-model
+    and domain-total columns attach as WINDOW sums over the model
+    table itself (the bigram_lm_train trick — re-deriving them as
+    separate aggregation branches re-scans the corpus once per branch,
+    measured 6 scans before this shape), so only model-sized rows ever
+    shuffle again; the grand total is the one remaining branch and
+    shares the model's exchange (ReusedExchange, not a re-scan)."""
+    from pyspark.sql import Window
+
+    dom = (
+        docs.select(F.col(group_col), tokens(F.col(text_col)).alias("_toks"))
+        .select(F.col(group_col), F.explode("_toks").alias("tok"))
+        .groupBy(group_col, "tok")
+        .agg(F.count("*").alias("c_st"))
+    )
+    enriched = dom.withColumn(
+        "c_t", F.sum("c_st").over(Window.partitionBy("tok"))
+    ).withColumn("n_s", F.sum("c_st").over(Window.partitionBy(group_col)))
+    n_total = F.broadcast(dom.agg(F.sum("c_st").alias("n_corpus")))
+    contrib = (
+        enriched.crossJoin(n_total)
+        .select(
+            F.col(group_col),
+            F.col("c_st"),
+            F.round(
+                (F.col("c_st").cast("double") / F.col("n_s"))
+                * F.log(
+                    (F.col("c_st").cast("double") / F.col("n_s"))
+                    / (F.col("c_t").cast("double") / F.col("n_corpus"))
+                ),
+                IMP_DECIMALS,
+            )
+            .cast(f"decimal(18,{IMP_DECIMALS})")
+            .alias("kl_term"),
+        )
+    )
+    return contrib.groupBy(group_col).agg(
+        F.sum("c_st").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_terms"),
+        F.round(F.sum("kl_term").cast("double"), 6).alias("kl_nats"),
+    )
+
+
 def dsir_sample(
     docs: DataFrame,
     target: DataFrame,

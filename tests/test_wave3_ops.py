@@ -1,0 +1,169 @@
+"""Property gates for the r5 third-wave operators: PMI collocations,
+per-domain KL divergence, and length-bucketed batch planning."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from faiss_vector_search_spark.operators import chunking, lexical, lm
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], "doc_id bigint, text string"
+    )
+
+
+class TestPmiCollocations:
+    def test_planted_collocation_ranks_first(self, spark):
+        # "san francisco" always adjacent; "the"/"cat" frequent but
+        # independent -> the planted phrase wins on PMI
+        corpus = ["san francisco is large the cat sat"] * 6 + [
+            "the dog sat on a mat",
+            "cat and dog see the bird",
+            "a cat sat near the dog",
+        ]
+        top = lexical.pmi_collocations(
+            _docs(spark, corpus), min_count=3, top_n=5
+        ).collect()
+        # the repeated doc makes every within-doc adjacency equally
+        # strong ("is large" ties) -- the planted pair must sit in the
+        # max-PMI tier, and the independent frequent pair must not
+        best = max(r["pmi"] for r in top)
+        tier = {(r["term_a"], r["term_b"]) for r in top if r["pmi"] == best}
+        assert ("san", "francisco") in tier
+        assert ("the", "cat") not in tier
+
+    def test_exact_pmi_math(self, spark):
+        # one doc "a b a b": unigrams a:2 b:2 (N_uni=4);
+        # bigrams (a,b):2 (b,a):1 (N_bi=3)
+        out = {
+            (r["term_a"], r["term_b"]): r
+            for r in lexical.pmi_collocations(
+                _docs(spark, ["a b a b"]), min_count=1, top_n=10
+            ).collect()
+        }
+        ab = out[("a", "b")]
+        assert ab["n_pair"] == 2
+        expected = math.log((2 / 3) / ((2 / 4) * (2 / 4)))
+        assert abs(ab["pmi"] - round(expected, 6)) < 1e-9
+
+    def test_min_count_floor(self, spark):
+        out = lexical.pmi_collocations(
+            _docs(spark, ["x y", "p q p q p q"]), min_count=2, top_n=10
+        ).collect()
+        pairs = {(r["term_a"], r["term_b"]) for r in out}
+        assert ("x", "y") not in pairs  # support 1 < floor
+        assert ("p", "q") in pairs
+
+    def test_candidate_joins_broadcast(self, spark, sf_small):
+        from faiss_vector_search_spark import io as fio
+
+        plan = lexical.pmi_collocations(
+            fio.load_table(spark, sf_small, "documents")
+        )._jdf.queryExecution().executedPlan().toString()
+        # both unigram lookups run as broadcast joins of the candidate
+        # side -- the vocab table is never shuffle-joined
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "SortMergeJoin" not in plan
+
+
+class TestDomainKl:
+    def test_identical_distribution_zero_kl(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c", "s1"), (2, "a b c", "s2")],
+            "doc_id bigint, text string, source string",
+        )
+        out = {r["source"]: r for r in lm.domain_kl_report(df).collect()}
+        assert out["s1"]["kl_nats"] == 0.0
+        assert out["s2"]["kl_nats"] == 0.0
+
+    def test_divergent_source_scores_higher_and_exact(self, spark):
+        # s1: 4x"a"; s2: 2x"a" 2x"b". corpus: a:6 b:2 (N=8)
+        df = spark.createDataFrame(
+            [(1, "a a a a", "s1"), (2, "a a b b", "s2")],
+            "doc_id bigint, text string, source string",
+        )
+        out = {r["source"]: r for r in lm.domain_kl_report(df).collect()}
+        # hand: s1 p(a)=1, q(a)=6/8 -> KL = ln(8/6)
+        exp1 = round(round(1.0 * math.log(1.0 / (6 / 8)), 8), 6)
+        # s2: .5*ln(.5/(6/8)) + .5*ln(.5/(2/8))
+        exp2 = round(
+            round(0.5 * math.log(0.5 / (6 / 8)), 8)
+            + round(0.5 * math.log(0.5 / (2 / 8)), 8),
+            6,
+        )
+        assert abs(out["s1"]["kl_nats"] - exp1) < 1e-9
+        assert abs(out["s2"]["kl_nats"] - exp2) < 1e-9
+        # s1 (pure "a") diverges more from the 75/25 corpus than s2
+        # (50/50, which still overlaps the corpus everywhere)
+        assert out["s1"]["kl_nats"] > out["s2"]["kl_nats"]
+        assert out["s1"]["n_tokens"] == 4 and out["s2"]["n_tokens"] == 4
+
+    def test_one_corpus_scan(self, spark, sf_small):
+        from faiss_vector_search_spark import io as fio
+
+        df = lm.domain_kl_report(fio.load_table(spark, sf_small, "documents"))
+        df.collect()  # AQE: reuse decisions land in the final plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # AQE's toString appends the pre-execution "Initial Plan"
+        # snapshot -- gate only the final plan section
+        final = plan.split("Initial Plan")[0]
+        # totals attach as windows / a ReusedExchange branch: the
+        # documents parquet is scanned once at runtime
+        assert final.count("Scan parquet") == 1
+        assert "ReusedExchange" in final
+
+
+class TestLengthBatches:
+    @pytest.fixture(scope="class")
+    def plan_df(self, spark, sf_small):
+        from faiss_vector_search_spark import io as fio
+
+        docs = fio.load_table(spark, sf_small, "documents")
+        out = chunking.length_bucket_batches(
+            docs, batch_size=8, bucket_width=64, n_shards=4
+        )
+        return docs, out.collect()
+
+    def test_batch_invariants(self, plan_df):
+        docs, rows = plan_df
+        assert rows
+        for r in rows:
+            assert 1 <= r["n_docs"] <= 8
+            assert r["padding"] == r["n_docs"] * r["max_tokens"] - r["sum_tokens"]
+            assert r["padding"] >= 0
+            # bucket bound: every member (so the max too) lies in
+            # [bucket*64, bucket*64+63]
+            assert r["bucket"] * 64 <= r["max_tokens"] < (r["bucket"] + 1) * 64
+        assert sum(r["n_docs"] for r in rows) == docs.count()
+
+    def test_bucketing_caps_waste(self, plan_df):
+        _docs_, rows = plan_df
+        # pad-to-batch-max within a 64-wide bucket wastes < 64 tokens
+        # per doc by construction
+        for r in rows:
+            assert (r["max_tokens"] * r["n_docs"] - r["sum_tokens"]) < 64 * r[
+                "n_docs"
+            ]
+
+    def test_deterministic(self, spark, sf_small):
+        from faiss_vector_search_spark import io as fio
+
+        docs = fio.load_table(spark, sf_small, "documents")
+        a = sorted(
+            map(
+                tuple,
+                chunking.length_bucket_batches(docs, 8, 64, 4).collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                chunking.length_bucket_batches(docs, 8, 64, 4).collect(),
+            )
+        )
+        assert a == b
