@@ -708,6 +708,31 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: per-anchor top-5 most-similar vectors
+    with a DIFFERENT label — the contrastive-training negatives."""
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    return knn.hard_negatives(emb, anchors, k=5)
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style quality classifier scoring with the committed
+    model (models/quality_lr.json — gopher_rules distilled at sf0.01,
+    0.82 in-sample agreement): hashed-BoW + shape features, zero-
+    shuffle in-row logit."""
+    from faiss_vector_search_spark.operators import classifier
+
+    return classifier.score_quality_classifier(
+        _t(spark, sf_dir, "documents"), classifier.load_model(),
+        hash_fn="md5",
+    )
+
+
 def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 adjacent-bigram collocations by PMI (support floor 5) —
     the statistical phrase detector of a tokenizer-prep pipeline."""
@@ -3368,6 +3393,61 @@ SELECT doc_id, MIN(pos) AS span_start, CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
 FROM rep GROUP BY doc_id, pos - rn
 """
 
+def _quality_lr_oracle() -> str:
+    from faiss_vector_search_spark.operators.classifier import load_model
+
+    m = load_model()
+    units = "[" + ", ".join(str(int(u)) for u in m["units"]) + "]"
+    k = int(m["n_buckets"])
+    bias, w_len, w_mwl = (
+        repr(float(m["bias"])), repr(float(m["w_len"])), repr(float(m["w_mwl"]))
+    )
+    return f"""
+WITH t AS (SELECT doc_id, coalesce({_TOKS}, []) AS toks FROM documents),
+base AS (SELECT doc_id, len(toks)::BIGINT AS n FROM t),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM t WHERE len(toks) > 0),
+sums AS (
+  SELECT doc_id,
+         sum({units}[({_md5i("'s37:' || tok")} % {k}) + 1]) AS usum,
+         sum(len(tok)) AS sum_len
+  FROM tok GROUP BY 1
+),
+scored AS (
+  SELECT b.doc_id, b.n AS n_tokens,
+         CASE WHEN b.n = 0 THEN ROUND({bias}, 6)
+              ELSE ROUND({bias}
+                         + (s.usum::DOUBLE / 100000000.0) / b.n
+                         + {w_len} * (ln(b.n::DOUBLE + 1.0) / 10.0)
+                         + {w_mwl} * ((s.sum_len::DOUBLE / b.n) / 10.0), 6)
+         END AS logit
+  FROM base b LEFT JOIN sums s USING (doc_id)
+)
+SELECT doc_id, n_tokens, logit, (logit > 0) AS keep FROM scored
+"""
+
+
+ORACLES["quality_classifier"] = _quality_lr_oracle()
+
+ORACLES["hard_negatives"] = """
+WITH a AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS qlab
+  FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+  SELECT a.query_id, e.vec_id,
+         ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), a.qv), 6) AS score
+  FROM embeddings e, a WHERE e.label <> a.qlab
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
 ORACLES["pmi_collocations"] = f"""
 WITH t AS (SELECT {_TOKS} AS toks FROM documents),
 uni AS (
@@ -3461,6 +3541,26 @@ def q_diversified_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"),
         "batch window vector hash fast stream",
         k=5, per_source_cap=2, pool=20,
+    )
+
+
+_LEXIDX_PATHS: dict[str, str] = {}
+
+
+def q_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 against the persisted inverted index (search-as-a-service;
+    build amortized outside the query). Rows-only: byte-equality with
+    batch bm25_search is pytest-gated (tests/test_lexindex.py) — the
+    persisted-store path itself has no DuckDB twin."""
+    import tempfile
+
+    if sf_dir not in _LEXIDX_PATHS:
+        path = tempfile.mkdtemp(prefix="fvs_lexidx_entry_") + "/idx"
+        lexical.lexical_index_save(_t(spark, sf_dir, "documents"), path)
+        _LEXIDX_PATHS[sf_dir] = path
+    return lexical.bm25_index_search(
+        spark, _LEXIDX_PATHS[sf_dir], "batch window vector hash fast stream",
+        k=10,
     )
 
 
@@ -3632,11 +3732,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # min_cost_supplier, important_parts, ship_delay_priority, excess_parts)
     # sit at positions 51-55 — freshest green, first to rotate back in r6.
     # r1-r4 union of driver-green oracle-gated keys: 105/105 (+2 new in r5).
-    # Third-wave r5 additions (pmi_collocations / domain_kl /
-    # length_batches) are never-green, so they lead; the 3 r2-green
-    # keys they displace (events_range_join / events_sessionize /
-    # events_tumbling) move to the head of the 51+ backfill region.
+    # Third-wave r5 additions (hard_negatives / quality_classifier /
+    # pmi_collocations / domain_kl / length_batches) are never-green,
+    # so they lead; the 5 r2-green keys they displace
+    # (events_asof_join / order_priority_check / events_range_join /
+    # events_sessionize / events_tumbling) move to the head of the
+    # 51+ backfill region.
     return {
+        "hard_negatives": q_hard_negatives,
+        "quality_classifier": q_quality_classifier,
         "pmi_collocations": q_pmi_collocations,
         "domain_kl": q_domain_kl,
         "length_batches": q_length_batches,
@@ -3682,8 +3786,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_revenue_share": q_part_revenue_share,
         "shipping_priority": q_shipping_priority,
         "regional_supplier_volume": q_regional_supplier_volume,
-        "order_priority_check": q_order_priority_check,
-        "events_asof_join": q_events_asof_join,
         "bigram_lm_score": q_bigram_lm_score,
         "char_entropy": q_char_entropy,
         "corpus_profile": q_corpus_profile,
@@ -3692,6 +3794,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "important_parts": q_important_parts,
         "ship_delay_priority": q_ship_delay_priority,
         "excess_parts": q_excess_parts,
+        "events_asof_join": q_events_asof_join,
+        "order_priority_check": q_order_priority_check,
         "events_range_join": q_events_range_join,
         "events_sessionize": q_events_sessionize,
         "events_tumbling": q_events_tumbling,
@@ -3772,6 +3876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nprobe_recall_curve": q_nprobe_recall_curve,
         "multimodal_decode": q_multimodal_decode,
         "docx_ingest": q_docx_ingest,
+        "bm25_index_search": q_bm25_index_search,
     }
 
 

@@ -462,6 +462,11 @@ def main() -> None:
         "near_search": qs["near_search"],
         "corpus_profile": qs["corpus_profile"],
         # r5 third wave
+        # committed-model profile (md5 features — the model was
+        # trained with md5 so the hash must match; a production
+        # deployment trains its own xxhash64 model, same plan shape)
+        "quality_classifier": qs["quality_classifier"],
+        "hard_negatives": qs["hard_negatives"],
         "pmi_collocations": qs["pmi_collocations"],
         "domain_kl": qs["domain_kl"],
         # production hash profile (xxhash64); qs key keeps md5 for the
@@ -470,6 +475,9 @@ def main() -> None:
             fio.load_table(spark, sf, "documents"),
             batch_size=32, bucket_width=64, n_shards=8, hash_fn="xxhash64",
         ),
+        # search-as-a-service probe (build amortized, same posture as
+        # neardup_index_query / ivf_search_persisted)
+        "bm25_index_search": qs["bm25_index_search"],
     }
 
     # Scaling-sweep knobs (default: off — the driver's per-round run

@@ -1,0 +1,229 @@
+"""Linear quality classifier over hashed bag-of-words features — the
+fastText-style model-based filter (Joulin et al. 2017; the
+LLaMA/DataComp "quality classifier" curation stage) that replaces
+hand-tuned rules with a trained gate. The standard deployment distills
+an expensive signal (human labels, GPT judgments, or — as the
+committed model does — the Gopher rule set) into a classifier cheap
+enough to run over the whole crawl.
+
+Features per document: L1-normalized hashed-bucket counts (the
+fastText mean-pooling shape) plus two in-row shape features a pure
+BoW cannot express — ln(n_tokens+1)/10 and mean-word-length/10 —
+without which the word-count/word-length Gopher rules are
+unlearnable (measured: 0.70 → 0.82 in-sample agreement).
+
+Architecture split (the standing driver-held-model posture, like
+centroids/codebooks/BPE merges):
+
+- TRAIN: features assemble DISTRIBUTED (token explode → hashed-bucket
+  counts, one map-side-combinable groupBy; the shape features are
+  exact integer folds), a bounded id-stride sample collects to the
+  driver, and IRLS/Newton logistic regression runs in numpy —
+  deterministic (zero init, fixed 50 iterations, ridge-damped exact
+  solves; plain GD stalled at 0.72 against IRLS's 0.82 optimum,
+  measured). Per-feature standardization folds back into the returned
+  weights, so the model applies to RAW features.
+- SCORE: a ZERO-SHUFFLE in-row projection. Bucket weights fold into
+  the plan as an integer-unit (1e-8) array literal; each doc's logit
+  accumulates LONGS over its staged token array — exact, bit-identical
+  to the DuckDB oracle's bucket-sum, overflow-safe to ~1e7-token docs
+  (|w| ≤ ~100 → 1e10 units/token ≪ 2^63). The only float ops are a
+  fixed-order chain of one division + two multiplies + three adds per
+  document.
+
+Scale: scoring runs at scan speed on 100 TB (no explode, no join, no
+shuffle — the gopher_rules posture); training cost is bounded by
+``train_sample`` regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hashed
+from ..functions.text import tokens
+
+UNIT_DECIMALS = 8
+UNITS = 10**UNIT_DECIMALS
+FEATURE_SEED = 37
+
+
+def _bucket(tok_col, n_buckets: int, hash_fn: str):
+    return F.pmod(hashed(tok_col, seed=FEATURE_SEED, hash_fn=hash_fn),
+                  F.lit(n_buckets))
+
+
+def _doc_features(docs, labels, n_buckets, id_col, text_col, label_col,
+                  hash_fn):
+    """(id, y, n_tok, sum_len, bucket, c) rows: one explode, one
+    map-side-combinable groupBy; sum_len is an exact integer fold."""
+    return (
+        docs.join(labels.select(id_col, label_col), id_col)
+        .select(
+            F.col(id_col),
+            F.col(label_col).cast("double").alias("y"),
+            tokens(F.col(text_col)).alias("_toks"),
+        )
+        .where(F.size("_toks") > 0)
+        .select(
+            F.col(id_col),
+            F.col("y"),
+            F.size("_toks").alias("n_tok"),
+            F.aggregate(
+                F.transform("_toks", lambda t: F.length(t).cast("bigint")),
+                F.lit(0).cast("bigint"),
+                lambda a, x: a + x,
+            ).alias("sum_len"),
+            F.explode("_toks").alias("tok"),
+        )
+        .groupBy(
+            id_col, "y", "n_tok", "sum_len",
+            _bucket(F.col("tok"), n_buckets, hash_fn).alias("b"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def train_quality_classifier(
+    docs: DataFrame,
+    labels: DataFrame,
+    n_buckets: int = 64,
+    train_sample: int = 10_000,
+    iters: int = 50,
+    ridge: float = 1e-6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "label",
+    hash_fn: str = "xxhash64",
+) -> dict:
+    """Train the logistic model on (docs ⋈ labels); ``labels`` carries
+    (id_col, label_col ∈ {0,1}). Returns
+    ``{"n_buckets", "seed", "units": [int], "w_len", "w_mwl", "bias"}``
+    — bucket weights in 1e-8 units, shape-feature weights as floats —
+    ready for :func:`score_quality_classifier` or json-commit.
+
+    The id-stride sample cap uses ceiling division (the pq.py:131
+    contract: the cap is never a silent no-op). Docs with zero tokens
+    carry no signal and are dropped from training."""
+    import numpy as np
+
+    n = docs.count()
+    corpus = docs
+    if n > train_sample:
+        stride = max(1, -(-n // train_sample))
+        corpus = corpus.where(F.col(id_col) % stride == 0)
+    rows = _doc_features(
+        corpus, labels, n_buckets, id_col, text_col, label_col, hash_fn
+    ).collect()
+    if not rows:
+        raise ValueError("no labeled training docs with tokens")
+    ids = sorted({r[id_col] for r in rows})
+    idx = {d: i for i, d in enumerate(ids)}
+    X = np.zeros((len(ids), n_buckets + 2))
+    y = np.zeros(len(ids))
+    for r in rows:
+        i = idx[r[id_col]]
+        X[i, int(r["b"])] = r["c"] / r["n_tok"]
+        X[i, n_buckets] = np.log(r["n_tok"] + 1.0) / 10.0
+        X[i, n_buckets + 1] = (r["sum_len"] / r["n_tok"]) / 10.0
+        y[i] = r["y"]
+    scale = np.maximum(X.std(axis=0), 1e-8)
+    Z = np.hstack([X / scale, np.ones((len(y), 1))])
+    beta = np.zeros(Z.shape[1])
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-np.clip(Z @ beta, -500, 500)))
+        w_irls = p * (1.0 - p) + 1e-6
+        h = Z.T @ (Z * w_irls[:, None]) / len(y) + ridge * np.eye(Z.shape[1])
+        g = Z.T @ (p - y) / len(y) + ridge * beta
+        beta -= np.linalg.solve(h, g)
+    w_raw = beta[:-1] / scale
+    return {
+        "n_buckets": n_buckets,
+        "seed": FEATURE_SEED,
+        "units": [int(round(v * UNITS)) for v in w_raw[:n_buckets]],
+        "w_len": float(w_raw[n_buckets]),
+        "w_mwl": float(w_raw[n_buckets + 1]),
+        "bias": float(beta[-1]),
+    }
+
+
+def score_quality_classifier(
+    docs: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Score every document under a trained model:
+    logit = bias + mean_t w[bucket(t)] + w_len·ln(n+1)/10
+    + w_mwl·(sum_len/n)/10. Returns (id, n_tokens, logit,
+    keep = logit > 0). Zero-token docs score the bare bias (a real
+    pipeline rejects them elsewhere; they are not dropped here).
+
+    ``hash_fn`` must match training: ``"xxhash64"`` production,
+    ``"md5"`` for the cross-engine oracle profile. Both integer folds
+    (bucket units, token lengths) are exact; the float chain has a
+    fixed operation order replicated by the oracle SQL."""
+    k = int(model["n_buckets"])
+    units = F.array(*[F.lit(int(u)).cast("bigint") for u in model["units"]])
+    bias = float(model["bias"])
+    w_len = float(model["w_len"])
+    w_mwl = float(model["w_mwl"])
+    staged = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    )
+    toks = F.col("_toks")
+    usum = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc
+        + F.element_at(units, (_bucket(t, k, hash_fn) + 1).cast("int")),
+    )
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    n_tok = F.coalesce(F.size(toks).cast("bigint"), F.lit(0))
+    nd = n_tok.cast("double")
+    logit = F.when(n_tok == 0, F.round(F.lit(bias), 6)).otherwise(
+        F.round(
+            F.lit(bias)
+            + (usum.cast("double") / F.lit(float(UNITS))) / nd
+            + F.lit(w_len) * (F.log(nd + F.lit(1.0)) / F.lit(10.0))
+            + F.lit(w_mwl) * ((sum_len.cast("double") / nd) / F.lit(10.0)),
+            6,
+        )
+    )
+    # logit STAGES before keep derives from it: the aggregate folds are
+    # interpreted HOFs with no CSE, so referencing the expression twice
+    # in one projection would run both folds twice per row (the
+    # phrase_search staging lesson)
+    scored = staged.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        logit.alias("logit"),
+    )
+    return scored.select(
+        F.col(id_col),
+        "n_tokens",
+        "logit",
+        (F.col("logit") > 0).alias("keep"),
+    )
+
+
+def load_model(path: str | None = None) -> dict:
+    """Load a committed model json (default: the repo's
+    models/quality_lr.json, distilled from gopher_rules at sf0.01 by
+    scripts/train_quality_lr.py — deterministic, reproducible)."""
+    import json
+    import os
+
+    if path is None:
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "models", "quality_lr.json",
+        )
+    with open(path) as f:
+        return json.load(f)

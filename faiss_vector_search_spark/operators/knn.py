@@ -341,3 +341,55 @@ def dynamic_threshold_progression(
         )
         .orderBy(F.col("threshold").desc())
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    metric: str = "ip",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    query_label_col: str = "query_label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: for
+    each anchor, the top-k most-similar corpus vectors with a
+    DIFFERENT label — the negatives that actually move a contrastive
+    loss (random negatives are trivially separable; the hardest
+    same-looking/different-class pairs carry the gradient signal).
+
+    Same plan shape as :func:`topk_join` (broadcast anchors over one
+    corpus scan, per-anchor window) with the label-mismatch predicate
+    applied BEFORE the rank window — filtering after ranking would
+    return fewer than k negatives whenever same-label rows crowd the
+    top. The anchor row itself shares its own label, so it can never
+    be its own negative. At 100 TB: anchors cap per pass (like
+    topk_join's Q), the corpus scans once, and only (anchor, id,
+    score) triples shuffle for the window.
+    """
+    a = F.broadcast(
+        anchors.select(query_id_col, query_vec_col, query_label_col)
+    )
+    scored = (
+        corpus.crossJoin(a)
+        .where(F.col(label_col) != F.col(query_label_col))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.round(
+                _score_col(metric, F.col(vec_col), F.col(query_vec_col)),
+                SCORE_DECIMALS,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", F.col("rank").cast("int").alias("rank"))
+    )

@@ -457,3 +457,187 @@ def near_search(
         .limit(k)
         .where(F.col("n_pairs") > 0)
     )
+
+
+# --- persisted inverted index (search-as-a-service) ---------------------
+
+LEX_BUCKETS = 64
+LEX_SEED = 41
+
+
+def _staged_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, _toks, dl) with empty docs dropped — the bm25_search
+    staging, shared so the index path scores byte-identically."""
+    return docs.select(
+        F.col(id_col),
+        F.coalesce(
+            tokens(F.col(text_col)), F.array().cast("array<string>")
+        ).alias("_toks"),
+    ).select(
+        F.col(id_col), F.col("_toks"), F.size("_toks").alias("dl")
+    ).where(F.col("dl") > 0)
+
+
+def _term_bucket(term_col, hash_fn: str):
+    from ..functions.hashing import hashed
+
+    return F.pmod(hashed(term_col, seed=LEX_SEED, hash_fn=hash_fn),
+                  F.lit(LEX_BUCKETS))
+
+
+def lexical_index_save(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+) -> None:
+    """Persist an inverted index — search-as-a-service, the lexical
+    twin of dedup.neardup_index_save: future queries score BM25
+    against the corpus WITHOUT scanning it.
+
+    Layout (the IVF posting-list idea applied to terms):
+    - ``{path}/postings``: (term, id, tf, dl) partitioned by
+      ``tb = hash(term) % 64`` — a term's postings live entirely in
+      one partition, so a query's scan prunes to ≤ |query terms|
+      of the 64 directories AND df(term) is exact from the pruned
+      scan alone (no separate df table to keep consistent);
+    - ``{path}/_meta``: (n_docs, sum_dl, hash_fn) — the BM25 globals,
+      pinned so probes can never mix hash spaces.
+    """
+    tokd = _staged_tokens(docs, id_col, text_col)
+    postings = (
+        tokd.select(F.col(id_col), F.col("dl"), F.explode("_toks").alias("term"))
+        .groupBy(id_col, "term", "dl")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("tb", _term_bucket(F.col("term"), hash_fn))
+    )
+    postings.write.mode("overwrite").partitionBy("tb").parquet(
+        f"{path}/postings"
+    )
+    stats = tokd.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).select(
+        F.col("n_docs").cast("bigint"),
+        F.col("sum_dl").cast("bigint"),
+        F.lit(hash_fn).alias("hash_fn"),
+    )
+    stats.write.mode("overwrite").parquet(f"{path}/_meta")
+
+
+def lexical_index_append(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incrementally add NEW documents (ids not already indexed — the
+    add_documents contract) to a persisted inverted index: posting
+    rows append as new files (existing files never rewritten, the
+    lifecycle.ivf_append posture), and ``_meta`` updates to the summed
+    globals so BM25's N/avgdl stay exact."""
+    spark = docs.sparkSession
+    meta = spark.read.parquet(f"{path}/_meta").first()
+    tokd = _staged_tokens(docs, id_col, text_col)
+    postings = (
+        tokd.select(F.col(id_col), F.col("dl"), F.explode("_toks").alias("term"))
+        .groupBy(id_col, "term", "dl")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("tb", _term_bucket(F.col("term"), meta.hash_fn))
+    )
+    postings.write.mode("append").partitionBy("tb").parquet(
+        f"{path}/postings"
+    )
+    batch = tokd.agg(
+        F.count("*").alias("bn"), F.sum("dl").alias("bs")
+    ).first()
+    spark.createDataFrame(
+        [(int(meta.n_docs) + int(batch.bn or 0),
+          int(meta.sum_dl) + int(batch.bs or 0),
+          meta.hash_fn)],
+        "n_docs bigint, sum_dl bigint, hash_fn string",
+    ).write.mode("overwrite").parquet(f"{path}/_meta")
+
+
+def bm25_index_search(
+    spark,
+    path: str,
+    query_text: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k against a persisted inverted index — byte-identical
+    scores to :func:`bm25_search` over the same corpus (same exact
+    integer tf/df/dl/N, same sorted contribution fold), but the
+    query-time cost is proportional to the QUERY TERMS' posting lists:
+    PartitionFilters prune the postings scan to the probed term
+    buckets and a pushed ``term IN (...)`` filter cuts within them.
+    The corpus text is never read."""
+    meta = spark.read.parquet(f"{path}/_meta").first()
+    q_terms = sorted(
+        {
+            t
+            for t in spark.createDataFrame([(query_text,)], "q string")
+            .select(F.explode(tokens(F.col("q"))).alias("t"))
+            .toPandas()["t"]
+        }
+    )
+    if not q_terms:
+        raise ValueError("empty query")
+    buckets = sorted(
+        {
+            int(r.tb)
+            for r in spark.createDataFrame([(t,) for t in q_terms], "term string")
+            .select(_term_bucket(F.col("term"), meta.hash_fn).alias("tb"))
+            .collect()
+        }
+    )
+    pred = F.col("tb").isin(buckets) & F.col("term").isin(q_terms)
+    tf = spark.read.parquet(f"{path}/postings").where(pred)
+    df_ = F.broadcast(
+        tf.groupBy("term").agg(F.count_distinct(F.col(id_col)).alias("df"))
+    )
+    contrib = tf.join(df_, "term").select(
+        F.col(id_col),
+        F.col("term"),
+        (
+            F.log(
+                1.0
+                + (F.lit(int(meta.n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            )
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1
+                * (
+                    1.0
+                    - b
+                    + b
+                    * F.col("dl")
+                    / (
+                        F.lit(int(meta.sum_dl)).cast("double")
+                        / F.lit(int(meta.n_docs)).cast("double")
+                    )
+                )
+            )
+        ).alias("c"),
+    )
+    scored = (
+        contrib.groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("term", "c"))).alias("cs")
+        )
+        .select(
+            F.col(id_col),
+            F.round(
+                F.aggregate(
+                    F.col("cs"), F.lit(0.0), lambda acc, x: acc + x["c"]
+                ),
+                SCORE_DECIMALS,
+            ).alias("score"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

@@ -1,0 +1,93 @@
+"""Persisted inverted-index gates: probe == batch BM25 byte-identical,
+partition-pruned postings scan, append-only file behavior."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from faiss_vector_search_spark import io as fio
+from faiss_vector_search_spark.operators import lexical
+
+QUERY = "batch window vector hash fast stream"
+
+
+@pytest.fixture(scope="module")
+def built(spark, sf_small):
+    docs = fio.load_table(spark, sf_small, "documents")
+    path = os.path.join(tempfile.mkdtemp(prefix="fvs_lexidx_"), "idx")
+    lexical.lexical_index_save(docs, path)
+    return docs, path
+
+
+def _files(root):
+    out = {}
+    for dirpath, _dirs, names in os.walk(root):
+        for n in names:
+            if n.endswith(".parquet"):
+                p = os.path.join(dirpath, n)
+                out[p] = os.path.getsize(p)
+    return out
+
+
+class TestProbe:
+    def test_matches_batch_bm25_exactly(self, spark, built):
+        docs, path = built
+        direct = lexical.bm25_search(docs, QUERY, k=10).collect()
+        probed = lexical.bm25_index_search(spark, path, QUERY, k=10).collect()
+        # byte-identical scores: same exact tf/df/dl/N integers, same
+        # sorted contribution fold
+        assert [(r["doc_id"], r["score"]) for r in direct] == [
+            (r["doc_id"], r["score"]) for r in probed
+        ]
+
+    def test_partition_pruning_and_pushed_terms(self, spark, built):
+        _docs, path = built
+        df = lexical.bm25_index_search(spark, path, QUERY, k=10)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        scan = next(
+            ln for ln in plan.splitlines()
+            if "Scan parquet" in ln and "postings" in ln
+        )
+        assert "PartitionFilters: [" in scan
+        # tb is a partition column with an isin predicate
+        assert "tb" in scan.split("PartitionFilters:")[1][:200]
+        assert "PushedFilters:" in scan and "In(term" in scan
+
+    def test_disjoint_query_empty_and_blank_raises(self, spark, built):
+        _docs, path = built
+        assert (
+            lexical.bm25_index_search(
+                spark, path, "zzzzqqqq wwwwvvvv", k=5
+            ).count()
+            == 0
+        )
+        with pytest.raises(ValueError):
+            lexical.bm25_index_search(spark, path, "   ", k=5)
+
+
+class TestAppend:
+    def test_append_updates_results_and_keeps_files(self, spark, sf_small):
+        docs = fio.load_table(spark, sf_small, "documents")
+        half_a = docs.where(F.col("doc_id") % 2 == 0)
+        half_b = docs.where(F.col("doc_id") % 2 == 1)
+        path = os.path.join(tempfile.mkdtemp(prefix="fvs_lexidx_"), "idx")
+        lexical.lexical_index_save(half_a, path)
+        before = _files(f"{path}/postings")
+        lexical.lexical_index_append(half_b, path)
+        after = _files(f"{path}/postings")
+        # append-only: every pre-existing posting file survives
+        # byte-stable; new files appear
+        for p, size in before.items():
+            assert after.get(p) == size
+        assert len(after) > len(before)
+        # the probed index now equals batch BM25 over the FULL corpus
+        # (meta N/sum_dl updated exactly)
+        direct = lexical.bm25_search(docs, QUERY, k=10).collect()
+        probed = lexical.bm25_index_search(spark, path, QUERY, k=10).collect()
+        assert [(r["doc_id"], r["score"]) for r in direct] == [
+            (r["doc_id"], r["score"]) for r in probed
+        ]

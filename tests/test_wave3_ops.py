@@ -167,3 +167,49 @@ class TestLengthBatches:
             )
         )
         assert a == b
+
+
+class TestHardNegatives:
+    def test_label_mismatch_and_k(self, spark):
+        from faiss_vector_search_spark.operators import knn
+
+        # 3 clusters by label; anchor in label 0
+        rows = [
+            (0, [1.0, 0.0], 0), (1, [0.99, 0.1], 0), (2, [0.98, 0.2], 0),
+            (3, [0.9, 0.4], 1), (4, [0.8, 0.6], 1),
+            (5, [0.0, 1.0], 2), (6, [0.1, 0.9], 2),
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>, label int"
+        )
+        anchors = emb.where(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+            F.col("label").alias("query_label"),
+        )
+        out = knn.hard_negatives(emb, anchors, k=3).collect()
+        got = [(r["vec_id"], r["rank"]) for r in out]
+        # nearest DIFFERENT-label rows: 3 (0.9), 4 (0.8), then 6 (0.1)
+        assert got == [(3, 1), (4, 2), (6, 3)]
+        labels = {r[0]: r[2] for r in rows}
+        assert all(labels[v] != 0 for v, _ in got)
+
+    def test_filter_before_rank_window(self, spark):
+        """Same-label rows crowding the top must not eat rank slots:
+        k negatives return even when the k nearest overall share the
+        anchor's label."""
+        from faiss_vector_search_spark.operators import knn
+
+        rows = [(i, [1.0 - 0.01 * i, 0.01 * i], 0) for i in range(5)] + [
+            (10, [0.5, 0.5], 1), (11, [0.4, 0.6], 1)
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>, label int"
+        )
+        anchors = emb.where(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+            F.col("label").alias("query_label"),
+        )
+        out = knn.hard_negatives(emb, anchors, k=2).collect()
+        assert [(r["vec_id"], r["rank"]) for r in out] == [(10, 1), (11, 2)]
