@@ -708,6 +708,15 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling: maximal md5-prefix of each
+    domain under its token cap (600/900/300 for src0/src1/src2)."""
+    return textstats.token_budget_sample(
+        _t(spark, sf_dir, "documents"),
+        {"src0": 600, "src1": 900, "src2": 300},
+    )
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining: per-anchor top-5 most-similar vectors
     with a DIFFERENT label — the contrastive-training negatives."""
@@ -3428,6 +3437,25 @@ SELECT doc_id, n_tokens, logit, (logit > 0) AS keep FROM scored
 
 ORACLES["quality_classifier"] = _quality_lr_oracle()
 
+ORACLES["token_budget_sample"] = f"""
+WITH sized AS (
+  SELECT doc_id, source,
+         coalesce(len({_TOKS}), 0)::BIGINT AS n_tokens,
+         (CASE source WHEN 'src0' THEN 600 WHEN 'src1' THEN 900
+                      WHEN 'src2' THEN 300 END)::BIGINT AS budget
+  FROM documents WHERE source IN ('src0', 'src1', 'src2')
+),
+r AS (
+  SELECT doc_id, source, n_tokens, budget,
+         sum(n_tokens) OVER (PARTITION BY source
+                             ORDER BY {_md5i("doc_id::VARCHAR")} ASC,
+                                      doc_id ASC) AS running
+  FROM sized
+)
+SELECT doc_id, source, n_tokens, CAST(running AS BIGINT) AS running
+FROM r WHERE running <= budget
+"""
+
 ORACLES["hard_negatives"] = """
 WITH a AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS qlab
@@ -3732,13 +3760,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # min_cost_supplier, important_parts, ship_delay_priority, excess_parts)
     # sit at positions 51-55 — freshest green, first to rotate back in r6.
     # r1-r4 union of driver-green oracle-gated keys: 105/105 (+2 new in r5).
-    # Third-wave r5 additions (hard_negatives / quality_classifier /
-    # pmi_collocations / domain_kl / length_batches) are never-green,
-    # so they lead; the 5 r2-green keys they displace
-    # (events_asof_join / order_priority_check / events_range_join /
-    # events_sessionize / events_tumbling) move to the head of the
-    # 51+ backfill region.
+    # Third-wave r5 additions (token_budget_sample / hard_negatives /
+    # quality_classifier / pmi_collocations / domain_kl /
+    # length_batches) are never-green, so they lead; the 6 r2-green
+    # keys they displace (regional_supplier_volume / events_asof_join /
+    # order_priority_check / events_range_join / events_sessionize /
+    # events_tumbling) move to the head of the 51+ backfill region.
     return {
+        "token_budget_sample": q_token_budget_sample,
         "hard_negatives": q_hard_negatives,
         "quality_classifier": q_quality_classifier,
         "pmi_collocations": q_pmi_collocations,
@@ -3785,7 +3814,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers_by_nation": q_top_customers_by_nation,
         "part_revenue_share": q_part_revenue_share,
         "shipping_priority": q_shipping_priority,
-        "regional_supplier_volume": q_regional_supplier_volume,
         "bigram_lm_score": q_bigram_lm_score,
         "char_entropy": q_char_entropy,
         "corpus_profile": q_corpus_profile,
@@ -3794,6 +3822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "important_parts": q_important_parts,
         "ship_delay_priority": q_ship_delay_priority,
         "excess_parts": q_excess_parts,
+        "regional_supplier_volume": q_regional_supplier_volume,
         "events_asof_join": q_events_asof_join,
         "order_priority_check": q_order_priority_check,
         "events_range_join": q_events_range_join,

@@ -467,6 +467,7 @@ def main() -> None:
         # deployment trains its own xxhash64 model, same plan shape)
         "quality_classifier": qs["quality_classifier"],
         "hard_negatives": qs["hard_negatives"],
+        "token_budget_sample": qs["token_budget_sample"],
         "pmi_collocations": qs["pmi_collocations"],
         "domain_kl": qs["domain_kl"],
         # production hash profile (xxhash64); qs key keeps md5 for the

@@ -46,8 +46,12 @@ def recall_report(
     engine: str = "sql",
     pq_train_sample: int | None = None,
     include_opq: bool = False,
+    include_residual: bool = False,
 ) -> DataFrame:
     """Recall@k per tier, averaged over the query sample.
+    ``include_residual=True`` adds the ivfpq_residual rung (FAISS
+    IndexIVFPQ's default encoding: codebooks trained on x − c_list,
+    search adds the ⟨c_list, q⟩ constant back per probed list).
 
     Tiers: flat exact (= 1.0 control), ivf, sq8, binary, the PQ
     ladder — pq_adc (compressed-domain ranking), pq_rerank (ADC
@@ -125,6 +129,36 @@ def recall_report(
         emb, 64, lsh_tables, lsh_bits, 42, id_col, vec_col
     ).cache()
 
+    res_books = res_codes = None
+    if include_residual:
+        # residuals from the SAME cached assignment (ivf_residual_frame
+        # would re-run the full-corpus argmin); codebooks train on the
+        # residual distribution — the FAISS IndexIVFPQ default, worth
+        # its own rung because its value tracks quantizer quality
+        # (BENCH_BASELINE: +0.19 ADC at 256 bits trained, HALVED seeded)
+        cents_r = cents.select(
+            F.col("cid").alias("list_id"), F.col("cvec").alias("_cvec")
+        )
+        resid = assigned.join(F.broadcast(cents_r), "list_id").select(
+            F.col(id_col),
+            F.col("list_id"),
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                F.col("_cvec"),
+                lambda x, c: x - c,
+            ).alias(vec_col),
+        )
+        res_books = pq_mod.pq_train(
+            resid, m=pq_m, ksub=pq_ksub, iters=pq_iters,
+            id_col=id_col, vec_col=vec_col,
+            train_sample=pq_train_sample,
+            engine=engine if pq_train_sample is not None else "sql",
+        )
+        res_codes = pq_mod.pq_encode(
+            resid, res_books, id_col=id_col, vec_col=vec_col,
+            keep_cols=("list_id",), engine=engine,
+        )
+
     opq_model = opq_books = opq_codes = None
     if include_opq:
         from . import transform as tf_mod
@@ -195,6 +229,40 @@ def recall_report(
                 probed, books, q, k=k, id_col=id_col,
             ), qid, id_col)
         )
+        if include_residual:
+            probes = ivf_mod.probe_lists(q, cents, nprobe)
+            probed_res = res_codes.join(
+                F.broadcast(probes),
+                res_codes["list_id"] == F.col("probe_cid"),
+                "leftsemi",
+            )
+            # x·q = <c_list, q> + <r, q>: the probed lists' constants
+            # broadcast (nprobe rows), one shared LUT across lists
+            offs = (
+                cents.join(
+                    F.broadcast(probes),
+                    cents["cid"] == F.col("probe_cid"),
+                )
+                .crossJoin(F.broadcast(q))
+                .select(
+                    F.col("cid").alias("list_id"),
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("cvec"),
+                            F.col("query_vec").cast("array<double>"),
+                            lambda a, b: a * b,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("_off"),
+                )
+            )
+            frames.append(
+                _hits("ivfpq_residual", pq_mod.pq_topk_adc(
+                    probed_res.join(F.broadcast(offs), "list_id"),
+                    res_books, q, k=k, id_col=id_col, offset_col="_off",
+                ), qid, id_col)
+            )
         if include_opq:
             from . import transform as tf_mod
 

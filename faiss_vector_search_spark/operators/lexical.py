@@ -263,14 +263,20 @@ def pmi_collocations(
     a ``min_count`` support floor so rare-pair noise (PMI's known
     pathology) never ranks.
 
-    Plan shape for 100 TB: both count tables are ONE map-side-combined
-    groupBy each over in-row built streams (the bigram pairs come from
-    the same zip-with-tail shape as lm.py's transitions — no self-join);
-    totals reduce from the MODEL tables, not the corpus; the
-    ``min_count`` filter cuts the bigram table to near-output size
-    BEFORE it broadcasts onto the two unigram lookups, so the joins
-    move candidate-sized, never vocab-sized, data. The one log of an
-    exact-count ratio keeps the score bit-deterministic cross-engine.
+    Plan shape for 100 TB: each count table is ONE map-side-combined
+    groupBy over an in-row built stream (the bigram pairs come from
+    the same zip-with-tail shape as lm.py's transitions — no
+    self-join), and the corpus is scanned exactly TWICE (once per
+    model): the ``min_count`` filter cuts the bigram table to
+    near-output size, candidates MELT to (pair, role, term) rows so a
+    SINGLE broadcast join against the unigram table resolves both
+    ends' counts (a per-role join would consume — and re-scan — the
+    unigram branch twice; a tagged-union single-agg shape was tried
+    and REJECTED: kind-filters push below the shared aggregate, which
+    defeats ReusedExchange AND makes every branch explode the doubled
+    stream), and the totals branches reuse the model aggs' exchanges.
+    The one log of an exact-count ratio keeps the score
+    bit-deterministic cross-engine.
     """
     staged = docs.select(tokens(F.col(text_col)).alias("_toks"))
     toks = F.col("_toks")
@@ -296,16 +302,25 @@ def pmi_collocations(
         )
     )
     cand = bi.where(F.col("c_bi") >= min_count)
-    # the candidate side stays broadcast through BOTH unigram lookups
-    # (it only grows by one count column), so the vocab-sized unigram
-    # table is scanned twice but never shuffled
-    with_a = uni.join(F.broadcast(cand), uni["t"] == cand["a"]).select(
-        "a", "b", "c_bi", F.col("c_uni").alias("c_a")
+    melted = cand.select(
+        "a", "b", "c_bi",
+        F.explode(
+            F.array(
+                F.struct(F.lit("a").alias("role"), F.col("a").alias("term")),
+                F.struct(F.lit("b").alias("role"), F.col("b").alias("term")),
+            )
+        ).alias("rt"),
+    ).select("a", "b", "c_bi", "rt.role", "rt.term")
+    resolved = (
+        uni.join(F.broadcast(melted), uni["t"] == melted["term"])
+        .groupBy("a", "b", "c_bi")
+        .agg(
+            F.max(F.when(F.col("role") == "a", F.col("c_uni"))).alias("c_a"),
+            F.max(F.when(F.col("role") == "b", F.col("c_uni"))).alias("c_b"),
+        )
     )
     scored = (
-        uni.join(F.broadcast(with_a), uni["t"] == with_a["b"])
-        .select("a", "b", "c_bi", "c_a", F.col("c_uni").alias("c_b"))
-        .crossJoin(totals)
+        resolved.crossJoin(totals)
         .select(
             F.col("a").alias("term_a"),
             F.col("b").alias("term_b"),

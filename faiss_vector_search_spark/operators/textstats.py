@@ -611,6 +611,63 @@ def domain_mix_sample(
     )
 
 
+def token_budget_sample(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget mixture sampling — the unit that actually matters
+    to a pretraining run: each domain contributes documents until its
+    TOKEN budget is exhausted (domain_mix_sample's row-count quotas
+    under-weight long-doc domains). The standard "N billion tokens of
+    web, M of code" mixture spec, executed deterministically.
+
+    Docs rank within their domain by md5(id) (the stratified_sample
+    ordering: stable across runs AND corpus growth); a doc is kept
+    while the RUNNING token total up to and including it stays within
+    budget — so the output is the maximal md5-prefix of each domain
+    under its cap, all integer arithmetic, engine-exact. The first
+    over-budget doc is NOT truncated (document-granular sampling;
+    chunking is a separate stage).
+
+    Plan: n_tokens is an in-row projection; rank + running sum share
+    ONE window per domain (the only shuffle, carrying (id, domain,
+    n_tokens) triples — text never moves); domains outside ``budgets``
+    drop at the scan via a pushed IN filter."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import md5_int
+    from ..functions.text import tokens
+
+    if not budgets:
+        raise ValueError("empty budget map")
+    doms = sorted(budgets)
+    bcol = None
+    for d in doms:
+        c = F.when(F.col(domain_col) == d, F.lit(int(budgets[d])))
+        bcol = c if bcol is None else bcol.when(
+            F.col(domain_col) == d, F.lit(int(budgets[d]))
+        )
+    sized = docs.where(F.col(domain_col).isin(doms)).select(
+        F.col(id_col),
+        F.col(domain_col),
+        F.coalesce(
+            F.size(tokens(F.col(text_col))).cast("bigint"), F.lit(0)
+        ).alias("n_tokens"),
+        bcol.cast("bigint").alias("budget"),
+    )
+    w = Window.partitionBy(domain_col).orderBy(
+        md5_int(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        sized.withColumn("running", F.sum("n_tokens").over(w))
+        .where(F.col("running") <= F.col("budget"))
+        .select(id_col, domain_col, "n_tokens", "running")
+    )
+
+
 def char_entropy(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -548,3 +548,56 @@ def streaming_decontaminate(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def streaming_quality_filter(
+    spark: SparkSession,
+    source_dir: str,
+    model: dict,
+    out_path: str,
+    checkpoint: str | None = None,
+    hash_fn: str = "xxhash64",
+) -> StreamingQuery:
+    """Streaming model-based quality filtering: every incoming batch
+    scores under a trained quality classifier at ingest time; keep
+    docs append to the curated store, rejects land in
+    ``{out_path}_rejects`` with their logits (audited, not dropped —
+    the streaming_decontaminate convention). The "filter the crawl as
+    it arrives" deployment of classifier.score_quality_classifier.
+
+    Scale posture per micro-batch: scoring is the same ZERO-SHUFFLE
+    in-row projection as the batch operator (the model is a plan
+    literal — nothing is resolved or joined per batch), so the stream
+    side never shuffles at all; the only joins are the replay
+    anti-joins against the stores. Checkpoint-replayed batches land
+    as no-ops."""
+    from ..io import path_exists
+    from ..operators import classifier
+
+    docs = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+    def screen(batch: DataFrame, batch_id: int) -> None:
+        scored = classifier.score_quality_classifier(
+            batch, model, hash_fn=hash_fn
+        )
+        labeled = batch.join(F.broadcast(scored), on="doc_id")
+        for frame, path in (
+            (labeled.where(F.col("keep")), out_path),
+            (labeled.where(~F.col("keep")), f"{out_path}_rejects"),
+        ):
+            frame = frame.drop("keep")
+            if path_exists(spark, path):
+                seen = spark.read.parquet(path).select("doc_id")
+                frame = frame.join(
+                    F.broadcast(seen), on="doc_id", how="left_anti"
+                )
+            frame.write.mode("append").parquet(path)
+
+    writer = docs.writeStream.foreachBatch(screen).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -67,6 +67,7 @@ def main() -> None:
         engine="arrow",
         pq_train_sample=20_000,
         include_opq=True,
+        include_residual=True,
     )
     recalls = {r.tier: r.recall_at_k for r in report.collect()}
     print(json.dumps({

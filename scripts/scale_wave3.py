@@ -25,6 +25,7 @@ from faiss_vector_search_spark.operators import (  # noqa: E402
     knn,
     lexical,
     lm,
+    textstats,
 )
 from faiss_vector_search_spark.session import get_spark  # noqa: E402
 
@@ -39,6 +40,7 @@ def main() -> None:
     )
     docs = fio.load_table(spark, sf_dir, "documents")
     emb = fio.load_table(spark, sf_dir, "embeddings")
+    n_docs = docs.count()
     model = classifier.load_model()
     anchors = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"),
@@ -65,6 +67,12 @@ def main() -> None:
             docs, model, hash_fn="md5"
         ),
         "hard_negatives": lambda: knn.hard_negatives(emb, anchors, k=5),
+        # budgets scale with the corpus so the op does real per-domain
+        # work at every SF (a fixed cap would select ~0 docs at 100x)
+        "token_budget_sample": lambda: textstats.token_budget_sample(
+            docs,
+            {f"src{i}": max(200, n_docs // 4) for i in range(20)},
+        ),
         "bm25_index_search": lambda: lexical.bm25_index_search(
             spark, lex_path, "batch window vector hash fast stream", k=10
         ),
@@ -72,11 +80,16 @@ def main() -> None:
     for name, fn in ops.items():
         df = fn()
         df.write.mode("overwrite").format("noop").save()  # compile
-        best, rows = float("inf"), None
+        best = float("inf")
+        # noop write, NOT count(): count() on a projection-only op
+        # collapses to the parquet row-count and never runs the
+        # expressions (caught on quality_classifier: 0.09 s at every
+        # SF was the metadata count, not the fold)
         for _ in range(3):
             t0 = time.time()
-            rows = df.count()
+            df.write.mode("overwrite").format("noop").save()
             best = min(best, time.time() - t0)
+        rows = df.count()
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
         final = plan.split("Initial Plan")[0]
@@ -97,13 +110,15 @@ def main() -> None:
         }
         gates = {
             "pmi_collocations": not row["sort_merge_join"]
-            and not row["cartesian"],
+            and not row["cartesian"] and row["scans"] <= 2,
             "domain_kl": row["scans"] == 1,
             "length_batches": not row["cartesian"],
             "quality_classifier": row["exchanges"] == 0,
             "hard_negatives": not row["sort_merge_join"]
             and not row["cartesian"],
             "bm25_index_search": row["partition_pruned"],
+            "token_budget_sample": not row["cartesian"]
+            and not row["sort_merge_join"],
         }
         row["gates_ok"] = bool(gates[name])
         print(json.dumps(row), flush=True)

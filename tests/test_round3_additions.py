@@ -593,6 +593,38 @@ def test_recall_report_control_and_bounds(emb):
         assert 0.0 <= r <= 1.0
 
 
+def test_recall_report_residual_tier(spark):
+    """ivfpq_residual (FAISS IndexIVFPQ default encoding) joins the
+    ladder: on clustered data with a TRAINED quantizer, residual codes
+    must not lose to raw codes at the same dial (the measured
+    BENCH_BASELINE finding this rung exists to track)."""
+    import numpy as np
+
+    from faiss_vector_search_spark.operators import evaluate, ivf
+
+    rng = np.random.RandomState(3)
+    # 64-dim: recall_report's LSH tier hashes at the corpus dim (64)
+    centers = rng.randn(8, 64)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    x = np.repeat(centers, 150, axis=0) + 0.15 * rng.randn(1200, 64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    emb_c = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    cents = ivf.kmeans_centroids(emb_c, 16, iters=4)
+    out = {r.tier: r.recall_at_k for r in
+           evaluate.recall_report(
+               emb_c, query_ids=(2, 500, 1100), k=10, nlist=16, nprobe=4,
+               pq_m=16, pq_ksub=64, centroids=cents,
+               include_residual=True,
+           ).collect()}
+    assert "ivfpq_residual" in out
+    assert out["exact"] == 1.0
+    assert out["ivfpq_residual"] >= out["ivfpq"] - 1e-9
+    emb_c.unpersist()
+
+
 def test_recall_report_opq_tiers(emb):
     from faiss_vector_search_spark.operators import evaluate
 

@@ -429,3 +429,38 @@ def test_streaming_decontaminate_matches_batch(spark, sf_small, tmp_path):
     # quarantine keeps the overlap accounting for audit
     cols = set(spark.read.parquet(str(out) + "_quarantine").columns)
     assert {"n_shared_grams", "n_benchmark_docs"} <= cols
+
+
+def test_streaming_quality_filter_matches_batch(spark, sf_small, tmp_path):
+    """The streamed keep/reject split equals batch classifier scoring
+    over the union of batches; redelivered docs land as a no-op; the
+    rejects store keeps the logit for audit."""
+    from faiss_vector_search_spark.operators import classifier
+
+    model = classifier.load_model()
+    docs = fio.load_table(spark, sf_small, "documents")
+    src = tmp_path / "docs_in"
+    docs.where("doc_id < 250").coalesce(1).write.mode("append").parquet(str(src))
+    docs.where("doc_id >= 250").unionByName(
+        docs.where("doc_id < 50")  # at-least-once redelivery
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    out = tmp_path / "kept"
+    q = streams.streaming_quality_filter(
+        spark, str(src), model, str(out),
+        checkpoint=str(tmp_path / "ckpt"), hash_fn="md5",
+    )
+    q.awaitTermination()
+
+    batch = classifier.score_quality_classifier(docs, model, hash_fn="md5")
+    keep_ids = {r.doc_id for r in batch.where(F.col("keep")).collect()}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    got_keep = {r.doc_id for r in spark.read.parquet(str(out)).collect()}
+    rejects = spark.read.parquet(str(out) + "_rejects")
+    got_reject = {r.doc_id for r in rejects.collect()}
+    assert got_keep == keep_ids
+    assert got_reject == all_ids - keep_ids
+    # exactly-once despite redelivery
+    assert spark.read.parquet(str(out)).count() == len(got_keep)
+    assert rejects.count() == len(got_reject)
+    assert "logit" in set(rejects.columns)

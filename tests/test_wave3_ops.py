@@ -62,13 +62,22 @@ class TestPmiCollocations:
     def test_candidate_joins_broadcast(self, spark, sf_small):
         from faiss_vector_search_spark import io as fio
 
-        plan = lexical.pmi_collocations(
+        df = lexical.pmi_collocations(
             fio.load_table(spark, sf_small, "documents")
-        )._jdf.queryExecution().executedPlan().toString()
-        # both unigram lookups run as broadcast joins of the candidate
-        # side -- the vocab table is never shuffle-joined
-        assert plan.count("BroadcastHashJoin") >= 2
-        assert "SortMergeJoin" not in plan
+        )
+        df.collect()  # AQE: reuse decisions land in the final plan
+        final = (
+            df._jdf.queryExecution().executedPlan().toString()
+            .split("Initial Plan")[0]
+        )
+        # one melted broadcast join resolves both ends' counts; the
+        # vocab table is never shuffle-joined and the corpus is
+        # scanned exactly twice (once per count model — the totals
+        # branches reuse the model aggs' exchanges)
+        assert final.count("Scan parquet") == 2
+        assert final.count("ReusedExchange") >= 2
+        assert final.count("BroadcastHashJoin") >= 1
+        assert "SortMergeJoin" not in final
 
 
 class TestDomainKl:
@@ -213,3 +222,60 @@ class TestHardNegatives:
         )
         out = knn.hard_negatives(emb, anchors, k=2).collect()
         assert [(r["vec_id"], r["rank"]) for r in out] == [(10, 1), (11, 2)]
+
+
+class TestTokenBudgetSample:
+    def test_budget_respected_and_maximal_prefix(self, spark):
+        from faiss_vector_search_spark.operators import textstats
+
+        docs = spark.createDataFrame(
+            [(i, "w " * (i % 5 + 1), "a" if i % 2 == 0 else "b")
+             for i in range(40)],
+            "doc_id bigint, text string, source string",
+        )
+        out = textstats.token_budget_sample(
+            docs, {"a": 20, "b": 15}
+        ).collect()
+        by_dom = {}
+        for r in out:
+            by_dom.setdefault(r["source"], []).append(r)
+        for dom, cap in (("a", 20), ("b", 15)):
+            total = sum(r["n_tokens"] for r in by_dom[dom])
+            assert total <= cap
+            # maximal prefix: the max running total is within cap and
+            # every kept row's running <= cap
+            assert max(r["running"] for r in by_dom[dom]) == total
+
+    def test_stable_under_corpus_growth(self, spark):
+        """md5 ranking: adding new docs never evicts an already-kept
+        doc unless the budget forces it — the same-corpus rerun is
+        byte-identical."""
+        from faiss_vector_search_spark.operators import textstats
+
+        docs = spark.createDataFrame(
+            [(i, "tok " * 3, "a") for i in range(30)],
+            "doc_id bigint, text string, source string",
+        )
+        a = sorted(
+            r["doc_id"]
+            for r in textstats.token_budget_sample(docs, {"a": 30}).collect()
+        )
+        b = sorted(
+            r["doc_id"]
+            for r in textstats.token_budget_sample(docs, {"a": 30}).collect()
+        )
+        assert a == b and len(a) == 10  # 30 tokens / 3 per doc
+
+    def test_domains_outside_budget_drop_and_empty_raises(self, spark):
+        import pytest as _pytest
+
+        from faiss_vector_search_spark.operators import textstats
+
+        docs = spark.createDataFrame(
+            [(1, "x y z", "a"), (2, "x y z", "zzz")],
+            "doc_id bigint, text string, source string",
+        )
+        out = textstats.token_budget_sample(docs, {"a": 100}).collect()
+        assert {r["source"] for r in out} == {"a"}
+        with _pytest.raises(ValueError):
+            textstats.token_budget_sample(docs, {})
