@@ -5,10 +5,14 @@ bits, bounded-sample PQ training, arrow engines), so the rehearsal
 records not just that index searches stay fast at 100x the vectors,
 but what recall@10 each ANN tier still delivers there.
 
-Usage: python scripts/scale_recall.py SF_DIR [CPUS] [NPROBE]
+Usage: python scripts/scale_recall.py SF_DIR [CPUS] [NPROBE] [kmeans]
 Prints one JSON line: per-tier recall plus the parameters used.
 NPROBE overrides the default nlist//32 — the recall/scan-fraction
 dial; run twice to record the tradeoff curve's slope at scale.
+A 4th arg "kmeans" trains the coarse quantizer (arrow Lloyd,
+bounded sample) instead of the seeded default — the dial that
+decides whether residual encoding helps or halves (BENCH_BASELINE
+residual table); record BOTH rows.
 """
 
 from __future__ import annotations
@@ -51,9 +55,21 @@ def main() -> None:
     # orientation is represented)
     qids = tuple(i * (n // 8) + 2 for i in range(8))
 
+    quantizer = "seeded"
+    cents = None
+    if len(sys.argv) > 4 and sys.argv[4] == "kmeans":
+        from faiss_vector_search_spark.operators import ivf as ivf_mod
+
+        quantizer = "kmeans"
+        cents = ivf_mod.kmeans_centroids(
+            emb, nlist, iters=5, engine="arrow", train_sample=20_000
+        ).cache()
+        cents.count()
+
     t0 = time.time()
     report = evaluate.recall_report(
         emb,
+        centroids=cents,
         query_ids=qids,
         k=10,
         nlist=nlist,
@@ -77,6 +93,7 @@ def main() -> None:
         "k": 10,
         "nlist": nlist,
         "nprobe": nprobe,
+        "quantizer": quantizer,
         "lsh_bits": bits,
         "lsh_tables": 24,
         "wall_sec": round(time.time() - t0, 1),
