@@ -708,6 +708,18 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training triplets: hardest same-label positive +
+    hardest different-label negative per anchor, with the margin."""
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    return knn.training_triplets(emb, anchors)
+
+
 def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget mixture sampling: maximal md5-prefix of each
     domain under its token cap (600/900/300 for src0/src1/src2)."""
@@ -3437,6 +3449,34 @@ SELECT doc_id, n_tokens, logit, (logit > 0) AS keep FROM scored
 
 ORACLES["quality_classifier"] = _quality_lr_oracle()
 
+ORACLES["training_triplets"] = """
+WITH a AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS qlab
+  FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+  SELECT a.query_id, e.vec_id,
+         CASE WHEN e.label = a.qlab THEN 'pos' ELSE 'neg' END AS side,
+         ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), a.qv), 6) AS score
+  FROM embeddings e, a WHERE e.vec_id <> a.query_id
+),
+best AS (
+  SELECT query_id, vec_id, side, score,
+         row_number() OVER (PARTITION BY query_id, side
+                            ORDER BY score DESC, vec_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id,
+       max(CASE WHEN side = 'pos' THEN vec_id END) AS pos_id,
+       max(CASE WHEN side = 'pos' THEN score END) AS pos_score,
+       max(CASE WHEN side = 'neg' THEN vec_id END) AS neg_id,
+       max(CASE WHEN side = 'neg' THEN score END) AS neg_score,
+       ROUND(max(CASE WHEN side = 'pos' THEN score END)
+             - max(CASE WHEN side = 'neg' THEN score END), 6) AS margin
+FROM best WHERE rk = 1
+GROUP BY query_id
+"""
+
 ORACLES["token_budget_sample"] = f"""
 WITH sized AS (
   SELECT doc_id, source,
@@ -3760,13 +3800,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # min_cost_supplier, important_parts, ship_delay_priority, excess_parts)
     # sit at positions 51-55 — freshest green, first to rotate back in r6.
     # r1-r4 union of driver-green oracle-gated keys: 105/105 (+2 new in r5).
-    # Third-wave r5 additions (token_budget_sample / hard_negatives /
-    # quality_classifier / pmi_collocations / domain_kl /
-    # length_batches) are never-green, so they lead; the 6 r2-green
-    # keys they displace (regional_supplier_volume / events_asof_join /
+    # Third-wave r5 additions (training_triplets / token_budget_sample
+    # / hard_negatives / quality_classifier / pmi_collocations /
+    # domain_kl / length_batches) are never-green, so they lead; the 7
+    # r2-green keys they displace (shipping_priority /
+    # regional_supplier_volume / events_asof_join /
     # order_priority_check / events_range_join / events_sessionize /
     # events_tumbling) move to the head of the 51+ backfill region.
     return {
+        "training_triplets": q_training_triplets,
         "token_budget_sample": q_token_budget_sample,
         "hard_negatives": q_hard_negatives,
         "quality_classifier": q_quality_classifier,
@@ -3813,7 +3855,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "top_customers_by_nation": q_top_customers_by_nation,
         "part_revenue_share": q_part_revenue_share,
-        "shipping_priority": q_shipping_priority,
         "bigram_lm_score": q_bigram_lm_score,
         "char_entropy": q_char_entropy,
         "corpus_profile": q_corpus_profile,
@@ -3822,6 +3863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "important_parts": q_important_parts,
         "ship_delay_priority": q_ship_delay_priority,
         "excess_parts": q_excess_parts,
+        "shipping_priority": q_shipping_priority,
         "regional_supplier_volume": q_regional_supplier_volume,
         "events_asof_join": q_events_asof_join,
         "order_priority_check": q_order_priority_check,

@@ -468,6 +468,7 @@ def main() -> None:
         "quality_classifier": qs["quality_classifier"],
         "hard_negatives": qs["hard_negatives"],
         "token_budget_sample": qs["token_budget_sample"],
+        "training_triplets": qs["training_triplets"],
         "pmi_collocations": qs["pmi_collocations"],
         "domain_kl": qs["domain_kl"],
         # production hash profile (xxhash64); qs key keeps md5 for the

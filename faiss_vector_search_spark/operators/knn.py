@@ -393,3 +393,71 @@ def hard_negatives(
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "score", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def training_triplets(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    metric: str = "ip",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    query_label_col: str = "query_label",
+) -> DataFrame:
+    """(anchor, hardest positive, hardest negative) triplets — the
+    training-pair miner for a triplet/contrastive loss: positive =
+    most-similar SAME-label vector (excluding the anchor itself),
+    negative = most-similar DIFFERENT-label vector
+    (:func:`hard_negatives` k=1), margin = pos_score − neg_score. A
+    negative margin marks the anchors currently misranked — the batch
+    a hard-mining curriculum feeds first.
+
+    One corpus scan: every (anchor, candidate) scores once, a single
+    rank window per (anchor, side) picks both winners, and a
+    conditional aggregation folds the two rows per anchor into one
+    triplet. Ties break (score desc, id asc), deterministic
+    cross-engine."""
+    a = F.broadcast(
+        anchors.select(query_id_col, query_vec_col, query_label_col)
+    )
+    scored = (
+        corpus.crossJoin(a)
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.when(F.col(label_col) == F.col(query_label_col), F.lit("pos"))
+            .otherwise(F.lit("neg"))
+            .alias("side"),
+            F.round(
+                _score_col(metric, F.col(vec_col), F.col(query_vec_col)),
+                SCORE_DECIMALS,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id_col, "side").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    best = scored.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") == 1
+    )
+    return (
+        best.groupBy(query_id_col)
+        .agg(
+            F.max(F.when(F.col("side") == "pos", F.col(id_col))).alias("pos_id"),
+            F.max(F.when(F.col("side") == "pos", F.col("score"))).alias("pos_score"),
+            F.max(F.when(F.col("side") == "neg", F.col(id_col))).alias("neg_id"),
+            F.max(F.when(F.col("side") == "neg", F.col("score"))).alias("neg_score"),
+        )
+        .select(
+            query_id_col,
+            "pos_id",
+            "pos_score",
+            "neg_id",
+            "neg_score",
+            F.round(F.col("pos_score") - F.col("neg_score"), SCORE_DECIMALS)
+            .alias("margin"),
+        )
+    )

@@ -518,3 +518,102 @@ class TestR5LateOpsOnNasty:
                     assert matched[(i, i)] == 1.0
         for r in out:
             assert r.jaccard >= 0.8
+
+
+class TestWave3OpsOnNasty:
+    """The r5 third-wave operators over the adversarial corpus: no
+    exception; grain, bounds, and degenerate-doc contracts hold."""
+
+    def test_quality_classifier_on_nasty(self, nasty):
+        from faiss_vector_search_spark.operators import classifier
+
+        m = classifier.load_model()
+        out = {r.doc_id: r for r in classifier.score_quality_classifier(
+            nasty, m, hash_fn="md5"
+        ).collect()}
+        assert len(out) == N  # row-per-doc, NULL text included
+        b6 = round(m["bias"], 6)
+        import math
+
+        for i, t in enumerate(NASTY_TEXTS):
+            r = out[i]
+            assert math.isfinite(r.logit)
+            assert r.keep == (r.logit > 0)
+            if t is None or not t.strip() or r.n_tokens == 0:
+                assert r.logit == b6
+
+    def test_pmi_on_nasty(self, nasty):
+        # degenerate docs produce no crash; the repeated doc's
+        # self-bigram dominates counts but PMI stays finite
+        import math
+
+        rows = lexical.pmi_collocations(nasty, min_count=2, top_n=20).collect()
+        for r in rows:
+            assert math.isfinite(r.pmi)
+            assert r.n_pair >= 2
+
+    def test_domain_kl_on_nasty(self, nasty):
+        import math
+
+        rows = lm.domain_kl_report(nasty).collect()
+        # every domain with >= 1 token scores; KL >= 0 up to rounding
+        assert rows
+        for r in rows:
+            assert math.isfinite(r.kl_nats)
+            assert r.kl_nats >= -1e-6
+            assert r.n_tokens >= 1
+
+    def test_length_batches_on_nasty(self, nasty):
+        from faiss_vector_search_spark.operators import chunking
+
+        rows = chunking.length_bucket_batches(
+            nasty, batch_size=4, bucket_width=8, n_shards=2
+        ).collect()
+        # every doc lands in exactly one batch (NULL/empty -> bucket 0)
+        assert sum(r.n_docs for r in rows) == N
+        for r in rows:
+            assert r.padding >= 0 and 0.0 <= r.pad_frac <= 1.0
+
+    def test_token_budget_sample_on_nasty(self, nasty):
+        from faiss_vector_search_spark.operators import textstats
+
+        out = textstats.token_budget_sample(
+            nasty, {"src0": 50, "src1": 50, "src2": 50}
+        ).collect()
+        by_dom: dict = {}
+        for r in out:
+            by_dom.setdefault(r.source, 0)
+            by_dom[r.source] += r.n_tokens
+        for dom, total in by_dom.items():
+            assert total <= 50
+        # zero-token docs cost nothing and may be included by the
+        # running-sum rule; totals stay within budget regardless
+
+    def test_hard_negatives_on_tiny_corpus(self, spark):
+        from faiss_vector_search_spark.operators import knn
+
+        # single-label corpus: no valid negative exists -> empty, not
+        # an error
+        emb = spark.createDataFrame(
+            [(i, [1.0, 0.0], 0) for i in range(4)],
+            "vec_id bigint, embedding array<double>, label int",
+        )
+        anchors = emb.where(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+            F.col("label").alias("query_label"),
+        )
+        assert knn.hard_negatives(emb, anchors, k=3).count() == 0
+
+    def test_bm25_index_on_nasty_corpus(self, spark, nasty, tmp_path):
+        # build over the adversarial corpus (NULL/empty docs dropped by
+        # the dl>0 contract), probe with a unicode query
+        path = str(tmp_path / "idx")
+        lexical.lexical_index_save(nasty, path)
+        out = lexical.bm25_index_search(spark, path, "the quick fox", k=5)
+        got = out.collect()
+        assert got  # the control doc matches
+        direct = lexical.bm25_search(nasty, "the quick fox", k=5).collect()
+        assert [(r["doc_id"], r["score"]) for r in direct] == [
+            (r["doc_id"], r["score"]) for r in got
+        ]

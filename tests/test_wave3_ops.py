@@ -279,3 +279,62 @@ class TestTokenBudgetSample:
         assert {r["source"] for r in out} == {"a"}
         with _pytest.raises(ValueError):
             textstats.token_budget_sample(docs, {})
+
+
+class TestTrainingTriplets:
+    def test_hardest_pair_and_margin(self, spark):
+        from faiss_vector_search_spark.operators import knn
+
+        rows = [
+            (0, [1.0, 0.0], 0),
+            (1, [0.95, 0.2], 0),   # hardest positive
+            (2, [0.5, 0.5], 0),
+            (3, [0.9, 0.4], 1),    # hardest negative
+            (4, [0.0, 1.0], 2),
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>, label int"
+        )
+        anchors = emb.where(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+            F.col("label").alias("query_label"),
+        )
+        t = knn.training_triplets(emb, anchors).collect()[0]
+        assert (t["pos_id"], t["neg_id"]) == (1, 3)
+        assert t["pos_score"] == 0.95 and t["neg_score"] == 0.9
+        assert abs(t["margin"] - 0.05) < 1e-9
+
+    def test_misranked_anchor_has_negative_margin(self, spark):
+        from faiss_vector_search_spark.operators import knn
+
+        rows = [
+            (0, [1.0, 0.0], 0),
+            (1, [0.2, 0.9], 0),    # far positive
+            (2, [0.99, 0.1], 1),   # near negative -> misranked
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>, label int"
+        )
+        anchors = emb.where(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+            F.col("label").alias("query_label"),
+        )
+        t = knn.training_triplets(emb, anchors).collect()[0]
+        assert t["margin"] < 0
+
+    def test_anchor_never_its_own_positive(self, spark):
+        from faiss_vector_search_spark.operators import knn
+
+        emb = spark.createDataFrame(
+            [(i, [1.0, 0.0], i % 2) for i in range(6)],
+            "vec_id bigint, embedding array<double>, label int",
+        )
+        anchors = emb.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+            F.col("label").alias("query_label"),
+        )
+        for t in knn.training_triplets(emb, anchors).collect():
+            assert t["pos_id"] != t["query_id"]
