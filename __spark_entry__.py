@@ -708,6 +708,16 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble curation score: heuristic quality + LM fluency +
+    classifier logit, min-max normalized and blended 0.4/0.3/0.3."""
+    from faiss_vector_search_spark.operators import curation
+
+    return curation.curation_score(
+        _t(spark, sf_dir, "documents"), hash_fn="md5"
+    )
+
+
 def q_training_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive training triplets: hardest same-label positive +
     hardest different-label negative per anchor, with the margin."""
@@ -3414,7 +3424,10 @@ SELECT doc_id, MIN(pos) AS span_start, CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
 FROM rep GROUP BY doc_id, pos - rn
 """
 
-def _quality_lr_oracle() -> str:
+def _quality_lr_ctes() -> str:
+    """The committed-model classifier scoring as a reusable CTE chain
+    ending in ``qc(doc_id, n_tokens, logit)`` — shared by the
+    quality_classifier oracle and the curation_score composition."""
     from faiss_vector_search_spark.operators.classifier import load_model
 
     m = load_model()
@@ -3423,17 +3436,16 @@ def _quality_lr_oracle() -> str:
     bias, w_len, w_mwl = (
         repr(float(m["bias"])), repr(float(m["w_len"])), repr(float(m["w_mwl"]))
     )
-    return f"""
-WITH t AS (SELECT doc_id, coalesce({_TOKS}, []) AS toks FROM documents),
-base AS (SELECT doc_id, len(toks)::BIGINT AS n FROM t),
-tok AS (SELECT doc_id, unnest(toks) AS tok FROM t WHERE len(toks) > 0),
-sums AS (
+    return f"""qc_t AS (SELECT doc_id, coalesce({_TOKS}, []) AS toks FROM documents),
+qc_base AS (SELECT doc_id, len(toks)::BIGINT AS n FROM qc_t),
+qc_tok AS (SELECT doc_id, unnest(toks) AS tok FROM qc_t WHERE len(toks) > 0),
+qc_sums AS (
   SELECT doc_id,
          sum({units}[({_md5i("'s37:' || tok")} % {k}) + 1]) AS usum,
          sum(len(tok)) AS sum_len
-  FROM tok GROUP BY 1
+  FROM qc_tok GROUP BY 1
 ),
-scored AS (
+qc AS (
   SELECT b.doc_id, b.n AS n_tokens,
          CASE WHEN b.n = 0 THEN ROUND({bias}, 6)
               ELSE ROUND({bias}
@@ -3441,13 +3453,79 @@ scored AS (
                          + {w_len} * (ln(b.n::DOUBLE + 1.0) / 10.0)
                          + {w_mwl} * ((s.sum_len::DOUBLE / b.n) / 10.0), 6)
          END AS logit
-  FROM base b LEFT JOIN sums s USING (doc_id)
-)
-SELECT doc_id, n_tokens, logit, (logit > 0) AS keep FROM scored
+  FROM qc_base b LEFT JOIN qc_sums s USING (doc_id)
+)"""
+
+
+ORACLES["quality_classifier"] = f"""
+WITH {_quality_lr_ctes()}
+SELECT doc_id, n_tokens, logit, (logit > 0) AS keep FROM qc
 """
 
-
-ORACLES["quality_classifier"] = _quality_lr_oracle()
+ORACLES["curation_score"] = f"""
+WITH {_quality_lr_ctes()},
+qs_t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+qs_m AS (
+  SELECT doc_id,
+         len(text)::DOUBLE AS n_chars,
+         len(toks)::DOUBLE AS n_toks,
+         len(list_filter(toks, x -> list_contains([{_EN_STOP}], x)))::DOUBLE AS n_stop,
+         len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE AS n_punct,
+         list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks) AS mean_wl
+  FROM qs_t WHERE len(toks) > 0
+),
+qs AS (
+  SELECT doc_id,
+         ROUND((least(n_chars / 500.0, 1.0)
+              + least(n_stop / n_toks * 5.0, 1.0)
+              + greatest(0.0, 1.0 - n_punct / n_chars * 10.0)
+              + CASE WHEN mean_wl >= 3.0 AND mean_wl <= 8.0 THEN 1.0 ELSE 0.5 END
+               ) / 4.0, 6) AS quality
+  FROM qs_m
+),
+lm_t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+lm_tr AS (
+  SELECT doc_id, toks[i] AS prev, toks[i + 1] AS cur
+  FROM lm_t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+),
+lm_counts AS (
+  SELECT prev, cur, count(*) AS c_bigram FROM lm_tr GROUP BY 1, 2
+),
+lm_model AS (
+  SELECT prev, cur,
+         CAST(ROUND(CAST(c_bigram AS DOUBLE)
+                    / CAST(sum(c_bigram) OVER (PARTITION BY prev) AS DOUBLE),
+                    8) AS DECIMAL(12,8)) AS prob
+  FROM lm_counts
+),
+fl AS (
+  SELECT lm_tr.doc_id,
+         ROUND(CAST(sum(m.prob) AS DOUBLE) / count(*), 6) AS fluency
+  FROM lm_tr JOIN lm_model m USING (prev, cur)
+  GROUP BY 1
+),
+j AS (
+  SELECT qs.doc_id, qs.quality, fl.fluency, qc.logit
+  FROM qs JOIN fl USING (doc_id) JOIN qc USING (doc_id)
+),
+mm AS (
+  SELECT min(quality) AS q_min, max(quality) AS q_max,
+         min(fluency) AS f_min, max(fluency) AS f_max,
+         min(logit) AS c_min, max(logit) AS c_max
+  FROM j
+)
+SELECT j.doc_id, j.quality, j.fluency, j.logit,
+       ROUND(0.4 * (CASE WHEN mm.q_max > mm.q_min
+                         THEN (j.quality - mm.q_min) / (mm.q_max - mm.q_min)
+                         ELSE 0.5 END)
+           + 0.3 * (CASE WHEN mm.f_max > mm.f_min
+                         THEN (j.fluency - mm.f_min) / (mm.f_max - mm.f_min)
+                         ELSE 0.5 END)
+           + 0.3 * (CASE WHEN mm.c_max > mm.c_min
+                         THEN (j.logit - mm.c_min) / (mm.c_max - mm.c_min)
+                         ELSE 0.5 END), 6) AS curation_score
+FROM j, mm
+"""
 
 ORACLES["training_triplets"] = """
 WITH a AS (
@@ -3800,14 +3878,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # min_cost_supplier, important_parts, ship_delay_priority, excess_parts)
     # sit at positions 51-55 — freshest green, first to rotate back in r6.
     # r1-r4 union of driver-green oracle-gated keys: 105/105 (+2 new in r5).
-    # Third-wave r5 additions (training_triplets / token_budget_sample
-    # / hard_negatives / quality_classifier / pmi_collocations /
-    # domain_kl / length_batches) are never-green, so they lead; the 7
-    # r2-green keys they displace (shipping_priority /
+    # Third-wave r5 additions (curation_score / training_triplets /
+    # token_budget_sample / hard_negatives / quality_classifier /
+    # pmi_collocations / domain_kl / length_batches) are never-green,
+    # so they lead; the 8 r2-green keys they displace
+    # (part_revenue_share / shipping_priority /
     # regional_supplier_volume / events_asof_join /
     # order_priority_check / events_range_join / events_sessionize /
     # events_tumbling) move to the head of the 51+ backfill region.
     return {
+        "curation_score": q_curation_score,
         "training_triplets": q_training_triplets,
         "token_budget_sample": q_token_budget_sample,
         "hard_negatives": q_hard_negatives,
@@ -3854,7 +3934,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents_greedy": q_chunk_documents_greedy,
         "tpch_q1": q_tpch_q1,
         "top_customers_by_nation": q_top_customers_by_nation,
-        "part_revenue_share": q_part_revenue_share,
         "bigram_lm_score": q_bigram_lm_score,
         "char_entropy": q_char_entropy,
         "corpus_profile": q_corpus_profile,
@@ -3863,6 +3942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "important_parts": q_important_parts,
         "ship_delay_priority": q_ship_delay_priority,
         "excess_parts": q_excess_parts,
+        "part_revenue_share": q_part_revenue_share,
         "shipping_priority": q_shipping_priority,
         "regional_supplier_volume": q_regional_supplier_volume,
         "events_asof_join": q_events_asof_join,

@@ -469,6 +469,10 @@ def main() -> None:
         "hard_negatives": qs["hard_negatives"],
         "token_budget_sample": qs["token_budget_sample"],
         "training_triplets": qs["training_triplets"],
+        # production profile: xxhash64 classifier features over a
+        # runtime-trained model would match; the committed md5 model is
+        # what the oracle pins, so the bench measures that profile
+        "curation_score": qs["curation_score"],
         "pmi_collocations": qs["pmi_collocations"],
         "domain_kl": qs["domain_kl"],
         # production hash profile (xxhash64); qs key keeps md5 for the

@@ -1,0 +1,92 @@
+"""Ensemble curation scoring — the "combine your quality signals"
+stage every production pipeline ends up writing: heuristic quality
+(textstats.quality_score), corpus-LM fluency (lm.bigram_lm_score),
+and the trained classifier's logit (classifier.score_quality_
+classifier) min-max normalized onto [0, 1] and blended with fixed
+weights into ONE ranking score. A single signal over-fires on some
+slice (the heuristic loves listicles, the LM loves repetition, the
+classifier inherits its teacher's blind spots); the blend is the
+standard hedge, and min-max is the normalizer whose statistics
+(min/max) are EXACT aggregations — no order-sensitive double
+accumulation, so the score is reproducible cross-engine (the z-score
+alternative needs sum-of-squares discipline; the rank alternative
+needs a global sort that serializes at 100 TB).
+
+Grain: the intersection of the three signals' domains — docs with ≥ 1
+token AND ≥ 1 observed bigram transition. Degenerate docs carry no
+rankable signal and are upstream-gated in any real pipeline.
+
+Plan shape: three signal passes over the corpus (quality and the
+classifier are zero-shuffle projections; the LM pass is the
+bigram_lm_score model join), two co-partitioned id joins, ONE
+broadcast min-max row. Nothing beyond the LM model shuffle moves
+corpus-sized data more than the signals themselves require.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import classifier as classifier_mod
+from . import lm as lm_mod
+from . import textstats as textstats_mod
+
+
+def curation_score(
+    docs: DataFrame,
+    model: dict | None = None,
+    weights: tuple[float, float, float] = (0.4, 0.3, 0.3),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(id, quality, fluency, logit, curation_score) — the blended
+    ranking signal. ``weights`` order: (quality, fluency, logit).
+    When a signal is constant across the corpus (max == min) its
+    normalized value pins to 0.5 — it contributes its weight's
+    midpoint instead of a 0/0."""
+    w_q, w_f, w_c = (float(w) for w in weights)
+    q = textstats_mod.quality_score(docs, id_col=id_col, text_col=text_col)
+    q = q.select(F.col(id_col), F.col("quality"))
+    lm_model = lm_mod.bigram_lm_train(docs, id_col=id_col, text_col=text_col)
+    f = lm_mod.bigram_lm_score(
+        docs, lm_model, id_col=id_col, text_col=text_col
+    ).select(F.col(id_col), F.col("fluency"))
+    c = classifier_mod.score_quality_classifier(
+        docs,
+        model if model is not None else classifier_mod.load_model(),
+        id_col=id_col,
+        text_col=text_col,
+        hash_fn=hash_fn,
+    ).select(F.col(id_col), F.col("logit"))
+    joined = q.join(f, id_col).join(c, id_col)
+    mm = F.broadcast(
+        joined.agg(
+            F.min("quality").alias("q_min"),
+            F.max("quality").alias("q_max"),
+            F.min("fluency").alias("f_min"),
+            F.max("fluency").alias("f_max"),
+            F.min("logit").alias("c_min"),
+            F.max("logit").alias("c_max"),
+        )
+    )
+
+    def norm(x, mn, mx):
+        return F.when(
+            F.col(mx) > F.col(mn),
+            (F.col(x) - F.col(mn)) / (F.col(mx) - F.col(mn)),
+        ).otherwise(F.lit(0.5))
+
+    return joined.crossJoin(mm).select(
+        F.col(id_col),
+        "quality",
+        "fluency",
+        "logit",
+        F.round(
+            F.lit(w_q) * norm("quality", "q_min", "q_max")
+            + F.lit(w_f) * norm("fluency", "f_min", "f_max")
+            + F.lit(w_c) * norm("logit", "c_min", "c_max"),
+            6,
+        ).alias("curation_score"),
+    )

@@ -338,3 +338,45 @@ class TestTrainingTriplets:
         )
         for t in knn.training_triplets(emb, anchors).collect():
             assert t["pos_id"] != t["query_id"]
+
+
+class TestCurationScore:
+    def test_bounds_grain_and_constant_pin(self, spark):
+        from faiss_vector_search_spark.operators import curation
+
+        # identical docs -> all three signals constant -> every norm
+        # pins to 0.5 -> blend = 0.5 exactly
+        docs = spark.createDataFrame(
+            [(i, "the quick brown fox jumps over the lazy dog") for i in range(6)],
+            "doc_id bigint, text string",
+        )
+        rows = curation.curation_score(docs, hash_fn="md5").collect()
+        assert len(rows) == 6
+        for r in rows:
+            assert r["curation_score"] == 0.5
+
+    def test_blend_matches_python_reference(self, spark, sf_small):
+        from faiss_vector_search_spark import io as fio
+        from faiss_vector_search_spark.operators import curation
+
+        docs = fio.load_table(spark, sf_small, "documents")
+        rows = curation.curation_score(docs, hash_fn="md5").collect()
+        assert rows
+        qs = [r["quality"] for r in rows]
+        fs = [r["fluency"] for r in rows]
+        cs = [r["logit"] for r in rows]
+        mins = (min(qs), min(fs), min(cs))
+        maxs = (max(qs), max(fs), max(cs))
+
+        def norm(x, mn, mx):
+            return (x - mn) / (mx - mn) if mx > mn else 0.5
+
+        for r in rows:
+            ref = round(
+                0.4 * norm(r["quality"], mins[0], maxs[0])
+                + 0.3 * norm(r["fluency"], mins[1], maxs[1])
+                + 0.3 * norm(r["logit"], mins[2], maxs[2]),
+                6,
+            )
+            assert r["curation_score"] == ref
+            assert 0.0 <= r["curation_score"] <= 1.0
