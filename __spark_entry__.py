@@ -3710,6 +3710,34 @@ def q_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SNAPDIFF_PATHS: dict[str, str] = {}
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level diff between two committed corpus snapshot versions
+    (added/removed/changed by doc_id) — the lakehouse CDC read over
+    the plain-parquet versioned store. Rows-only: the manifest-pinned
+    store has no DuckDB twin; truth tables + NULL-sentinel gates in
+    tests/test_maintenance.py."""
+    import tempfile
+
+    from faiss_vector_search_spark.operators import maintenance as mt
+
+    if sf_dir not in _SNAPDIFF_PATHS:
+        path = tempfile.mkdtemp(prefix="fvs_snapdiff_") + "/snap"
+        docs = _t(spark, sf_dir, "documents")
+        mt.write_snapshot(docs, path)
+        v1 = docs.where(F.col("doc_id") % 7 != 0).withColumn(
+            "text",
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.col("text"), F.lit(" [rev2]")))
+            .otherwise(F.col("text")),
+        )
+        mt.write_snapshot(v1, path)
+        _SNAPDIFF_PATHS[sf_dir] = path
+    return mt.snapshot_diff(spark, _SNAPDIFF_PATHS[sf_dir], 0, 1)
+
+
 def q_docx_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """docx → text ingest, FUNCTIONAL end to end with the pure-stdlib
     OPC decoder (sources/docx.py, no python-docx; reference
@@ -4028,6 +4056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "docx_ingest": q_docx_ingest,
         "bm25_index_search": q_bm25_index_search,
+        "snapshot_diff": q_snapshot_diff,
     }
 
 

@@ -473,6 +473,9 @@ def main() -> None:
         # runtime-trained model would match; the committed md5 model is
         # what the oracle pins, so the bench measures that profile
         "curation_score": qs["curation_score"],
+        # versioned-store CDC read (snapshot build amortized in the
+        # first call, outside min-of-3)
+        "snapshot_diff": qs["snapshot_diff"],
         "pmi_collocations": qs["pmi_collocations"],
         "domain_kl": qs["domain_kl"],
         # production hash profile (xxhash64); qs key keeps md5 for the

@@ -245,3 +245,65 @@ class TestVersionedSnapshots:
 
         with _pytest.raises(ValueError):
             mt.read_snapshot(spark, path, 7)
+
+
+class TestSnapshotDiff:
+    def test_added_removed_changed(self, spark, tmp_path):
+        from faiss_vector_search_spark.operators import maintenance as mt
+
+        path = str(tmp_path / "snap")
+        v0 = spark.createDataFrame(
+            [(1, "a", "s1"), (2, "b", "s1"), (3, "c", "s2")],
+            "doc_id bigint, text string, source string",
+        )
+        mt.write_snapshot(v0, path)
+        v1 = spark.createDataFrame(
+            [(2, "b", "s1"),          # unchanged
+             (3, "c CHANGED", "s2"),  # changed
+             (4, "d", "s3")],         # added; 1 removed
+            "doc_id bigint, text string, source string",
+        )
+        mt.write_snapshot(v1, path)
+        diff = {
+            r["doc_id"]: r["change"]
+            for r in mt.snapshot_diff(spark, path, 0, 1).collect()
+        }
+        assert diff == {1: "removed", 3: "changed", 4: "added"}
+
+    def test_identical_versions_empty_and_schema_drift_raises(
+        self, spark, tmp_path
+    ):
+        import pytest as _pytest
+
+        from faiss_vector_search_spark.operators import maintenance as mt
+
+        path = str(tmp_path / "snap2")
+        df = spark.createDataFrame(
+            [(1, "a")], "doc_id bigint, text string"
+        )
+        mt.write_snapshot(df, path)
+        mt.write_snapshot(df, path)
+        assert mt.snapshot_diff(spark, path, 0, 1).count() == 0
+        drifted = spark.createDataFrame(
+            [(1, "a", 9)], "doc_id bigint, text string, extra int"
+        )
+        mt.write_snapshot(drifted, path)
+        with _pytest.raises(ValueError, match="schema drift"):
+            mt.snapshot_diff(spark, path, 1, 2).collect()
+
+    def test_null_content_distinguished(self, spark, tmp_path):
+        """NULL vs empty-string content must not hash-collide (the
+        \\x00 sentinel in the digest)."""
+        from faiss_vector_search_spark.operators import maintenance as mt
+
+        path = str(tmp_path / "snap3")
+        mt.write_snapshot(
+            spark.createDataFrame([(1, None)], "doc_id bigint, text string"),
+            path,
+        )
+        mt.write_snapshot(
+            spark.createDataFrame([(1, "")], "doc_id bigint, text string"),
+            path,
+        )
+        rows = mt.snapshot_diff(spark, path, 0, 1).collect()
+        assert [(r["doc_id"], r["change"]) for r in rows] == [(1, "changed")]
