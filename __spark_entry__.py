@@ -792,6 +792,66 @@ def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 8-gram novelty: fraction of the doc's window
+    occurrences whose gram is corpus-unique (memorization-risk /
+    contribution profile)."""
+    return textstats.ngram_novelty(
+        _t(spark, sf_dir, "documents"), w=8, hash_fn="md5"
+    )
+
+
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum epoch plan: quality-descending, domain-interleaved
+    global ordering computed arithmetically (no global-sort window)."""
+    return textstats.curriculum_order(_t(spark, sf_dir, "documents"))
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail perplexity terciles per domain
+    under the corpus bigram LM."""
+    return textstats.ccnet_buckets(_t(spark, sf_dir, "documents"))
+
+
+def q_maxsim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval: per-token char-trigram
+    bucket sets, set-cosine token sims, sum-of-max scoring."""
+    return lexical.maxsim_search(
+        _t(spark, sf_dir, "documents"),
+        "batch window vector hash fast stream",
+        k=10,
+        hash_fn="md5",
+    )
+
+
+def q_matryoshka_rerank_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka prefix-dimension coarse scan (first 16 of 64 dims) +
+    exact full-dim re-rank; hash-gated on the two-phase semantics
+    itself (coarse rounded-IP top-100 -> exact rerank in SQL)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn.matryoshka_rerank_search(
+        emb, _query_vec(emb), k=10, prefix=16, shortlist=100
+    ).select("vec_id", F.col("score").cast(DBL).alias("score"))
+
+
+def q_pca_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS IndexPreTransform chain: PCA-16 coarse IVF probe scan +
+    exact full-dim re-rank. Rows-only (k-means training is iterative);
+    recall and exactness-at-full-probe gates in tests/test_transform.py."""
+    from faiss_vector_search_spark.operators import transform
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return transform.pca_ivf_search(
+        emb,
+        _query_vec(emb),
+        out_dim=16,
+        nlist=16,
+        nprobe=16,
+        k=10,
+        shortlist=100,
+    ).select("vec_id", F.col("score").cast(DBL).alias("score"))
+
+
 _BPE_MERGES: dict[str, list] = {}
 
 
@@ -3674,6 +3734,116 @@ FROM w GROUP BY 1, 2, 3
 """
 
 
+ORACLES["ngram_novelty"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         {_md5i("'s23:' || array_to_string(toks[i:i+7], ' ')")} AS gh
+  FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+),
+c AS (SELECT doc_id, count(*) OVER (PARTITION BY gh) AS c FROM g)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(*) FILTER (c = 1) AS BIGINT) AS n_novel,
+       ROUND((count(*) FILTER (c = 1))::DOUBLE / count(*), 6) AS novelty
+FROM c GROUP BY doc_id
+"""
+
+ORACLES["curriculum_order"] = f"""
+WITH qs AS ({ORACLES["quality_score"]}),
+j AS (
+  SELECT d.doc_id, d.source, qs.quality
+  FROM documents d JOIN qs ON d.doc_id = qs.doc_id
+),
+r AS (
+  SELECT doc_id, source, quality,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY quality DESC, doc_id ASC) AS rank
+  FROM j
+)
+SELECT CAST(row_number() OVER (ORDER BY rank ASC, source ASC) AS BIGINT) AS pos,
+       doc_id, source, quality, CAST(rank AS BIGINT) AS rank
+FROM r
+"""
+
+ORACLES["ccnet_buckets"] = f"""
+WITH fl AS ({ORACLES["bigram_lm_score"]}),
+j AS (
+  SELECT d.doc_id, d.source, fl.fluency
+  FROM documents d JOIN fl ON d.doc_id = fl.doc_id
+),
+tt AS (
+  SELECT doc_id, source, fluency,
+         ntile(3) OVER (PARTITION BY source
+                        ORDER BY fluency DESC, doc_id ASC) AS tercile
+  FROM j
+)
+SELECT doc_id, source, fluency, CAST(tercile AS INT) AS tercile,
+       CASE WHEN tercile = 1 THEN 'head'
+            WHEN tercile = 2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM tt
+"""
+
+ORACLES["maxsim_search"] = f"""
+WITH qt AS (
+  SELECT * FROM (VALUES (0,'batch'),(1,'window'),(2,'vector'),
+                        (3,'hash'),(4,'fast'),(5,'stream')) AS v(qidx, tok)
+),
+qsets AS (
+  SELECT qidx, list_distinct(list_transform(
+           generate_series(1, greatest(len(tok) - 2, 1)),
+           i -> {_md5i("'s29:' || substr(tok, i, 3)")} % 64)) AS qset
+  FROM qt
+),
+dt AS (SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents),
+dsets AS (
+  SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, greatest(len(tok) - 2, 1)),
+           i -> {_md5i("'s29:' || substr(tok, i, 3)")} % 64)) AS dset
+  FROM dt
+),
+sims AS (
+  SELECT doc_id, qidx,
+         len(list_intersect(dset, qset))::DOUBLE
+           / sqrt(len(dset)::DOUBLE * len(qset)::DOUBLE) AS sim
+  FROM dsets, qsets
+),
+best AS (
+  SELECT doc_id, qidx, CAST(ROUND(max(sim), 8) AS DECIMAL(12,8)) AS m
+  FROM sims GROUP BY 1, 2
+),
+scored AS (
+  SELECT doc_id, ROUND(CAST(sum(m) AS DOUBLE), 6) AS score
+  FROM best GROUP BY doc_id
+)
+SELECT doc_id, score FROM scored
+WHERE score > 0
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+# The two-phase semantics gate EXACTLY (coarse prefix-16 rounded-IP
+# top-100 with the id tie-break, then exact full-dim rerank) — on a
+# near-random corpus the shortlist is NOT lossless, so the oracle is
+# the composition itself, not the flat top-k.
+ORACLES["matryoshka_rerank_search"] = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+coarse AS (
+  SELECT e.vec_id,
+         ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[])[1:16], q.qv[1:16]), 6)
+           AS cscore
+  FROM embeddings e, q
+  ORDER BY cscore DESC, e.vec_id ASC
+  LIMIT 100
+)
+SELECT e.vec_id,
+       ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+FROM embeddings e JOIN coarse USING (vec_id), q
+ORDER BY score DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+
 # --- driver contract ------------------------------------------------------
 
 
@@ -3914,7 +4084,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # regional_supplier_volume / events_asof_join /
     # order_priority_check / events_range_join / events_sessionize /
     # events_tumbling) move to the head of the 51+ backfill region.
+    # r5 wave-4 additions (never driver-checked) lead per the same
+    # standing policy; they displace 6 more r2-green keys to 51+.
     return {
+        "ngram_novelty": q_ngram_novelty,
+        "curriculum_order": q_curriculum_order,
+        "ccnet_buckets": q_ccnet_buckets,
+        "maxsim_search": q_maxsim_search,
+        "matryoshka_rerank_search": q_matryoshka_rerank_search,
+        "pca_ivf_search": q_pca_ivf_search,
         "curation_score": q_curation_score,
         "training_triplets": q_training_triplets,
         "token_budget_sample": q_token_budget_sample,

@@ -39,6 +39,7 @@ def main() -> None:
         chunking,
         dedup,
         embed,
+        lexical,
         lsh,
         textstats,
     )
@@ -487,6 +488,19 @@ def main() -> None:
         # search-as-a-service probe (build amortized, same posture as
         # neardup_index_query / ivf_search_persisted)
         "bm25_index_search": qs["bm25_index_search"],
+        # r5 wave 4 — production hash profiles where a hash_fn exists
+        "ngram_novelty": lambda spark, sf: textstats.ngram_novelty(
+            fio.load_table(spark, sf, "documents"), w=8, hash_fn="xxhash64",
+        ),
+        "curriculum_order": qs["curriculum_order"],
+        "ccnet_buckets": qs["ccnet_buckets"],
+        "maxsim_search": lambda spark, sf: lexical.maxsim_search(
+            fio.load_table(spark, sf, "documents"),
+            "batch window vector hash fast stream",
+            k=10, hash_fn="xxhash64",
+        ),
+        "matryoshka_rerank_search": qs["matryoshka_rerank_search"],
+        "pca_ivf_search": qs["pca_ivf_search"],
     }
 
     # Scaling-sweep knobs (default: off — the driver's per-round run

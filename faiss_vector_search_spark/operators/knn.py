@@ -461,3 +461,45 @@ def training_triplets(
             .alias("margin"),
         )
     )
+
+
+def matryoshka_rerank_search(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    prefix: int = 16,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka (prefix-dimension) coarse scan + exact full-dim
+    re-rank — the MRL-embedding search ladder (Kusupati et al.,
+    NeurIPS 2022): score only the first ``prefix`` dimensions to pick
+    a ``shortlist``, then re-score just those rows at full dimension.
+
+    The same two-stage posture as :func:`binary.binary_rerank_search`
+    (reference search path: index_service.py:205-235 top-k), with the
+    coarse code being a PREFIX of the stored vector rather than a
+    separate structure — no training, no second index to maintain,
+    and incremental adds are free. At 100 TB the coarse fold touches
+    ``prefix/dim`` of the vector bytes per row (a column-pruned code
+    layout would make that physical too), never shuffles
+    (TakeOrderedAndProject), and the full-precision pass is a
+    broadcast semi-join over ``shortlist`` rows.
+
+    With embeddings that concentrate information in leading dims
+    (MRL-trained, or PCA/OPQ-rotated via :mod:`transform`), a small
+    ``prefix`` preserves ranking; at ``shortlist`` large enough the
+    result equals the exact top-k (pytest-gated).
+    """
+    pre = corpus.select(
+        id_col, F.slice(F.col(vec_col), 1, prefix).alias(vec_col)
+    )
+    qpre = query.select(
+        F.slice(F.col("query_vec"), 1, prefix).alias("query_vec")
+    )
+    short = topk(pre, qpre, k=shortlist, metric="ip", id_col=id_col, vec_col=vec_col)
+    hits = corpus.join(
+        F.broadcast(short.select(id_col)), on=id_col, how="left_semi"
+    )
+    return topk(hits, query, k=k, metric="ip", id_col=id_col, vec_col=vec_col)

@@ -656,3 +656,113 @@ def bm25_index_search(
         )
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def _trigram_bucket_set(tok_col, buckets: int, seed: int, hash_fn: str):
+    """Distinct char-trigram hash buckets of one token, in-row.
+
+    Uniform rule with no CASE: ``substring(tok, i, 3)`` for i in
+    1..max(len-2, 1) — tokens shorter than 3 chars yield the token
+    itself (substring past the end truncates identically in Spark and
+    DuckDB)."""
+    from ..functions.hashing import hashed
+
+    n = F.greatest(F.length(tok_col) - 2, F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.substring(tok_col, i, 3)
+    )
+    return F.array_distinct(
+        F.transform(grams, lambda g: hashed(g, seed=29, hash_fn=hash_fn) % buckets)
+    )
+
+
+def maxsim_search(
+    docs: DataFrame,
+    query_text: str,
+    k: int = 10,
+    buckets: int = 64,
+    hash_fn: str = "md5",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (Khattab & Zaharia,
+    SIGIR 2020): score(q, d) = Σ_i max_j sim(q_i, d_j) over per-TOKEN
+    representations, here deterministic char-trigram bucket sets with
+    set-cosine similarity — the late-interaction twin of
+    embed.text_search's single-vector cosine, robust to typos and
+    morphology where whole-token matching misses.
+
+    Plan shape: the query's per-token bucket sets come from one
+    bounded collect (≤ |query tokens| rows — model-state discipline)
+    and fold into the scan as LITERAL arrays, so the per-doc-token
+    sims are a zero-join in-row projection; ``array_distinct(toks)``
+    explodes WITHOUT a shuffle (set semantics in-row first), and ONE
+    doc-keyed partial aggregation takes all per-query-token maxima
+    simultaneously (m agg columns, map-side combinable). The corpus
+    text never shuffles; TakeOrderedAndProject caps the result.
+
+    Cross-engine: intersect sizes are integers, each per-token max
+    rounds to DECIMAL(12,8) before the order-free decimal sum, final
+    round 6 — no float-summation-order drift.
+    """
+    import re
+
+    spark = docs.sparkSession
+    qtoks = [t for t in re.split(r"[^a-z0-9]+", query_text.lower()) if t]
+    if not qtoks:
+        raise ValueError("query_text has no tokens")
+    # Query-side sets via the same column expression (hash_fn-agnostic),
+    # one bounded collect of |qtoks| rows.
+    qdf = spark.createDataFrame([(t,) for t in qtoks], "tok string")
+    qsets = [
+        sorted(r[0])
+        for r in qdf.select(
+            _trigram_bucket_set(F.col("tok"), buckets, 29, hash_fn)
+        ).collect()
+    ]
+
+    staged = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(tokens(F.col(text_col)))
+        ).alias("tok"),
+    ).select(
+        F.col(id_col),
+        _trigram_bucket_set(F.col("tok"), buckets, 29, hash_fn).alias("dset"),
+    )
+    dlen = F.size("dset").cast("double")
+    sims = staged.select(
+        F.col(id_col),
+        *[
+            (
+                F.size(
+                    F.array_intersect(
+                        F.col("dset"),
+                        F.array(*[F.lit(b) for b in qs]).cast("array<bigint>"),
+                    )
+                ).cast("double")
+                / F.sqrt(dlen * float(len(qs)))
+            ).alias(f"_s{j}")
+            for j, qs in enumerate(qsets)
+        ],
+    )
+    best = sims.groupBy(id_col).agg(
+        *[
+            F.round(F.max(f"_s{j}"), 8)
+            .cast("decimal(12,8)")
+            .alias(f"_m{j}")
+            for j in range(len(qsets))
+        ]
+    )
+    total = None
+    for j in range(len(qsets)):
+        c = F.col(f"_m{j}")
+        total = c if total is None else total + c
+    return (
+        best.select(
+            F.col(id_col), F.round(total.cast("double"), SCORE_DECIMALS).alias("score")
+        )
+        .where(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -1030,3 +1030,163 @@ def normalize_text(
             "n_chars_removed"
         ),
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    w: int = 8,
+    hash_fn: str = "xxhash64",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    w-token window occurrences whose gram appears exactly once in the
+    whole corpus — a memorization-risk / contribution profile (a doc
+    whose grams all repeat elsewhere adds nothing the corpus doesn't
+    already have; the flip side of the repeated-span detector, which
+    reports the duplicated mass, this reports the unique mass).
+
+    Plan: tokens stage in-row, windows build in-row (one transform
+    over the staged array), and only 16-byte ``(doc_id, gram_hash)``
+    pairs ever explode — the corpus text never shuffles. The
+    corpus-wide occurrence count attaches as a WINDOW count over the
+    exploded frame (one gram-keyed exchange; re-deriving it as a
+    groupBy+join would rescan the explode — the domain_kl lesson),
+    then one doc-keyed partial-agg rollup. Window duplicates stay in
+    (a within-doc repeat is corpus count >= 2, hence not novel).
+
+    Docs with fewer than ``w`` tokens have no windows and emit no row
+    (same scoreable-row contract as quality_score's n_tokens > 0).
+    """
+    staged = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    k = F.size(F.col("_toks")) - (w - 1)
+    grams = F.transform(
+        F.when(k <= 0, F.array().cast("array<int>")).otherwise(
+            F.sequence(F.lit(1), k)
+        ),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("_toks"), i + j) for j in range(w)]
+        ),
+    )
+    exploded = staged.select(
+        F.col(id_col), F.explode(grams).alias("gram")
+    ).select(F.col(id_col), hashed(F.col("gram"), seed=23, hash_fn=hash_fn).alias("gh"))
+    cnt = F.count("*").over(Window.partitionBy("gh"))
+    counted = exploded.select(F.col(id_col), (cnt == 1).alias("novel"))
+    return (
+        counted.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.col("novel").cast("bigint")).alias("n_novel"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.col("n_novel").cast("bigint").alias("n_novel"),
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_grams"), 6
+            ).alias("novelty"),
+        )
+    )
+
+
+def curriculum_order(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "source",
+) -> DataFrame:
+    """Curriculum epoch plan: documents ordered easy-to-hard (quality
+    descending as the difficulty proxy) with domains interleaved
+    round-robin, so early training batches are both clean AND mixed —
+    the standard curriculum + domain-balance ordering for LLM
+    pretraining runs.
+
+    The global position is NOT a global row_number (a single ORDER BY
+    window serializes the whole corpus through one partition at
+    100 TB). Instead: each doc gets a per-domain rank (parallel
+    windows, one shuffle of (id, domain, quality) triples), per-domain
+    counts collect to the driver (bounded by the domain vocabulary,
+    like every dimension broadcast), and the interleaved position is
+    computed ARITHMETICALLY in-row:
+
+        pos(rank r, domain j) = 1 + sum_i min(c_i, r-1)     [full earlier rounds]
+                                  + #{i < j : c_i >= r}     [same round, earlier domain]
+
+    which reproduces ORDER BY (rank, domain) exactly — gated against
+    the oracle's literal global-sort formulation.
+    """
+    scored = quality_score(docs, id_col=id_col, text_col=text_col)
+    j = docs.select(id_col, domain_col).join(scored, on=id_col)
+    w = Window.partitionBy(domain_col).orderBy(
+        F.col("quality").desc(), F.col(id_col).asc()
+    )
+    ranked = j.select(
+        F.col(id_col),
+        F.col(domain_col),
+        F.col("quality"),
+        F.row_number().over(w).alias("rank"),
+    )
+    counts = sorted(
+        (r[0], r[1])
+        for r in ranked.groupBy(domain_col).count().collect()
+    )
+    r = F.col("rank")
+    pos = F.lit(1).cast("long")
+    for dom, c in counts:
+        pos = pos + F.least(F.lit(int(c)), r - 1)
+        pos = pos + F.when(
+            (F.col(domain_col) > dom) & (F.lit(int(c)) >= r), 1
+        ).otherwise(0)
+    return ranked.select(
+        pos.cast("bigint").alias("pos"),
+        F.col(id_col),
+        F.col(domain_col),
+        F.col("quality"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    model_docs: DataFrame | None = None,
+    hash_fn: str = "xxhash64",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "source",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al., LREC 2020):
+    label every document head / middle / tail by fluency terciles
+    WITHIN its domain — the standard "keep the head, audit the middle,
+    drop the tail" crawl-filtering gate, using the corpus bigram LM
+    (operators/lm.py) as the perplexity stand-in.
+
+    Terciles are per-domain ``ntile(3)`` windows over (fluency desc,
+    id) — parallel across domains, integer-exact in both engines, and
+    deterministic under ties; no global sort anywhere. Only (id,
+    domain, fluency) triples shuffle. Docs the LM cannot score
+    (< 2 tokens) emit no row, matching bigram_lm_score's contract.
+    """
+    from . import lm
+
+    model = lm.bigram_lm_train(
+        model_docs if model_docs is not None else docs,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    fl = lm.bigram_lm_score(docs, model, id_col=id_col, text_col=text_col)
+    j = docs.select(id_col, domain_col).join(fl, on=id_col)
+    w = Window.partitionBy(domain_col).orderBy(
+        F.col("fluency").desc(), F.col(id_col).asc()
+    )
+    t = F.ntile(3).over(w)
+    return j.select(
+        F.col(id_col),
+        F.col(domain_col),
+        F.col("fluency"),
+        t.cast("int").alias("tercile"),
+        F.when(t == 1, "head")
+        .when(t == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

@@ -207,3 +207,66 @@ def opq_rotate_query(
         for j in range(model.rotation.shape[0])
     ]
     return query.withColumn(query_vec_col, F.array(*rows))
+
+
+def pca_ivf_search(
+    corpus: DataFrame,
+    query: DataFrame,
+    out_dim: int = 16,
+    nlist: int = 16,
+    nprobe: int = 4,
+    k: int = 10,
+    shortlist: int = 50,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """FAISS ``IndexPreTransform(PCAMatrix, IndexIVFFlat)`` + refine:
+    the coarse stage — centroid training, assignment, and the probe
+    scan — runs entirely in the ``out_dim``-dimensional PCA space
+    (dim/out_dim× fewer bytes per distance), a ``shortlist`` survives,
+    and an exact full-dimension inner-product re-rank restores
+    original-space scores (the IndexRefineFlat posture shared with
+    pq/binary/matryoshka reranks).
+
+    Scale shape: the PCA model and centroids are driver-held literals
+    (bounded collects); the projection is codegen'd column arithmetic
+    folded into the scan — the corpus is never materialized in
+    projected form, never shuffles; the coarse top-``shortlist`` is
+    TakeOrderedAndProject over the probed partition of the scan, and
+    the refine pass broadcast-semi-joins ``shortlist`` ids.
+
+    The coarse metric is L2 in PCA space (rotation-invariant up to
+    truncation, so it tracks original-space L2 where raw IP would be
+    distorted by the mean shift); the re-rank scores original vectors
+    with IP. At ``nprobe=nlist`` and ``shortlist >= |corpus|`` the
+    result equals the exact flat top-k (pytest-gated).
+    """
+    from . import ivf as ivf_mod
+    from .knn import topk
+
+    model = pca_train(corpus, k=out_dim, vec_col=vec_col)
+    proj = pca_apply(corpus, model, vec_col=vec_col, out_col="_pca").select(
+        id_col, F.col("_pca").alias(vec_col)
+    )
+    qproj = pca_apply(query, model, vec_col="query_vec", out_col="_pca").select(
+        F.col("_pca").alias("query_vec")
+    )
+    cents = ivf_mod.kmeans_centroids(
+        proj, nlist=nlist, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    short = ivf_mod.ivf_search(
+        proj,
+        qproj,
+        nlist=nlist,
+        nprobe=nprobe,
+        k=shortlist,
+        metric="l2",
+        id_col=id_col,
+        vec_col=vec_col,
+        centroids=cents,
+    )
+    hits = corpus.join(
+        F.broadcast(short.select(id_col)), on=id_col, how="left_semi"
+    )
+    return topk(hits, query, k=k, metric="ip", id_col=id_col, vec_col=vec_col)

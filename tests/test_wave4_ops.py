@@ -1,0 +1,218 @@
+"""Property gates for the r5 wave-4 operators: matryoshka /
+PCA-IVF rerank searches, n-gram novelty, curriculum ordering, CCNet
+perplexity buckets, and ColBERT-style maxsim retrieval."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from faiss_vector_search_spark.io import load_table
+from faiss_vector_search_spark.operators import knn, textstats, transform
+from faiss_vector_search_spark.operators.lexical import maxsim_search
+
+
+def _emb(spark, sf):
+    return load_table(spark, sf, "embeddings")
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "src%d" % (i % 2)) for i, t in enumerate(rows)],
+        "doc_id long, text string, source string",
+    )
+
+
+def _topk_ids(df):
+    return [r["vec_id"] for r in df.collect()]
+
+
+class TestMatryoshkaRerank:
+    def test_exact_at_full_shortlist(self, spark, sf_small):
+        emb = _emb(spark, sf_small)
+        q = emb.where(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("query_vec")
+        )
+        n = emb.count()
+        exact = knn.topk(emb, q, k=10)
+        mat = knn.matryoshka_rerank_search(emb, q, k=10, prefix=16, shortlist=n)
+        assert _topk_ids(mat) == _topk_ids(exact)
+        # scores identical too (the rerank is the exact scorer)
+        assert [r["score"] for r in mat.collect()] == [
+            r["score"] for r in exact.collect()
+        ]
+
+    def test_recall_at_small_shortlist(self, spark, sf_small):
+        emb = _emb(spark, sf_small)
+        q = emb.where(F.col("vec_id") == 3).select(
+            F.col("embedding").alias("query_vec")
+        )
+        exact = set(_topk_ids(knn.topk(emb, q, k=10)))
+        got = set(
+            _topk_ids(
+                knn.matryoshka_rerank_search(emb, q, k=10, prefix=16, shortlist=50)
+            )
+        )
+        # prefix-16 of 64 dims on a near-random corpus: a loose floor,
+        # but the shortlist contains the true top-10 often enough that
+        # recall must clear it
+        assert len(got & exact) / 10 >= 0.3
+
+    def test_prefix_equals_dim_is_exact(self, spark, sf_small):
+        """prefix = full dim -> coarse IS exact, any shortlist >= k works."""
+        emb = _emb(spark, sf_small)
+        q = emb.where(F.col("vec_id") == 5).select(
+            F.col("embedding").alias("query_vec")
+        )
+        exact = _topk_ids(knn.topk(emb, q, k=10))
+        got = _topk_ids(
+            knn.matryoshka_rerank_search(emb, q, k=10, prefix=64, shortlist=10)
+        )
+        assert got == exact
+
+
+class TestPcaIvfSearch:
+    def test_exact_at_full_probe_full_shortlist(self, spark, sf_small):
+        emb = _emb(spark, sf_small)
+        q = emb.where(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("query_vec")
+        )
+        n = emb.count()
+        exact = knn.topk(emb, q, k=10)
+        got = transform.pca_ivf_search(
+            emb, q, out_dim=16, nlist=8, nprobe=8, k=10, shortlist=n
+        )
+        assert _topk_ids(got) == _topk_ids(exact)
+
+    def test_recall_at_partial_probe(self, spark, sf_small):
+        emb = _emb(spark, sf_small)
+        q = emb.where(F.col("vec_id") == 2).select(
+            F.col("embedding").alias("query_vec")
+        )
+        exact = set(_topk_ids(knn.topk(emb, q, k=10)))
+        got = set(
+            _topk_ids(
+                transform.pca_ivf_search(
+                    emb, q, out_dim=16, nlist=8, nprobe=4, k=10, shortlist=100
+                )
+            )
+        )
+        assert len(got & exact) / 10 >= 0.3
+
+
+class TestNgramNovelty:
+    def test_duplicate_docs_have_zero_novelty(self, spark):
+        text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        uniq = "one two three four five six seven eight nine ten"
+        docs = _docs_df(spark, [text, text, uniq])
+        out = {
+            r["doc_id"]: (r["n_grams"], r["novelty"])
+            for r in textstats.ngram_novelty(docs, w=8).collect()
+        }
+        # 10 tokens -> 3 windows of 8
+        assert out[0] == (3, 0.0) and out[1] == (3, 0.0)
+        assert out[2] == (3, 1.0)
+
+    def test_short_docs_emit_no_row(self, spark):
+        docs = _docs_df(spark, ["too short", "a b c d e f g h i"])
+        out = textstats.ngram_novelty(docs, w=8).collect()
+        assert {r["doc_id"] for r in out} == {1}
+
+    def test_within_doc_repeat_not_novel(self, spark):
+        # the same 8-gram twice INSIDE one doc -> corpus count 2
+        gram = "a b c d e f g h"
+        docs = _docs_df(spark, [f"{gram} {gram}"])
+        rows = textstats.ngram_novelty(docs, w=8).collect()
+        (r,) = rows
+        # windows: 9 total, the two pure copies of the gram collide
+        assert r["n_novel"] < r["n_grams"]
+
+
+class TestCurriculumOrder:
+    def test_positions_match_global_sort(self, spark, sf_small):
+        docs = load_table(spark, sf_small, "documents")
+        out = textstats.curriculum_order(docs).collect()
+        n = len(out)
+        assert sorted(r["pos"] for r in out) == list(range(1, n + 1))
+        # arithmetic positions == the literal ORDER BY (rank, source)
+        expected = sorted(out, key=lambda r: (r["rank"], r["source"]))
+        for want_pos, r in enumerate(expected, start=1):
+            assert r["pos"] == want_pos
+
+    def test_round_robin_head(self, spark):
+        docs = _docs_df(
+            spark,
+            [
+                "the quick brown fox jumps over the lazy dog again",
+                "a much worse doc ,,,, !!!! ???? ....",
+                "another good document with the usual words in it",
+                "zz !!!! ,,,, xx",
+            ],
+        )
+        out = {r["pos"]: r["source"] for r in
+               textstats.curriculum_order(docs).collect()}
+        # first round: one doc from each domain, domain-ascending
+        assert out[1] == "src0" and out[2] == "src1"
+
+
+class TestCcnetBuckets:
+    def test_terciles_balanced_and_ordered(self, spark, sf_small):
+        docs = load_table(spark, sf_small, "documents")
+        out = textstats.ccnet_buckets(docs).collect()
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r["source"], []).append(r)
+        for src, rows in by_src.items():
+            sizes = [0, 0, 0]
+            for r in rows:
+                sizes[r["tercile"] - 1] += 1
+            assert max(sizes) - min(sizes) <= 1, (src, sizes)
+            heads = [r["fluency"] for r in rows if r["bucket"] == "head"]
+            tails = [r["fluency"] for r in rows if r["bucket"] == "tail"]
+            if heads and tails:
+                assert min(heads) >= max(tails)
+
+    def test_labels_map_terciles(self, spark, sf_small):
+        docs = load_table(spark, sf_small, "documents")
+        for r in textstats.ccnet_buckets(docs).collect():
+            assert r["bucket"] == {1: "head", 2: "middle", 3: "tail"}[r["tercile"]]
+
+
+class TestMaxsimSearch:
+    def test_exact_token_doc_wins(self, spark):
+        docs = _docs_df(
+            spark,
+            [
+                "batch window vector hash fast stream",
+                "batch window vector hash",
+                "nothing shared here at all qqq www",
+            ],
+        )
+        out = maxsim_search(docs, "batch window vector hash fast stream", k=3)
+        rows = out.collect()
+        ids = [r["doc_id"] for r in rows]
+        assert ids[0] == 0
+        # all six query tokens match doc 0 exactly -> score 6.0
+        assert abs(rows[0]["score"] - 6.0) < 1e-9
+        # doc 2 shares no token; trigram sets may still overlap by
+        # accident of hashing, but strictly less than doc 1
+        score = {r["doc_id"]: r["score"] for r in rows}
+        assert score[0] > score[1]
+        if 2 in score:
+            assert score[1] > score[2]
+
+    def test_typo_still_matches(self, spark):
+        docs = _docs_df(
+            spark,
+            ["the vectr databse is fast", "completely unrelated words qqq"],
+        )
+        out = {r["doc_id"]: r["score"] for r in
+               maxsim_search(docs, "vector database", k=2).collect()}
+        # 'vectr'/'databse' share most trigrams with the query tokens
+        assert out.get(0, 0.0) > 0.8
+        assert out.get(0, 0.0) > out.get(1, 0.0)
+
+    def test_production_hash_profile_runs(self, spark):
+        docs = _docs_df(spark, ["fast vector search", "slow scalar scan"])
+        out = maxsim_search(docs, "vector search", k=2, hash_fn="xxhash64")
+        assert out.count() >= 1
