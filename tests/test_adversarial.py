@@ -617,3 +617,50 @@ class TestWave3OpsOnNasty:
         assert [(r["doc_id"], r["score"]) for r in direct] == [
             (r["doc_id"], r["score"]) for r in got
         ]
+
+
+class TestWave4OnNasty:
+    """Wave-4 text operators over the adversarial corpus: no
+    exception, contractual grain and bounds on NULL/unicode/RTL/
+    control-char/degenerate docs."""
+
+    def test_ngram_novelty_bounds_and_grain(self, nasty):
+        out = textstats.ngram_novelty(nasty, w=8).collect()
+        for r in out:
+            assert 0.0 <= r["novelty"] <= 1.0
+            assert 0 <= r["n_novel"] <= r["n_grams"]
+        # 'the '*500: every window is the same gram -> nothing novel
+        by_id = {r["doc_id"]: r for r in out}
+        rep = by_id[10]
+        assert rep["novelty"] == 0.0
+
+    def test_curriculum_order_is_permutation(self, nasty):
+        out = textstats.curriculum_order(nasty).collect()
+        n = len(out)
+        assert n > 0  # the control docs score
+        assert sorted(r["pos"] for r in out) == list(range(1, n + 1))
+
+    def test_ccnet_buckets_grain(self, nasty):
+        out = textstats.ccnet_buckets(nasty).collect()
+        for r in out:
+            assert r["tercile"] in (1, 2, 3)
+            assert r["bucket"] in ("head", "middle", "tail")
+
+    def test_maxsim_on_nasty_and_unicode_query(self, nasty):
+        out = lexical.maxsim_search(nasty, "quick brown fox", k=5).collect()
+        assert out and out[0]["doc_id"] == 12  # the english control
+        # unicode query tokens carry no ascii tokens -> clean error,
+        # not a crash deeper in the plan
+        with pytest.raises(ValueError):
+            lexical.maxsim_search(nasty, "日本語 🎉", k=5)
+
+    def test_matryoshka_prefix_exceeds_dim(self, spark):
+        emb = spark.createDataFrame(
+            [(i, [float(i), 1.0], 0) for i in range(5)], EMB_SCHEMA
+        )
+        q = emb.where(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("query_vec")
+        )
+        # slice past the end truncates -> behaves as prefix=dim
+        out = knn.matryoshka_rerank_search(emb, q, k=3, prefix=64, shortlist=5)
+        assert out.count() == 3
