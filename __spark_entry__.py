@@ -3908,6 +3908,23 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mt.snapshot_diff(spark, _SNAPDIFF_PATHS[sf_dir], 0, 1)
 
 
+def q_profile_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANALYZE: advance table stats across the same two
+    snapshot versions q_snapshot_diff builds, touching only changed
+    rows. Rows-only: exactness-vs-full-recompute and containment
+    gates in tests/test_wave4_ops.py."""
+    from faiss_vector_search_spark.operators import maintenance as mt
+
+    q_snapshot_diff(spark, sf_dir)  # ensure the store exists
+    path = _SNAPDIFF_PATHS[sf_dir]
+    old = analytics.table_profile(
+        mt.read_snapshot(spark, path, 0), cols=("text", "lang", "source")
+    )
+    return mt.profile_delta(
+        spark, path, 0, 1, old, cols=("text", "lang", "source")
+    )
+
+
 def q_docx_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """docx → text ingest, FUNCTIONAL end to end with the pure-stdlib
     OPC decoder (sources/docx.py, no python-docx; reference
@@ -4235,6 +4252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docx_ingest": q_docx_ingest,
         "bm25_index_search": q_bm25_index_search,
         "snapshot_diff": q_snapshot_diff,
+        "profile_delta": q_profile_delta,
     }
 
 

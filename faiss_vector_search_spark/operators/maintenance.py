@@ -375,3 +375,94 @@ def snapshot_diff(
         | F.col("_h_new").isNull()
         | (F.col("_h_old") != F.col("_h_new"))
     )
+
+
+def profile_delta(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int,
+    old_profile: DataFrame,
+    cols: tuple[str, ...],
+    key_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Incremental ANALYZE: advance a table's column statistics from
+    one snapshot version to the next by touching ONLY the changed rows
+    — the maintenance pass that keeps catalog/CBO stats fresh without
+    rescanning a 100 TB table per ingest batch.
+
+    ``old_profile`` is a :func:`analytics.table_profile`-shaped frame
+    for ``from_version`` (column / n_rows / n_nulls / min_value /
+    max_value; any extra columns ignored). Row and null counts update
+    EXACTLY (adds minus removes). min/max update exactly under
+    appends and under removals that don't touch the boundary; a
+    removal OF the current extreme can only be repaired by a rescan,
+    so each output row carries ``minmax_exact`` — False means the
+    bounds are still VALID CONTAINMENT (never narrower than truth)
+    but possibly loose, the standard stale-stats posture engines take
+    after deletes. Exact distinct counts are not incrementally
+    maintainable at all; that tier is the mergeable HLL sketch store
+    (operators/sketches.py), not this pass.
+
+    Plan: the change set comes from :func:`snapshot_diff`
+    (change-sized); added/removed rows are recovered by broadcast
+    semi-joins of the diff keys onto the two pinned version scans, and
+    all statistics aggregate over those change-sized frames — the
+    unchanged mass is never read past the semi-join's pruned scan.
+    """
+    import functools
+
+    diff = snapshot_diff(spark, path, from_version, to_version,
+                         key_cols=key_cols).cache()
+    keys = list(key_cols)
+    new_keys = diff.where(F.col("change") != "removed").select(*keys)
+    old_keys = diff.where(F.col("change") != "added").select(*keys)
+    added = read_snapshot(spark, path, to_version).join(
+        F.broadcast(new_keys), on=keys, how="left_semi"
+    )
+    removed = read_snapshot(spark, path, from_version).join(
+        F.broadcast(old_keys), on=keys, how="left_semi"
+    )
+
+    def stats(df, tag):
+        parts = [
+            df.agg(
+                F.count(F.lit(1)).alias(f"{tag}_rows"),
+                F.count(c).alias(f"{tag}_nn"),
+                F.min(F.col(c).cast("string")).alias(f"{tag}_min"),
+                F.max(F.col(c).cast("string")).alias(f"{tag}_max"),
+            ).select(F.lit(c).alias("column"), "*")
+            for c in cols
+        ]
+        return functools.reduce(lambda a, b: a.unionByName(b), parts)
+
+    base = old_profile.select(
+        "column",
+        F.col("n_rows").cast("bigint").alias("o_rows"),
+        F.col("n_nulls").cast("bigint").alias("o_nulls"),
+        F.col("min_value").alias("o_min"),
+        F.col("max_value").alias("o_max"),
+    )
+    j = (
+        base.join(stats(added, "a"), on="column", how="left")
+        .join(stats(removed, "r"), on="column", how="left")
+    )
+    a_rows = F.coalesce(F.col("a_rows"), F.lit(0))
+    r_rows = F.coalesce(F.col("r_rows"), F.lit(0))
+    a_nulls = a_rows - F.coalesce(F.col("a_nn"), F.lit(0))
+    r_nulls = r_rows - F.coalesce(F.col("r_nn"), F.lit(0))
+    # a removal of the boundary value makes the carried bound loose
+    boundary_removed = (
+        (F.col("r_min").isNotNull() & (F.col("r_min") == F.col("o_min")))
+        | (F.col("r_max").isNotNull() & (F.col("r_max") == F.col("o_max")))
+    )
+    return j.select(
+        "column",
+        (F.col("o_rows") + a_rows - r_rows).cast("bigint").alias("n_rows"),
+        (F.col("o_nulls") + a_nulls - r_nulls).cast("bigint").alias("n_nulls"),
+        F.least(F.col("o_min"), F.coalesce(F.col("a_min"), F.col("o_min")))
+        .alias("min_value"),
+        F.greatest(F.col("o_max"), F.coalesce(F.col("a_max"), F.col("o_max")))
+        .alias("max_value"),
+        (~F.coalesce(boundary_removed, F.lit(False))).alias("minmax_exact"),
+    )

@@ -1048,17 +1048,23 @@ def ngram_novelty(
 
     Plan: tokens stage in-row, windows build in-row (one transform
     over the staged array), and only 16-byte ``(doc_id, gram_hash)``
-    pairs ever explode — the corpus text never shuffles. The
-    corpus-wide occurrence count attaches as a WINDOW count over the
-    exploded frame (one gram-keyed exchange; re-deriving it as a
-    groupBy+join would rescan the explode — the domain_kl lesson),
-    then one doc-keyed partial-agg rollup. Window duplicates stay in
-    (a within-doc repeat is corpus count >= 2, hence not novel).
+    pairs ever explode — the corpus text never shuffles. A WINDOW
+    count over the exploded frame was the first formulation and
+    measured SUPERLINEAR at 10x (0.95 -> 14.4 s: windows sort the full
+    gram stream with no partial aggregation); the shipped shape is all
+    map-side-combinable groupBys — the key insight being that a
+    count-1 gram belongs to exactly ONE (doc, pos), so ``min(doc_id)``
+    in the same gram rollup recovers its owner with NO join back to
+    the exploded frame. Per-doc window totals come from the staged
+    array in-row (``size``, zero shuffle); a within-doc repeat is
+    corpus count >= 2, hence non-novel by construction.
 
     Docs with fewer than ``w`` tokens have no windows and emit no row
     (same scoreable-row contract as quality_score's n_tokens > 0).
     """
-    staged = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    staged = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    )
     k = F.size(F.col("_toks")) - (w - 1)
     grams = F.transform(
         F.when(k <= 0, F.array().cast("array<int>")).otherwise(
@@ -1068,25 +1074,40 @@ def ngram_novelty(
             " ", *[F.element_at(F.col("_toks"), i + j) for j in range(w)]
         ),
     )
+    # The per-doc window TOTAL is pure arithmetic on the token count —
+    # max(n_toks - w + 1, 0) — so the counting branch never builds
+    # grams at all. (A size(_grams) > 0 filter here measured 60x
+    # slower: predicate pushdown re-inlined the tokenizer inside every
+    # element_at of the pushed gram transform — the §4 interpreted-HOF
+    # re-inline killer, now with the filter as the pusher.)
+    per_doc = staged.select(
+        F.col(id_col),
+        F.greatest(F.size("_toks") - (w - 1), F.lit(0))
+        .cast("bigint")
+        .alias("n_grams"),
+    ).where(F.col("n_grams") > 0)
     exploded = staged.select(
         F.col(id_col), F.explode(grams).alias("gram")
-    ).select(F.col(id_col), hashed(F.col("gram"), seed=23, hash_fn=hash_fn).alias("gh"))
-    cnt = F.count("*").over(Window.partitionBy("gh"))
-    counted = exploded.select(F.col(id_col), (cnt == 1).alias("novel"))
-    return (
-        counted.groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.sum(F.col("novel").cast("bigint")).alias("n_novel"),
-        )
-        .select(
-            F.col(id_col),
-            F.col("n_grams").cast("bigint").alias("n_grams"),
-            F.col("n_novel").cast("bigint").alias("n_novel"),
-            F.round(
-                F.col("n_novel").cast("double") / F.col("n_grams"), 6
-            ).alias("novelty"),
-        )
+    ).select(
+        F.col(id_col),
+        hashed(F.col("gram"), seed=23, hash_fn=hash_fn).alias("gh"),
+    )
+    novel = (
+        exploded.groupBy("gh")
+        .agg(F.count("*").alias("c"), F.min(id_col).alias(id_col))
+        .where(F.col("c") == 1)
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_novel"))
+    )
+    return per_doc.join(novel, on=id_col, how="left").select(
+        F.col(id_col),
+        F.col("n_grams"),
+        F.coalesce(F.col("n_novel"), F.lit(0)).cast("bigint").alias("n_novel"),
+        F.round(
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
+            / F.col("n_grams"),
+            6,
+        ).alias("novelty"),
     )
 
 

@@ -216,3 +216,108 @@ class TestMaxsimSearch:
         docs = _docs_df(spark, ["fast vector search", "slow scalar scan"])
         out = maxsim_search(docs, "vector search", k=2, hash_fn="xxhash64")
         assert out.count() >= 1
+
+
+class TestProfileDelta:
+    """Incremental ANALYZE over the versioned snapshot store."""
+
+    COLS = ("text", "n")
+
+    def _store(self, spark, tmp_path, rows0, rows1):
+        from faiss_vector_search_spark.operators import maintenance as mt
+
+        path = str(tmp_path / "snap")
+        df0 = spark.createDataFrame(rows0, "doc_id long, text string, n long")
+        df1 = spark.createDataFrame(rows1, "doc_id long, text string, n long")
+        v0 = mt.write_snapshot(df0, path)
+        v1 = mt.write_snapshot(df1, path)
+        return mt, path, v0, v1, df0, df1
+
+    def _full_profile(self, df, cols):
+        from faiss_vector_search_spark.operators import analytics
+
+        return {
+            r["column"]: r
+            for r in analytics.table_profile(df, cols=cols).collect()
+        }
+
+    def test_append_only_is_exact(self, spark, tmp_path):
+        rows0 = [(1, "aa", 5), (2, "bb", 7)]
+        rows1 = rows0 + [(3, "cc", 3), (4, None, 9)]
+        mt, path, v0, v1, df0, df1 = self._store(spark, tmp_path, rows0, rows1)
+        from faiss_vector_search_spark.operators import analytics
+
+        old = analytics.table_profile(df0, cols=self.COLS)
+        out = {
+            r["column"]: r
+            for r in mt.profile_delta(
+                spark, path, v0, v1, old, cols=self.COLS
+            ).collect()
+        }
+        want = self._full_profile(df1, self.COLS)
+        for c in self.COLS:
+            assert out[c]["n_rows"] == want[c]["n_rows"]
+            assert out[c]["n_nulls"] == want[c]["n_nulls"]
+            assert out[c]["min_value"] == want[c]["min_value"]
+            assert out[c]["max_value"] == want[c]["max_value"]
+            assert out[c]["minmax_exact"] is True
+
+    def test_interior_removal_stays_exact(self, spark, tmp_path):
+        rows0 = [(1, "aa", 5), (2, "mm", 7), (3, "zz", 9)]
+        rows1 = [(1, "aa", 5), (3, "zz", 9)]  # interior row removed
+        mt, path, v0, v1, df0, df1 = self._store(spark, tmp_path, rows0, rows1)
+        from faiss_vector_search_spark.operators import analytics
+
+        old = analytics.table_profile(df0, cols=self.COLS)
+        out = {
+            r["column"]: r
+            for r in mt.profile_delta(
+                spark, path, v0, v1, old, cols=self.COLS
+            ).collect()
+        }
+        want = self._full_profile(df1, self.COLS)
+        for c in self.COLS:
+            assert out[c]["n_rows"] == want[c]["n_rows"]
+            assert out[c]["min_value"] == want[c]["min_value"]
+            assert out[c]["max_value"] == want[c]["max_value"]
+        # 'mm'/7 were not boundaries -> still exact
+        assert out["text"]["minmax_exact"] is True
+        assert out["n"]["minmax_exact"] is True
+
+    def test_boundary_removal_flags_and_contains(self, spark, tmp_path):
+        rows0 = [(1, "aa", 5), (2, "mm", 7), (3, "zz", 9)]
+        rows1 = [(2, "mm", 7), (3, "zz", 9)]  # the min text/n row removed
+        mt, path, v0, v1, df0, df1 = self._store(spark, tmp_path, rows0, rows1)
+        from faiss_vector_search_spark.operators import analytics
+
+        old = analytics.table_profile(df0, cols=self.COLS)
+        out = {
+            r["column"]: r
+            for r in mt.profile_delta(
+                spark, path, v0, v1, old, cols=self.COLS
+            ).collect()
+        }
+        want = self._full_profile(df1, self.COLS)
+        for c in self.COLS:
+            # counts exact even when bounds go stale
+            assert out[c]["n_rows"] == want[c]["n_rows"]
+            assert out[c]["minmax_exact"] is False
+            # stale bounds still CONTAIN the truth (never narrower)
+            assert out[c]["min_value"] <= want[c]["min_value"]
+            assert out[c]["max_value"] >= want[c]["max_value"]
+
+    def test_changed_rows_update_counts(self, spark, tmp_path):
+        rows0 = [(1, "aa", 5), (2, "bb", None)]
+        rows1 = [(1, "aa", 5), (2, "bb", 8)]  # null filled in
+        mt, path, v0, v1, df0, df1 = self._store(spark, tmp_path, rows0, rows1)
+        from faiss_vector_search_spark.operators import analytics
+
+        old = analytics.table_profile(df0, cols=self.COLS)
+        out = {
+            r["column"]: r
+            for r in mt.profile_delta(
+                spark, path, v0, v1, old, cols=self.COLS
+            ).collect()
+        }
+        assert out["n"]["n_nulls"] == 0
+        assert out["n"]["n_rows"] == 2
