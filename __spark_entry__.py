@@ -824,6 +824,25 @@ def q_maxsim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle restructuring (PSM ordering) for a
+    deterministic half of eligible docs — cuts are pure hash
+    arithmetic, one zero-shuffle projection."""
+    return chunking.fim_transform(
+        _t(spark, sf_dir, "documents"),
+        rate_permille=500,
+        min_chars=20,
+        hash_fn="md5",
+    )
+
+
+def q_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary statistics: tokens, vocab, hapax, head coverage,
+    fitted Zipf slope — one (token, count) rollup + a top-100
+    TakeOrdered, no global rank window."""
+    return textstats.zipf_profile(_t(spark, sf_dir, "documents"), top_n=100)
+
+
 def q_matryoshka_rerank_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka prefix-dimension coarse scan (first 16 of 64 dims) +
     exact full-dim re-rank; hash-gated on the two-phase semantics
@@ -3822,6 +3841,76 @@ ORDER BY score DESC, doc_id ASC
 LIMIT 10
 """
 
+ORACLES["fim_transform"] = f"""
+WITH s AS (
+  SELECT doc_id, text, len(text) AS n,
+         (len(text) >= 20
+          AND ({_md5i("'s31:' || doc_id::VARCHAR")} % 1000) < 500) AS apply
+  FROM documents
+),
+cuts AS (
+  SELECT doc_id, text, n, apply,
+         CAST(floor(n / 10)
+              + ({_md5i("'s32:' || doc_id::VARCHAR")}
+                 % greatest(CAST(floor(n * 4 / 10) AS BIGINT), 1))
+           AS INT) AS c1
+  FROM s
+),
+cuts2 AS (
+  SELECT doc_id, text, apply, c1,
+         CAST(c1 + ({_md5i("'s33:' || doc_id::VARCHAR")}
+                    % greatest(CAST(floor(n * 9 / 10) AS BIGINT) - c1, 1))
+           AS INT) AS c2
+  FROM cuts
+)
+SELECT doc_id, apply AS fim,
+       CASE WHEN apply THEN substr(text, 1, c1) END AS prefix,
+       CASE WHEN apply THEN substr(text, c1 + 1, c2 - c1) END AS middle,
+       CASE WHEN apply THEN substr(text, c2 + 1) END AS suffix,
+       CASE WHEN apply THEN '<PRE>' || substr(text, 1, c1)
+                         || '<SUF>' || substr(text, c2 + 1)
+                         || '<MID>' || substr(text, c1 + 1, c2 - c1)
+       END AS fim_text
+FROM cuts2
+"""
+
+ORACLES["zipf_profile"] = f"""
+WITH toks AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+counts AS (SELECT tok, count(*)::BIGINT AS c FROM toks GROUP BY 1),
+tot AS (
+  SELECT sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS vocab_size,
+         sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax_count
+  FROM counts
+),
+top AS (SELECT tok, c FROM counts ORDER BY c DESC, tok ASC LIMIT 100),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, tok ASC) AS r FROM top
+),
+terms AS (
+  SELECT c,
+         CAST(ROUND(ln(r::DOUBLE), 8) AS DECIMAL(18,8)) AS x,
+         CAST(ROUND(ln(c::DOUBLE), 8) AS DECIMAL(18,8)) AS y,
+         CAST(ROUND(ln(r::DOUBLE) * ln(c::DOUBLE), 8) AS DECIMAL(18,8)) AS xy,
+         CAST(ROUND(ln(r::DOUBLE) * ln(r::DOUBLE), 8) AS DECIMAL(18,8)) AS xx
+  FROM ranked
+),
+sums AS (
+  SELECT count(*)::DOUBLE AS k,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(xy) AS DOUBLE) AS sxy, CAST(sum(xx) AS DOUBLE) AS sxx,
+         sum(c)::BIGINT AS head_mass
+  FROM terms
+)
+SELECT 'n_tokens' AS metric, n_tokens::DOUBLE AS value FROM tot
+UNION ALL SELECT 'vocab_size', vocab_size::DOUBLE FROM tot
+UNION ALL SELECT 'hapax_count', hapax_count::DOUBLE FROM tot
+UNION ALL SELECT 'hapax_frac', ROUND(hapax_count::DOUBLE / vocab_size, 6) FROM tot
+UNION ALL SELECT 'top_coverage', ROUND(head_mass::DOUBLE / n_tokens, 6)
+          FROM sums, tot
+UNION ALL SELECT 'zipf_slope',
+          ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) FROM sums
+"""
+
 # The two-phase semantics gate EXACTLY (coarse prefix-16 rounded-IP
 # top-100 with the id tie-break, then exact full-dim rerank) — on a
 # near-random corpus the shortlist is NOT lossless, so the oracle is
@@ -4104,6 +4193,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r5 wave-4 additions (never driver-checked) lead per the same
     # standing policy; they displace 6 more r2-green keys to 51+.
     return {
+        "fim_transform": q_fim_transform,
+        "zipf_profile": q_zipf_profile,
         "ngram_novelty": q_ngram_novelty,
         "curriculum_order": q_curriculum_order,
         "ccnet_buckets": q_ccnet_buckets,

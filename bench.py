@@ -501,6 +501,12 @@ def main() -> None:
         ),
         "matryoshka_rerank_search": qs["matryoshka_rerank_search"],
         "pca_ivf_search": qs["pca_ivf_search"],
+        "fim_transform": lambda spark, sf: chunking.fim_transform(
+            fio.load_table(spark, sf, "documents"),
+            rate_permille=500, min_chars=20, hash_fn="xxhash64",
+        ),
+        "zipf_profile": qs["zipf_profile"],
+        "profile_delta": qs["profile_delta"],
     }
 
     # Scaling-sweep knobs (default: off — the driver's per-round run

@@ -357,3 +357,79 @@ def length_bucket_batches(
             ).alias("pad_frac"),
         )
     )
+
+
+def fim_transform(
+    docs: DataFrame,
+    rate_permille: int = 500,
+    min_chars: int = 20,
+    hash_fn: str = "xxhash64",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fill-in-the-middle restructuring (Bavarian et al. 2022, the
+    OpenAI FIM recipe; standard for code-model pretraining): for a
+    deterministic ``rate_permille``/1000 of eligible documents, cut the
+    text at two hash-derived points into (prefix, middle, suffix) and
+    emit the PSM ordering ``<PRE>prefix<SUF>suffix<MID>middle`` — the
+    model learns infilling from the reordered stream while the
+    remaining docs pass through untouched.
+
+    All randomness is md5/xxhash arithmetic on the doc id (the
+    hash_split posture): the same doc always gets the same cuts, so
+    re-runs are idempotent and the transform is stable under corpus
+    growth. Cut placement: cut1 in [10%, 50%), cut2 in [cut1, 90%) —
+    pure integer column arithmetic (explicit ``floor``: DuckDB's
+    double->BIGINT cast rounds half-even where Spark truncates) in one
+    zero-shuffle, zero-join projection; the corpus never moves.
+
+    Output: every input doc with ``fim`` (applied?) plus
+    prefix/middle/suffix and the reassembled ``fim_text`` (NULL when
+    not applied — the training mixer unions the two streams as-is).
+    """
+    from ..functions.hashing import hashed
+
+    n = F.length(F.col(text_col))
+    apply_fim = (n >= min_chars) & (
+        F.pmod(hashed(F.col(id_col), seed=31, hash_fn=hash_fn), 1000)
+        < rate_permille
+    )
+    span1 = F.greatest(F.floor(n * 4 / 10), F.lit(1))
+    cut1 = F.floor(n / 10) + F.pmod(
+        hashed(F.col(id_col), seed=32, hash_fn=hash_fn), span1
+    )
+    span2 = F.greatest(F.floor(n * 9 / 10) - cut1, F.lit(1))
+    cut2 = cut1 + F.pmod(
+        hashed(F.col(id_col), seed=33, hash_fn=hash_fn), span2
+    )
+    staged = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        apply_fim.alias("_apply"),
+        cut1.cast("int").alias("_c1"),
+        cut2.cast("int").alias("_c2"),
+    )
+    prefix = F.substring(F.col(text_col), F.lit(1), F.col("_c1"))
+    middle = F.substring(
+        F.col(text_col), F.col("_c1") + 1, F.col("_c2") - F.col("_c1")
+    )
+    suffix = F.substring(
+        F.col(text_col), F.col("_c2") + 1, F.length(F.col(text_col))
+    )
+    return staged.select(
+        F.col(id_col),
+        F.col("_apply").alias("fim"),
+        F.when(F.col("_apply"), prefix).alias("prefix"),
+        F.when(F.col("_apply"), middle).alias("middle"),
+        F.when(F.col("_apply"), suffix).alias("suffix"),
+        F.when(
+            F.col("_apply"),
+            F.concat(
+                F.lit("<PRE>"), prefix,
+                F.lit("<SUF>"), suffix,
+                F.lit("<MID>"), middle,
+            ),
+        ).alias("fim_text"),
+    )
+
+

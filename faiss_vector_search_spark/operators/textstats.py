@@ -1211,3 +1211,73 @@ def ccnet_buckets(
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+def zipf_profile(
+    docs: DataFrame,
+    top_n: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary-statistics report: total tokens, vocabulary size,
+    hapax-legomenon count/fraction, head coverage (mass share of the
+    ``top_n`` terms), and the fitted Zipf slope — the corpus-health
+    numbers that catch tokenizer regressions, boilerplate floods
+    (coverage spikes), and synthetic/duplicated text (hapax collapse)
+    before they reach training.
+
+    Plan: ONE map-side-combinable (token, count) rollup; the totals
+    are an aggregate of that model-sized frame, the head is
+    TakeOrderedAndProject (top_n rows — no global rank window over the
+    vocabulary), and the slope is ordinary least squares on
+    (ln rank, ln count) over those top_n rows. Cross-engine: every
+    ln-derived term rounds to DECIMAL(18,8) BEFORE the order-free
+    decimal sums (the lm.py no-raw-double-accumulation discipline);
+    the slope combines the exact sums in doubles once, rounded 6.
+    """
+    toks = docs.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = counts.agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("vocab_size"),
+        F.sum((F.col("c") == 1).cast("bigint")).alias("hapax_count"),
+    )
+    top = counts.orderBy(F.col("c").desc(), F.col("tok").asc()).limit(top_n)
+    w = Window.orderBy(F.col("c").desc(), F.col("tok").asc())
+    DEC = "decimal(18,8)"
+    lr = F.log(F.col("r").cast("double"))
+    lc = F.log(F.col("c").cast("double"))
+    terms = top.select(
+        F.col("c"), F.row_number().over(w).alias("r")
+    ).select(
+        F.col("c"),
+        F.round(lr, 8).cast(DEC).alias("x"),
+        F.round(lc, 8).cast(DEC).alias("y"),
+        F.round(lr * lc, 8).cast(DEC).alias("xy"),
+        F.round(lr * lr, 8).cast(DEC).alias("xx"),
+    )
+    sums = terms.agg(
+        F.count("*").cast("double").alias("k"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xy").cast("double").alias("sxy"),
+        F.sum("xx").cast("double").alias("sxx"),
+        F.sum("c").cast("bigint").alias("head_mass"),
+    )
+    row = tot.crossJoin(sums)
+    slope = F.try_divide(
+        F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"),
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"),
+    )
+    staged = row.select(F.round(slope, 6).alias("_slope"), "*")
+    return staged.select(
+        F.expr(
+            "stack(6, "
+            "'n_tokens', cast(n_tokens as double), "
+            "'vocab_size', cast(vocab_size as double), "
+            "'hapax_count', cast(hapax_count as double), "
+            "'hapax_frac', round(cast(hapax_count as double) / vocab_size, 6), "
+            "'top_coverage', round(cast(head_mass as double) / n_tokens, 6), "
+            "'zipf_slope', _slope) as (metric, value)"
+        )
+    )

@@ -321,3 +321,96 @@ class TestProfileDelta:
         }
         assert out["n"]["n_nulls"] == 0
         assert out["n"]["n_rows"] == 2
+
+
+class TestFimTransform:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+
+    def test_parts_partition_text_exactly(self, spark, sf_small):
+        from faiss_vector_search_spark.operators import chunking
+
+        docs = load_table(spark, sf_small, "documents")
+        out = chunking.fim_transform(docs, rate_permille=1000).collect()
+        src = {r["doc_id"]: r["text"] for r in docs.collect()}
+        applied = 0
+        for r in out:
+            if r["fim"]:
+                applied += 1
+                assert r["prefix"] + r["middle"] + r["suffix"] == src[r["doc_id"]]
+                assert r["fim_text"] == (
+                    "<PRE>" + r["prefix"] + "<SUF>" + r["suffix"]
+                    + "<MID>" + r["middle"]
+                )
+        assert applied > 0
+
+    def test_cut_bounds(self, spark, sf_small):
+        from faiss_vector_search_spark.operators import chunking
+
+        docs = load_table(spark, sf_small, "documents")
+        out = chunking.fim_transform(docs, rate_permille=1000).collect()
+        src = {r["doc_id"]: r["text"] for r in docs.collect()}
+        for r in out:
+            if not r["fim"]:
+                continue
+            n = len(src[r["doc_id"]])
+            c1 = len(r["prefix"])
+            c2 = c1 + len(r["middle"])
+            assert n // 10 <= c1 < n // 10 + max(n * 4 // 10, 1) + 1
+            assert c1 <= c2 <= max(9 * n // 10, c1 + 1)
+
+    def test_rate_and_determinism(self, spark, sf_small):
+        from faiss_vector_search_spark.operators import chunking
+
+        docs = load_table(spark, sf_small, "documents")
+        a = chunking.fim_transform(docs, rate_permille=500).collect()
+        b = chunking.fim_transform(docs, rate_permille=500).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        n_applied = sum(1 for r in a if r["fim"])
+        # hash gate: roughly half (loose band, deterministic value)
+        assert 0.35 * len(a) < n_applied < 0.65 * len(a)
+
+    def test_short_docs_pass_through(self, spark):
+        from faiss_vector_search_spark.operators import chunking
+
+        docs = self._docs(spark, ["tiny", "x" * 100])
+        out = {r["doc_id"]: r for r in
+               chunking.fim_transform(docs, rate_permille=1000).collect()}
+        assert out[0]["fim"] is False and out[0]["fim_text"] is None
+        assert out[1]["fim"] is True
+
+
+class TestZipfProfile:
+    def _metrics(self, spark, texts):
+        from faiss_vector_search_spark.operators import textstats as ts
+
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        return {r["metric"]: r["value"] for r in ts.zipf_profile(docs).collect()}
+
+    def test_exact_counts_tiny_corpus(self, spark):
+        m = self._metrics(spark, ["a a a b b c", "c b a"])
+        # a:4 b:3 c:2 -> 9 tokens, vocab 3, hapax 0
+        assert m["n_tokens"] == 9.0
+        assert m["vocab_size"] == 3.0
+        assert m["hapax_count"] == 0.0
+        assert m["top_coverage"] == 1.0
+
+    def test_uniform_corpus_slope_zero(self, spark):
+        # every token appears exactly twice -> ln(count) constant ->
+        # least-squares slope is exactly 0
+        m = self._metrics(spark, ["aa bb cc dd", "dd cc bb aa"])
+        assert m["zipf_slope"] == 0.0
+        assert m["hapax_count"] == 0.0
+
+    def test_zipfian_corpus_slope_negative(self, spark, sf_small):
+        from faiss_vector_search_spark.operators import textstats as ts
+
+        docs = load_table(spark, sf_small, "documents")
+        m = {r["metric"]: r["value"] for r in ts.zipf_profile(docs).collect()}
+        assert m["zipf_slope"] < -0.1  # natural-ish text: decaying head
+        assert 0.0 <= m["hapax_frac"] <= 1.0
+        assert m["vocab_size"] <= m["n_tokens"]
