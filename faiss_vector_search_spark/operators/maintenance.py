@@ -254,7 +254,19 @@ def zorder_scan(
 _MANIFEST = "_versions.json"
 
 
-def write_snapshot(df, path: str) -> int:
+def _snap_table(path: str, version: int) -> str:
+    """Deterministic catalog name for a bucketed snapshot version
+    (hash of the store path — ``hash()`` is session-random, md5 is
+    not)."""
+    import hashlib
+
+    h = hashlib.md5(path.encode()).hexdigest()[:10]
+    return f"snap_{h}_v{version}"
+
+
+def write_snapshot(
+    df, path: str, bucket_by: tuple[str, int] | None = None
+) -> int:
     """Write a new immutable table version under ``path/v=<n>`` and
     record it in the manifest LAST — readers pinned to any committed
     version are never disturbed (writers never mutate old data; the
@@ -264,6 +276,24 @@ def write_snapshot(df, path: str) -> int:
     parquet: concurrent readers of version n keep a consistent view
     while version n+1 lands; rollback = read an older version.
     Single-writer by contract (no manifest CAS on plain files).
+
+    ``bucket_by=(key_col, n_buckets)`` stores the version BUCKETED
+    and in-bucket SORTED on the key (registered in the session
+    catalog — the bucket spec lives in table metadata): every later
+    key-equi-join between versions, most importantly
+    :func:`snapshot_diff`'s full outer join, is then EXCHANGE-FREE
+    (plan-gated in tests) — at 100 TB the diff's cost collapses from
+    two corpus shuffles to a co-located per-bucket merge, which is
+    the difference between "CDC read per ingest batch" being routine
+    and being a capacity event. A LOCAL per-bucket sort remains under
+    the merge join (Spark's bucketed reader does not propagate the
+    written sortBy order without the legacy
+    ``bucketedTableScan.outputOrdering`` conf; a local sort moves no
+    data — the claim is no network, not no CPU). All
+    versions of one store must share the same bucket spec. In
+    production the catalog must be a persistent metastore; with the
+    in-memory catalog the spec (not the data) is lost on restart and
+    reads degrade to plain parquet.
 
     Manifest I/O is deliberately driver-local-FS (``open``/
     ``os.replace`` for the atomic commit) — ``path`` must be a local
@@ -275,7 +305,24 @@ def write_snapshot(df, path: str) -> int:
 
     spark = df.sparkSession
     version = latest_version(spark, path) + 1
-    df.write.mode("errorifexists").parquet(f"{path}/v={version}")
+    if bucket_by is not None:
+        key_col, n_buckets = bucket_by
+        (
+            # repartition on the key first: one writer task per bucket
+            # -> ONE sorted file per bucket. Spark only elides the
+            # reader-side sort when a bucket is a single file; multiple
+            # files per bucket keep the exchange away but re-add the
+            # sort under the merge join.
+            df.repartition(n_buckets, F.col(key_col))
+            .write.mode("errorifexists")
+            .format("parquet")
+            .option("path", f"{path}/v={version}")
+            .bucketBy(n_buckets, key_col)
+            .sortBy(key_col)
+            .saveAsTable(_snap_table(path, version))
+        )
+    else:
+        df.write.mode("errorifexists").parquet(f"{path}/v={version}")
     manifest = os.path.join(path, _MANIFEST)
     versions = _read_manifest(manifest)
     versions.append(version)
@@ -305,7 +352,12 @@ def latest_version(spark: SparkSession, path: str) -> int:
 
 def read_snapshot(spark: SparkSession, path: str, version: int | None = None):
     """Read a pinned (or the latest committed) version. Uncommitted
-    in-flight writes are invisible — only manifest versions load."""
+    in-flight writes are invisible — only manifest versions load.
+
+    If the version was written ``bucket_by`` and its catalog entry is
+    live, the bucketed read (spec attached — joins on the key skip
+    the exchange) is returned; otherwise the plain parquet scan of
+    the same files."""
     import os
 
     versions = _read_manifest(os.path.join(path, _MANIFEST))
@@ -315,6 +367,9 @@ def read_snapshot(spark: SparkSession, path: str, version: int | None = None):
         version = max(versions)
     if version not in versions:
         raise ValueError(f"version {version} not in {sorted(versions)}")
+    table = _snap_table(path, version)
+    if spark.catalog.tableExists(table):
+        return spark.table(table)
     return spark.read.parquet(f"{path}/v={version}")
 
 

@@ -414,3 +414,58 @@ class TestZipfProfile:
         assert m["zipf_slope"] < -0.1  # natural-ish text: decaying head
         assert 0.0 <= m["hapax_frac"] <= 1.0
         assert m["vocab_size"] <= m["n_tokens"]
+
+
+class TestBucketedSnapshotDiff:
+    """bucket_by snapshot layout: the CDC diff's full outer join must
+    be exchange-free and sort-free, with identical results to the
+    plain-parquet store."""
+
+    def _rows(self, tag):
+        return [(i, f"text {i} {tag if i % 5 == 0 else ''}") for i in range(40)]
+
+    def test_diff_exchange_free_and_equal(self, spark, tmp_path):
+        from faiss_vector_search_spark.operators import maintenance as mt
+
+        rows0 = self._rows("a")
+        rows1 = [(i, t) for i, t in self._rows("b") if i % 7 != 0]
+        schema = "doc_id long, text string"
+        plain = str(tmp_path / "plain")
+        mt.write_snapshot(spark.createDataFrame(rows0, schema), plain)
+        mt.write_snapshot(spark.createDataFrame(rows1, schema), plain)
+        bucketed = str(tmp_path / "bucketed")
+        mt.write_snapshot(
+            spark.createDataFrame(rows0, schema), bucketed,
+            bucket_by=("doc_id", 8),
+        )
+        mt.write_snapshot(
+            spark.createDataFrame(rows1, schema), bucketed,
+            bucket_by=("doc_id", 8),
+        )
+
+        d_plain = mt.snapshot_diff(spark, plain, 0, 1)
+        d_bucketed = mt.snapshot_diff(spark, bucketed, 0, 1)
+        got_p = sorted(map(tuple, d_plain.collect()))
+        got_b = sorted(map(tuple, d_bucketed.collect()))
+        assert got_b == got_p and got_b  # same change set, non-empty
+
+        plan = d_bucketed._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("Initial Plan")[0]
+        # the claim is NO NETWORK: both version scans read co-located
+        # buckets, the full outer join never shuffles. (A LOCAL
+        # per-bucket sort remains — Spark's bucketed reader drops the
+        # written sortBy order unless a legacy conf restores it.)
+        assert "Exchange" not in final, final
+        assert "Bucketed: true" in final, final
+        # and the plain store DOES shuffle, so the layout is what
+        # removed it
+        plain_plan = d_plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plain_plan
+
+    def test_plain_reads_unaffected(self, spark, tmp_path):
+        from faiss_vector_search_spark.operators import maintenance as mt
+
+        path = str(tmp_path / "p2")
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        v = mt.write_snapshot(df, path)
+        assert mt.read_snapshot(spark, path, v).count() == 1
