@@ -3969,6 +3969,35 @@ def q_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVFIDX_PATHS: dict[str, str] = {}
+
+
+def q_ivf_batch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched search over the persisted IVF index: 4 queries share
+    ONE partition-pruned scan (probe-set union as the IN filter, the
+    probe map broadcast-joined so rows score only against the queries
+    that probed their list). Rows-only: equality with the per-query
+    ivf_search_persisted loop + the prune plan fact are pytest-gated
+    (tests/test_wave4_ops.py)."""
+    import tempfile
+
+    from faiss_vector_search_spark.operators import ivf as ivf_mod
+
+    emb = _t(spark, sf_dir, "embeddings")
+    if sf_dir not in _IVFIDX_PATHS:
+        path = tempfile.mkdtemp(prefix="fvs_ivfidx_entry_") + "/idx"
+        cents = ivf_mod.seeded_centroids(emb, nlist=16)
+        ivf_mod.save_ivf(emb, cents, path)
+        _IVFIDX_PATHS[sf_dir] = path
+    queries = emb.where(F.col("vec_id").isin([0, 3, 7, 11])).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return ivf_mod.ivf_search_persisted_batch(
+        spark, _IVFIDX_PATHS[sf_dir], queries, nprobe=4, k=10
+    )
+
+
 _SNAPDIFF_PATHS: dict[str, str] = {}
 
 
@@ -4344,6 +4373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_search": q_bm25_index_search,
         "snapshot_diff": q_snapshot_diff,
         "profile_delta": q_profile_delta,
+        "ivf_batch_query": q_ivf_batch_query,
     }
 
 

@@ -417,3 +417,88 @@ def ivf_search_persisted(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivf_search_persisted_batch(
+    spark,
+    path: str,
+    queries: DataFrame,
+    nprobe: int = 4,
+    k: int = 10,
+    metric: str = "ip",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Batched search over a persisted IVF index: N queries share ONE
+    partition-pruned scan — the serving-path optimization FAISS gets
+    from batching ``index.search(xq)`` calls, here as a plan shape.
+
+    Per-query probe sets compute in one window over the broadcast
+    centroids (queries are bounded, like every query-side structure);
+    their UNION becomes the partition-pruning ``IN`` filter, so the
+    scan reads each probed list directory ONCE even when several
+    queries probe it. The (query, list, query_vec) probe map then
+    BROADCAST-joins the scan on ``list_id``: a row scores only
+    against the queries that actually probed its list — per-row work
+    matches the one-query-at-a-time loop, while scan bytes drop by
+    the probe-overlap factor. Only (query_id, id, score) triples
+    shuffle for the per-query rank window.
+
+    Equality with the per-query :func:`ivf_search_persisted` loop and
+    the partition-prune plan fact are pytest-gated.
+    """
+    cents = spark.read.parquet(f"{path}/_centroids")
+    probes = (
+        queries.select(query_id_col, query_vec_col)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col(query_id_col),
+            F.col("cid"),
+            V.l2_sq(F.col(query_vec_col), F.col("cvec")).alias("cdist"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cdist").asc(), F.col("cid").asc()
+    )
+    probe_map = (
+        probes.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= nprobe)
+        .select(query_id_col, F.col("cid"))
+    )
+    pm = probe_map.collect()  # bounded: Q x nprobe rows
+    all_lists = sorted({r["cid"] for r in pm})
+    qmap = (
+        spark.createDataFrame(
+            [(r[query_id_col], r["cid"]) for r in pm],
+            f"{query_id_col} bigint, _probe_cid int",
+        )
+        .join(queries.select(query_id_col, query_vec_col), on=query_id_col)
+    )
+    index = spark.read.parquet(f"{path}/vectors").where(
+        F.col("list_id").isin(all_lists)
+    )
+    score = (
+        V.ip_score(F.col(vec_col), F.col(query_vec_col))
+        if metric == "ip"
+        else V.l2_score(F.col(vec_col), F.col(query_vec_col))
+    )
+    scored = index.join(
+        F.broadcast(qmap), index["list_id"] == qmap["_probe_cid"]
+    ).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(score, SCORE_DECIMALS).alias("score"),
+    )
+    rw = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rw))
+        .where(F.col("rank") <= k)
+        .select(
+            query_id_col, id_col, "score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

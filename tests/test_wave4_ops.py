@@ -469,3 +469,67 @@ class TestBucketedSnapshotDiff:
         df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         v = mt.write_snapshot(df, path)
         assert mt.read_snapshot(spark, path, v).count() == 1
+
+
+class TestIvfBatchPersisted:
+    """N queries over the persisted IVF index in one pruned scan."""
+
+    @pytest.fixture(scope="class")
+    def store(self, spark, sf_small, tmp_path_factory):
+        from faiss_vector_search_spark.operators import ivf as ivf_mod
+
+        emb = load_table(spark, sf_small, "embeddings")
+        cents = ivf_mod.seeded_centroids(emb, nlist=8)
+        path = str(tmp_path_factory.mktemp("ivfb") / "idx")
+        ivf_mod.save_ivf(emb, cents, path)
+        return path, emb
+
+    def test_equals_per_query_loop(self, spark, store):
+        from faiss_vector_search_spark.operators import ivf as ivf_mod
+
+        path, emb = store
+        qids = [0, 3, 7]
+        queries = emb.where(F.col("vec_id").isin(qids)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        batched = ivf_mod.ivf_search_persisted_batch(
+            spark, path, queries, nprobe=3, k=5
+        ).collect()
+        got = {}
+        for r in batched:
+            got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["score"]))
+        for qid in qids:
+            q1 = emb.where(F.col("vec_id") == qid).select(
+                F.col("embedding").alias("query_vec")
+            )
+            solo = ivf_mod.ivf_search_persisted(
+                spark, path, q1, nprobe=3, k=5
+            ).collect()
+            want = [(i + 1, r["vec_id"], r["score"]) for i, r in enumerate(solo)]
+            assert sorted(got[qid]) == want, qid
+
+    def test_partition_pruned_single_scan(self, spark, store):
+        from faiss_vector_search_spark.operators import ivf as ivf_mod
+
+        path, emb = store
+        queries = emb.where(F.col("vec_id").isin([0, 3])).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        df = ivf_mod.ivf_search_persisted_batch(
+            spark, path, queries, nprobe=2, k=5
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("Initial Plan")[0]
+        # the INDEX scan appears exactly once (N queries share it) and
+        # partition-prunes on list_id; the query/centroid side scans
+        # are bounded metadata
+        vec_scans = [
+            ln for ln in final.splitlines()
+            if "Scan parquet" in ln and "/vectors" in ln
+        ]
+        assert len(vec_scans) == 1, final
+        assert "PartitionFilters: [" in vec_scans[0]
+        assert "PartitionFilters: []" not in vec_scans[0]
+        assert "CartesianProduct" not in final
