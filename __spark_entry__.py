@@ -824,6 +824,15 @@ def q_maxsim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_self_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity report (self-BLEU analogue): mean/max pairwise
+    2-shingle Jaccard over a deterministic 40-doc md5 sample — the
+    synthetic-data mode-collapse monitor."""
+    return dedup.self_similarity_report(
+        _t(spark, sf_dir, "documents"), sample_k=40, shingle_n=2
+    )
+
+
 def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fill-in-the-middle restructuring (PSM ordering) for a
     deterministic half of eligible docs — cuts are pure hash
@@ -3841,6 +3850,35 @@ ORDER BY score DESC, doc_id ASC
 LIMIT 10
 """
 
+# distinct word 2-shingles of the token array (matches
+# functions.text.shingles_from_tokens at n=2; the WHERE already
+# guarantees len(toks) >= 2 so no empty-case guard is needed)
+_SHINGLES_SQL_N2 = (
+    f"list_distinct(list_transform(generate_series(1, len({_TOKS}) - 1), "
+    f"i -> array_to_string(({_TOKS})[i:i+1], ' ')))"
+)
+
+ORACLES["self_similarity"] = f"""
+WITH keyed AS (
+  SELECT doc_id, {_SHINGLES_SQL_N2} AS sh,
+         {_md5i("'s43:' || doc_id::VARCHAR")} AS rk
+  FROM documents
+  WHERE len({_TOKS}) >= 2
+),
+sample AS (SELECT doc_id, sh FROM keyed ORDER BY rk ASC, doc_id ASC LIMIT 40),
+pairs AS (
+  SELECT CAST(ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 8)
+         AS DECIMAL(12,8)) AS j
+  FROM sample a, sample b WHERE a.doc_id < b.doc_id
+)
+SELECT count(*)::BIGINT AS n_pairs,
+       ROUND(CAST(sum(j) AS DOUBLE) / count(*), 6) AS mean_jaccard,
+       ROUND(CAST(max(j) AS DOUBLE), 6) AS max_jaccard,
+       sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_pairs_over_50
+FROM pairs
+"""
+
 ORACLES["fim_transform"] = f"""
 WITH s AS (
   SELECT doc_id, text, len(text) AS n,
@@ -4220,8 +4258,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # order_priority_check / events_range_join / events_sessionize /
     # events_tumbling) move to the head of the 51+ backfill region.
     # r5 wave-4 additions (never driver-checked) lead per the same
-    # standing policy; they displace 6 more r2-green keys to 51+.
+    # standing policy; they displace 8 more r2-green keys to 51+.
+    # Final r5 window audit (this ordering): positions 1-25 are ALL
+    # never-green oracle-gated keys (+pca_ivf_search rows-only at 8),
+    # 26-28 are the 3 r4-stale keys (lang_id/chunk_fixed/
+    # pack_sequences — the r4 verdict's top ask), 29-50 are the
+    # stalest r2-green backfill; zero never-green oracle-gated keys
+    # sit outside the window.
     return {
+        "self_similarity": q_self_similarity,
         "fim_transform": q_fim_transform,
         "zipf_profile": q_zipf_profile,
         "ngram_novelty": q_ngram_novelty,

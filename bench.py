@@ -507,6 +507,10 @@ def main() -> None:
         ),
         "zipf_profile": qs["zipf_profile"],
         "profile_delta": qs["profile_delta"],
+        # 4 queries, one partition-pruned scan (store build amortized
+        # in the wrapper's first call, outside min-of-3)
+        "ivf_batch_query": qs["ivf_batch_query"],
+        "self_similarity": qs["self_similarity"],
     }
 
     # Scaling-sweep knobs (default: off — the driver's per-round run

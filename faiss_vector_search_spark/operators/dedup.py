@@ -1168,3 +1168,69 @@ def neardup_index_query(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def self_similarity_report(
+    docs: DataFrame,
+    sample_k: int = 40,
+    shingle_n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus diversity report (self-BLEU analogue on shingle
+    Jaccard): mean / max pairwise similarity over a deterministic
+    document sample — the mode-collapse monitor every synthetic-data
+    pipeline needs (a generator stuck in a template shows up as a
+    rising mean long before exact dedup catches anything).
+
+    The sample is the md5-ranked top-``sample_k`` (stable under
+    corpus growth, the stratified_sample posture) — TakeOrdered, no
+    global sort; the quadratic part is sample_k^2/2 pairs of a
+    broadcast self-join, constant work at ANY corpus scale. Per-pair
+    Jaccard is integer set arithmetic rounded to DECIMAL(12,8) before
+    the order-free mean (lm.py discipline).
+    """
+    from ..functions.hashing import md5_int
+    from ..functions.text import shingles_from_tokens, tokens
+
+    # eligibility = token-count arithmetic, NOT size(_sh) > 0: a
+    # filter on the staged shingle column would be predicate-pushed
+    # below the projection and rebuild the shingle transform in the
+    # Filter node (the ngram_novelty 60x lesson)
+    keyed = docs.where(
+        F.size(tokens(F.col(text_col))) >= shingle_n
+    ).select(
+        F.col(id_col),
+        shingles_from_tokens(tokens(F.col(text_col)), shingle_n).alias("_sh"),
+        md5_int(F.col(id_col), seed=43).alias("_rk"),
+    )
+    sample = (
+        keyed.orderBy(F.col("_rk").asc(), F.col(id_col).asc())
+        .limit(sample_k)
+        .select(F.col(id_col), F.col("_sh"))
+    )
+    a = sample.select(
+        F.col(id_col).alias("_ida"), F.col("_sh").alias("_sha")
+    )
+    b = sample.select(
+        F.col(id_col).alias("_idb"), F.col("_sh").alias("_shb")
+    )
+    inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
+    union = F.size("_sha") + F.size("_shb") - inter
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("_ida") < F.col("_idb"))
+        .select(
+            F.round(inter.cast("double") / union, 8)
+            .cast("decimal(12,8)")
+            .alias("j")
+        )
+    )
+    return pairs.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(
+            F.sum("j").cast("double") / F.count("*"), 6
+        ).alias("mean_jaccard"),
+        F.round(F.max("j").cast("double"), 6).alias("max_jaccard"),
+        F.sum((F.col("j") >= 0.5).cast("bigint")).alias("n_pairs_over_50"),
+    )

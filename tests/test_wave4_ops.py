@@ -533,3 +533,50 @@ class TestIvfBatchPersisted:
         assert "PartitionFilters: [" in vec_scans[0]
         assert "PartitionFilters: []" not in vec_scans[0]
         assert "CartesianProduct" not in final
+
+
+class TestSelfSimilarity:
+    def _report(self, spark, texts, k=40):
+        from faiss_vector_search_spark.operators import dedup
+
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        (row,) = dedup.self_similarity_report(
+            docs, sample_k=k, shingle_n=2
+        ).collect()
+        return row
+
+    def test_template_corpus_high_similarity(self, spark):
+        # a generator stuck in a template: one word varies
+        texts = [f"the quick brown fox jumps over the lazy dog {i}"
+                 for i in range(10)]
+        r = self._report(spark, texts, k=10)
+        assert r["n_pairs"] == 45
+        assert r["mean_jaccard"] > 0.6
+        assert r["n_pairs_over_50"] == 45
+
+    def test_diverse_corpus_low_similarity(self, spark):
+        texts = [
+            "alpha beta gamma delta",
+            "epsilon zeta eta theta",
+            "iota kappa lambda mu",
+            "nu xi omicron pi rho",
+        ]
+        r = self._report(spark, texts, k=4)
+        assert r["n_pairs"] == 6
+        assert r["mean_jaccard"] == 0.0
+        assert r["n_pairs_over_50"] == 0
+
+    def test_identical_pair_maxes_at_one(self, spark):
+        texts = ["one two three four", "one two three four", "five six seven"]
+        r = self._report(spark, texts, k=3)
+        assert r["max_jaccard"] == 1.0
+
+    def test_deterministic_sample(self, spark, sf_small):
+        from faiss_vector_search_spark.operators import dedup
+
+        docs = load_table(spark, sf_small, "documents")
+        a = dedup.self_similarity_report(docs).collect()
+        b = dedup.self_similarity_report(docs).collect()
+        assert list(map(tuple, a)) == list(map(tuple, b))
