@@ -1193,21 +1193,28 @@ def self_similarity_report(
     from ..functions.hashing import md5_int
     from ..functions.text import shingles_from_tokens, tokens
 
-    # eligibility = token-count arithmetic, NOT size(_sh) > 0: a
-    # filter on the staged shingle column would be predicate-pushed
-    # below the projection and rebuild the shingle transform in the
-    # Filter node (the ngram_novelty 60x lesson)
-    keyed = docs.where(
-        F.size(tokens(F.col(text_col))) >= shingle_n
-    ).select(
+    # Two-phase sample: the top-sample_k ids come from a NARROW
+    # (id, rank) TakeOrdered — ordering rows that CARRY the shingle
+    # arrays measured 16.7 s at sf0.1 (the sort moves the wide arrays,
+    # twice: once per self-join branch); the ids then collect (bounded,
+    # sample_k rows — query-side-structure discipline) and shingles
+    # build only for those rows behind a pushed In filter (0.9 s).
+    # Eligibility = token-count arithmetic, NOT size(shingles) > 0 —
+    # a filter on the shingle expression would be predicate-pushed and
+    # rebuilt in the Filter node (the ngram_novelty 60x lesson).
+    elig = docs.where(F.size(tokens(F.col(text_col))) >= shingle_n)
+    ids = [
+        r[0]
+        for r in elig.select(
+            F.col(id_col), md5_int(F.col(id_col), seed=43).alias("_rk")
+        )
+        .orderBy(F.col("_rk").asc(), F.col(id_col).asc())
+        .limit(sample_k)
+        .collect()
+    ]
+    sample = docs.where(F.col(id_col).isin(ids)).select(
         F.col(id_col),
         shingles_from_tokens(tokens(F.col(text_col)), shingle_n).alias("_sh"),
-        md5_int(F.col(id_col), seed=43).alias("_rk"),
-    )
-    sample = (
-        keyed.orderBy(F.col("_rk").asc(), F.col(id_col).asc())
-        .limit(sample_k)
-        .select(F.col(id_col), F.col("_sh"))
     )
     a = sample.select(
         F.col(id_col).alias("_ida"), F.col("_sh").alias("_sha")

@@ -19,6 +19,8 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from faiss_vector_search_spark import io as fio  # noqa: E402
 from faiss_vector_search_spark.operators import (  # noqa: E402
+    chunking,
+    dedup,
     knn,
     lexical,
     textstats,
@@ -59,6 +61,15 @@ def main() -> None:
         # scan the plan gate pins
         "pca_ivf_search": lambda: transform.pca_ivf_search(
             emb, q, out_dim=16, nlist=16, nprobe=4, k=10, shortlist=100
+        ),
+        "fim_transform": lambda: chunking.fim_transform(
+            docs, rate_permille=500, min_chars=20, hash_fn="xxhash64"
+        ),
+        "zipf_profile": lambda: textstats.zipf_profile(docs, top_n=100),
+        # constant-work by design: bounded sample, quadratic part is
+        # sample_k^2/2 pairs at ANY corpus size
+        "self_similarity": lambda: dedup.self_similarity_report(
+            docs, sample_k=40, shingle_n=2
         ),
     }
     for name, fn in ops.items():
@@ -106,6 +117,15 @@ def main() -> None:
             # (same search shape, no training) pins that at 0
             "pca_ivf_search": row["exchanges"] <= 2
             and not row["sort_merge_join"] and not row["cartesian"],
+            # one zero-shuffle zero-join projection
+            "fim_transform": row["exchanges"] == 0 and row["scans"] == 1
+            and not row["cartesian"],
+            # rollup + totals + top-100 head: token explode scans twice
+            "zipf_profile": row["scans"] <= 2 and not row["cartesian"]
+            and not row["sort_merge_join"],
+            # the quadratic pair join is over the BOUNDED sample
+            # (broadcast NL join is expected and fine at 40 rows)
+            "self_similarity": not row["sort_merge_join"],
         }
         row["gates_ok"] = bool(gates[name])
         print(json.dumps(row), flush=True)
