@@ -3850,6 +3850,46 @@ ORDER BY score DESC, doc_id ASC
 LIMIT 10
 """
 
+ORACLES["ivf_batch_query"] = f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cvec
+  FROM (SELECT * FROM base ORDER BY vec_id LIMIT 16)
+),
+qs AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id IN (0, 3, 7, 11)),
+assign AS (
+  SELECT b.vec_id, b.v, c.cid AS list_id
+  FROM base b, cents c
+  QUALIFY row_number() OVER (
+    PARTITION BY b.vec_id
+    ORDER BY {_l2sq_sql('b.v', 'c.cvec')} ASC, c.cid ASC
+  ) = 1
+),
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_l2sq_sql('q.qv', 'c.cvec')} ASC, c.cid ASC
+           ) AS pr
+    FROM cents c, qs q
+  ) WHERE pr <= 4
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         ROUND(list_dot_product(a.v, q.qv), 6) AS score
+  FROM assign a
+  JOIN probes p ON a.list_id = p.cid
+  JOIN qs q ON q.query_id = p.query_id
+)
+SELECT query_id, vec_id, score, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+  ) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
 # distinct word 2-shingles of the token array (matches
 # functions.text.shingles_from_tokens at n=2; the WHERE already
 # guarantees len(toks) >= 2 so no empty-case guard is needed)
@@ -4014,9 +4054,10 @@ def q_ivf_batch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched search over the persisted IVF index: 4 queries share
     ONE partition-pruned scan (probe-set union as the IN filter, the
     probe map broadcast-joined so rows score only against the queries
-    that probed their list). Rows-only: equality with the per-query
-    ivf_search_persisted loop + the prune plan fact are pytest-gated
-    (tests/test_wave4_ops.py)."""
+    that probed their list). Hash-gated on the composed multi-query
+    semantics (seeded centroids, per-query probes, per-query rank);
+    equality with the per-query ivf_search_persisted loop + the prune
+    plan fact are additionally pytest-gated (tests/test_wave4_ops.py)."""
     import tempfile
 
     from faiss_vector_search_spark.operators import ivf as ivf_mod
@@ -4267,6 +4308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sit outside the window.
     return {
         "self_similarity": q_self_similarity,
+        "ivf_batch_query": q_ivf_batch_query,
         "fim_transform": q_fim_transform,
         "zipf_profile": q_zipf_profile,
         "ngram_novelty": q_ngram_novelty,
@@ -4418,7 +4460,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_search": q_bm25_index_search,
         "snapshot_diff": q_snapshot_diff,
         "profile_delta": q_profile_delta,
-        "ivf_batch_query": q_ivf_batch_query,
     }
 
 
