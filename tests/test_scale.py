@@ -197,3 +197,37 @@ def test_repeated_spans_truth_scales_linearly(spark):
     assert big_mass == 10 * small_mass
     plan = out_big._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_ngram_novelty_truth_scales_exactly(spark):
+    """Same replica argument as the span test: replicas cannot match
+    each other (token tags), so per-replica gram structure — and with
+    it the novel/total window masses — must replicate exactly 10x."""
+    from faiss_vector_search_spark import io as fio
+    from faiss_vector_search_spark.operators import textstats
+
+    base = fio.load_table(spark, "/root/testdata/sf0.1", "documents")
+    big = _table(spark, SF1, "documents")
+    s = textstats.ngram_novelty(base, w=8, hash_fn="xxhash64").agg(
+        F.sum("n_grams"), F.sum("n_novel")
+    ).first()
+    b = textstats.ngram_novelty(big, w=8, hash_fn="xxhash64").agg(
+        F.sum("n_grams"), F.sum("n_novel")
+    ).first()
+    assert s[0] > 0 and s[1] > 0
+    assert b[0] == 10 * s[0]
+    assert b[1] == 10 * s[1]
+
+
+def test_self_similarity_constant_sample_at_scale(spark):
+    """The diversity report's quadratic part is the bounded sample at
+    any corpus size: the full C(40,2) pair set materializes at 10x and
+    the pair join stays broadcast (no sort-merge join)."""
+    from faiss_vector_search_spark.operators import dedup
+
+    big = _table(spark, SF1, "documents")
+    df = dedup.self_similarity_report(big, sample_k=40, shingle_n=2)
+    (row,) = df.collect()
+    assert row["n_pairs"] == 40 * 39 // 2
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan.split("Initial Plan")[0]
