@@ -824,6 +824,17 @@ def q_maxsim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_split_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test distribution-shift audit: KL(split || corpus)
+    per hash-split bucket — near-zero for a healthy content-blind
+    split."""
+    from faiss_vector_search_spark.operators import lm
+
+    return lm.split_kl_report(
+        _t(spark, sf_dir, "documents"), hash_fn="md5"
+    )
+
+
 def q_self_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus diversity report (self-BLEU analogue): mean/max pairwise
     2-shingle Jaccard over a deterministic 40-doc md5 sample — the
@@ -3850,6 +3861,33 @@ ORDER BY score DESC, doc_id ASC
 LIMIT 10
 """
 
+_SPLIT_CASE = f"""CASE WHEN ({_md5i("'s31:' || doc_id::VARCHAR")} % 1000) < 800 THEN 'train'
+            WHEN ({_md5i("'s31:' || doc_id::VARCHAR")} % 1000) < 900 THEN 'val'
+            ELSE 'test' END"""
+
+ORACLES["split_kl"] = f"""
+WITH t AS (SELECT {_SPLIT_CASE} AS split, {_TOKS} AS toks FROM documents),
+dom AS (
+  SELECT split, tok, count(*) AS c_st
+  FROM (SELECT split, unnest(toks) AS tok FROM t) GROUP BY 1, 2
+),
+corpus AS (SELECT tok, sum(c_st) AS c_t FROM dom GROUP BY 1),
+dt AS (SELECT split, sum(c_st) AS n_s FROM dom GROUP BY 1),
+nt AS (SELECT sum(c_t) AS n_corpus FROM corpus),
+contrib AS (
+  SELECT d.split, d.c_st,
+         CAST(ROUND((d.c_st::DOUBLE / s.n_s)
+                    * ln((d.c_st::DOUBLE / s.n_s)
+                         / (c.c_t::DOUBLE / n.n_corpus)), 8)
+              AS DECIMAL(18,8)) AS kl_term
+  FROM dom d JOIN corpus c USING (tok) JOIN dt s USING (split), nt n
+)
+SELECT split, CAST(sum(c_st) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       ROUND(sum(kl_term)::DOUBLE, 6) AS kl_nats
+FROM contrib GROUP BY 1
+"""
+
 ORACLES["ivf_batch_query"] = f"""
 WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 cents AS (
@@ -4307,6 +4345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stalest r2-green backfill; zero never-green oracle-gated keys
     # sit outside the window.
     return {
+        "split_kl": q_split_kl,
         "self_similarity": q_self_similarity,
         "ivf_batch_query": q_ivf_batch_query,
         "fim_transform": q_fim_transform,

@@ -43,6 +43,7 @@ def main() -> None:
         lsh,
         textstats,
     )
+    from faiss_vector_search_spark.operators import lm as lm_mod
     from faiss_vector_search_spark.session import get_spark
 
     spark = get_spark(
@@ -511,6 +512,10 @@ def main() -> None:
         # in the wrapper's first call, outside min-of-3)
         "ivf_batch_query": qs["ivf_batch_query"],
         "self_similarity": qs["self_similarity"],
+        # production hash profile (xxhash64 split assignment)
+        "split_kl": lambda spark, sf: lm_mod.split_kl_report(
+            fio.load_table(spark, sf, "documents"), hash_fn="xxhash64",
+        ),
     }
 
     # Scaling-sweep knobs (default: off — the driver's per-round run

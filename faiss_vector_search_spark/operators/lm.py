@@ -278,3 +278,42 @@ def dsir_sample(
     return imp.orderBy(
         F.col("importance").desc(), F.col(id_col).asc()
     ).limit(n).select(id_col, "importance")
+
+
+def split_kl_report(
+    docs: DataFrame,
+    splits=None,
+    hash_fn: str = "xxhash64",
+    seed: int = 31,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/val/test distribution-shift audit: KL(split ‖ corpus) per
+    hash-split bucket — the "is my validation set measuring the same
+    distribution I train on" check. A healthy hash split shows near-
+    zero KL for every bucket (the split is content-blind); a KL spike
+    in val/test means the id space is correlated with content (e.g.
+    ids assigned per-source) and loss comparisons across splits are
+    measuring mixture shift, not model quality.
+
+    Pure composition: the split label folds into the projection as
+    the :func:`textstats.split_col` expression (no second scan, no id
+    join) and the KL machinery is :func:`domain_kl_report` with the
+    split as the group — same 1-scan + window-sum plan, same
+    DECIMAL(18,8) determinism discipline.
+    """
+    from .textstats import DEFAULT_SPLITS, split_col
+
+    labeled = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        split_col(
+            splits if splits is not None else DEFAULT_SPLITS,
+            id_col=id_col,
+            hash_fn=hash_fn,
+            seed=seed,
+        ).alias("split"),
+    )
+    return domain_kl_report(
+        labeled, group_col="split", id_col=id_col, text_col=text_col
+    )

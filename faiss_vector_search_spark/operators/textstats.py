@@ -424,6 +424,23 @@ def hash_split(
     ``hash_fn``: ``"xxhash64"`` (production) or ``"md5"`` (oracle
     profile). Buckets are hash % 1000 against cumulative per-mille
     thresholds."""
+    return docs.select(
+        F.col(id_col),
+        split_col(splits, id_col=id_col, hash_fn=hash_fn, seed=seed).alias(
+            "split"
+        ),
+    )
+
+
+def split_col(
+    splits=DEFAULT_SPLITS,
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+    seed: int = 31,
+):
+    """The :func:`hash_split` assignment as a bare Column expression —
+    so pipelines (e.g. lm.split_kl_report) fold the split label into
+    an existing projection instead of a second scan + id join."""
     from ..functions.hashing import hashed
 
     total = sum(w for _, w in splits)
@@ -443,7 +460,7 @@ def hash_split(
             if expr is None
             else expr.when(cond, F.lit(name))
         )
-    return docs.select(F.col(id_col), expr.otherwise(splits[-1][0]).alias("split"))
+    return expr.otherwise(splits[-1][0])
 
 
 def quality_deciles(

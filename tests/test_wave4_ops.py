@@ -580,3 +580,50 @@ class TestSelfSimilarity:
         a = dedup.self_similarity_report(docs).collect()
         b = dedup.self_similarity_report(docs).collect()
         assert list(map(tuple, a)) == list(map(tuple, b))
+
+
+class TestSplitKl:
+    def test_healthy_split_near_zero(self, spark, sf_small):
+        from faiss_vector_search_spark.operators import lm
+
+        docs = load_table(spark, sf_small, "documents")
+        out = {r["split"]: r for r in lm.split_kl_report(docs).collect()}
+        assert set(out) <= {"train", "val", "test"}
+        # content-blind hash split: every bucket tracks the corpus
+        for r in out.values():
+            assert r["kl_nats"] < 0.5, dict(r.asDict())
+        # train is the largest bucket and the closest to the corpus
+        assert out["train"]["kl_nats"] == min(v["kl_nats"] for v in out.values())
+
+    def test_content_correlated_ids_spike(self, spark):
+        from faiss_vector_search_spark.operators import lm
+
+        # ids assigned per-content-block: low ids all-alpha vocabulary,
+        # high ids all-numeric vocabulary -> the val/test buckets see a
+        # different distribution than train
+        rows = []
+        for i in range(200):
+            rows.append((i, "alpha beta gamma delta " * 3))
+        for i in range(200, 250):
+            rows.append((i, "seven eight nine zero one " * 3))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        healthy = {
+            r["split"]: r["kl_nats"]
+            for r in lm.split_kl_report(docs).collect()
+        }
+        # the hash split stays near zero even on this corpus — the
+        # FAILURE mode needs id-correlated assignment, modeled by a
+        # range split (first 80% of ids = train)
+        from pyspark.sql import functions as FF
+        from faiss_vector_search_spark.operators.lm import domain_kl_report
+
+        range_split = docs.select(
+            "doc_id", "text",
+            FF.when(FF.col("doc_id") < 200, "train").otherwise("val")
+            .alias("split"),
+        )
+        skewed = {
+            r["split"]: r["kl_nats"]
+            for r in domain_kl_report(range_split, group_col="split").collect()
+        }
+        assert skewed["val"] > 10 * max(healthy.values(), default=0.001)
