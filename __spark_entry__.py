@@ -824,6 +824,14 @@ def q_maxsim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cross_domain_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs cross-tabulated by unordered source pair — the
+    mirror-site / cross-dump duplication audit."""
+    return dedup.cross_domain_dup_report(
+        _t(spark, sf_dir, "documents"), threshold=0.8, hash_fn="md5"
+    )
+
+
 def q_split_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/val/test distribution-shift audit: KL(split || corpus)
     per hash-split bucket — near-zero for a healthy content-blind
@@ -3861,6 +3869,30 @@ ORDER BY score DESC, doc_id ASC
 LIMIT 10
 """
 
+ORACLES["cross_domain_dups"] = f"""
+WITH {_MINHASH_CTES},
+kept AS (
+  SELECT * FROM (
+    SELECT doc_a, doc_b, {_JAC.format(a='sh_a', b='sh_b')} AS jaccard
+    FROM cand
+  ) WHERE jaccard >= 0.8
+),
+lab AS (
+  SELECT least(da.source, db.source) AS source_x,
+         greatest(da.source, db.source) AS source_y,
+         CASE WHEN da.source <> db.source THEN 1 ELSE 0 END AS cross_d,
+         CAST(k.jaccard AS DECIMAL(12,6)) AS j
+  FROM kept k
+  JOIN documents da ON k.doc_a = da.doc_id
+  JOIN documents db ON k.doc_b = db.doc_id
+)
+SELECT source_x, source_y, count(*)::BIGINT AS n_pairs,
+       sum(cross_d)::BIGINT AS n_cross_domain,
+       ROUND(CAST(sum(j) AS DOUBLE) / count(*), 6) AS mean_jaccard,
+       ROUND(CAST(max(j) AS DOUBLE), 6) AS max_jaccard
+FROM lab GROUP BY 1, 2
+"""
+
 _SPLIT_CASE = f"""CASE WHEN ({_md5i("'s31:' || doc_id::VARCHAR")} % 1000) < 800 THEN 'train'
             WHEN ({_md5i("'s31:' || doc_id::VARCHAR")} % 1000) < 900 THEN 'val'
             ELSE 'test' END"""
@@ -4345,6 +4377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stalest r2-green backfill; zero never-green oracle-gated keys
     # sit outside the window.
     return {
+        "cross_domain_dups": q_cross_domain_dups,
         "split_kl": q_split_kl,
         "self_similarity": q_self_similarity,
         "ivf_batch_query": q_ivf_batch_query,

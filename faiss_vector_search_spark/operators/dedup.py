@@ -1241,3 +1241,63 @@ def self_similarity_report(
         F.round(F.max("j").cast("double"), 6).alias("max_jaccard"),
         F.sum((F.col("j") >= 0.5).cast("bigint")).alias("n_pairs_over_50"),
     )
+
+
+def cross_domain_dup_report(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    hash_fn: str = "md5",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "source",
+) -> DataFrame:
+    """Where does duplication COME FROM: near-dup pairs cross-tabulated
+    by unordered domain pair — the mirror-site / syndication / cross-
+    dump audit behind every multi-source crawl (within-domain mass is
+    boilerplate, cross-domain mass is the same content arriving twice
+    and silently double-weighting training).
+
+    The pair miner is :func:`minhash_lsh_pairs` unchanged (band-
+    blocked, exact-Jaccard-verified); labeling joins the OUTPUT-sized
+    pair set twice against the narrow (id, domain) projection, so the
+    corpus text never moves; the rollup groups on (least, greatest) of
+    the domain pair. Mean Jaccard sums the already-6dp-rounded pair
+    values as exact DECIMALs (order-free), max is order-free by
+    definition.
+    """
+    pairs = minhash_lsh_pairs(
+        docs,
+        threshold=threshold,
+        id_col=id_col,
+        text_col=text_col,
+        hash_fn=hash_fn,
+    )
+    dom = docs.select(F.col(id_col), F.col(domain_col))
+    labeled = pairs.join(
+        dom.select(
+            F.col(id_col).alias("doc_a"), F.col(domain_col).alias("_da")
+        ),
+        "doc_a",
+    ).join(
+        dom.select(
+            F.col(id_col).alias("doc_b"), F.col(domain_col).alias("_db")
+        ),
+        "doc_b",
+    )
+    return (
+        labeled.select(
+            F.least(F.col("_da"), F.col("_db")).alias("source_x"),
+            F.greatest(F.col("_da"), F.col("_db")).alias("source_y"),
+            (F.col("_da") != F.col("_db")).cast("bigint").alias("_cross"),
+            F.col("jaccard").cast("decimal(12,6)").alias("_j"),
+        )
+        .groupBy("source_x", "source_y")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("_cross").cast("bigint").alias("n_cross_domain"),
+            F.round(
+                F.sum("_j").cast("double") / F.count("*"), 6
+            ).alias("mean_jaccard"),
+            F.round(F.max("_j").cast("double"), 6).alias("max_jaccard"),
+        )
+    )

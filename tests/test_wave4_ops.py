@@ -627,3 +627,40 @@ class TestSplitKl:
             for r in domain_kl_report(range_split, group_col="split").collect()
         }
         assert skewed["val"] > 10 * max(healthy.values(), default=0.001)
+
+
+class TestCrossDomainDups:
+    def test_planted_cross_and_within(self, spark):
+        from faiss_vector_search_spark.operators import dedup
+
+        text1 = "the quick brown fox jumps over the lazy dog today again"
+        text2 = "completely different content about vector search engines ok"
+        rows = [
+            (0, text1, "en", "srcA", len(text1)),
+            (1, text1, "en", "srcB", len(text1)),   # cross-domain dup
+            (2, text2, "en", "srcA", len(text2)),
+            (3, text2, "en", "srcA", len(text2)),   # within-domain dup
+            (4, "unrelated words entirely here now", "en", "srcB", 33),
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        out = {
+            (r["source_x"], r["source_y"]): r
+            for r in dedup.cross_domain_dup_report(docs).collect()
+        }
+        ab = out[("srcA", "srcB")]
+        assert ab["n_pairs"] == 1 and ab["n_cross_domain"] == 1
+        assert ab["max_jaccard"] == 1.0
+        aa = out[("srcA", "srcA")]
+        assert aa["n_pairs"] == 1 and aa["n_cross_domain"] == 0
+
+    def test_no_dups_empty(self, spark):
+        from faiss_vector_search_spark.operators import dedup
+
+        docs = spark.createDataFrame(
+            [(i, f"totally unique document number {i} with words {i*7}",
+              "en", "s", 10) for i in range(6)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        assert dedup.cross_domain_dup_report(docs).count() == 0
