@@ -916,6 +916,46 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_pieces", "n_words")
 
 
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language BPE fertility (pieces/word) + compression
+    (chars/piece) under the corpus-trained merges — tokenizer-fit
+    diagnostics. Rows-only: the merge loop is iterative;
+    property gates in tests/test_wave4_ops.py."""
+    from faiss_vector_search_spark.operators import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    if sf_dir not in _BPE_MERGES:
+        _BPE_MERGES[sf_dir] = bpe.bpe_train(docs, num_merges=200)
+    return bpe.bpe_fertility_report(docs, _BPE_MERGES[sf_dir])
+
+
+_SIZEREPORT_PATHS: dict[str, dict] = {}
+
+
+def q_index_size_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-disk bytes per index tier (flat / SQ8 / binary) — the FAISS
+    memory-planning question measured on the store. Rows-only
+    (filesystem metadata); ladder-ordering gate in
+    tests/test_wave4_ops.py."""
+    import tempfile
+
+    from faiss_vector_search_spark.operators import binary as bin_mod
+    from faiss_vector_search_spark.operators import index_store, sq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    if sf_dir not in _SIZEREPORT_PATHS:
+        base = tempfile.mkdtemp(prefix="fvs_sizes_")
+        emb.write.parquet(f"{base}/flat")
+        sq.sq_encode(emb, sq.sq_train(emb)).write.parquet(f"{base}/sq8")
+        bin_mod.binarize(emb.select("vec_id", "embedding")).write.parquet(
+            f"{base}/binary"
+        )
+        _SIZEREPORT_PATHS[sf_dir] = {
+            t: f"{base}/{t}" for t in ("flat", "sq8", "binary")
+        }
+    return index_store.index_size_report(spark, _SIZEREPORT_PATHS[sf_dir])
+
+
 def q_strip_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr removal: rebuild every doc with all-but-the-first
     occurrence of each repeated 8-token window dropped."""
@@ -4532,6 +4572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_search": q_bm25_index_search,
         "snapshot_diff": q_snapshot_diff,
         "profile_delta": q_profile_delta,
+        "bpe_fertility": q_bpe_fertility,
+        "index_size_report": q_index_size_report,
     }
 
 

@@ -173,3 +173,66 @@ def bpe_decode_pieces(pieces: list[str]) -> str:
     """Driver-side inverse for the round-trip gate: pieces → canonical
     token stream (words joined by single spaces)."""
     return "".join(pieces).replace(END, " ").strip()
+
+
+def bpe_fertility_report(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-language tokenizer-fit diagnostics: fertility (pieces per
+    word) and compression (characters per piece) under a trained BPE
+    model — the numbers that expose a tokenizer trained on one
+    language shredding another (fertility spikes mean longer
+    sequences, more compute, worse effective context for that
+    language; the multilingual-tokenizer budget question).
+
+    The encode is :func:`bpe_encode` unchanged (pure Arrow-batched
+    map, model in the closure); the report joins its doc-grain output
+    back to the narrow (id, lang) projection and rolls up integer
+    sums — chars come from the canonical token stream (sum of piece
+    lengths), so compression is exact arithmetic, not estimate.
+    """
+    enc = bpe_encode(docs, merges, id_col=id_col, text_col=text_col)
+    per_doc = enc.select(
+        F.col(id_col),
+        F.col("n_pieces"),
+        F.col("n_words"),
+        F.aggregate(
+            F.transform(F.col("pieces"), lambda p: F.length(p)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n_chars"),
+    )
+    labeled = per_doc.join(
+        docs.select(F.col(id_col), F.col(lang_col)), on=id_col
+    )
+    return (
+        labeled.groupBy(lang_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .select(
+            lang_col,
+            "n_docs",
+            "n_words",
+            "n_pieces",
+            F.round(
+                F.try_divide(
+                    F.col("n_pieces").cast("double"), F.col("n_words")
+                ),
+                6,
+            ).alias("fertility"),
+            F.round(
+                F.try_divide(
+                    F.col("n_chars").cast("double"), F.col("n_pieces")
+                ),
+                6,
+            ).alias("chars_per_piece"),
+        )
+    )

@@ -137,3 +137,35 @@ def merge_stores(
         merged = merged.unionByName(fresh, allowMissingColumns=True)
         seen_ids = seen_ids.union(shard.select(id_col)).distinct()
     return merged
+
+
+def index_size_report(spark, tiers: dict[str, str]) -> DataFrame:
+    """The FAISS memory-planning question ("how big is each index?")
+    as a storage rollup: per named tier (a path holding a persisted
+    index's parquet data), file count, on-disk bytes, row count, and
+    bytes per row — the observed side of the float32 → SQ8 (4x) → PQ
+    (32x) → binary (32x) compression ladder, measured on the store
+    instead of asserted from theory.
+
+    Driver-side metadata only (Hadoop ``getContentSummary`` + the
+    parquet footer row counts) — nothing scans data; HDFS/S3-correct
+    via the session's Hadoop FS, not ``os.walk``."""
+    rows = []
+    hconf = spark._jsc.hadoopConfiguration()
+    for name in sorted(tiers):
+        path = tiers[name]
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(hconf)
+        summ = fs.getContentSummary(jpath)
+        n_bytes = int(summ.getLength())
+        n_files = int(summ.getFileCount())
+        n_rows = spark.read.parquet(path).count()
+        rows.append((
+            name, n_files, n_bytes, n_rows,
+            round(n_bytes / n_rows, 2) if n_rows else None,
+        ))
+    return spark.createDataFrame(
+        rows,
+        "tier string, n_files bigint, n_bytes bigint, n_rows bigint, "
+        "bytes_per_row double",
+    )

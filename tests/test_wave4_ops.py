@@ -664,3 +664,68 @@ class TestCrossDomainDups:
             "doc_id long, text string, lang string, source string, n_chars long",
         )
         assert dedup.cross_domain_dup_report(docs).count() == 0
+
+
+class TestBpeFertility:
+    def test_per_language_fertility(self, spark):
+        from faiss_vector_search_spark.operators import bpe
+
+        rows = [
+            (0, "the cat sat on the mat with the hat", "en"),
+            (1, "the cat sat on the mat", "en"),
+            (2, "zqx wvj kpt bqz xjw", "xx"),  # out-of-distribution
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        merges = bpe.bpe_train(docs.where("lang = 'en'"), num_merges=50)
+        out = {r["lang"]: r for r in
+               bpe.bpe_fertility_report(docs, merges).collect()}
+        # english words are mostly merged back to whole words ->
+        # low fertility; the unseen-alphabet language shreds
+        assert out["en"]["fertility"] < out["xx"]["fertility"]
+        assert out["en"]["n_docs"] == 2 and out["xx"]["n_docs"] == 1
+        for r in out.values():
+            assert r["fertility"] >= 1.0
+            assert r["chars_per_piece"] > 0
+
+    def test_chars_match_piece_stream(self, spark):
+        from faiss_vector_search_spark.operators import bpe
+
+        docs = spark.createDataFrame(
+            [(0, "aaa bbb aaa bbb", "en")], "doc_id long, text string, lang string"
+        )
+        merges = bpe.bpe_train(docs, num_merges=10)
+        (r,) = bpe.bpe_fertility_report(docs, merges).collect()
+        # the report's char mass equals the actual piece stream's
+        # (pieces carry the </w> word-boundary marker, so this is NOT
+        # the raw text length)
+        pieces = bpe.bpe_encode(docs, merges).collect()[0]["pieces"]
+        want = sum(len(p) for p in pieces)
+        assert r["n_pieces"] * r["chars_per_piece"] == float(want)
+
+
+class TestIndexSizeReport:
+    def test_ladder_ordering(self, spark, sf_small, tmp_path):
+        from faiss_vector_search_spark.io import load_table
+        from faiss_vector_search_spark.operators import binary as bin_mod
+        from faiss_vector_search_spark.operators import index_store, sq
+
+        emb = load_table(spark, sf_small, "embeddings")
+        flat_p = str(tmp_path / "flat")
+        emb.write.parquet(flat_p)
+        sq_p = str(tmp_path / "sq")
+        bounds = sq.sq_train(emb)
+        sq.sq_encode(emb, bounds).write.parquet(sq_p)
+        bin_p = str(tmp_path / "bin")
+        bin_mod.binarize(emb.select("vec_id", "embedding")).write.parquet(bin_p)
+        out = {
+            r["tier"]: r
+            for r in index_store.index_size_report(
+                spark, {"flat": flat_p, "sq8": sq_p, "binary": bin_p}
+            ).collect()
+        }
+        n = emb.count()
+        for r in out.values():
+            assert r["n_rows"] == n and r["n_bytes"] > 0
+        # the compression ladder holds on disk, not just in theory
+        assert out["binary"]["bytes_per_row"] < out["sq8"]["bytes_per_row"]
+        assert out["sq8"]["bytes_per_row"] < out["flat"]["bytes_per_row"]
