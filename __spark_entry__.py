@@ -824,6 +824,14 @@ def q_maxsim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call data card: corpus profile + vocab/Zipf statistics +
+    sample self-similarity as namespaced (metric, value) rows."""
+    from faiss_vector_search_spark.operators import curation
+
+    return curation.dataset_card(_t(spark, sf_dir, "documents"))
+
+
 def q_cross_domain_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs cross-tabulated by unordered source pair — the
     mirror-site / cross-dump duplication audit."""
@@ -4099,6 +4107,17 @@ UNION ALL SELECT 'zipf_slope',
           ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) FROM sums
 """
 
+ORACLES["dataset_card"] = f"""
+WITH card_cp AS ({ORACLES["corpus_profile"]}),
+card_zp AS ({ORACLES["zipf_profile"]}),
+card_ss AS ({ORACLES["self_similarity"]})
+SELECT metric, value FROM card_cp
+UNION ALL SELECT 'vocab.' || metric, value FROM card_zp
+UNION ALL SELECT 'sim.n_pairs', n_pairs::DOUBLE FROM card_ss
+UNION ALL SELECT 'sim.mean_jaccard', mean_jaccard FROM card_ss
+UNION ALL SELECT 'sim.max_jaccard', max_jaccard FROM card_ss
+"""
+
 # The two-phase semantics gate EXACTLY (coarse prefix-16 rounded-IP
 # top-100 with the id tie-break, then exact full-dim rerank) — on a
 # near-random corpus the shortlist is NOT lossless, so the oracle is
@@ -4417,6 +4436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stalest r2-green backfill; zero never-green oracle-gated keys
     # sit outside the window.
     return {
+        "dataset_card": q_dataset_card,
         "cross_domain_dups": q_cross_domain_dups,
         "split_kl": q_split_kl,
         "self_similarity": q_self_similarity,

@@ -512,6 +512,7 @@ def main() -> None:
         # in the wrapper's first call, outside min-of-3)
         "ivf_batch_query": qs["ivf_batch_query"],
         "self_similarity": qs["self_similarity"],
+        "dataset_card": qs["dataset_card"],
         "cross_domain_dups": lambda spark, sf: dedup.cross_domain_dup_report(
             fio.load_table(spark, sf, "documents"),
             threshold=0.8, hash_fn="xxhash64",

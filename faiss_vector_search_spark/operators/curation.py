@@ -90,3 +90,43 @@ def curation_score(
             6,
         ).alias("curation_score"),
     )
+
+
+def dataset_card(
+    docs: DataFrame,
+    sample_k: int = 40,
+    top_n: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The one-call data card: volume / duplication / language mix /
+    quality (corpus_profile), vocabulary statistics and Zipf fit
+    (``vocab.*``), and sample self-similarity (``sim.*``) as one
+    (metric, value) frame — what a dataset release attaches and a
+    pipeline snapshots per version to diff against the last build.
+
+    Pure composition: the three reports run as independent branches
+    of one union (Catalyst schedules them in parallel; each keeps its
+    own documented plan shape), with namespaced metric names so the
+    card stays collision-free as sections grow.
+    """
+    from .dedup import self_similarity_report
+    from .textstats import corpus_profile, zipf_profile
+
+    cp = corpus_profile(docs, id_col=id_col, text_col=text_col)
+    zp = zipf_profile(docs, top_n=top_n, id_col=id_col, text_col=text_col)
+    zp = zp.select(
+        F.concat(F.lit("vocab."), F.col("metric")).alias("metric"), "value"
+    )
+    ss = self_similarity_report(
+        docs, sample_k=sample_k, id_col=id_col, text_col=text_col
+    )
+    ss_long = ss.select(
+        F.expr(
+            "stack(3, "
+            "'sim.n_pairs', cast(n_pairs as double), "
+            "'sim.mean_jaccard', mean_jaccard, "
+            "'sim.max_jaccard', max_jaccard) as (metric, value)"
+        )
+    )
+    return cp.unionByName(zp).unionByName(ss_long)
