@@ -824,6 +824,15 @@ def q_maxsim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style provenance search: docs sharing winnowing
+    fingerprints with doc 7, ranked by shared count / containment."""
+    return textstats.fingerprint_overlap_search(
+        _t(spark, sf_dir, "documents"), query_doc_id=7,
+        k=8, w=4, min_shared=2, hash_fn="md5",
+    )
+
+
 def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-call data card: corpus profile + vocab/Zipf statistics +
     sample self-similarity as namespaced (metric, value) rows."""
@@ -3917,6 +3926,37 @@ ORDER BY score DESC, doc_id ASC
 LIMIT 10
 """
 
+ORACLES["fingerprint_overlap"] = f"""
+WITH g0 AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(len(text) - 7, 1))) AS pos
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, pos, {_md5i("'s11:' || substr(text, pos, 8)")} AS h FROM g0
+),
+wmin AS (
+  SELECT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM grams
+),
+fsets AS (SELECT DISTINCT doc_id, fp FROM wmin),
+q AS (SELECT fp FROM fsets WHERE doc_id = 7),
+qn AS (SELECT count(*) AS nq FROM q),
+hits AS (
+  SELECT f.doc_id, count(*)::BIGINT AS n_shared
+  FROM fsets f JOIN q USING (fp)
+  WHERE f.doc_id <> 7
+  GROUP BY 1
+)
+SELECT doc_id, n_shared,
+       ROUND(n_shared::DOUBLE / nq, 6) AS containment
+FROM hits, qn
+WHERE n_shared >= 2
+ORDER BY n_shared DESC, doc_id ASC
+"""
+
 ORACLES["cross_domain_dups"] = f"""
 WITH {_MINHASH_CTES},
 kept AS (
@@ -4436,6 +4476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stalest r2-green backfill; zero never-green oracle-gated keys
     # sit outside the window.
     return {
+        "fingerprint_overlap": q_fingerprint_overlap,
         "dataset_card": q_dataset_card,
         "cross_domain_dups": q_cross_domain_dups,
         "split_kl": q_split_kl,

@@ -513,6 +513,11 @@ def main() -> None:
         "ivf_batch_query": qs["ivf_batch_query"],
         "self_similarity": qs["self_similarity"],
         "dataset_card": qs["dataset_card"],
+        # production hash profile for the winnow pipeline
+        "fingerprint_overlap": lambda spark, sf: textstats.fingerprint_overlap_search(
+            fio.load_table(spark, sf, "documents"),
+            query_doc_id=7, k=8, w=4, min_shared=2, hash_fn="xxhash64",
+        ),
         "cross_domain_dups": lambda spark, sf: dedup.cross_domain_dup_report(
             fio.load_table(spark, sf, "documents"),
             threshold=0.8, hash_fn="xxhash64",

@@ -216,6 +216,36 @@ def token_count(
     )
 
 
+def winnow_fp_sets(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """(id, fps array): the distinct winnowing fingerprint SET per doc
+    — the in-row pipeline :func:`winnow_fingerprints` summarizes,
+    exposed for set-level consumers (fingerprint_overlap_search)."""
+    hash_arr = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(text_col) - (k - 1), F.lit(1))),
+        lambda i: hashed(F.col(text_col).substr(i, F.lit(k)), seed=11, hash_fn=hash_fn),
+    )
+    # least() of w gets, not array_min(slice(...)): slice allocates a
+    # fresh array per position; get() is an O(1) read that yields null
+    # past the array end (ANSI-safe, unlike element_at), and least()
+    # skips nulls — matching the window shrinking at the tail.
+    wmins = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("h_arr")) - 1),
+        lambda i: F.least(*[F.get(F.col("h_arr"), i + j) for j in range(w)])
+        if w > 1
+        else F.get(F.col("h_arr"), i),
+    )
+    return docs.select(F.col(id_col), hash_arr.alias("h_arr")).select(
+        F.col(id_col), F.array_distinct(wmins).alias("fps")
+    )
+
+
 def winnow_fingerprints(
     docs: DataFrame,
     k: int = 8,
@@ -251,23 +281,7 @@ def winnow_fingerprints(
         return _winnow_arrow(docs, k, w, id_col, text_col)
     if engine != "sql":
         raise ValueError(f"unknown winnow engine: {engine}")
-    hash_arr = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(text_col) - (k - 1), F.lit(1))),
-        lambda i: hashed(F.col(text_col).substr(i, F.lit(k)), seed=11, hash_fn=hash_fn),
-    )
-    # least() of w gets, not array_min(slice(...)): slice allocates a
-    # fresh array per position; get() is an O(1) read that yields null
-    # past the array end (ANSI-safe, unlike element_at), and least()
-    # skips nulls — matching the window shrinking at the tail.
-    wmins = F.transform(
-        F.sequence(F.lit(0), F.size(F.col("h_arr")) - 1),
-        lambda i: F.least(*[F.get(F.col("h_arr"), i + j) for j in range(w)])
-        if w > 1
-        else F.get(F.col("h_arr"), i),
-    )
-    fps = docs.select(F.col(id_col), hash_arr.alias("h_arr")).select(
-        F.col(id_col), F.array_distinct(wmins).alias("fps")
-    )
+    fps = winnow_fp_sets(docs, k, w, id_col, text_col, hash_fn)
     return fps.select(
         F.col(id_col),
         F.size("fps").cast("bigint").alias("n_fingerprints"),
@@ -1297,4 +1311,61 @@ def zipf_profile(
             "'top_coverage', round(cast(head_mass as double) / n_tokens, 6), "
             "'zipf_slope', _slope) as (metric, value)"
         )
+    )
+
+
+def fingerprint_overlap_search(
+    docs: DataFrame,
+    query_doc_id: int,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    hash_fn: str = "md5",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MOSS-style provenance search (Schleimer et al., SIGMOD'03 §5):
+    which documents share winnowing fingerprints with a query doc —
+    the plagiarism / copy-lineage question, robust to local edits
+    because fingerprints are window-minima of char-gram hashes rather
+    than exact spans.
+
+    The query doc's fingerprint set is doc-bounded, so it BROADCASTS:
+    the corpus fingerprint stream (winnowed, ~|text|/w entries per
+    doc, built in-row) filters against it BEFORE any shuffle — only
+    matching (id, fp) rows reach the count rollup, which is map-side
+    combinable. ``containment`` = shared/|query fps|, the directional
+    overlap score a plagiarism report ranks by.
+    """
+    fps = winnow_fp_sets(docs, k, w, id_col, text_col, hash_fn)
+    # explode_outer, NOT explode: plain explode makes Catalyst infer a
+    # size(fps) > 0 filter and push it below the projection, re-
+    # inlining the whole winnow pipeline inside its own per-position
+    # lambdas — O(|text|^2) hash calls per row (the minhash_signatures
+    # lesson; measured as a >100x hang here). The sets are non-empty
+    # by construction.
+    q = (
+        fps.where(F.col(id_col) == query_doc_id)
+        .select(F.explode_outer("fps").alias("fp"))
+    )
+    corpus = fps.where(F.col(id_col) != query_doc_id).select(
+        F.col(id_col), F.explode_outer("fps").alias("fp")
+    )
+    hits = (
+        corpus.join(F.broadcast(q), "fp")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    qn = q.agg(F.count("*").alias("_nq"))
+    return (
+        hits.crossJoin(F.broadcast(qn))
+        .select(
+            F.col(id_col),
+            F.col("n_shared"),
+            F.round(
+                F.col("n_shared").cast("double") / F.col("_nq"), 6
+            ).alias("containment"),
+        )
+        .orderBy(F.col("n_shared").desc(), F.col(id_col).asc())
     )

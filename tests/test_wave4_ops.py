@@ -729,3 +729,36 @@ class TestIndexSizeReport:
         # the compression ladder holds on disk, not just in theory
         assert out["binary"]["bytes_per_row"] < out["sq8"]["bytes_per_row"]
         assert out["sq8"]["bytes_per_row"] < out["flat"]["bytes_per_row"]
+
+
+class TestFingerprintOverlap:
+    def test_planted_plagiarism_found(self, spark):
+        from faiss_vector_search_spark.operators import textstats as ts
+
+        original = ("the quick brown fox jumps over the lazy dog while "
+                    "the band played on through the long warm evening")
+        edited = ("the quick brown fox jumps over the lazy dog while "
+                  "a trumpet played on through the long warm evening")
+        docs = spark.createDataFrame(
+            [(0, original), (1, edited),
+             (2, "completely unrelated text about spark query plans")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in
+               ts.fingerprint_overlap_search(docs, 0, min_shared=2).collect()}
+        assert 1 in out                      # the edited copy is found
+        assert out[1]["containment"] > 0.5   # most fingerprints survive the edit
+        # the unrelated doc shares at most noise
+        assert out.get(2, None) is None or out[2]["n_shared"] < out[1]["n_shared"]
+
+    def test_self_excluded_and_deterministic(self, spark, sf_small):
+        from faiss_vector_search_spark.io import load_table
+        from faiss_vector_search_spark.operators import textstats as ts
+
+        docs = load_table(spark, sf_small, "documents")
+        a = ts.fingerprint_overlap_search(docs, 3).collect()
+        b = ts.fingerprint_overlap_search(docs, 3).collect()
+        assert list(map(tuple, a)) == list(map(tuple, b))
+        assert all(r["doc_id"] != 3 for r in a)
+        for r in a:
+            assert 0.0 < r["containment"] <= 1.0
