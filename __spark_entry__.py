@@ -4467,14 +4467,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # regional_supplier_volume / events_asof_join /
     # order_priority_check / events_range_join / events_sessionize /
     # events_tumbling) move to the head of the 51+ backfill region.
-    # r5 wave-4 additions (never driver-checked) lead per the same
-    # standing policy; they displace 8 more r2-green keys to 51+.
-    # Final r5 window audit (this ordering): positions 1-25 are ALL
-    # never-green oracle-gated keys (+pca_ivf_search rows-only at 8),
-    # 26-28 are the 3 r4-stale keys (lang_id/chunk_fixed/
-    # pack_sequences — the r4 verdict's top ask), 29-50 are the
-    # stalest r2-green backfill; zero never-green oracle-gated keys
-    # sit outside the window.
+    # r5 wave-4/5 additions (never driver-checked) lead per the same
+    # standing policy; they displace r2-green keys to 51+.
+    # Final r5 window audit (this ordering, 157 keys total): positions
+    # 1-31 are the never-green keys (30 oracle-gated + pca_ivf_search
+    # rows-only), then the 3 r4-stale keys (lang_id/chunk_fixed/
+    # pack_sequences — the r4 verdict's top ask), then the stalest
+    # r2-green backfill to 50; ZERO never-green oracle-gated keys sit
+    # outside the window.
     return {
         "fingerprint_overlap": q_fingerprint_overlap,
         "dataset_card": q_dataset_card,
