@@ -829,7 +829,7 @@ def q_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints with doc 7, ranked by shared count / containment."""
     return textstats.fingerprint_overlap_search(
         _t(spark, sf_dir, "documents"), query_doc_id=7,
-        k=8, w=4, min_shared=2, hash_fn="md5",
+        gram=8, w=4, min_shared=2, hash_fn="md5",
     )
 
 
@@ -4099,7 +4099,7 @@ cuts2 AS (
            AS INT) AS c2
   FROM cuts
 )
-SELECT doc_id, apply AS fim,
+SELECT doc_id, text, apply AS fim,
        CASE WHEN apply THEN substr(text, 1, c1) END AS prefix,
        CASE WHEN apply THEN substr(text, c1 + 1, c2 - c1) END AS middle,
        CASE WHEN apply THEN substr(text, c2 + 1) END AS suffix,

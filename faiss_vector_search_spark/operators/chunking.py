@@ -383,9 +383,10 @@ def fim_transform(
     double->BIGINT cast rounds half-even where Spark truncates) in one
     zero-shuffle, zero-join projection; the corpus never moves.
 
-    Output: every input doc with ``fim`` (applied?) plus
-    prefix/middle/suffix and the reassembled ``fim_text`` (NULL when
-    not applied — the training mixer unions the two streams as-is).
+    Output: every input doc with its original ``text_col``, ``fim``
+    (applied?), prefix/middle/suffix, and the reassembled ``fim_text``
+    (NULL when not applied) — the training mixer consumes
+    ``coalesce(fim_text, text)`` with no join back to the source.
     """
     from ..functions.hashing import hashed
 
@@ -418,6 +419,7 @@ def fim_transform(
     )
     return staged.select(
         F.col(id_col),
+        F.col(text_col),
         F.col("_apply").alias("fim"),
         F.when(F.col("_apply"), prefix).alias("prefix"),
         F.when(F.col("_apply"), middle).alias("middle"),

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StructField, StructType
 
 from ..functions import vector as V
 from .knn import SCORE_DECIMALS
@@ -469,10 +470,16 @@ def ivf_search_persisted_batch(
     )
     pm = probe_map.collect()  # bounded: Q x nprobe rows
     all_lists = sorted({r["cid"] for r in pm})
+    # derive the query-id field type from the caller's frame: the
+    # pipeline is type-agnostic (string keys are legal), so the probe
+    # map must not pin bigint
+    qid_field = StructType([
+        queries.schema[query_id_col],
+        StructField("_probe_cid", IntegerType(), False),
+    ])
     qmap = (
         spark.createDataFrame(
-            [(r[query_id_col], r["cid"]) for r in pm],
-            f"{query_id_col} bigint, _probe_cid int",
+            [(r[query_id_col], r["cid"]) for r in pm], qid_field,
         )
         .join(queries.select(query_id_col, query_vec_col), on=query_id_col)
     )

@@ -511,7 +511,7 @@ def profile_delta(
         (F.col("r_min").isNotNull() & (F.col("r_min") == F.col("o_min")))
         | (F.col("r_max").isNotNull() & (F.col("r_max") == F.col("o_max")))
     )
-    return j.select(
+    out = j.select(
         "column",
         (F.col("o_rows") + a_rows - r_rows).cast("bigint").alias("n_rows"),
         (F.col("o_nulls") + a_nulls - r_nulls).cast("bigint").alias("n_nulls"),
@@ -521,3 +521,9 @@ def profile_delta(
         .alias("max_value"),
         (~F.coalesce(boundary_removed, F.lit(False))).alias("minmax_exact"),
     )
+    # the result is len(cols) rows: materialize it eagerly so the
+    # change-set cache can be released HERE — a per-ingest-batch pass
+    # must not leak cached blocks into a long-lived session
+    rows = out.collect()
+    diff.unpersist()
+    return spark.createDataFrame(rows, out.schema)

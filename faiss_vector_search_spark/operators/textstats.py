@@ -1317,18 +1317,24 @@ def zipf_profile(
 def fingerprint_overlap_search(
     docs: DataFrame,
     query_doc_id: int,
-    k: int = 8,
+    gram: int = 8,
     w: int = 4,
     min_shared: int = 2,
     hash_fn: str = "md5",
     id_col: str = "doc_id",
     text_col: str = "text",
+    top: int | None = None,
 ) -> DataFrame:
     """MOSS-style provenance search (Schleimer et al., SIGMOD'03 §5):
     which documents share winnowing fingerprints with a query doc —
     the plagiarism / copy-lineage question, robust to local edits
     because fingerprints are window-minima of char-gram hashes rather
     than exact spans.
+
+    ``gram`` is the char-gram size (winnowing's k; renamed here so it
+    can't read as a top-k). The result is every doc with at least
+    ``min_shared`` shared fingerprints, ranked — a provenance report
+    wants the full set, not a fixed cut; pass ``top`` to bound it.
 
     The query doc's fingerprint set is doc-bounded, so it BROADCASTS:
     the corpus fingerprint stream (winnowed, ~|text|/w entries per
@@ -1337,7 +1343,7 @@ def fingerprint_overlap_search(
     combinable. ``containment`` = shared/|query fps|, the directional
     overlap score a plagiarism report ranks by.
     """
-    fps = winnow_fp_sets(docs, k, w, id_col, text_col, hash_fn)
+    fps = winnow_fp_sets(docs, gram, w, id_col, text_col, hash_fn)
     # explode_outer, NOT explode: plain explode makes Catalyst infer a
     # size(fps) > 0 filter and push it below the projection, re-
     # inlining the whole winnow pipeline inside its own per-position
@@ -1358,7 +1364,7 @@ def fingerprint_overlap_search(
         .where(F.col("n_shared") >= min_shared)
     )
     qn = q.agg(F.count("*").alias("_nq"))
-    return (
+    out = (
         hits.crossJoin(F.broadcast(qn))
         .select(
             F.col(id_col),
@@ -1369,3 +1375,4 @@ def fingerprint_overlap_search(
         )
         .orderBy(F.col("n_shared").desc(), F.col(id_col).asc())
     )
+    return out.limit(top) if top is not None else out

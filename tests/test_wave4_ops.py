@@ -380,6 +380,10 @@ class TestFimTransform:
                chunking.fim_transform(docs, rate_permille=1000).collect()}
         assert out[0]["fim"] is False and out[0]["fim_text"] is None
         assert out[1]["fim"] is True
+        # pass-through rows carry the original text: the training mixer
+        # consumes coalesce(fim_text, text) with no join back
+        assert out[0]["text"] == "tiny"
+        assert out[1]["text"] == "x" * 100
 
 
 class TestZipfProfile:
@@ -508,6 +512,22 @@ class TestIvfBatchPersisted:
             ).collect()
             want = [(i + 1, r["vec_id"], r["score"]) for i, r in enumerate(solo)]
             assert sorted(got[qid]) == want, qid
+
+    def test_string_query_ids(self, spark, store):
+        # the probe map derives the id type from the caller's frame —
+        # string keys must work, not just bigint (r5 ADVICE item)
+        from faiss_vector_search_spark.operators import ivf as ivf_mod
+
+        path, emb = store
+        queries = emb.where(F.col("vec_id").isin([0, 3])).select(
+            F.concat(F.lit("q-"), F.col("vec_id")).alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        out = ivf_mod.ivf_search_persisted_batch(
+            spark, path, queries, nprobe=2, k=5
+        ).collect()
+        assert {r["query_id"] for r in out} == {"q-0", "q-3"}
+        assert all(isinstance(r["query_id"], str) for r in out)
 
     def test_partition_pruned_single_scan(self, spark, store):
         from faiss_vector_search_spark.operators import ivf as ivf_mod
@@ -762,3 +782,13 @@ class TestFingerprintOverlap:
         assert all(r["doc_id"] != 3 for r in a)
         for r in a:
             assert 0.0 < r["containment"] <= 1.0
+
+    def test_top_bounds_the_report(self, spark, sf_small):
+        from faiss_vector_search_spark.io import load_table
+        from faiss_vector_search_spark.operators import textstats as ts
+
+        docs = load_table(spark, sf_small, "documents")
+        full = ts.fingerprint_overlap_search(docs, 3).collect()
+        assert len(full) > 3
+        top = ts.fingerprint_overlap_search(docs, 3, top=3).collect()
+        assert list(map(tuple, top)) == list(map(tuple, full[:3]))
