@@ -35,6 +35,14 @@ def vhash(pdf):
                    for r in pdf[cols].itertuples(index=False))
     return hashlib.md5("\n".join(canon).encode()).hexdigest()[:12]
 qs, os_ = m.queries(), m.oracle_sql()
+# manifest of the round's ordering so any artifact's 50-key window is
+# auditable after later rotations (SURVEY §5 window policy)
+import json
+with open(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "queries_order.json"), "w") as fh:
+    json.dump({"order": list(qs), "window": list(qs)[:50],
+               "oracle_gated": [k for k in qs if k in os_]}, fh, indent=1)
+    fh.write("\n")
 bad = 0
 for k, fn in qs.items():
     s = fn(spark, sf).toPandas()
