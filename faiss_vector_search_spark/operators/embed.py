@@ -75,10 +75,21 @@ def embed_documents(
       Arrow transfer — carries over unchanged. Not oracle-able
       (model forward pass has no SQL twin); gated by pytest
       batch-size/partitioning invariance + self-retrieval instead.
+    - ``"st:<checkpoint>"``: the real sentence-transformers encoder
+      (e.g. ``"st:all-MiniLM-L6-v2"``) in the same mapInPandas slot —
+      the exact reference behavior. Import-gated: raises a clear
+      remediation error when the library isn't installed; when it is,
+      tests/test_embed_model.py's skip-gated real-checkpoint tests
+      re-run the invariance + self-retrieval gates against it.
+      ``dim`` is ignored (the checkpoint fixes the width).
     """
     if model == "numpy":
         return _embed_documents_numpy(
             docs, dim, id_col, text_col, batch_size
+        )
+    if model.startswith("st:"):
+        return _embed_documents_st(
+            docs, model[3:], id_col, text_col, batch_size
         )
     if model != "hash":
         raise ValueError(f"unknown embed model: {model}")
@@ -179,6 +190,54 @@ def _embed_documents_numpy(
                     {id_col: chunk[id_col].values,
                      "embedding": list(emb)}
                 )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        encode_batches, schema=f"{id_col} long, embedding array<double>"
+    )
+
+
+def _embed_documents_st(
+    docs: DataFrame, checkpoint: str, id_col: str, text_col: str,
+    batch_size: int,
+) -> DataFrame:
+    """Real-checkpoint embedding: sentence-transformers inside the
+    same Arrow ``mapInPandas`` slot as the numpy path (reference
+    components/core/embedding_service.py:64-122 — batch texts →
+    model.encode(batch_size=..., normalize_embeddings=True)).
+
+    The model loads ONCE per python worker (closure capture at task
+    deserialization), not per batch — on a 1000-executor cluster each
+    worker pays one checkpoint load, then streams Arrow batches
+    through it; that is the sentence-transformers serving shape.
+    Import-gated so the operator surface exists (and is covered by
+    skip-gated tests) even in environments without torch.
+    """
+    try:
+        from sentence_transformers import SentenceTransformer  # noqa: F401
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "embed_documents(model='st:...') needs sentence-transformers. "
+            "Install it (pip install sentence-transformers) or use "
+            "model='numpy' — the committed MLP that exercises the same "
+            "mapInPandas plumbing."
+        ) from e
+
+    def encode_batches(batches):
+        import pandas as pd
+        from sentence_transformers import SentenceTransformer
+
+        model = SentenceTransformer(checkpoint)  # once per worker
+        for pdf in batches:
+            emb = model.encode(
+                [t if t is not None else "" for t in pdf[text_col]],
+                batch_size=batch_size,
+                normalize_embeddings=True,
+                show_progress_bar=False,
+            )
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values,
+                 "embedding": [row.astype("float64") for row in emb]}
+            )
 
     return docs.select(id_col, text_col).mapInPandas(
         encode_batches, schema=f"{id_col} long, embedding array<double>"

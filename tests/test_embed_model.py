@@ -115,6 +115,68 @@ def test_numpy_model_topk_stability_vs_hash_baseline(spark, docs):
         mlp_emb.unpersist()
 
 
+# --- real checkpoint (skip-gated: needs sentence-transformers) ---------
+
+# no module-level importorskip: that would skip the WHOLE file,
+# including the numpy-path gates above — gate per-test instead
+
+try:
+    import sentence_transformers  # noqa: F401
+    _HAS_ST = True
+except ImportError:
+    _HAS_ST = False
+
+needs_st = pytest.mark.skipif(
+    not _HAS_ST, reason="sentence-transformers not installed in this env"
+)
+
+_ST_CHECKPOINT = "all-MiniLM-L6-v2"  # small public checkpoint
+
+
+def test_st_model_errors_clearly_when_absent(docs):
+    if _HAS_ST:
+        pytest.skip("library present: covered by the real-checkpoint gates")
+    with pytest.raises(ImportError, match="sentence-transformers"):
+        embed.embed_documents(docs, model=f"st:{_ST_CHECKPOINT}").collect()
+
+
+@needs_st
+def test_st_model_schema_norms_and_batch_invariance(docs):
+    """The real-checkpoint twin of the numpy gates (reference
+    embedding_service.py:64-122): normalized vectors, stable schema,
+    batch-size invariance through the same mapInPandas slot."""
+    sample = docs.limit(32)
+    out = embed.embed_documents(sample, model=f"st:{_ST_CHECKPOINT}",
+                                batch_size=8)
+    assert out.columns == ["doc_id", "embedding"]
+    rows = out.collect()
+    assert rows and all(len(r.embedding) == len(rows[0].embedding)
+                        for r in rows)
+    for r in rows:
+        assert abs(sum(x * x for x in r.embedding) - 1.0) < 1e-5
+    b = _vecs(embed.embed_documents(sample, model=f"st:{_ST_CHECKPOINT}",
+                                    batch_size=32))
+    a = {r.doc_id: tuple(r.embedding) for r in rows}
+    for k in a:
+        assert max(abs(x - y) for x, y in zip(a[k], b[k])) < 1e-5
+
+
+@needs_st
+def test_st_model_self_retrieval(spark, docs):
+    corpus = embed.embed_documents(
+        docs.limit(64), model=f"st:{_ST_CHECKPOINT}"
+    ).withColumnRenamed("doc_id", "vec_id")
+    target = 5
+    qtext = docs.where(F.col("doc_id") == target).first().text
+    qdf = spark.createDataFrame([(0, qtext)], "doc_id long, text string")
+    qvec = embed.embed_documents(qdf, model=f"st:{_ST_CHECKPOINT}").select(
+        F.col("embedding").alias("query_vec")
+    )
+    top = knn.topk(corpus, qvec, k=3).collect()
+    assert top[0].vec_id == target
+    assert top[0].score > 0.99
+
+
 # --- rag_context (retrieve -> budgeted context assembly) ---------------
 
 

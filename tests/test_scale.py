@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import math
 import os
+import sys
 
 import pytest
 from pyspark.sql import functions as F
@@ -48,6 +49,15 @@ def emb_sf1(spark):
 
 @pytest.fixture(scope="module")
 def emb_sf1c(spark):
+    # self-generate when absent (r5 verdict ask #4: all 8 scale gates
+    # must run, not 7): the clustered corpus is a pure function of its
+    # parameters, so regeneration is byte-stable (n=20000 matches the
+    # committed recall artifacts in artifacts/scale_rehearsal/)
+    if not os.path.isdir(os.path.join(SF1C, "embeddings.parquet")):
+        sys.path.insert(0, "/root/repo/scripts")
+        from make_scale_data import make_clustered_embeddings
+
+        make_clustered_embeddings(spark, SF1C, n=20000)
     return _table(spark, SF1C, "embeddings").cache()
 
 
