@@ -4246,6 +4246,29 @@ def q_ivf_batch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call persisted-index health check (reference get_stats +
+    train-when-needed, index_service.py:179-185 end to end): layout
+    stats + measured recall at the current nprobe + smallest dial
+    meeting the recall target + retrain verdict, all over the SAME
+    persisted store q_ivf_batch_query builds (each grid step is one
+    partition-pruned batched scan). Rows-only: probe recall has no SQL
+    twin; property gates in tests/test_lifecycle.py."""
+    import os
+
+    from faiss_vector_search_spark.operators import lifecycle
+
+    q_ivf_batch_query(spark, sf_dir)  # ensure the store exists
+    path = _IVFIDX_PATHS[sf_dir]
+    if not os.path.isdir(f"{path}/_meta"):  # watermark: trained on build corpus
+        n = _t(spark, sf_dir, "embeddings").count()
+        lifecycle.write_train_meta(spark, path, n)
+    return lifecycle.index_health_report(
+        spark, path, query_ids=(0, 3, 7, 11),
+        k=10, nprobe=4, target_recall=0.9,
+    )
+
+
 _SNAPDIFF_PATHS: dict[str, str] = {}
 
 
@@ -4619,6 +4642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_search": q_bm25_index_search,
         "snapshot_diff": q_snapshot_diff,
         "profile_delta": q_profile_delta,
+        "index_health": q_index_health,
         "bpe_fertility": q_bpe_fertility,
         "index_size_report": q_index_size_report,
     }

@@ -550,6 +550,9 @@ def main() -> None:
         # 4 queries, one partition-pruned scan (store build amortized
         # in the wrapper's first call, outside min-of-3)
         "ivf_batch_query": qs["ivf_batch_query"],
+        # r6: health check over the same persisted store (layout stats
+        # + dial walk of batched pruned scans + retrain verdict)
+        "index_health": qs["index_health"],
         "self_similarity": qs["self_similarity"],
         "dataset_card": qs["dataset_card"],
         # production hash profile for the winnow pipeline

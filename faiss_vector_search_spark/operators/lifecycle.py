@@ -187,6 +187,141 @@ def should_retrain(
     return ntotal >= growth_factor * trained_on
 
 
+def index_health_report(
+    spark: SparkSession,
+    path: str,
+    query_ids: tuple = (0, 1, 2, 3),
+    k: int = 10,
+    nprobe: int = 4,
+    target_recall: float = 0.9,
+    nprobe_grid: tuple | None = None,
+    growth_factor: float = 4.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-call health check for a persisted IVF-FLAT index: the
+    reference's get_stats echo + train-when-needed loop
+    (index_service.py:179-185) run END TO END against the on-disk
+    index, as a (metric, value) DataFrame an operator can alert on.
+
+    Sections (all bounded, none scan unprobed lists more than once):
+
+    - **layout**: ntotal + per-list row counts from one group-by over
+      the partition column (n_lists rows to the driver). ``list_
+      balance`` = max/avg list size — the skew number that predicts
+      probe-tail latency at 1000 executors.
+    - **recall at the current dial**: exact truth for the sampled
+      queries (ONE corpus scan, all queries batched via a broadcast
+      cross-join + per-query rank window), then
+      :func:`ivf.ivf_search_persisted_batch` at ``nprobe`` — N queries
+      share one partition-pruned scan.
+    - **nprobe recommendation**: walk the dial grid (powers of two up
+      to nlist by default) with the same batched probe, early-stopping
+      at ``target_recall`` — the :func:`evaluate.nprobe_for_recall`
+      walk, but over the PERSISTED assignment: the build already paid
+      for list_id, so each grid step costs one pruned scan, never a
+      re-assignment. ``recommended_nprobe`` = -1 if even a full scan
+      misses the target (only possible under sampling noise).
+    - **retrain verdict**: :func:`should_retrain` against the
+      ``_meta`` watermark (growth_ratio = -1 when no watermark).
+
+    Rows-only by design (kmeans assignment + probe recall have no SQL
+    twin); gated by tests/test_lifecycle.py properties instead.
+    """
+    from .ivf import ivf_search_persisted_batch
+    from ..functions import vector as V
+
+    vecs = spark.read.parquet(f"{path}/vectors")
+    sizes = {
+        r["list_id"]: r["n"]
+        for r in vecs.groupBy("list_id").agg(F.count("*").alias("n")).collect()
+    }
+    ntotal = sum(sizes.values())
+    n_lists = len(sizes)
+    avg_sz = ntotal / n_lists if n_lists else 0.0
+
+    qdf = (
+        vecs.where(F.col(id_col).isin(list(query_ids)))
+        .select(F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("query_vec"))
+    )
+    from pyspark.sql import Window
+
+    exact = (
+        vecs.crossJoin(F.broadcast(qdf))
+        .select(
+            "query_id", F.col(id_col),
+            V.ip_score(F.col(vec_col), F.col("query_vec")).alias("score"),
+        )
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy("query_id")
+                .orderBy(F.col("score").desc(), F.col(id_col).asc())
+            ),
+        )
+        .where(F.col("_r") <= k)
+        .select("query_id", id_col)
+    )
+    truth: dict = {}
+    for r in exact.collect():
+        truth.setdefault(r["query_id"], set()).add(r[id_col])
+    denom = max(1, sum(len(v) for v in truth.values()))
+
+    def recall_at(p: int) -> float:
+        got = ivf_search_persisted_batch(
+            spark, path, qdf, nprobe=p, k=k,
+            id_col=id_col, vec_col=vec_col,
+        ).select("query_id", id_col).collect()
+        hit = sum(1 for r in got if r[id_col] in truth.get(r["query_id"], ()))
+        return round(hit / denom, 4)
+
+    if nprobe_grid is None:
+        g, p = [], 1
+        while p < n_lists:
+            g.append(p)
+            p *= 2
+        nprobe_grid = tuple(g + [n_lists])
+    recall_current = recall_at(min(nprobe, n_lists))
+    curve: dict[int, float] = {min(nprobe, n_lists): recall_current}
+    recommended, rec_recall = -1, max(curve.values())
+    for p in nprobe_grid:
+        rc = curve.get(p)
+        if rc is None:
+            rc = recall_at(p)
+            curve[p] = rc
+        if rc >= target_recall:
+            recommended, rec_recall = p, rc
+            break
+        rec_recall = max(rec_recall, rc)
+
+    try:
+        trained_on = spark.read.parquet(f"{path}/_meta").first().trained_on
+    except Exception:
+        trained_on = None
+    growth = round(ntotal / trained_on, 4) if trained_on else -1.0
+    retrain = should_retrain(spark, path, growth_factor=growth_factor)
+
+    rows = [
+        ("n_vectors", float(ntotal)),
+        ("n_lists", float(n_lists)),
+        ("list_rows_min", float(min(sizes.values()) if sizes else 0)),
+        ("list_rows_max", float(max(sizes.values()) if sizes else 0)),
+        ("list_rows_avg", round(avg_sz, 4)),
+        ("list_balance", round(max(sizes.values()) / avg_sz, 4)
+         if sizes and avg_sz else -1.0),
+        ("current_nprobe", float(min(nprobe, n_lists))),
+        ("recall_at_current", recall_current),
+        ("target_recall", float(target_recall)),
+        ("recommended_nprobe", float(recommended)),
+        ("recall_at_recommended", float(rec_recall)),
+        ("trained_on", float(trained_on) if trained_on else -1.0),
+        ("growth_ratio", float(growth)),
+        ("should_retrain", 1.0 if retrain else 0.0),
+    ]
+    return spark.createDataFrame(rows, "metric string, value double")
+
+
 def retrain_ivf(
     spark: SparkSession,
     path: str,

@@ -248,3 +248,78 @@ def test_recall_report_drives_the_retrain_story(spark, emb, tmp_path):
     assert after["ivf"] >= 0.5
     # the guard re-arms: watermark moved to the retrain corpus size
     assert not lifecycle.should_retrain(spark, p, growth_factor=2.0)
+
+
+class TestIndexHealthReport:
+    """One-call persisted-index health check (r5 verdict ask #7):
+    layout stats + measured recall + nprobe recommendation + retrain
+    verdict, composed over the persisted assignment."""
+
+    @pytest.fixture(scope="class")
+    def store(self, spark, emb, tmp_path_factory):
+        p = str(tmp_path_factory.mktemp("health") / "idx")
+        cents = ivf_mod.seeded_centroids(emb, 8)
+        ivf_mod.save_ivf(emb, cents, p)
+        lifecycle.write_train_meta(spark, p, emb.count())
+        return p
+
+    def _report(self, spark, store, **kw):
+        return {
+            r.metric: r.value
+            for r in lifecycle.index_health_report(spark, store, **kw).collect()
+        }
+
+    def test_layout_section_exact(self, spark, emb, store):
+        rep = self._report(spark, store, query_ids=(0, 7), k=5, nprobe=2)
+        n = emb.count()
+        assert rep["n_vectors"] == float(n)
+        assert rep["n_lists"] == 8.0
+        assert rep["list_rows_min"] <= rep["list_rows_avg"] <= rep["list_rows_max"]
+        assert abs(rep["list_rows_avg"] - n / 8) < 1e-6
+        assert rep["list_balance"] >= 1.0
+
+    def test_full_probe_reaches_exact_recall(self, spark, store):
+        # nprobe = nlist scans every list -> recall 1.0 by construction,
+        # so the dial walk always terminates and recommends <= nlist
+        rep = self._report(
+            spark, store, query_ids=(0, 7, 13), k=5, nprobe=8,
+            target_recall=1.0,
+        )
+        assert rep["recall_at_current"] == 1.0
+        assert rep["recommended_nprobe"] == 8.0 or rep["recommended_nprobe"] < 8.0
+        assert rep["recall_at_recommended"] == 1.0
+
+    def test_recommendation_monotone_and_bounded(self, spark, store):
+        rep = self._report(
+            spark, store, query_ids=(0, 7, 13), k=5, nprobe=1,
+            target_recall=0.6,
+        )
+        assert 0.0 <= rep["recall_at_current"] <= 1.0
+        assert rep["recommended_nprobe"] >= 1.0  # 0.6 reachable: full scan is 1.0
+        assert rep["recall_at_recommended"] >= 0.6
+        # the recommended dial never underperforms the current one
+        assert rep["recall_at_recommended"] >= rep["recall_at_current"]
+
+    def test_retrain_verdict_follows_watermark(self, spark, emb, store, tmp_path):
+        rep = self._report(spark, store, query_ids=(0,), k=3, nprobe=2)
+        assert rep["should_retrain"] == 0.0
+        assert rep["growth_ratio"] == 1.0
+        assert rep["trained_on"] == float(emb.count())
+        # a stale watermark flips the verdict
+        p2 = str(tmp_path / "stale")
+        cents = ivf_mod.seeded_centroids(emb, 8)
+        ivf_mod.save_ivf(emb, cents, p2)
+        lifecycle.write_train_meta(spark, p2, max(1, emb.count() // 10))
+        rep2 = self._report(spark, p2, query_ids=(0,), k=3, nprobe=2)
+        assert rep2["should_retrain"] == 1.0
+        assert rep2["growth_ratio"] > 4.0
+
+    def test_no_watermark_reports_minus_one(self, spark, emb, tmp_path):
+        p = str(tmp_path / "nometa")
+        cents = ivf_mod.seeded_centroids(emb, 8)
+        ivf_mod.save_ivf(emb, cents, p)
+        rep = self._report(spark, p, query_ids=(0,), k=3, nprobe=2)
+        assert rep["trained_on"] == -1.0
+        assert rep["growth_ratio"] == -1.0
+        # reference min-points rule: >=100 vectors with no watermark
+        assert rep["should_retrain"] == 1.0
