@@ -4349,16 +4349,18 @@ def q_docx_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode, FUNCTIONAL end to end: deterministic BMP
-    images and WAV clips synthesized in-flight, decoded by the
-    pure-numpy codecs (sources/multimodal.py — public struct
-    layouts, no image/audio library), resized, and profiled. One row
-    per item: (item_id, modality, width/height or frames/rate,
-    feature). Rows-only: binary codec plumbing has no SQL twin;
-    correctness is pytest-gated against hand-packed reference bytes
-    (tests/test_sources.py TestBuiltinCodecs)."""
+    """Multimodal decode, FUNCTIONAL end to end: deterministic BMP +
+    baseline-JPEG images and WAV clips synthesized in-flight, decoded
+    by the pure-numpy codecs (sources/multimodal.py + sources/jpeg.py
+    — public struct/T.81 layouts, no image/audio library), resized,
+    and profiled. One row per item: (item_id, modality, width/height
+    or frames/rate, feature). Rows-only: binary codec plumbing has no
+    SQL twin; correctness is pytest-gated against hand-packed
+    reference bytes (tests/test_sources.py TestBuiltinCodecs /
+    TestJpegCodec)."""
     import numpy as np
 
+    from faiss_vector_search_spark.sources import jpeg as jpg
     from faiss_vector_search_spark.sources import multimodal as mm
 
     rng = np.random.default_rng(11)
@@ -4367,6 +4369,11 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
          mm.bmp_encode(rng.integers(0, 256, size=(8 + i, 12, 3),
                                     dtype=np.uint8)), {})
         for i in range(4)
+    ] + [
+        (4 + i, "image",
+         jpg.jpeg_encode(rng.integers(0, 256, size=(8 + i, 12, 3),
+                                      dtype=np.uint8), quant=1), {})
+        for i in range(2)
     ]
     import struct
 

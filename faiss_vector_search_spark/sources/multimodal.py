@@ -4,15 +4,16 @@
 
 Decode support comes in two tiers:
 
-- **Built-in pure-numpy codecs** for the two standard uncompressed
-  formats whose public specs are plain struct layouts: BMP (BI_RGB
-  8/24/32 bpp — :func:`bmp_decode` / :func:`bmp_encode`) and WAV
-  (RIFF PCM — :func:`wav_decode`). These need NO external library:
-  ``decode_images``, ``resize_images``, and ``audio_stats`` are
-  fully functional on them in this container, end to end.
-- **Library swap-ins** for compressed formats (JPEG/PNG via Pillow,
-  MP4 via av): each operator takes a ``kernel=`` callable; the
-  default import-tries the library and raises
+- **Built-in pure-numpy codecs**, no external library: BMP (BI_RGB
+  8/24/32 bpp — :func:`bmp_decode` / :func:`bmp_encode`), WAV (RIFF
+  PCM — :func:`wav_decode`), PNG (RFC 2083 — :func:`png_decode` /
+  :func:`png_encode`), and baseline JPEG (ITU-T T.81 SOF0/SOF1
+  sequential Huffman incl. 4:2:0 — :mod:`.jpeg`). ``decode_images``,
+  ``resize_images``, and ``audio_stats`` are fully functional on
+  them in this container, end to end.
+- **Library swap-ins** for the rest (progressive/arithmetic JPEG via
+  Pillow, MP4 via av): each operator takes a ``kernel=`` callable;
+  the default import-tries the library and raises
   ``NotImplementedError`` when absent. The Spark side — schema
   contract, binaryFile ingest, batch shapes, explode semantics for
   frame sampling — is identical either way.
@@ -229,12 +230,18 @@ def png_encode(img: "np.ndarray") -> bytes:
 
 
 def _default_image_kernel(payload: bytes) -> tuple[int, int, int]:
-    """BMP and PNG decode built-in; other formats need Pillow."""
+    """BMP, PNG, and baseline JPEG decode built-in; other formats
+    (and non-baseline JPEG processes) need Pillow."""
     if payload[:2] == b"BM":
         img = bmp_decode(payload)
         return img.shape[1], img.shape[0], img.shape[2]
     if payload[:8] == PNG_SIG:
         img = png_decode(payload)
+        return img.shape[1], img.shape[0], img.shape[2]
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import jpeg_decode
+
+        img = jpeg_decode(payload)
         return img.shape[1], img.shape[0], img.shape[2]
     try:  # pragma: no cover - library absent in this container
         import io
@@ -242,7 +249,8 @@ def _default_image_kernel(payload: bytes) -> tuple[int, int, int]:
         from PIL import Image  # type: ignore[import-not-found]
     except ImportError as e:
         raise NotImplementedError(
-            "non-BMP image and no image library in this environment; "
+            "image format outside the built-in BMP/PNG/baseline-JPEG "
+            "codecs and no image library in this environment; "
             "pass kernel= explicitly"
         ) from e
     img = Image.open(io.BytesIO(payload))  # pragma: no cover
@@ -323,7 +331,8 @@ def resize_images(
     out_w: int,
     out_h: int,
 ) -> DataFrame:
-    """Nearest-neighbor resize for BMP/PNG payloads, fully functional
+    """Nearest-neighbor resize for BMP/PNG/baseline-JPEG payloads,
+    fully functional
     in pure numpy+stdlib: decode → index-stride resample → re-encode
     in the SAME format. Emits (item_id, payload, width, height) — the
     standard thumbnail / model-input-normalization preprocessing
@@ -342,6 +351,10 @@ def resize_images(
                 raw = bytes(payload)
                 if raw[:8] == PNG_SIG:
                     img, enc = png_decode(raw), png_encode
+                elif raw[:2] == b"\xff\xd8":
+                    from .jpeg import jpeg_decode, jpeg_encode
+
+                    img, enc = jpeg_decode(raw), jpeg_encode
                 else:
                     img, enc = bmp_decode(raw), bmp_encode
                 h, w, _ = img.shape

@@ -593,3 +593,105 @@ class TestPngCodec:
     def test_rejects_unsupported(self):
         with pytest.raises(ValueError, match="not a PNG"):
             multimodal.png_decode(b"GIF89a" + bytes(50))
+
+
+class TestJpegCodec:
+    """Baseline JPEG (ITU-T T.81 SOF0, pure numpy+stdlib — r5 verdict
+    ask #6): the decoder is gated against the module's independent
+    encoder (a separate implementation of the bit layout), round-trips
+    at quant=1 being exact up to DCT/color rounding."""
+
+    def _rng(self, seed=0):
+        import numpy as np
+
+        return np.random.default_rng(seed)
+
+    def test_gray_roundtrip_near_lossless(self):
+        import numpy as np
+        from faiss_vector_search_spark.sources import jpeg
+
+        img = self._rng(1).integers(0, 256, (24, 17, 1), dtype=np.uint8)
+        dec = jpeg.jpeg_decode(jpeg.jpeg_encode(img, quant=1))
+        assert dec.shape == (24, 17, 1)
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 1
+
+    def test_rgb_roundtrip_near_lossless(self):
+        import numpy as np
+        from faiss_vector_search_spark.sources import jpeg
+
+        img = self._rng(2).integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        dec = jpeg.jpeg_decode(jpeg.jpeg_encode(img, quant=1))
+        assert dec.shape == (16, 16, 3)
+        # DCT rounding + YCbCr<->RGB rounding: within 2 levels per px
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+
+    def test_non_multiple_of_8_dims_crop_exactly(self):
+        import numpy as np
+        from faiss_vector_search_spark.sources import jpeg
+
+        img = self._rng(3).integers(0, 256, (11, 13, 3), dtype=np.uint8)
+        dec = jpeg.jpeg_decode(jpeg.jpeg_encode(img, quant=1))
+        assert dec.shape == (11, 13, 3)
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+
+    def test_420_subsampling_decodes_smooth_image(self):
+        import numpy as np
+        from faiss_vector_search_spark.sources import jpeg
+
+        yy, xx = np.mgrid[0:32, 0:24]
+        smooth = np.stack(
+            [np.clip(yy * 4, 0, 255), np.clip(xx * 5, 0, 255),
+             np.clip(yy + xx, 0, 255)], axis=-1
+        ).astype(np.uint8)
+        dec = jpeg.jpeg_decode(jpeg.jpeg_encode(smooth, quant=1,
+                                                subsample=True))
+        assert dec.shape == (32, 24, 3)
+        # luma is full-res (tight); chroma is 2x2-averaged + replicated
+        err = np.abs(dec.astype(int) - smooth.astype(int))
+        assert err.mean() < 4.0
+        assert err.max() <= 24  # bounded by the chroma gradient step
+
+    def test_quantization_is_lossy_but_bounded(self):
+        import numpy as np
+        from faiss_vector_search_spark.sources import jpeg
+
+        img = self._rng(4).integers(0, 256, (16, 16, 1), dtype=np.uint8)
+        dec = jpeg.jpeg_decode(jpeg.jpeg_encode(img, quant=16))
+        # flat q=16: error bounded by half a step through the IDCT
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 64
+        assert len(jpeg.jpeg_encode(img, quant=16)) < len(
+            jpeg.jpeg_encode(img, quant=1))
+
+    def test_rejects_progressive_and_non_jpeg(self):
+        import struct
+
+        import pytest as _pytest
+        from faiss_vector_search_spark.sources import jpeg
+
+        with _pytest.raises(ValueError, match="not a JPEG"):
+            jpeg.jpeg_decode(b"GIF89a" + bytes(50))
+        # hand-build an SOF2 (progressive) shell
+        sof2 = (b"\xff\xd8" + b"\xff\xc2"
+                + struct.pack(">H", 11)
+                + struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        with _pytest.raises(ValueError, match="progressive"):
+            jpeg.jpeg_decode(sof2 + b"\xff\xd9")
+
+    def test_decode_images_and_resize_on_jpeg(self, spark):
+        import numpy as np
+        from faiss_vector_search_spark.sources import jpeg
+
+        img = self._rng(5).integers(0, 256, (16, 12, 3), dtype=np.uint8)
+        items = spark.createDataFrame(
+            [(1, "image", jpeg.jpeg_encode(img, quant=1), {})],
+            multimodal.ITEM_SCHEMA,
+        )
+        d = multimodal.decode_images(items).collect()[0]
+        assert (d.width, d.height, d.channels) == (12, 16, 3)
+        r = multimodal.resize_images(items, 6, 8).collect()[0]
+        small = jpeg.jpeg_decode(bytes(r.payload))
+        assert small.shape == (8, 6, 3)
+        # nearest-neighbor resample of a near-lossless decode: each
+        # output pixel within codec rounding of its source pixel
+        err = np.abs(small.astype(int) - img[::2, ::2].astype(int))
+        assert err.max() <= 4
