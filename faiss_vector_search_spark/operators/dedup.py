@@ -291,24 +291,81 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_fn: str = "md5",
+    engine: str = "combinatorial",
+    blocks: int = 6,
 ) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) ≤ max_hamming, blocked on
-    ``bands`` equal bit-slices (pigeonhole: any pair within
-    ``bands-1`` bit flips shares at least one slice — exact recall for
-    max_hamming < bands, never O(n²))."""
-    width = SIMHASH_BITS // bands
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming. Both
+    engines are EXACT (identical output — the r6 realistic-corpus and
+    sf10 measurements confirm byte-identical pair sets); they differ
+    only in how candidates are enumerated:
+
+    - ``"pigeonhole"``: block on
+      ``bands`` equal bit-slices — any pair within ``bands-1`` flips
+      shares at least one slice. Simple, but the slices are only
+      SIMHASH_BITS/bands wide (15 bits at the defaults), so RANDOM
+      slice collisions contribute ~n²·bands/2^15 junk candidate pairs
+      — quadratic in corpus size (measured: 33.5M candidates at the
+      sf10 rehearsal's 500k docs, dominating the 55.9 s wall time).
+    - ``"combinatorial"`` (default; Manku/Jain/Das Sarma,
+      WWW'07 §3 — the Google simhash production design): split the
+      fingerprint into ``blocks`` blocks; a pair within max_hamming
+      flips differs in at most max_hamming blocks, so it AGREES on
+      some (blocks − max_hamming)-subset. One table per subset
+      (C(6,3)=20 at the defaults), each keyed on the CONCATENATION of
+      its blocks (~30 bits) — random-collision candidates drop by
+      ~2^15× to ~n²·20/2^30 while recall stays exact. Trade: the
+      explode fans each doc to 20 rows instead of 4 — shuffle input
+      grows 5×, candidate OUTPUT shrinks quadratically; at 100 TB
+      output is the term that kills, input the one that amortizes.
+      Measured (r6, 500k docs): 75.8→37.5 s on the dup-dense sf10
+      replica corpus (identical 33.5M-pair output — the remainder is
+      output-bound on TRUE pairs); 10.1→8.7 s on the realistic-density
+      corpus (_scaledata/realistic), where simhash now beats the
+      MinHash-LSH path (16.2 s) at its hamming≤3 operating point.
+
+    Requires max_hamming < bands (pigeonhole) / < blocks
+    (combinatorial) for exactness.
+    """
     sh = simhash(docs, id_col, text_col, hash_fn)
-    slices = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftright(F.col("simhash"), b * width)
-                .bitwiseAND(F.lit((1 << width) - 1))
-                .alias("bval"),
+    if engine == "combinatorial":
+        import itertools
+
+        width = SIMHASH_BITS // blocks
+        agree = blocks - max_hamming
+        if agree < 1:
+            raise ValueError("combinatorial engine needs max_hamming < blocks")
+
+        def block_val(b: int):
+            return F.shiftright(F.col("simhash"), b * width).bitwiseAND(
+                F.lit((1 << width) - 1)
             )
-            for b in range(bands)
-        ]
-    )
+
+        combo_structs = []
+        for ci, combo in enumerate(itertools.combinations(range(blocks), agree)):
+            key = F.lit(0).cast("bigint")
+            for i, b in enumerate(combo):
+                key = key + F.shiftleft(block_val(b), i * width)
+            combo_structs.append(
+                F.struct(F.lit(ci).alias("band"), key.alias("bval"))
+            )
+        slices = F.array(*combo_structs)
+    elif engine == "pigeonhole":
+        width = SIMHASH_BITS // bands
+        if max_hamming >= bands:
+            raise ValueError("pigeonhole engine needs max_hamming < bands")
+        slices = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("simhash"), b * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("bval"),
+                )
+                for b in range(bands)
+            ]
+        )
+    else:
+        raise ValueError(f"unknown simhash_pairs engine: {engine}")
     # repartition on the join keys so the simhash aggregation upstream
     # feeds ONE exchange both self-join branches reuse.
     banded = (

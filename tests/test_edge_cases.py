@@ -106,3 +106,37 @@ class TestNullText:
         assert dedup.exact_dedup(docs).count() >= 1
         assert chunking.chunk_greedy(docs).count() >= 1
         assert textstats.token_count(docs).count() == 2
+
+
+class TestSimhashEngines:
+    """The two candidate-enumeration engines are EXACT twins: the
+    combinatorial (Manku WWW'07) tables must yield byte-identical
+    pairs to the pigeonhole bands at every hamming dial."""
+
+    def test_engines_identical_output(self, spark, sf_small):
+        from faiss_vector_search_spark.io import load_table
+        from faiss_vector_search_spark.operators import dedup
+
+        docs = load_table(spark, sf_small, "documents")
+        for mh in (1, 3):
+            a = sorted(map(tuple, dedup.simhash_pairs(
+                docs, max_hamming=mh, engine="pigeonhole",
+                hash_fn="xxhash64").collect()))
+            b = sorted(map(tuple, dedup.simhash_pairs(
+                docs, max_hamming=mh, engine="combinatorial",
+                hash_fn="xxhash64").collect()))
+            assert a == b, mh
+            if mh == 3:
+                assert a  # non-degenerate gate: the corpus has pairs
+
+    def test_engine_param_validation(self, spark):
+        from faiss_vector_search_spark.operators import dedup
+
+        docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="max_hamming < blocks"):
+            dedup.simhash_pairs(docs, max_hamming=6, engine="combinatorial")
+        with _pytest.raises(ValueError, match="max_hamming < bands"):
+            dedup.simhash_pairs(docs, max_hamming=4, engine="pigeonhole")
+        with _pytest.raises(ValueError, match="unknown simhash_pairs"):
+            dedup.simhash_pairs(docs, engine="grams")
