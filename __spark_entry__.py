@@ -4506,6 +4506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_overlap": q_fingerprint_overlap,
         "fim_transform": q_fim_transform,
         "ivf_batch_query": q_ivf_batch_query,
+        "dsir_sample": q_dsir_sample,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_keep_best": q_dedup_keep_best,
@@ -4566,7 +4567,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
         "repeated_spans": q_repeated_spans,
         "opq_rerank_search": q_opq_rerank_search,
-        "dsir_sample": q_dsir_sample,
         "normalize_text": q_normalize_text,
         "strip_repeated_spans": q_strip_repeated_spans,
         "table_profile": q_table_profile,

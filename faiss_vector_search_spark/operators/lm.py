@@ -164,10 +164,18 @@ def dsir_importance(
     tgt = _token_counts(target, id_col, text_col).groupBy("tok").agg(
         F.count("*").alias("c_t")
     )
-    vocab = src.join(tgt, "tok", "full_outer").select(
-        "tok",
-        F.coalesce(F.col("c_s"), F.lit(0)).alias("c_s"),
-        F.coalesce(F.col("c_t"), F.lit(0)).alias("c_t"),
+    # shared vocabulary via union + hash re-aggregation, NOT a
+    # full_outer join: the join planned as the contract's only
+    # SortMergeJoin (r5 PLAN_AUDIT) — two sorted exchanges for what is
+    # semantically a merge of two count maps. The union shape is one
+    # map-side-combinable hash agg over vocab-sized rows, no sort.
+    vocab = (
+        src.select("tok", "c_s", F.lit(0).cast("bigint").alias("c_t"))
+        .unionByName(
+            tgt.select("tok", F.lit(0).cast("bigint").alias("c_s"), "c_t")
+        )
+        .groupBy("tok")
+        .agg(F.sum("c_s").alias("c_s"), F.sum("c_t").alias("c_t"))
     )
     totals = vocab.agg(
         F.sum("c_s").alias("n_s"),
