@@ -4180,6 +4180,312 @@ LIMIT 10
 """
 
 
+# --- §2 r6 wave: rule filters / corpus lookup / classification / eval -----
+
+
+def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line+page cleaning (Raffel et al. 2020 §2.2). The
+    corpus text is single-line, so the wrapper injects deterministic
+    line structure first (identical string transform in the oracle);
+    the line filters then run in-row with zero shuffle."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.replace(F.col("text"), F.lit(" a "), F.lit(".\n")), F.lit(".")
+        ).alias("text"),
+    )
+    return textstats.c4_rules(docs)
+
+
+ORACLES["c4_rules"] = f"""
+WITH prep AS (
+  SELECT doc_id, replace(text, ' a ', '.' || chr(10)) || '.' AS text
+  FROM documents
+),
+arr AS (SELECT doc_id, text, str_split(text, chr(10)) AS lines FROM prep),
+k AS (
+  SELECT doc_id, text, CAST(len(lines) AS INT) AS n_lines,
+         list_filter(lines, ln ->
+           regexp_matches(rtrim(ln), '[.!?"]$')
+           AND len(list_filter(str_split(ln, ' '), w -> w <> '')) >= 5
+           AND NOT contains(lower(ln), 'javascript')) AS kept
+  FROM arr
+)
+SELECT doc_id, n_lines, CAST(len(kept) AS INT) AS n_lines_kept,
+       array_to_string(kept, chr(10)) AS clean_text,
+       NOT contains(text, '{{') AS ok_brace,
+       NOT contains(lower(text), 'lorem ipsum') AS ok_lorem,
+       (len(kept) >= 3 AND NOT contains(text, '{{')
+        AND NOT contains(lower(text), 'lorem ipsum')) AS keep
+FROM k
+"""
+
+
+_LOOKUP_PHRASES = ["table table", "fast spark", "batch window vector",
+                   "zzz qqq"]
+
+
+def q_ngram_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WIMBD-style corpus n-gram lookup: occurrences + doc frequency
+    for a mixed-length phrase list (incl. one absent phrase, which
+    must still report a zero row)."""
+    return lexical.ngram_count_lookup(
+        _t(spark, sf_dir, "documents"), _LOOKUP_PHRASES
+    )
+
+
+ORACLES["ngram_lookup"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+g2 AS (
+  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS phrase
+  FROM toks, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)
+),
+g3 AS (
+  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS phrase
+  FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+),
+hits AS (
+  SELECT doc_id, phrase FROM g2
+  WHERE phrase IN ('table table', 'fast spark', 'zzz qqq')
+  UNION ALL
+  SELECT doc_id, phrase FROM g3 WHERE phrase IN ('batch window vector')
+),
+counts AS (
+  SELECT phrase, count(*)::BIGINT AS n_occurrences,
+         count(DISTINCT doc_id)::BIGINT AS n_docs
+  FROM hits GROUP BY 1
+),
+plist(phrase) AS (VALUES ('table table'), ('fast spark'),
+                         ('batch window vector'), ('zzz qqq'))
+SELECT p.phrase,
+       coalesce(c.n_occurrences, 0)::BIGINT AS n_occurrences,
+       coalesce(c.n_docs, 0)::BIGINT AS n_docs
+FROM plist p LEFT JOIN counts c USING (phrase)
+ORDER BY n_occurrences DESC, phrase ASC
+"""
+
+
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote label prediction for 4 query vectors over
+    the labeled embedding corpus (self excluded, ties to the smaller
+    label)."""
+    from faiss_vector_search_spark.operators import knn as knn_mod
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id").isin([0, 3, 7, 11])).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return knn_mod.knn_classify(emb, queries, k=10)
+
+
+ORACLES["knn_classify"] = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id IN (0, 3, 7, 11)
+),
+scored AS (
+  SELECT q.query_id, e.vec_id, e.label,
+         ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS r
+  FROM scored
+),
+votes AS (
+  SELECT query_id, label, count(*)::BIGINT AS votes
+  FROM ranked WHERE r <= 10 GROUP BY 1, 2
+),
+best AS (
+  SELECT query_id, label AS pred_label, votes, row_number() OVER (
+    PARTITION BY query_id ORDER BY votes DESC, label ASC) AS vr
+  FROM votes
+)
+SELECT query_id, pred_label, votes, ROUND(votes / 10.0, 6) AS confidence
+FROM best WHERE vr = 1
+"""
+
+
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean-shift report between the label<4 and
+    label>=4 embedding populations — decimal-exact sums, ranked by
+    shift."""
+    from faiss_vector_search_spark.operators import evaluate as ev
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ev.embedding_drift_report(
+        emb.where(F.col("label") < 4), emb.where(F.col("label") >= 4)
+    )
+
+
+ORACLES["embedding_drift"] = """
+WITH x AS (
+  SELECT CASE WHEN label < 4 THEN 0 ELSE 1 END AS g, i - 1 AS dim,
+         CAST(embedding[i] AS DECIMAL(18,9)) AS xd
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+),
+agg AS (
+  SELECT dim,
+         sum(CASE WHEN g = 0 THEN xd END) AS sa,
+         count(CASE WHEN g = 0 THEN 1 END) AS na,
+         sum(CASE WHEN g = 1 THEN xd END) AS sb,
+         count(CASE WHEN g = 1 THEN 1 END) AS nb
+  FROM x GROUP BY 1
+)
+SELECT CAST(dim AS INT) AS dim,
+       ROUND(CAST(sa AS DOUBLE) / na, 6) AS mean_a,
+       ROUND(CAST(sb AS DOUBLE) / nb, 6) AS mean_b,
+       ROUND(abs(ROUND(CAST(sa AS DOUBLE) / na, 6)
+                 - ROUND(CAST(sb AS DOUBLE) / nb, 6)), 6) AS abs_shift
+FROM agg
+ORDER BY abs_shift DESC, dim ASC
+"""
+
+
+def q_domain_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain boilerplate stripping: the wrapper injects a domain
+    banner + shared footer (identical transform in the oracle), which
+    the operator must remove from every doc of the domain while the
+    unique content lines survive — rebuilt IN-ROW, the corpus text
+    never shuffles."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.concat(
+            F.lit("banner for "), F.col("source"), F.lit("\n"),
+            F.replace(F.col("text"), F.lit(" a "), F.lit("\n")),
+            F.lit("\nshared footer line"),
+        ).alias("text"),
+    )
+    return dedup.domain_boilerplate_strip(docs, min_docs=3)
+
+
+ORACLES["domain_boilerplate"] = """
+WITH prep AS (
+  SELECT doc_id, source,
+         'banner for ' || source || chr(10)
+         || replace(text, ' a ', chr(10))
+         || chr(10) || 'shared footer line' AS text
+  FROM documents
+),
+arr AS (SELECT doc_id, source, str_split(text, chr(10)) AS lines FROM prep),
+stream AS (SELECT doc_id, source, unnest(lines) AS line FROM arr),
+bp AS (
+  SELECT source, line FROM stream
+  GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 3
+),
+bpl AS (SELECT source, list(line) AS bset FROM bp GROUP BY 1),
+j AS (
+  SELECT a.doc_id, a.source, a.lines,
+         CASE WHEN b.bset IS NULL THEN CAST([] AS VARCHAR[])
+              ELSE b.bset END AS bset
+  FROM arr a LEFT JOIN bpl b USING (source)
+),
+k AS (
+  SELECT doc_id, source, CAST(len(lines) AS BIGINT) AS n_lines,
+         list_filter(lines, ln -> NOT list_contains(bset, ln)) AS kept
+  FROM j
+)
+SELECT doc_id, source, array_to_string(kept, chr(10)) AS clean_text,
+       n_lines, CAST(len(kept) AS BIGINT) AS n_kept,
+       CAST(n_lines - len(kept) AS BIGINT) AS n_dropped
+FROM k
+"""
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel with strictly-increasing
+    timestamps — per-step user counts + conversion vs step 1."""
+    return analytics.event_funnel(
+        _t(spark, sf_dir, "events"), steps=("view", "click", "purchase")
+    )
+
+
+ORACLES["event_funnel"] = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1
+),
+counts AS (
+  SELECT CAST(1 AS INT) AS step_idx, 'view' AS step,
+         count(*)::BIGINT AS n_users FROM s1
+  UNION ALL SELECT 2, 'click', count(*)::BIGINT FROM s2
+  UNION ALL SELECT 3, 'purchase', count(*)::BIGINT FROM s3
+),
+first AS (SELECT n_users AS n1 FROM counts WHERE step_idx = 1)
+SELECT step_idx, step, n_users,
+       CASE WHEN f.n1 > 0 THEN ROUND(n_users / f.n1::DOUBLE, 6)
+            ELSE 0.0 END AS conversion
+FROM counts, first f
+ORDER BY step_idx
+"""
+
+
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-quality harness: BM25's ranked top-10 evaluated against
+    the dense-cosine top-5 truth set — recall@10, MRR, NDCG@10 in one
+    row (the lexical-vs-semantic agreement monitor)."""
+    from pyspark.sql import Window as W
+
+    from faiss_vector_search_spark.operators import evaluate as ev
+
+    docs = _t(spark, sf_dir, "documents")
+    lex = lexical.bm25_search(docs, RAG_QUERY, k=10)
+    results = lex.select(
+        "doc_id",
+        F.row_number().over(
+            W.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        ).alias("rank"),
+    )
+    truth = embed.text_search(
+        docs, RAG_QUERY, dim=64, k=5, hash_fn="md5"
+    ).select("doc_id")
+    return ev.retrieval_metrics(results, truth, k=10)
+
+
+ORACLES["retrieval_eval"] = f"""
+WITH {_BM25_CTES},
+{_DENSE_CTES.strip().lstrip()},
+res AS (
+  SELECT doc_id, CAST(row_number() OVER (
+    ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM (SELECT * FROM bm25 ORDER BY score DESC, doc_id ASC LIMIT 10)
+),
+tr AS (SELECT doc_id FROM dense ORDER BY score DESC, doc_id ASC LIMIT 5),
+j AS (
+  SELECT r.rank, CASE WHEN t.doc_id IS NOT NULL THEN 1 END AS rel
+  FROM res r LEFT JOIN tr t USING (doc_id)
+),
+mstats AS (
+  SELECT sum(CASE WHEN rel = 1 THEN 1.0 / log2(rank + 1) END) AS dcg,
+         min(CASE WHEN rel = 1 THEN rank END) AS fr,
+         count(CASE WHEN rel = 1 THEN 1 END)::BIGINT AS n_hits
+  FROM j
+),
+nrel AS (SELECT count(*)::BIGINT AS n_relevant FROM tr),
+idcg AS (
+  SELECT sum(1.0 / log2(i + 1)) AS v
+  FROM nrel, unnest(generate_series(1, least(n_relevant, 10))) AS t(i)
+)
+SELECT n.n_relevant, s.n_hits,
+       ROUND(s.n_hits / n.n_relevant::DOUBLE, 6) AS recall_at_k,
+       ROUND(coalesce(1.0 / s.fr, 0), 6) AS mrr,
+       ROUND(coalesce(s.dcg, 0) / idcg.v, 6) AS ndcg_at_k
+FROM nrel n, mstats s, idcg
+"""
+
+
 # --- driver contract ------------------------------------------------------
 
 
@@ -4491,6 +4797,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # unchanged r2-green keys, then r3 greens. Every r5-green key rotates
     # to 51+ (freshest green, nothing changed).
     return {
+        # r6 new oracle-gated operators (never driver-checked) lead
+        "c4_rules": q_c4_rules,
+        "ngram_lookup": q_ngram_lookup,
+        "knn_classify": q_knn_classify,
+        "embedding_drift": q_embedding_drift,
+        "domain_boilerplate": q_domain_boilerplate,
+        "event_funnel": q_event_funnel,
+        "retrieval_eval": q_retrieval_eval,
+        # the 12 r5-stale keys (edited after their last driver green)
         "quality_score": q_quality_score,
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,

@@ -553,6 +553,14 @@ def main() -> None:
         # r6: health check over the same persisted store (layout stats
         # + dial walk of batched pruned scans + retrain verdict)
         "index_health": qs["index_health"],
+        # r6 wave: rule filters / lookup / classify / drift / funnel
+        "c4_rules": qs["c4_rules"],
+        "ngram_lookup": qs["ngram_lookup"],
+        "knn_classify": qs["knn_classify"],
+        "embedding_drift": qs["embedding_drift"],
+        "domain_boilerplate": qs["domain_boilerplate"],
+        "event_funnel": qs["event_funnel"],
+        "retrieval_eval": qs["retrieval_eval"],
         "self_similarity": qs["self_similarity"],
         "dataset_card": qs["dataset_card"],
         # production hash profile for the winnow pipeline

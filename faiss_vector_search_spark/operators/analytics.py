@@ -1728,3 +1728,72 @@ def table_profile(
         for c in cols
     ]
     return functools.reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def event_funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel analysis: how many users progress through the
+    ``steps`` sequence with STRICTLY increasing timestamps (a later
+    step only counts if it happens after the user's earliest
+    qualifying occurrence of the previous step) — the product-
+    analytics primitive behind conversion reports.
+
+    Plan: a cascade of per-user conditional mins. Step 1 is one
+    map-side-combinable groupBy(user); each later step filters the
+    event scan to its type (pushed to the parquet scan), joins the
+    previous step's user→timestamp frame (user-bounded, broadcast
+    when it fits, key-partitioned otherwise), and takes min(ts >
+    prev_ts) per user. Only (user, ts) pairs move after the scans;
+    no window over the full event stream, no collect. Output: one row
+    per step — (step_idx, step, n_users, conversion) with conversion
+    relative to step 1 (NULL-safe 0-user steps report 0.0).
+    """
+    if not steps:
+        raise ValueError("event_funnel needs at least one step")
+    cur = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t"))
+    )
+    frames = [cur]
+    for s in steps[1:]:
+        nxt = (
+            events.where(F.col(type_col) == s)
+            .join(F.broadcast(cur.select(user_col, "_t")), user_col)
+            .where(F.col(ts_col) > F.col("_t"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("_t"))
+        )
+        frames.append(nxt)
+        cur = nxt
+    import functools
+
+    counts = functools.reduce(
+        DataFrame.unionByName,
+        [
+            f.agg(F.count("*").cast("bigint").alias("n_users")).select(
+                F.lit(i + 1).alias("step_idx"),
+                F.lit(s).alias("step"),
+                "n_users",
+            )
+            for i, (s, f) in enumerate(zip(steps, frames))
+        ],
+    )
+    first = counts.where(F.col("step_idx") == 1).select(
+        F.col("n_users").alias("_n1")
+    )
+    return (
+        counts.crossJoin(F.broadcast(first))
+        .select(
+            "step_idx", "step", "n_users",
+            F.when(F.col("_n1") > 0,
+                   F.round(F.col("n_users") / F.col("_n1"), 6))
+            .otherwise(F.lit(0.0)).alias("conversion"),
+        )
+        .orderBy("step_idx")
+    )

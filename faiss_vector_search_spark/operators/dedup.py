@@ -683,6 +683,73 @@ def line_dedup(
         )
     )
 
+
+def domain_boilerplate_strip(
+    docs: DataFrame,
+    min_docs: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "source",
+) -> DataFrame:
+    """Per-DOMAIN boilerplate removal (the CCNet/RefinedWeb refinement
+    of C4 line filtering): a newline-delimited line is boilerplate
+    within a domain when it appears in ≥ ``min_docs`` distinct
+    documents OF THAT domain — nav bars and cookie banners repeat
+    within a site, while the same sentence appearing on two unrelated
+    domains is usually content. :func:`line_dedup` is the global,
+    hash-reduced variant; this one scopes the frequency count to the
+    domain and, crucially, rebuilds documents IN-ROW:
+
+    the (domain → boilerplate-line set) table is collected per domain
+    and broadcast-joined back, and each doc filters its own line array
+    against the set inside its row — the corpus text is NEVER
+    shuffled, not even for reassembly (line_dedup pays one reassembly
+    shuffle; here only the line-hash frequency stream moves). The
+    broadcast is bounded by the boilerplate set size (lines repeated
+    ≥min_docs times — the tiny head of the line distribution); a
+    corpus whose boilerplate outgrows broadcast routes through
+    line_dedup's anti-join shape instead.
+
+    Output: every input doc — (id, domain, clean_text, n_lines,
+    n_kept, n_dropped).
+    """
+    lines_col = F.split(F.col(text_col), "\n")
+    base = docs.select(
+        F.col(id_col), F.col(domain_col), F.col(text_col),
+        lines_col.alias("_lines"),
+    )
+    stream = base.select(
+        F.col(id_col), F.col(domain_col),
+        F.explode_outer("_lines").alias("line"),
+    )
+    bp = (
+        stream.groupBy(domain_col, "line")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .groupBy(domain_col)
+        .agg(F.array_sort(F.collect_set("line")).alias("_bp"))
+    )
+    joined = base.join(F.broadcast(bp), domain_col, "left")
+    kept = F.filter(
+        F.col("_lines"),
+        lambda ln: ~F.coalesce(
+            F.array_contains(F.col("_bp"), ln), F.lit(False)
+        ),
+    )
+    staged = joined.select(
+        F.col(id_col), F.col(domain_col),
+        F.size("_lines").cast("bigint").alias("n_lines"),
+        kept.alias("_kept"),
+    )
+    return staged.select(
+        id_col, domain_col,
+        F.array_join(F.col("_kept"), "\n").alias("clean_text"),
+        "n_lines",
+        F.size("_kept").cast("bigint").alias("n_kept"),
+        (F.col("n_lines") - F.size("_kept")).cast("bigint").alias("n_dropped"),
+    )
+
+
 def semdedup(
     emb: DataFrame,
     nlist: int = 16,

@@ -320,6 +320,120 @@ def recall_report(
     return spark.createDataFrame(rows, report.schema)
 
 
+def retrieval_metrics(
+    results: DataFrame,
+    truth: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Rank-aware retrieval evaluation — recall@k, MRR, and NDCG@k of
+    a ranked result list against a relevant-id set: the search-quality
+    harness a retrieval stack runs per release (e.g. lexical BM25
+    scored against the dense-cosine truth set, or an ANN tier against
+    exact top-k). The metric definitions are the standard public ones
+    (Järvelin & Kekäläinen 2002 for NDCG; binary relevance).
+
+    ``results`` carries (id, rank) with rank 1-based; ``truth``
+    carries the relevant ids. Both are query-bounded (top-k lists and
+    judgment sets), so every join here broadcasts — the operator adds
+    no corpus-scale work regardless of what produced the inputs.
+    IDCG is computed arithmetically from min(|truth|, k) — one
+    in-row fold, no ideal-ranking sort. Output: one row —
+    (n_relevant, n_hits, recall_at_k, mrr, ndcg_at_k).
+    """
+    r = results.where(F.col(rank_col) <= k).select(
+        F.col(id_col), F.col(rank_col).cast("int").alias("_rank")
+    )
+    j = r.join(
+        F.broadcast(truth.select(id_col).withColumn("_rel", F.lit(1))),
+        id_col, "left",
+    )
+    stats = j.agg(
+        F.sum(
+            F.when(F.col("_rel") == 1,
+                   F.lit(1.0) / F.log2(F.col("_rank") + 1))
+        ).alias("_dcg"),
+        F.min(F.when(F.col("_rel") == 1, F.col("_rank"))).alias("_fr"),
+        F.count(F.when(F.col("_rel") == 1, F.lit(1))).alias("n_hits"),
+    )
+    nrel = truth.agg(F.count("*").cast("bigint").alias("n_relevant"))
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.col("n_relevant"), F.lit(k))),
+        F.lit(0.0),
+        lambda acc, i: acc + F.lit(1.0) / F.log2(i.cast("double") + 1),
+    )
+    return (
+        nrel.crossJoin(F.broadcast(stats))
+        .select(
+            "n_relevant",
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            F.round(
+                F.col("n_hits") / F.col("n_relevant").cast("double"), 6
+            ).alias("recall_at_k"),
+            F.round(
+                F.coalesce(F.lit(1.0) / F.col("_fr"), F.lit(0.0)), 6
+            ).alias("mrr"),
+            F.round(
+                F.coalesce(F.col("_dcg"), F.lit(0.0)) / idcg, 6
+            ).alias("ndcg_at_k"),
+        )
+    )
+
+
+def embedding_drift_report(
+    emb_a: DataFrame,
+    emb_b: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension distribution-shift report between two embedding
+    populations (old snapshot vs new ingest, domain A vs domain B):
+    the monitoring statistic that catches encoder regressions, corpus
+    drift, and normalization bugs before they show up as recall decay
+    (the quantitative companion of :func:`lifecycle.should_retrain`,
+    which only watches row counts).
+
+    Output: one row per dimension — mean_a, mean_b, and abs_shift =
+    |mean_a − mean_b| — ranked by shift. A healthy re-ingest shifts
+    every dim ~0; a drifted encoder or an unnormalized batch lights up
+    specific dims (which is why the report is per-dim, not one cosine
+    of the global means).
+
+    Plan: one posexplode per side (the corpus moves once, as (dim, x)
+    pairs), tagged union, ONE map-side-combinable groupBy(dim).
+    Component sums are carried as DECIMAL so addition is exact and
+    order-independent — double accumulation would make the report
+    nondeterministic under partition races (the lm.py discipline).
+    """
+    def side(df, g):
+        return df.select(
+            F.posexplode(F.col(vec_col)).alias("dim", "_x")
+        ).select(
+            "dim",
+            F.lit(g).alias("_g"),
+            F.col("_x").cast("decimal(18,9)").alias("_xd"),
+        )
+
+    both = side(emb_a, 0).unionByName(side(emb_b, 1))
+    agg = both.groupBy("dim").agg(
+        F.sum(F.when(F.col("_g") == 0, F.col("_xd"))).alias("_sa"),
+        F.count(F.when(F.col("_g") == 0, F.lit(1))).alias("_na"),
+        F.sum(F.when(F.col("_g") == 1, F.col("_xd"))).alias("_sb"),
+        F.count(F.when(F.col("_g") == 1, F.lit(1))).alias("_nb"),
+    )
+    mean_a = F.round(F.col("_sa").cast("double") / F.col("_na"), 6)
+    mean_b = F.round(F.col("_sb").cast("double") / F.col("_nb"), 6)
+    return (
+        agg.select(
+            F.col("dim").cast("int").alias("dim"),
+            mean_a.alias("mean_a"),
+            mean_b.alias("mean_b"),
+            F.round(F.abs(mean_a - mean_b), 6).alias("abs_shift"),
+        )
+        .orderBy(F.col("abs_shift").desc(), F.col("dim").asc())
+    )
+
+
 def nprobe_for_recall(
     emb: DataFrame,
     target: float = 0.9,

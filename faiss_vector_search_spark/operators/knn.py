@@ -139,6 +139,67 @@ def topk_join(
     )
 
 
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    metric: str = "ip",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """k-NN majority-vote classification over the embedding corpus —
+    the label-propagation primitive behind weak labeling, data-mix
+    tagging, and quality-transfer from a small labeled seed to a
+    100 TB unlabeled pool.
+
+    Same plan shape as :func:`topk_join` (broadcast queries, one
+    corpus scan, per-query rank window) with the query row itself
+    excluded, then a bounded (query × label) vote rollup. Prediction
+    = most votes, ties to the smaller label (deterministic);
+    ``confidence`` = votes/k. Only (query, label, votes) triples —
+    never vectors — reach the second aggregation.
+    """
+    q = F.broadcast(queries.select(query_id_col, query_vec_col))
+    scored = (
+        corpus.crossJoin(q)
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.col(label_col),
+            F.round(
+                _score_col(metric, F.col(vec_col), F.col(query_vec_col)),
+                SCORE_DECIMALS,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    neighbors = scored.withColumn("_r", F.row_number().over(w)).where(
+        F.col("_r") <= k
+    )
+    votes = neighbors.groupBy(query_id_col, label_col).agg(
+        F.count("*").cast("bigint").alias("votes")
+    )
+    vw = Window.partitionBy(query_id_col).orderBy(
+        F.col("votes").desc(), F.col(label_col).asc()
+    )
+    return (
+        votes.withColumn("_vr", F.row_number().over(vw))
+        .where(F.col("_vr") == 1)
+        .select(
+            F.col(query_id_col),
+            F.col(label_col).alias("pred_label"),
+            F.col("votes"),
+            F.round(F.col("votes") / F.lit(float(k)), 6).alias("confidence"),
+        )
+    )
+
+
 def _threshold_hits(
     corpus: DataFrame,
     query: DataFrame,

@@ -247,6 +247,71 @@ def bigram_counts(
         .limit(top_n)
     )
 
+def ngram_count_lookup(
+    docs: DataFrame,
+    phrases: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """WIMBD-style corpus lookup (Elazar et al. 2024: "What's In My
+    Big Data?"): for each query phrase (a token n-gram), how many
+    times does it occur in the corpus and in how many documents — the
+    audit question behind contamination checks, meme tracing, and
+    benchmark-leak triage.
+
+    Phrase lengths may differ per query. For each distinct length n,
+    the doc's n-grams are built in-row and filtered against the
+    broadcast-literal query set BEFORE anything leaves the row —
+    only actual hits (corpus-rare by construction of the use case)
+    ever reach the map-side-combinable count. A query with zero hits
+    still gets its row (count 0) via the left join from the
+    phrase list. Zero corpus shuffle beyond the hit stream.
+    """
+    if not phrases:
+        raise ValueError("ngram_count_lookup needs at least one phrase")
+    spark = docs.sparkSession
+    by_len: dict[int, list[str]] = {}
+    for p in phrases:
+        by_len.setdefault(len(p.split(" ")), []).append(p)
+
+    toks = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    )
+    hit_frames = []
+    for n, group in sorted(by_len.items()):
+        grams = F.transform(
+            F.slice(F.col("_toks"), 1,
+                    F.greatest(F.size("_toks") - (n - 1), F.lit(0))),
+            lambda x, i: F.concat_ws(
+                " ", F.slice(F.col("_toks"), i + 1, n)
+            ),
+        )
+        hits = toks.select(
+            F.col(id_col),
+            F.explode_outer(
+                F.filter(grams, lambda g: g.isin(*group))
+            ).alias("phrase"),
+        ).where(F.col("phrase").isNotNull())
+        hit_frames.append(hits)
+    import functools
+
+    all_hits = functools.reduce(DataFrame.unionByName, hit_frames)
+    counts = all_hits.groupBy("phrase").agg(
+        F.count("*").cast("bigint").alias("n_occurrences"),
+        F.countDistinct(id_col).cast("bigint").alias("n_docs"),
+    )
+    plist = spark.createDataFrame([(p,) for p in phrases], "phrase string")
+    return (
+        plist.join(counts, "phrase", "left")
+        .select(
+            "phrase",
+            F.coalesce("n_occurrences", F.lit(0)).alias("n_occurrences"),
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("phrase").asc())
+    )
+
+
 def pmi_collocations(
     docs: DataFrame,
     min_count: int = 5,

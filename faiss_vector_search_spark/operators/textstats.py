@@ -911,6 +911,67 @@ def gopher_rules(
         keep.alias("keep"),
     )
 
+def c4_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_words: int = 5,
+    min_lines_kept: int = 3,
+) -> DataFrame:
+    """C4-style cleaning (Raffel et al. 2020 §2.2, the public heuristic
+    set): LINE-level filtering + PAGE-level discard flags, the other
+    half of the rule-based pre-filter family next to
+    :func:`gopher_rules` (page-level only).
+
+    Line rules (a line survives if ALL hold): ends in terminal
+    punctuation (``. ! ? "`` after right-trim), has at least
+    ``min_line_words`` words, and does not mention "javascript"
+    (the C4 boilerplate tell). Page rules: at least ``min_lines_kept``
+    surviving lines, no ``{`` anywhere (code tell), no "lorem ipsum".
+    ``keep`` is the conjunction; ``clean_text`` is the surviving lines
+    rejoined — what the pipeline feeds forward when keep is true.
+
+    Same scale posture as gopher_rules: staged projections, all
+    in-row — the line array materializes once, the filtered array
+    references it, flags reference the scalars; no explode, no join,
+    no shuffle; the corpus never moves. (The fourth C4 rule — the
+    three-sentence-span dedup — is corpus-level, not per-doc: that is
+    :func:`dedup.line_dedup` / :func:`dedup.repeated_spans`.)
+    """
+    lines = F.split(F.col(text_col), "\n")
+    arrays = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.filter(
+            lines,
+            lambda ln: F.rtrim(ln).rlike('[.!?"]$')
+            & (
+                F.size(F.filter(F.split(ln, " "), lambda w: w != ""))
+                >= min_line_words
+            )
+            & ~F.lower(ln).contains("javascript"),
+        ).alias("_kept"),
+        F.size(lines).alias("n_lines"),
+    )
+    staged = arrays.select(
+        F.col(id_col),
+        F.col("n_lines"),
+        F.size(F.col("_kept")).alias("n_lines_kept"),
+        F.array_join(F.col("_kept"), "\n").alias("clean_text"),
+        (~F.col(text_col).contains("{")).alias("ok_brace"),
+        (~F.lower(F.col(text_col)).contains("lorem ipsum")).alias("ok_lorem"),
+    )
+    keep = (
+        (F.col("n_lines_kept") >= min_lines_kept)
+        & F.col("ok_brace")
+        & F.col("ok_lorem")
+    )
+    return staged.select(
+        id_col, "n_lines", "n_lines_kept", "clean_text",
+        "ok_brace", "ok_lorem", keep.alias("keep"),
+    )
+
+
 # 2^60 + 1: md5_int yields 60-bit non-negative ints, so (h+1)/DENOM
 # is a uniform draw in (0, 1] — never 0, so ln(u) is finite.
 _ARES_DENOM = float((1 << 60) + 1)

@@ -1,0 +1,301 @@
+"""Round-6 wave operators: C4 rules, WIMBD n-gram lookup, k-NN
+classification, embedding drift, per-domain boilerplate stripping,
+ordered funnel, retrieval metrics. Each is oracle-gated in
+__spark_entry__.py; these tests pin the SEMANTICS on hand-built
+inputs (the cases a hash gate can't localize) plus the plan facts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from faiss_vector_search_spark.io import load_table
+
+
+class TestC4Rules:
+    def _run(self, spark, texts):
+        from faiss_vector_search_spark.operators import textstats as ts
+
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        return {r["doc_id"]: r for r in ts.c4_rules(docs).collect()}
+
+    def test_line_rules(self, spark):
+        good = "this line has enough words and ends well."
+        out = self._run(spark, [
+            "\n".join([good, good, good]),                     # keeps 3
+            "\n".join([good, "too short.", good]),             # short line drops
+            "\n".join([good, "no terminal punctuation here", good]),
+            "\n".join([good, "the javascript must be enabled today.", good]),
+        ])
+        assert out[0]["n_lines_kept"] == 3 and out[0]["keep"] is True
+        for i in (1, 2, 3):
+            assert out[i]["n_lines_kept"] == 2
+            assert out[i]["keep"] is False  # < 3 surviving lines
+            assert out[i]["clean_text"] == good + "\n" + good
+
+    def test_page_rules(self, spark):
+        good = "this line has enough words and ends well."
+        three = "\n".join([good] * 3)
+        out = self._run(spark, [
+            three + " {",            # brace anywhere kills the page
+            three.replace("words", "Lorem Ipsum words"),
+            three,
+        ])
+        assert out[0]["ok_brace"] is False and out[0]["keep"] is False
+        assert out[1]["ok_lorem"] is False and out[1]["keep"] is False
+        assert out[2]["keep"] is True
+
+    def test_zero_shuffle_plan(self, spark, sf_small):
+        from faiss_vector_search_spark.operators import textstats as ts
+
+        df = ts.c4_rules(load_table(spark, sf_small, "documents"))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan.split("Initial Plan")[0]
+
+
+class TestNgramLookup:
+    def test_counts_and_zero_rows(self, spark):
+        from faiss_vector_search_spark.operators import lexical
+
+        docs = spark.createDataFrame(
+            [(0, "a b c a b"), (1, "a b x"), (2, "c c c")],
+            "doc_id long, text string",
+        )
+        out = {r["phrase"]: r for r in lexical.ngram_count_lookup(
+            docs, ["a b", "c c", "a b c", "zz qq"]).collect()}
+        assert (out["a b"]["n_occurrences"], out["a b"]["n_docs"]) == (3, 2)
+        assert (out["c c"]["n_occurrences"], out["c c"]["n_docs"]) == (2, 1)
+        assert (out["a b c"]["n_occurrences"], out["a b c"]["n_docs"]) == (1, 1)
+        assert (out["zz qq"]["n_occurrences"], out["zz qq"]["n_docs"]) == (0, 0)
+
+    def test_empty_phrases_rejected(self, spark):
+        from faiss_vector_search_spark.operators import lexical
+
+        docs = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="at least one phrase"):
+            lexical.ngram_count_lookup(docs, [])
+
+    def test_filter_runs_before_shuffle(self, spark, sf_small):
+        # only hit rows reach the aggregation: the explode side's
+        # output is filtered in-row, so the single shuffle carries
+        # (id, phrase) hits, never the corpus token stream
+        from faiss_vector_search_spark.operators import lexical
+
+        df = lexical.ngram_count_lookup(
+            load_table(spark, sf_small, "documents"), ["table table"]
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("Initial Plan")[0]
+        assert "CartesianProduct" not in final
+
+
+class TestKnnClassify:
+    def test_planted_clusters_recovered(self, spark):
+        from faiss_vector_search_spark.operators import knn
+
+        # two tight clusters on orthogonal axes, labels 0/1
+        rows = []
+        for i in range(6):
+            rows.append((i, [1.0, 0.01 * i, 0.0], 0))
+        for i in range(6, 12):
+            rows.append((i, [0.0, 0.01 * i, 1.0], 1))
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        )
+        queries = emb.where(F.col("vec_id").isin([0, 7])).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        out = {r["query_id"]: r for r in
+               knn.knn_classify(emb, queries, k=5).collect()}
+        assert out[0]["pred_label"] == 0 and out[0]["votes"] == 5
+        assert out[7]["pred_label"] == 1 and out[7]["votes"] == 5
+        assert out[0]["confidence"] == 1.0
+
+    def test_self_excluded_and_tie_breaks_to_smaller_label(self, spark):
+        from faiss_vector_search_spark.operators import knn
+
+        # query's own row carries a unique label that must NOT vote;
+        # remaining 4 neighbors split 2-2 -> tie -> smaller label wins
+        rows = [
+            (0, [1.0, 0.0], 9),
+            (1, [0.9, 0.1], 2), (2, [0.9, 0.2], 2),
+            (3, [0.9, 0.3], 1), (4, [0.9, 0.4], 1),
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        )
+        q = emb.where(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        (r,) = knn.knn_classify(emb, q, k=4).collect()
+        assert r["pred_label"] == 1 and r["votes"] == 2
+
+
+class TestEmbeddingDrift:
+    def test_exact_means_and_ranking(self, spark):
+        from faiss_vector_search_spark.operators import evaluate as ev
+
+        a = spark.createDataFrame(
+            [(0, [1.0, 0.0, 2.0]), (1, [3.0, 0.0, 2.0])],
+            "vec_id long, embedding array<double>",
+        )
+        b = spark.createDataFrame(
+            [(2, [1.0, 5.0, 2.0]), (3, [3.0, 7.0, 2.0])],
+            "vec_id long, embedding array<double>",
+        )
+        rows = ev.embedding_drift_report(a, b).collect()
+        by_dim = {r["dim"]: r for r in rows}
+        assert by_dim[0]["mean_a"] == 2.0 and by_dim[0]["mean_b"] == 2.0
+        assert by_dim[1]["abs_shift"] == 6.0
+        assert by_dim[2]["abs_shift"] == 0.0
+        assert rows[0]["dim"] == 1  # ranked by shift desc
+
+    def test_single_aggregation_plan(self, spark, sf_small):
+        from faiss_vector_search_spark.operators import evaluate as ev
+
+        emb = load_table(spark, sf_small, "embeddings")
+        df = ev.embedding_drift_report(
+            emb.where(F.col("label") < 4), emb.where(F.col("label") >= 4)
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("Initial Plan")[0]
+        # one hash-partitioned exchange for the groupBy(dim) + the
+        # final sort's range exchange; no join at all
+        assert "Join" not in final
+        assert final.count("Exchange hashpartitioning") == 1
+
+
+class TestDomainBoilerplate:
+    def _docs(self, spark):
+        rows = []
+        for d, domain in enumerate(["x", "y"]):
+            for i in range(4):
+                rows.append((
+                    d * 10 + i, domain,
+                    f"banner {domain}\nunique {domain} {i}\nfooter",
+                ))
+        return spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+
+    def test_domain_banner_stripped_content_kept(self, spark):
+        from faiss_vector_search_spark.operators import dedup
+
+        out = {r["doc_id"]: r for r in dedup.domain_boilerplate_strip(
+            self._docs(spark), min_docs=3).collect()}
+        for did, r in out.items():
+            domain = "x" if did < 10 else "y"
+            i = did % 10
+            # banner + footer (both in 4 docs of the domain) dropped;
+            # the unique content line survives alone
+            assert r["clean_text"] == f"unique {domain} {i}"
+            assert (r["n_lines"], r["n_kept"], r["n_dropped"]) == (3, 1, 2)
+
+    def test_scope_is_per_domain(self, spark):
+        from faiss_vector_search_spark.operators import dedup
+
+        # the same line in 2 docs of EACH domain: below min_docs=3
+        # within every domain, so it survives even though it appears
+        # 4 times globally
+        rows = [
+            (0, "x", "shared\na x"), (1, "x", "shared\nb x"),
+            (2, "y", "shared\na y"), (3, "y", "shared\nb y"),
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+        out = dedup.domain_boilerplate_strip(docs, min_docs=3).collect()
+        assert all(r["n_dropped"] == 0 for r in out)
+
+    def test_rebuild_is_broadcast_no_corpus_shuffle(self, spark, sf_small):
+        from faiss_vector_search_spark.operators import dedup
+
+        docs = load_table(spark, sf_small, "documents")
+        df = dedup.domain_boilerplate_strip(docs, min_docs=3)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("Initial Plan")[0]
+        assert "BroadcastHashJoin" in final
+        assert "SortMergeJoin" not in final
+
+
+class TestEventFunnel:
+    def _events(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, u, t, ts) for i, (u, t, ts) in enumerate(rows)],
+            "event_id long, user_id long, event_type string, ts timestamp",
+        ).select(
+            "event_id", "user_id", "event_type",
+            F.col("ts").cast("timestamp").alias("ts"),
+        )
+
+    def test_strict_ordering_required(self, spark):
+        import datetime as dt
+
+        from faiss_vector_search_spark.operators import analytics
+
+        t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+        rows = [
+            # user 1: full ordered funnel
+            (1, "view", t(0)), (1, "click", t(1)), (1, "purchase", t(2)),
+            # user 2: purchase BEFORE click -> stops at click
+            (2, "view", t(0)), (2, "purchase", t(1)), (2, "click", t(2)),
+            # user 3: click only, no view -> not even step 1
+            (3, "click", t(0)),
+            # user 4: view then click at the SAME ts -> strict > fails
+            (4, "view", t(5)), (4, "click", t(5)),
+        ]
+        out = {r["step"]: r for r in analytics.event_funnel(
+            self._events(spark, rows)).collect()}
+        assert out["view"]["n_users"] == 3       # users 1, 2, 4
+        assert out["click"]["n_users"] == 2      # users 1, 2
+        assert out["purchase"]["n_users"] == 1   # user 1
+        assert out["view"]["conversion"] == 1.0
+        assert out["purchase"]["conversion"] == round(1 / 3, 6)
+
+    def test_empty_steps_rejected(self, spark):
+        from faiss_vector_search_spark.operators import analytics
+
+        with pytest.raises(ValueError, match="at least one step"):
+            analytics.event_funnel(self._events(spark, []), steps=())
+
+
+class TestRetrievalMetrics:
+    def _eval(self, spark, ranked_ids, truth_ids, k=10):
+        from faiss_vector_search_spark.operators import evaluate as ev
+
+        results = spark.createDataFrame(
+            [(d, i + 1) for i, d in enumerate(ranked_ids)],
+            "doc_id long, rank int",
+        )
+        truth = spark.createDataFrame(
+            [(d,) for d in truth_ids], "doc_id long"
+        )
+        return ev.retrieval_metrics(results, truth, k=k).collect()[0]
+
+    def test_perfect_ranking(self, spark):
+        r = self._eval(spark, [1, 2, 3], [1, 2, 3])
+        assert (r["recall_at_k"], r["mrr"], r["ndcg_at_k"]) == (1.0, 1.0, 1.0)
+
+    def test_known_values(self, spark):
+        import math
+
+        # truth {1,2}; ranking puts them at positions 2 and 4
+        r = self._eval(spark, [9, 1, 8, 2], [1, 2])
+        assert r["recall_at_k"] == 1.0
+        assert r["mrr"] == 0.5
+        dcg = 1 / math.log2(3) + 1 / math.log2(5)
+        idcg = 1 + 1 / math.log2(3)
+        assert r["ndcg_at_k"] == round(dcg / idcg, 6)
+
+    def test_no_hits(self, spark):
+        r = self._eval(spark, [9, 8], [1, 2])
+        assert (r["recall_at_k"], r["mrr"], r["ndcg_at_k"]) == (0.0, 0.0, 0.0)
+
+    def test_k_truncates(self, spark):
+        # the only hit sits at rank 3: with k=2 it must not count
+        r = self._eval(spark, [9, 8, 1], [1], k=2)
+        assert r["n_hits"] == 0 and r["recall_at_k"] == 0.0
