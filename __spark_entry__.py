@@ -4486,6 +4486,91 @@ FROM nrel n, mstats s, idcg
 """
 
 
+def q_domain_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixing (mT5 recipe, alpha=0.5):
+    per-domain quotas ∝ sqrt(n_d), IEEE-exact micro-weight integer
+    arithmetic, md5-rank stable selection."""
+    return textstats.domain_temperature_sample(
+        _t(spark, sf_dir, "documents"), n_total=300, alpha=0.5
+    )
+
+
+def q_chunk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full retrieval flow end to end: greedy-chunk
+    the corpus, embed the CHUNKS, cosine top-5, hits carrying
+    (doc_id, chunk_id, chunk_text, score) — search_service.py's
+    search_detailed over index_service's chunk index, as one
+    oracle-gated composition."""
+    return embed.chunk_text_search(
+        _t(spark, sf_dir, "documents"), RAG_QUERY,
+        k=5, min_size=100, max_size=250, overlap=20, hash_fn="md5",
+    )
+
+
+ORACLES["domain_temperature"] = f"""
+WITH c AS (SELECT source, count(*)::BIGINT AS n_d FROM documents GROUP BY 1),
+w AS (
+  SELECT source, n_d,
+         CAST(floor(sqrt(n_d::DOUBLE) * 1000000) AS BIGINT) AS w
+  FROM c
+),
+tot AS (SELECT sum(w)::BIGINT AS tw FROM w),
+q AS (
+  SELECT source, least(n_d, CAST(300 AS BIGINT) * w // tw) AS quota
+  FROM w, tot
+),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {md5_int_sql("CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC
+         ) AS rn
+  FROM documents
+)
+SELECT r.doc_id, r.source FROM r JOIN q USING (source) WHERE rn <= q.quota
+"""
+
+ORACLES["chunk_search"] = f"""
+WITH chunks AS ({ORACLES["chunk_documents_greedy"]}),
+cb AS (
+  SELECT doc_id * 100000 + chunk_id AS ckey,
+         (('0x' || substr(md5('s0:' || tok), 1, 15))::BIGINT % 64) AS bucket,
+         count(*)::BIGINT AS cnt
+  FROM (
+    SELECT doc_id, chunk_id,
+           unnest(list_filter(regexp_split_to_array(lower(chunk),
+                  '[^a-z0-9]+'), t -> t <> '')) AS tok
+    FROM chunks
+  )
+  GROUP BY 1, 2
+),
+qb AS (
+  SELECT (('0x' || substr(md5('s0:' || tok), 1, 15))::BIGINT % 64) AS bucket,
+         count(*)::BIGINT AS qcnt
+  FROM (SELECT unnest(list_filter(regexp_split_to_array(
+          lower('{RAG_QUERY}'), '[^a-z0-9]+'), t -> t <> '')) AS tok)
+  GROUP BY 1
+),
+qn AS (SELECT sum(qcnt * qcnt) AS qn2 FROM qb),
+dn AS (SELECT ckey, sum(cnt * cnt) AS dn2 FROM cb GROUP BY 1),
+scored AS (
+  SELECT cb.ckey,
+         ROUND(sum(cnt * qcnt)
+               / (sqrt(dn.dn2::DOUBLE) * sqrt(qn.qn2::DOUBLE)), 6) AS score
+  FROM cb JOIN qb USING (bucket) JOIN dn ON cb.ckey = dn.ckey, qn
+  GROUP BY cb.ckey, dn.dn2, qn.qn2
+  HAVING sum(cnt * qcnt) > 0
+),
+top AS (SELECT * FROM scored ORDER BY score DESC, ckey ASC LIMIT 5)
+SELECT CAST(t.ckey // 100000 AS BIGINT) AS doc_id,
+       CAST(t.ckey % 100000 AS INT) AS chunk_id,
+       c.chunk AS chunk_text, t.score
+FROM top t JOIN chunks c
+  ON c.doc_id = t.ckey // 100000 AND c.chunk_id = t.ckey % 100000
+ORDER BY t.score DESC, doc_id ASC, chunk_id ASC
+"""
+
+
 # --- driver contract ------------------------------------------------------
 
 
@@ -4799,6 +4884,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r6 new oracle-gated operators (never driver-checked) lead
         "c4_rules": q_c4_rules,
+        "chunk_search": q_chunk_search,
+        "domain_temperature": q_domain_temperature,
         "ngram_lookup": q_ngram_lookup,
         "knn_classify": q_knn_classify,
         "embedding_drift": q_embedding_drift,

@@ -561,6 +561,8 @@ def main() -> None:
         "domain_boilerplate": qs["domain_boilerplate"],
         "event_funnel": qs["event_funnel"],
         "retrieval_eval": qs["retrieval_eval"],
+        "chunk_search": qs["chunk_search"],
+        "domain_temperature": qs["domain_temperature"],
         "self_similarity": qs["self_similarity"],
         "dataset_card": qs["dataset_card"],
         # production hash profile for the winnow pipeline

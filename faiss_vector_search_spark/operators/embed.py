@@ -302,6 +302,61 @@ def text_search(
     )
 
 
+def chunk_text_search(
+    docs: DataFrame,
+    query_text: str,
+    k: int = 5,
+    min_size: int = 100,
+    max_size: int = 250,
+    overlap: int = 20,
+    dim: int = 64,
+    hash_fn: str = "md5",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The reference's FULL retrieval flow in one call — documents →
+    greedy chunking → chunk embeddings → cosine top-k over CHUNKS,
+    hits carrying (doc_id, chunk_id, chunk_text, score). This is what
+    the reference actually serves (index_service.py indexes
+    chunk_service output, search returns chunk content + source doc
+    metadata); the standalone `text_search` key is the whole-doc
+    simplification.
+
+    Chunk identity packs (doc, chunk) into one integer key so the
+    scoring aggregation groups on a single column; the ids unpack
+    arithmetically. The k-row hit list broadcasts back onto the chunk
+    stream to recover chunk text — at query time against a 100 TB
+    corpus the chunk stream comes from the PERSISTED index
+    (index_store.save_index of this function's chunk frame), not a
+    re-chunk; the one-call form is the build+query composition the
+    oracle can gate end to end.
+    """
+    from .chunking import chunk_greedy
+
+    chunks = chunk_greedy(
+        docs, min_size, max_size, overlap, id_col=id_col, text_col=text_col
+    )
+    keyed = chunks.select(
+        (F.col(id_col) * 100_000 + F.col("chunk_id")).alias("_ckey"),
+        F.col("chunk"),
+    )
+    hits = text_search(
+        keyed, query_text, dim=dim, k=k, hash_fn=hash_fn,
+        id_col="_ckey", text_col="chunk",
+    )
+    return (
+        keyed.join(F.broadcast(hits), "_ckey")
+        .select(
+            (F.col("_ckey") / 100_000).cast("bigint").alias(id_col),
+            (F.col("_ckey") % 100_000).cast("int").alias("chunk_id"),
+            F.col("chunk").alias("chunk_text"),
+            F.col("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc(),
+                 F.col("chunk_id").asc())
+    )
+
+
 def rag_context(
     docs: DataFrame,
     query_text: str,

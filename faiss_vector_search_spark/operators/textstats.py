@@ -642,6 +642,72 @@ def domain_mix_sample(
     )
 
 
+def domain_temperature_sample(
+    docs: DataFrame,
+    n_total: int,
+    alpha: float = 0.5,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based domain mixing (the mT5 / multilingual-LM
+    recipe, Xue et al. 2021 §3.1): sample ``n_total`` docs with
+    per-domain quotas ∝ n_d^alpha — alpha < 1 UPSAMPLES tail domains
+    relative to their natural share, the standard fix for head-domain
+    dominance. :func:`domain_mix_sample` takes explicit weights; this
+    one derives them from the corpus itself.
+
+    Cross-engine determinism is why alpha is restricted to {1.0,
+    0.5}: sqrt is IEEE-754 correctly rounded in every engine, so
+    ``floor(sqrt(n_d)·10^6)`` is bit-identical micro-weights and all
+    downstream arithmetic is integer (quota = n_total·w_d DIV Σw,
+    capped at n_d; selection is the md5-rank stable sample). A
+    general pow(n, alpha) differs in last-bit across libm
+    implementations and would flip floor boundaries — anyone adding
+    alphas should gate those rows-only.
+
+    Plan: one tiny per-domain count broadcast back; one per-domain
+    rank window over (id, domain) pairs — same shuffle posture as
+    domain_mix_sample.
+    """
+    from ..functions.hashing import md5_int
+
+    if alpha not in (1.0, 0.5):
+        raise ValueError(
+            "alpha restricted to 1.0 or 0.5 (IEEE-exact cross-engine); "
+            f"got {alpha}"
+        )
+    rows = docs.select(F.col(id_col), F.col(domain_col))
+    counts = rows.groupBy(domain_col).agg(F.count("*").alias("n_d"))
+    w = (
+        F.floor(F.sqrt(F.col("n_d").cast("double")) * 1_000_000)
+        if alpha == 0.5
+        else (F.col("n_d") * 1_000_000)
+    )
+    weighted = counts.select(
+        F.col(domain_col), F.col("n_d"), w.cast("bigint").alias("w")
+    )
+    tot = weighted.agg(F.sum("w").alias("tw"))
+    quota = (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            F.col(domain_col),
+            F.least(
+                F.col("n_d"),
+                F.expr(f"CAST({n_total} AS BIGINT) * w DIV tw"),
+            ).alias("quota"),
+        )
+    )
+    w_rank = Window.partitionBy(domain_col).orderBy(
+        md5_int(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        rows.withColumn("rn", F.row_number().over(w_rank))
+        .join(F.broadcast(quota), domain_col)
+        .where(F.col("rn") <= F.col("quota"))
+        .select(id_col, domain_col)
+    )
+
+
 def token_budget_sample(
     docs: DataFrame,
     budgets: dict[str, int],

@@ -299,3 +299,95 @@ class TestRetrievalMetrics:
         # the only hit sits at rank 3: with k=2 it must not count
         r = self._eval(spark, [9, 8, 1], [1], k=2)
         assert r["n_hits"] == 0 and r["recall_at_k"] == 0.0
+
+
+class TestChunkTextSearch:
+    def test_multi_chunk_hits_unpack_and_rank(self, spark):
+        from faiss_vector_search_spark.operators import embed
+
+        # doc 1: the query phrase sits in its SECOND paragraph, so the
+        # hit must come back as (doc 1, chunk_id >= 1) with the chunk
+        # text, not the whole document
+        filler = "lorem words filler content " * 10
+        target = "alpha beta gamma delta epsilon " * 8
+        docs = spark.createDataFrame(
+            [(1, filler + "\n\n" + target),
+             (2, "completely different material " * 12)],
+            "doc_id long, text string",
+        )
+        out = embed.chunk_text_search(
+            docs, "alpha beta gamma", k=3,
+            min_size=50, max_size=120, overlap=10,
+        ).collect()
+        assert out, "no hits"
+        top = out[0]
+        assert top["doc_id"] == 1
+        assert top["chunk_id"] >= 1
+        assert "alpha beta gamma" in top["chunk_text"]
+        # the target paragraph has no sentence boundaries, so the
+        # chunker keeps it whole (+overlap) — the hit is the chunk,
+        # never the whole two-paragraph document
+        assert "filler" not in top["chunk_text"]
+        # scores sorted descending
+        scores = [r["score"] for r in out]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_hit_list_broadcasts_back(self, spark, sf_small):
+        from faiss_vector_search_spark.operators import embed
+
+        df = embed.chunk_text_search(
+            load_table(spark, sf_small, "documents"),
+            "batch window vector", k=3,
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("Initial Plan")[0]
+        assert "SortMergeJoin" not in final
+        assert "CartesianProduct" not in final
+
+
+class TestDomainTemperature:
+    def _docs(self, spark, sizes):
+        rows = []
+        i = 0
+        for dom, n in sizes.items():
+            for _ in range(n):
+                rows.append((i, dom))
+                i += 1
+        return spark.createDataFrame(rows, "doc_id long, source string")
+
+    def test_alpha_half_upsamples_tail(self, spark):
+        from faiss_vector_search_spark.operators import textstats as ts
+
+        docs = self._docs(spark, {"head": 160, "mid": 40, "tail": 10})
+        out = ts.domain_temperature_sample(docs, n_total=70, alpha=0.5)
+        from collections import Counter
+
+        got = Counter(r["source"] for r in out.collect())
+        # natural tail share = 10/210 ~ 4.8%; sqrt share ~ 14%
+        assert got["tail"] / sum(got.values()) > 10 / 210 * 2
+        # head is DOWN-weighted vs its natural share
+        assert got["head"] / sum(got.values()) < 160 / 210
+        # quota can never exceed the domain's actual size
+        assert got["tail"] <= 10
+
+    def test_alpha_one_is_proportional(self, spark):
+        from faiss_vector_search_spark.operators import textstats as ts
+
+        docs = self._docs(spark, {"a": 100, "b": 50})
+        out = ts.domain_temperature_sample(docs, n_total=90, alpha=1.0)
+        from collections import Counter
+
+        got = Counter(r["source"] for r in out.collect())
+        assert got["a"] == 60 and got["b"] == 30
+
+    def test_deterministic_and_alpha_validated(self, spark):
+        from faiss_vector_search_spark.operators import textstats as ts
+
+        docs = self._docs(spark, {"a": 30, "b": 10})
+        a = sorted(map(tuple, ts.domain_temperature_sample(
+            docs, n_total=20).collect()))
+        b = sorted(map(tuple, ts.domain_temperature_sample(
+            docs, n_total=20).collect()))
+        assert a == b
+        with pytest.raises(ValueError, match="alpha restricted"):
+            ts.domain_temperature_sample(docs, n_total=20, alpha=0.7)
