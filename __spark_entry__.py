@@ -4486,6 +4486,19 @@ FROM nrel n, mstats s, idcg
 """
 
 
+def q_model_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieve → learned-model rerank: feature-hash cosine
+    shortlist (corpus-scale, declarative) then the committed numpy-MLP
+    model slot rescoring ONLY the shortlist rows. Rows-only: model
+    forward has no SQL twin; slot-pruning + self-retrieval + rank
+    determinism are pytest-gated (tests/test_wave6_ops.py)."""
+    from faiss_vector_search_spark.operators import rerank as rerank_mod
+
+    return rerank_mod.model_rerank(
+        _t(spark, sf_dir, "documents"), RAG_QUERY, k=5, shortlist=20,
+    )
+
+
 def q_domain_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based domain mixing (mT5 recipe, alpha=0.5):
     per-domain quotas ∝ sqrt(n_d), IEEE-exact micro-weight integer
@@ -5054,6 +5067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_health": q_index_health,
         "bpe_fertility": q_bpe_fertility,
         "index_size_report": q_index_size_report,
+        "model_rerank": q_model_rerank,
     }
 
 

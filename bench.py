@@ -563,6 +563,7 @@ def main() -> None:
         "retrieval_eval": qs["retrieval_eval"],
         "chunk_search": qs["chunk_search"],
         "domain_temperature": qs["domain_temperature"],
+        "model_rerank": qs["model_rerank"],
         "self_similarity": qs["self_similarity"],
         "dataset_card": qs["dataset_card"],
         # production hash profile for the winnow pipeline

@@ -87,3 +87,77 @@ def mmr_rerank(
         f"mmr_rank int, {score_col} double"
     )
     return candidates.groupBy(query_id_col).applyInPandas(pick, schema=schema)
+
+
+def model_rerank(
+    docs: DataFrame,
+    query_text: str,
+    k: int = 5,
+    shortlist: int = 50,
+    dim: int = 64,
+    hash_fn: str = "md5",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_size: int = 64,
+) -> DataFrame:
+    """Two-stage retrieve→model-rerank (the production serving shape:
+    a cheap first stage over the full corpus, a LEARNED scorer over
+    the shortlist only — ColBERT/cross-encoder deployments all reduce
+    to this plan): stage 1 is the feature-hash cosine shortlist
+    (:func:`embed.text_search`, corpus-scale, declarative); stage 2
+    re-embeds ONLY the shortlist rows and the query through the
+    committed numpy-MLP model slot (:func:`embed.embed_documents`
+    ``model="numpy"`` — the same Arrow ``mapInPandas`` a real
+    checkpoint drops into, see ``model="st:..."``) and rescores by
+    model cosine.
+
+    The scale contract is the slot placement: the Python/model stage
+    sees `shortlist` rows, never the corpus — the broadcast semi-join
+    prunes before Arrow. Swapping a cross-encoder (pair scorer) for
+    the bi-encoder rescore is the same slot with (query, doc) pair
+    batches. Output: (id, score_stage1, score_model, rank) — rank by
+    the MODEL score; no SQL twin (model forward), rows-only with
+    pytest gates.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from . import embed as embed_mod
+
+    stage1 = embed_mod.text_search(
+        docs, query_text, dim=dim, k=shortlist, hash_fn=hash_fn,
+        id_col=id_col, text_col=text_col,
+    ).withColumnRenamed("score", "score_stage1")
+    sub = docs.join(
+        F.broadcast(stage1.select(id_col)), id_col, "left_semi"
+    )
+    demb = embed_mod.embed_documents(
+        sub, dim=dim, id_col=id_col, text_col=text_col,
+        model="numpy", batch_size=batch_size,
+    )
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(
+        [(0, query_text)], f"{id_col} long, {text_col} string"
+    )
+    qemb = embed_mod.embed_documents(
+        qdf, dim=dim, id_col=id_col, text_col=text_col, model="numpy"
+    ).select(F.col("embedding").alias("_qv"))
+    from ..functions import vector as V
+
+    rescored = (
+        demb.crossJoin(F.broadcast(qemb))
+        .select(
+            F.col(id_col),
+            F.round(V.ip_score(F.col("embedding"), F.col("_qv")), 6)
+            .alias("score_model"),
+        )
+        .join(F.broadcast(stage1), id_col)
+    )
+    w = W.orderBy(F.col("score_model").desc(), F.col(id_col).asc())
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "score_stage1", "score_model",
+                F.col("rank").cast("int").alias("rank"))
+        .orderBy("rank")
+    )

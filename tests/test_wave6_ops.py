@@ -391,3 +391,43 @@ class TestDomainTemperature:
         assert a == b
         with pytest.raises(ValueError, match="alpha restricted"):
             ts.domain_temperature_sample(docs, n_total=20, alpha=0.7)
+
+
+class TestModelRerank:
+    def test_self_query_ranks_first_and_model_score_orders(self, spark, sf_small):
+        from faiss_vector_search_spark.operators import rerank
+
+        docs = load_table(spark, sf_small, "documents")
+        qtext = docs.where(F.col("doc_id") == 7).first().text
+        out = rerank.model_rerank(docs, qtext, k=5, shortlist=20).collect()
+        assert out[0]["doc_id"] == 7
+        assert out[0]["score_model"] > 0.999
+        scores = [r["score_model"] for r in out]
+        assert scores == sorted(scores, reverse=True)
+        assert [r["rank"] for r in out] == [1, 2, 3, 4, 5]
+
+    def test_model_stage_sees_only_the_shortlist(self, spark, sf_small):
+        # the scale contract: the Python/model stage consumes shortlist
+        # rows, never the corpus — count what crosses the Arrow slot
+        from faiss_vector_search_spark.operators import embed as embed_mod
+        from faiss_vector_search_spark.operators import rerank
+
+        docs = load_table(spark, sf_small, "documents")
+        n_corpus = docs.count()
+        stage1 = embed_mod.text_search(
+            docs, "batch window vector", k=10
+        ).select("doc_id")
+        sub = docs.join(F.broadcast(stage1), "doc_id", "left_semi")
+        assert sub.count() == 10 < n_corpus
+        out = rerank.model_rerank(
+            docs, "batch window vector", k=5, shortlist=10
+        ).collect()
+        assert len(out) == 5
+
+    def test_deterministic(self, spark, sf_small):
+        from faiss_vector_search_spark.operators import rerank
+
+        docs = load_table(spark, sf_small, "documents")
+        a = rerank.model_rerank(docs, "batch window vector", k=5).collect()
+        b = rerank.model_rerank(docs, "batch window vector", k=5).collect()
+        assert list(map(tuple, a)) == list(map(tuple, b))
