@@ -4486,6 +4486,26 @@ FROM nrel n, mstats s, idcg
 """
 
 
+_SHARD_PATHS: dict[str, str] = {}
+
+
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted training-shard export + manifest: the hand-off
+    format a training loader consumes. Returns the manifest (shard,
+    n_docs, n_tokens). Rows-only: a filesystem writer has no SQL
+    twin; budget/determinism/layout gates in tests/test_wave6_ops.py."""
+    import tempfile
+
+    from faiss_vector_search_spark.operators import maintenance as mt
+
+    if sf_dir not in _SHARD_PATHS:
+        _SHARD_PATHS[sf_dir] = tempfile.mkdtemp(prefix="fvs_shards_") + "/t"
+    return mt.write_training_shards(
+        _t(spark, sf_dir, "documents"), _SHARD_PATHS[sf_dir],
+        token_budget=5_000,
+    )
+
+
 def q_model_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage retrieve → learned-model rerank: feature-hash cosine
     shortlist (corpus-scale, declarative) then the committed numpy-MLP
@@ -5068,6 +5088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_fertility": q_bpe_fertility,
         "index_size_report": q_index_size_report,
         "model_rerank": q_model_rerank,
+        "training_shards": q_training_shards,
     }
 
 

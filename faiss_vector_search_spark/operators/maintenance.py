@@ -527,3 +527,63 @@ def profile_delta(
     rows = out.collect()
     diff.unpersist()
     return spark.createDataFrame(rows, out.schema)
+
+
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    token_budget: int = 100_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Token-budgeted training-shard export: write the corpus as
+    ``shard=N`` parquet partitions of ~``token_budget`` tokens each
+    plus a ``_manifest`` table — the hand-off format a training job's
+    data loader consumes (shards are the unit of loader parallelism
+    and of resume bookkeeping).
+
+    Shard count = ceil(total_tokens / budget) (ONE metadata-cheap
+    aggregation); assignment is hash(id) mod n_shards — deterministic
+    under re-runs and independent of row order, so a re-export after
+    an append moves only what the modulus moves (the
+    :func:`textstats.hash_split` posture; exact-budget bin packing is
+    :func:`chunking.pack_sequences`, which trades a per-shard
+    sequential fold for tighter bins — the loader only needs
+    approximate balance, so the stateless hash wins at corpus scale).
+    The write repartitions BY the shard column, so each shard lands as
+    one file inside its partition directory.
+
+    Returns the manifest (shard, n_docs, n_tokens) — also persisted at
+    ``<path>/_manifest`` for sessions that only read.
+    """
+    from ..functions.hashing import hashed
+    from ..functions.text import tokens
+
+    with_n = docs.withColumn(
+        "_n_tokens", F.size(tokens(F.col(text_col))).cast("bigint")
+    )
+    total = with_n.agg(F.sum("_n_tokens").alias("t")).first().t or 0
+    n_shards = max(1, math.ceil(total / token_budget))
+    sharded = with_n.withColumn(
+        "shard",
+        F.pmod(hashed(F.col(id_col), seed=41, hash_fn=hash_fn),
+               F.lit(n_shards)).cast("int"),
+    )
+    (
+        sharded.repartition("shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(f"{path}/shards")
+    )
+    manifest = (
+        sharded.groupBy("shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("_n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("shard")
+    )
+    manifest.write.mode("overwrite").parquet(f"{path}/_manifest")
+    spark = docs.sparkSession
+    return spark.read.parquet(f"{path}/_manifest").orderBy("shard")

@@ -431,3 +431,43 @@ class TestModelRerank:
         a = rerank.model_rerank(docs, "batch window vector", k=5).collect()
         b = rerank.model_rerank(docs, "batch window vector", k=5).collect()
         assert list(map(tuple, a)) == list(map(tuple, b))
+
+
+class TestTrainingShards:
+    def test_budgets_manifest_and_determinism(self, spark, sf_small, tmp_path):
+        from faiss_vector_search_spark.operators import maintenance as mt
+
+        docs = load_table(spark, sf_small, "documents")
+        p = str(tmp_path / "shards1")
+        man = mt.write_training_shards(docs, p, token_budget=5_000).collect()
+        total_tokens = sum(r["n_tokens"] for r in man)
+        total_docs = sum(r["n_docs"] for r in man)
+        assert total_docs == docs.count()
+        import math
+        assert len(man) == max(1, math.ceil(total_tokens / 5_000))
+        # hash assignment balances within a loose band
+        sizes = [r["n_tokens"] for r in man]
+        assert max(sizes) < 3 * (total_tokens / len(man))
+        # deterministic re-export: identical manifest
+        p2 = str(tmp_path / "shards2")
+        man2 = mt.write_training_shards(docs, p2, token_budget=5_000).collect()
+        assert sorted(map(tuple, man)) == sorted(map(tuple, man2))
+
+    def test_shards_round_trip_and_partition_layout(self, spark, sf_small, tmp_path):
+        import os
+
+        from faiss_vector_search_spark.operators import maintenance as mt
+
+        docs = load_table(spark, sf_small, "documents")
+        p = str(tmp_path / "shards")
+        man = {r["shard"]: r for r in
+               mt.write_training_shards(docs, p, token_budget=8_000).collect()}
+        back = spark.read.parquet(f"{p}/shards")
+        assert back.count() == docs.count()
+        assert set(back.select("doc_id").toPandas()["doc_id"]) == \
+            set(docs.select("doc_id").toPandas()["doc_id"])
+        # one partition dir per shard; a loader reads shard=K alone
+        dirs = [d for d in os.listdir(f"{p}/shards") if d.startswith("shard=")]
+        assert len(dirs) == len(man)
+        one = back.where(F.col("shard") == min(man))
+        assert one.count() == man[min(man)]["n_docs"]
