@@ -1736,6 +1736,7 @@ def event_funnel(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    broadcast_steps: bool = True,
 ) -> DataFrame:
     """Ordered-funnel analysis: how many users progress through the
     ``steps`` sequence with STRICTLY increasing timestamps (a later
@@ -1746,12 +1747,16 @@ def event_funnel(
     Plan: a cascade of per-user conditional mins. Step 1 is one
     map-side-combinable groupBy(user); each later step filters the
     event scan to its type (pushed to the parquet scan), joins the
-    previous step's user→timestamp frame (user-bounded, broadcast
-    when it fits, key-partitioned otherwise), and takes min(ts >
-    prev_ts) per user. Only (user, ts) pairs move after the scans;
-    no window over the full event stream, no collect. Output: one row
-    per step — (step_idx, step, n_users, conversion) with conversion
-    relative to step 1 (NULL-safe 0-user steps report 0.0).
+    previous step's user→timestamp frame, and takes min(ts > prev_ts)
+    per user. ``broadcast_steps=True`` (default) pins the per-step
+    user frame broadcast — right while distinct users fit an executor
+    (the user frame is previous-step-users-sized, monotonically
+    shrinking); at billions of users pass False and the join runs
+    key-partitioned on user_id, which both sides already aggregate
+    by. Only (user, ts) pairs move after the scans; no window over
+    the full event stream, no collect. Output: one row per step —
+    (step_idx, step, n_users, conversion) with conversion relative to
+    step 1 (NULL-safe 0-user steps report 0.0).
     """
     if not steps:
         raise ValueError("event_funnel needs at least one step")
@@ -1762,9 +1767,12 @@ def event_funnel(
     )
     frames = [cur]
     for s in steps[1:]:
+        prev = cur.select(user_col, "_t")
+        if broadcast_steps:
+            prev = F.broadcast(prev)
         nxt = (
             events.where(F.col(type_col) == s)
-            .join(F.broadcast(cur.select(user_col, "_t")), user_col)
+            .join(prev, user_col)
             .where(F.col(ts_col) > F.col("_t"))
             .groupBy(user_col)
             .agg(F.min(ts_col).alias("_t"))

@@ -363,19 +363,25 @@ def retrieval_metrics(
         F.lit(0.0),
         lambda acc, i: acc + F.lit(1.0) / F.log2(i.cast("double") + 1),
     )
+    # empty truth (no judgments) is degenerate: every metric reports
+    # 0.0 — without the guard, sequence(1, 0) DESCENDS and the fold
+    # divides by log2(1) = 0 (Infinity), and recall divides by zero
+    empty = F.col("n_relevant") == 0
     return (
         nrel.crossJoin(F.broadcast(stats))
         .select(
             "n_relevant",
             F.col("n_hits").cast("bigint").alias("n_hits"),
-            F.round(
-                F.col("n_hits") / F.col("n_relevant").cast("double"), 6
+            F.when(empty, F.lit(0.0)).otherwise(
+                F.round(
+                    F.col("n_hits") / F.col("n_relevant").cast("double"), 6
+                )
             ).alias("recall_at_k"),
             F.round(
                 F.coalesce(F.lit(1.0) / F.col("_fr"), F.lit(0.0)), 6
             ).alias("mrr"),
-            F.round(
-                F.coalesce(F.col("_dcg"), F.lit(0.0)) / idcg, 6
+            F.when(empty, F.lit(0.0)).otherwise(
+                F.round(F.coalesce(F.col("_dcg"), F.lit(0.0)) / idcg, 6)
             ).alias("ndcg_at_k"),
         )
     )

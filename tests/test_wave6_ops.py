@@ -471,3 +471,31 @@ class TestTrainingShards:
         assert len(dirs) == len(man)
         one = back.where(F.col("shard") == min(man))
         assert one.count() == man[min(man)]["n_docs"]
+
+
+def test_retrieval_metrics_empty_truth_is_all_zero(spark):
+    from faiss_vector_search_spark.operators import evaluate as ev
+
+    results = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank int")
+    truth = spark.createDataFrame([], "doc_id long")
+    (r,) = ev.retrieval_metrics(results, truth, k=10).collect()
+    assert (r["n_relevant"], r["n_hits"]) == (0, 0)
+    assert (r["recall_at_k"], r["mrr"], r["ndcg_at_k"]) == (0.0, 0.0, 0.0)
+
+
+def test_event_funnel_partitioned_join_mode(spark):
+    import datetime as dt
+
+    from faiss_vector_search_spark.operators import analytics
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [(0, 1, "view", t(0)), (1, 1, "click", t(1)),
+            (2, 1, "purchase", t(2))]
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    a = {r["step"]: r["n_users"] for r in
+         analytics.event_funnel(events).collect()}
+    b = {r["step"]: r["n_users"] for r in
+         analytics.event_funnel(events, broadcast_steps=False).collect()}
+    assert a == b == {"view": 1, "click": 1, "purchase": 1}
