@@ -224,6 +224,71 @@ def streaming_sessionize(
     )
 
 
+FUNNEL_OUT_SCHEMA = "user_id bigint, steps_completed int"
+FUNNEL_STATE_SCHEMA = "step_reached int, last_ts_us bigint"
+
+
+def streaming_funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Stateful streaming twin of :func:`analytics.event_funnel`:
+    per-user ordered-funnel progression maintained across
+    micro-batches with ``applyInPandasWithState`` — the live
+    conversion dashboard over an event stream.
+
+    State per user is two longs (highest step reached, the timestamp
+    it was reached at) — constant memory per key. Each batch replays
+    the user's new events in time order and advances the step pointer
+    greedily on strict ts increase; the greedy earliest-advance walk
+    equals the batch operator's min-cascade when each user's events
+    arrive time-ordered across micro-batches (the log-shipping
+    contract, same as streaming_sessionize). Update semantics: the
+    latest row per user is the current progress; a dashboard
+    aggregates ``steps_completed >= i`` per step.
+    """
+    import pandas as pd
+
+    step_of = {s: i for i, s in enumerate(steps)}
+
+    def update(key, pdfs, state):
+        if state.exists:
+            reached, last_ts = state.get
+        else:
+            reached, last_ts = 0, None
+        evs = []
+        for pdf in pdfs:
+            evs.extend(
+                (int(t), str(e))
+                for t, e in zip(pdf["ts_us"], pdf["event_type"])
+            )
+        evs.sort()
+        for ts, etype in evs:
+            if reached >= len(steps):
+                break
+            if step_of.get(etype) == reached and (
+                last_ts is None or ts > last_ts
+            ):
+                reached += 1
+                last_ts = ts
+        state.update((reached, last_ts if last_ts is not None else -1))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "steps_completed": [reached]}
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_type"
+    ).groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=FUNNEL_OUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_dedup(
     events: DataFrame,
     watermark: str = "2 hours",

@@ -464,3 +464,42 @@ def test_streaming_quality_filter_matches_batch(spark, sf_small, tmp_path):
     assert spark.read.parquet(str(out)).count() == len(got_keep)
     assert rejects.count() == len(got_reject)
     assert "logit" in set(rejects.columns)
+
+
+def test_streaming_funnel_matches_batch(spark, sf_small, tmp_path):
+    """Stateful funnel progression over time-ordered micro-batches
+    equals the batch conditional-min cascade."""
+    src = fio.load_table(spark, sf_small, "events")
+    ts_us = F.unix_micros("ts")
+    mid1, mid2 = src.select(ts_us.alias("us")).approxQuantile(
+        "us", [0.33, 0.66], 0.001
+    )
+    out = tmp_path / "funnel_events"
+    for i, cond in enumerate(
+        (
+            ts_us < mid1,
+            (ts_us >= mid1) & (ts_us < mid2),
+            ts_us >= mid2,
+        )
+    ):
+        src.where(cond).coalesce(1).write.parquet(str(out / f"b{i}"))
+        part = next((out / f"b{i}").glob("*.parquet"))
+        part.rename(out / f"f{i}.parquet")
+        shutil.rmtree(str(out / f"b{i}"))
+
+    stream = streams.stream_events(spark, str(out))
+    fun = streams.streaming_funnel(stream)
+    streams.run_to_completion(fun, "stream_funnel", mode="update")
+
+    updates = spark.table("stream_funnel").toPandas()
+    progress = {
+        int(r.user_id): int(r.steps_completed)
+        for _, r in updates.iterrows()  # later updates overwrite
+    }
+    want = {
+        r["step_idx"]: r["n_users"]
+        for r in analytics.event_funnel(src).collect()
+    }
+    for i in (1, 2, 3):
+        got_i = sum(1 for v in progress.values() if v >= i)
+        assert got_i == want[i], (i, got_i, want[i])
