@@ -664,3 +664,86 @@ class TestWave4OnNasty:
         # slice past the end truncates -> behaves as prefix=dim
         out = knn.matryoshka_rerank_search(emb, q, k=3, prefix=64, shortlist=5)
         assert out.count() == 3
+
+
+class TestWave6Degenerates:
+    """NULL / empty / degenerate inputs through the round-6 operators:
+    a bad row must neither crash (ANSI division, descending sequence)
+    nor silently skew."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_c4_rules_null_and_empty_text(self, spark):
+        from faiss_vector_search_spark.operators import textstats as ts
+
+        docs = self._docs(spark, [(1, None), (2, ""), (3, "ok line here now fine.")])
+        out = {r["doc_id"]: r for r in ts.c4_rules(docs).collect()}
+        # NULL text: flags must not crash; keep is falsy
+        assert not out[1]["keep"]
+        assert out[2]["n_lines_kept"] == 0 and out[2]["keep"] is False
+
+    def test_boilerplate_null_text_and_source(self, spark):
+        from faiss_vector_search_spark.operators import dedup
+
+        docs = spark.createDataFrame(
+            [(1, None, "x"), (2, "a\nb", None), (3, "a\nb", "x"),
+             (4, "a\nc", "x"), (5, "a\nd", "x")],
+            "doc_id long, text string, source string",
+        )
+        out = {r["doc_id"]: r for r in
+               dedup.domain_boilerplate_strip(docs, min_docs=3).collect()}
+        assert len(out) == 5          # every input row survives
+        # 'a' appears in 3 docs of source x -> stripped there
+        assert out[3]["clean_text"] == "b"
+        # the NULL-source doc forms its own group; nothing repeats
+        assert out[2]["n_dropped"] == 0
+
+    def test_ngram_lookup_empty_corpus(self, spark):
+        from faiss_vector_search_spark.operators import lexical
+
+        docs = self._docs(spark, []).where(F.lit(False))
+        out = lexical.ngram_count_lookup(docs, ["a b"]).collect()
+        assert [tuple(r) for r in out] == [("a b", 0, 0)]
+
+    def test_knn_classify_corpus_smaller_than_k(self, spark):
+        from faiss_vector_search_spark.operators import knn
+
+        emb = spark.createDataFrame(
+            [(0, [1.0, 0.0], 3), (1, [0.9, 0.1], 3)],
+            "vec_id long, embedding array<double>, label int",
+        )
+        q = emb.where(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        (r,) = knn.knn_classify(emb, q, k=10).collect()
+        assert r["pred_label"] == 3 and r["votes"] == 1
+        assert r["confidence"] == round(1 / 10, 6)
+
+    def test_temperature_sample_empty_corpus(self, spark):
+        from faiss_vector_search_spark.operators import textstats as ts
+
+        docs = spark.createDataFrame([], "doc_id long, source string")
+        assert ts.domain_temperature_sample(docs, n_total=10).count() == 0
+
+    def test_chunk_search_no_hits(self, spark):
+        from faiss_vector_search_spark.operators import embed
+
+        docs = self._docs(spark, [(1, "alpha beta"), (2, "gamma delta")])
+        out = embed.chunk_text_search(docs, "zzzz qqqq wwww", k=3).collect()
+        assert out == []
+
+    def test_event_funnel_no_step_one_events(self, spark):
+        import datetime as dt
+
+        from faiss_vector_search_spark.operators import analytics as an
+
+        events = spark.createDataFrame(
+            [(0, 1, "click", dt.datetime(2024, 1, 1))],
+            "event_id long, user_id long, event_type string, ts timestamp",
+        )
+        out = {r["step"]: r for r in an.event_funnel(events).collect()}
+        assert out["view"]["n_users"] == 0
+        assert out["view"]["conversion"] == 0.0  # 0/0 guarded
+        assert out["purchase"]["n_users"] == 0
