@@ -1,0 +1,215 @@
+"""Pure-stdlib ISO-BMFF (MP4) demuxer — the container half of video
+support (SURVEY §2b #29), same posture as the BMP/PNG/WAV/JPEG codecs:
+the box layout is the public ISO/IEC 14496-12 spec, so SAMPLE
+EXTRACTION (which bytes are frame N, when does it play, is it a
+keyframe) is fully implementable without any library. What stays a
+``kernel=`` swap-in is the CODEC — turning an extracted H.264/H.265
+access unit into pixels needs a real decoder.
+
+That split matches what a 100 TB video-corpus pipeline actually
+needs first: frame sampling, duration/fps stats, keyframe indexes and
+per-track audits are all DEMUX-level questions; full pixel decode is
+the expensive GPU stage you run on the sampled minority.
+
+Supported: unfragmented MP4 (moov sample tables — stts/stsc/stsz/
+stco/co64/stss), any track count, 32- and 64-bit box sizes.
+Fragmented MP4 (moof) raises a clear error.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _boxes(buf: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for each box in [start, end)."""
+    pos = start
+    while pos + 8 <= end:
+        size, btype = struct.unpack_from(">I4s", buf, pos)
+        hdr = 8
+        if size == 1:  # 64-bit largesize
+            size = struct.unpack_from(">Q", buf, pos + 8)[0]
+            hdr = 16
+        elif size == 0:  # box extends to EOF
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError("malformed MP4 box")
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def _find(buf: bytes, start: int, end: int, path: tuple[bytes, ...]):
+    """All body ranges matching a box path like (b'moov', b'trak')."""
+    if not path:
+        yield start, end
+        return
+    for btype, b0, b1 in _boxes(buf, start, end):
+        if btype == path[0]:
+            yield from _find(buf, b0, b1, path[1:])
+
+
+def mp4_demux(payload: bytes) -> list[dict]:
+    """Parse the moov sample tables: one dict per track with
+    ``track_id, handler, codec, timescale, n_samples, samples``
+    (a list of (offset, size, dts) into the PAYLOAD) and
+    ``keyframes`` (1-based sync-sample indexes; empty set = every
+    sample is sync, per spec)."""
+    if len(payload) < 16:
+        raise ValueError("not an MP4 payload")
+    try:
+        top = {t for t, _, _ in _boxes(payload, 0, len(payload))}
+    except ValueError as e:
+        raise ValueError("not an MP4 payload (bad box structure)") from e
+    if b"moof" in top:
+        raise ValueError(
+            "fragmented MP4 (moof) unsupported by the built-in demuxer; "
+            "pass kernel= (e.g. an av-based demux) for fMP4 corpora"
+        )
+    if b"moov" not in top:
+        raise ValueError("not an MP4 payload (no moov)")
+
+    tracks = []
+    for t0, t1 in _find(payload, 0, len(payload), (b"moov", b"trak")):
+        track: dict = {"track_id": None, "handler": None, "codec": None,
+                       "timescale": None}
+        # tkhd: version-dependent layout; track_id after the times
+        for b0, b1 in _find(payload, t0, t1, (b"tkhd",)):
+            ver = payload[b0]
+            off = b0 + 4 + (16 if ver == 1 else 8)
+            track["track_id"] = struct.unpack_from(">I", payload, off)[0]
+        for b0, b1 in _find(payload, t0, t1, (b"mdia", b"mdhd")):
+            ver = payload[b0]
+            off = b0 + 4 + (16 if ver == 1 else 8)
+            track["timescale"] = struct.unpack_from(">I", payload, off)[0]
+        for b0, b1 in _find(payload, t0, t1, (b"mdia", b"hdlr")):
+            track["handler"] = payload[b0 + 8:b0 + 12].decode(
+                "ascii", "replace")
+
+        stbl = list(_find(payload, t0, t1, (b"mdia", b"minf", b"stbl")))
+        if not stbl:
+            continue
+        s0, s1 = stbl[0]
+        tables: dict = {}
+        for btype, b0, b1 in _boxes(payload, s0, s1):
+            tables[btype] = (b0, b1)
+
+        if b"stsd" in tables:
+            b0, _ = tables[b"stsd"]
+            n = struct.unpack_from(">I", payload, b0 + 4)[0]
+            if n >= 1:
+                track["codec"] = payload[b0 + 12:b0 + 16].decode(
+                    "ascii", "replace")
+
+        def _entries(key, fmt, width):
+            if key not in tables:
+                return []
+            b0, _ = tables[key]
+            n = struct.unpack_from(">I", payload, b0 + 4)[0]
+            return [
+                struct.unpack_from(fmt, payload, b0 + 8 + i * width)
+                for i in range(n)
+            ]
+
+        # sample sizes
+        sizes: list[int] = []
+        if b"stsz" in tables:
+            b0, _ = tables[b"stsz"]
+            uniform, count = struct.unpack_from(">II", payload, b0 + 4)
+            if uniform:
+                sizes = [uniform] * count
+            else:
+                sizes = list(struct.unpack_from(f">{count}I", payload, b0 + 12))
+        n_samples = len(sizes)
+
+        # chunk offsets (stco 32-bit / co64 64-bit)
+        if b"stco" in tables:
+            chunk_offs = [o for (o,) in _entries(b"stco", ">I", 4)]
+        else:
+            chunk_offs = [o for (o,) in _entries(b"co64", ">Q", 8)]
+
+        # sample-to-chunk runs -> samples per chunk
+        stsc = _entries(b"stsc", ">III", 12)
+        per_chunk: list[int] = []
+        for i, (first, spc, _desc) in enumerate(stsc):
+            last = (stsc[i + 1][0] - 1) if i + 1 < len(stsc) else len(chunk_offs)
+            per_chunk.extend([spc] * (last - first + 1))
+
+        # decode timestamps from stts runs
+        dts: list[int] = []
+        t = 0
+        for count, delta in _entries(b"stts", ">II", 8):
+            for _ in range(count):
+                dts.append(t)
+                t += delta
+
+        samples: list[tuple[int, int, int]] = []
+        si = 0
+        for ci, coff in enumerate(chunk_offs):
+            pos = coff
+            for _ in range(per_chunk[ci] if ci < len(per_chunk) else 0):
+                if si >= n_samples:
+                    break
+                samples.append(
+                    (pos, sizes[si], dts[si] if si < len(dts) else 0)
+                )
+                pos += sizes[si]
+                si += 1
+        track["n_samples"] = n_samples
+        track["samples"] = samples
+        track["keyframes"] = {
+            s for (s,) in _entries(b"stss", ">I", 4)
+        }
+        tracks.append(track)
+    return tracks
+
+
+def mp4_sample_frames(
+    items,
+    every_n: int = 10,
+    handler: str = "vide",
+):
+    """Real video frame sampling over MP4 payloads: demux the sample
+    tables and emit every Nth sample of the matching track(s) as its
+    own row — (item_id, track_id, frame_idx, dts, keyframe, frame).
+    ``frame`` is the CODED sample (e.g. one H.264 access unit); pixel
+    decode is the downstream ``kernel=`` stage. One ``mapInPandas``
+    over the payload scan; emitted bytes are the sampled minority, so
+    the downstream moves every_n× less data than the corpus.
+
+    This retires the fixed-size-frame stub for .mp4 payloads —
+    :func:`multimodal.sample_frames` keeps the stub contract for
+    opaque payloads; route MP4 corpora here.
+    """
+    import pandas as pd
+
+    def run(batches) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
+                raw = bytes(payload)
+                for tr in mp4_demux(raw):
+                    if handler and tr["handler"] != handler:
+                        continue
+                    kf = tr["keyframes"]
+                    for i in range(0, tr["n_samples"], every_n):
+                        off, size, dts = tr["samples"][i]
+                        rows.append((
+                            item_id, tr["track_id"], i, dts,
+                            (i + 1) in kf if kf else True,
+                            raw[off:off + size],
+                        ))
+            yield pd.DataFrame(
+                rows, columns=["item_id", "track_id", "frame_idx",
+                               "dts", "keyframe", "frame"]
+            )
+
+    return items.select("item_id", "payload").mapInPandas(
+        run,
+        schema="item_id bigint, track_id int, frame_idx int, "
+               "dts bigint, keyframe boolean, frame binary",
+    )

@@ -11,12 +11,16 @@ Decode support comes in two tiers:
   sequential Huffman incl. 4:2:0 — :mod:`.jpeg`). ``decode_images``,
   ``resize_images``, and ``audio_stats`` are fully functional on
   them in this container, end to end.
+- **Built-in MP4 demux** (:mod:`.mp4` — ISO 14496-12 sample tables,
+  pure stdlib): frame sampling, timestamps, and keyframe indexes work
+  without a library (``mp4.mp4_sample_frames`` emits coded access
+  units); only PIXEL decode of those units needs a codec.
 - **Library swap-ins** for the rest (progressive/arithmetic JPEG via
-  Pillow, MP4 via av): each operator takes a ``kernel=`` callable;
-  the default import-tries the library and raises
-  ``NotImplementedError`` when absent. The Spark side — schema
-  contract, binaryFile ingest, batch shapes, explode semantics for
-  frame sampling — is identical either way.
+  Pillow, coded-frame pixel decode / fragmented MP4 via av): each
+  operator takes a ``kernel=`` callable; the default import-tries the
+  library and raises ``NotImplementedError`` when absent. The Spark
+  side — schema contract, binaryFile ingest, batch shapes, explode
+  semantics for frame sampling — is identical either way.
 
 Scale notes: payloads travel the plan at most once (scan → kernel);
 operators emit *features, not payloads* wherever possible so shuffles

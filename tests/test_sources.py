@@ -695,3 +695,121 @@ class TestJpegCodec:
         # output pixel within codec rounding of its source pixel
         err = np.abs(small.astype(int) - img[::2, ::2].astype(int))
         assert err.max() <= 4
+
+
+class TestMp4Demux:
+    """Pure-stdlib ISO-BMFF demux gated on a hand-packed MP4: sample
+    byte ranges, timestamps, chunk mapping (stsc runs), keyframes,
+    and the Spark frame-sampling operator."""
+
+    @staticmethod
+    def _box(btype: bytes, body: bytes) -> bytes:
+        import struct
+
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    def _build(self):
+        """2 tracks: video (5 samples in chunks of 3+2, stss [1,4])
+        and audio (2 samples, 1 chunk). Returns (payload, vid_samples)
+        where vid_samples = the exact coded bytes per video sample."""
+        import struct
+
+        b = self._box
+        vid = [bytes([0xA0 + i]) * (10 + i) for i in range(5)]
+        aud = [b"\x01\x02\x03", b"\x04\x05"]
+        ftyp = b(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isomiso2")
+        data = b"".join(vid) + b"".join(aud)
+        mdat = b(b"mdat", data)
+        base = len(ftyp) + 8  # first byte of mdat data
+        v_chunk1 = base
+        v_chunk2 = base + sum(len(s) for s in vid[:3])
+        a_chunk1 = base + sum(len(s) for s in vid)
+
+        def full(btype, body):
+            return b(btype, b"\x00\x00\x00\x00" + body)
+
+        def stbl(codec, sizes, stts_runs, stsc_runs, chunk_offs, stss=None):
+            boxes = [
+                full(b"stsd", struct.pack(">I", 1)
+                     + struct.pack(">I", 16) + codec + bytes(8)),
+                full(b"stts", struct.pack(">I", len(stts_runs))
+                     + b"".join(struct.pack(">II", *r) for r in stts_runs)),
+                full(b"stsc", struct.pack(">I", len(stsc_runs))
+                     + b"".join(struct.pack(">III", *r) for r in stsc_runs)),
+                full(b"stsz", struct.pack(">III", 0, len(sizes), 0)[:8]
+                     + struct.pack(f">{len(sizes)}I", *sizes)),
+                full(b"stco", struct.pack(">I", len(chunk_offs))
+                     + b"".join(struct.pack(">I", o) for o in chunk_offs)),
+            ]
+            if stss:
+                boxes.append(full(b"stss", struct.pack(">I", len(stss))
+                                  + b"".join(struct.pack(">I", s)
+                                             for s in stss)))
+            return b(b"stbl", b"".join(boxes))
+
+        def trak(tid, handler, timescale, st):
+            tkhd = full(b"tkhd", struct.pack(">IIII", 0, 0, tid, 0))
+            mdhd = full(b"mdhd", struct.pack(">IIII", 0, 0, timescale, 0))
+            hdlr = full(b"hdlr", struct.pack(">I", 0) + handler + bytes(13))
+            minf = b(b"minf", st)
+            mdia = b(b"mdia", mdhd + hdlr + minf)
+            return b(b"trak", tkhd + mdia)
+
+        v_st = stbl(b"avc1", [len(s) for s in vid], [(5, 100)],
+                    [(1, 3, 1), (2, 2, 1)], [v_chunk1, v_chunk2],
+                    stss=[1, 4])
+        a_st = stbl(b"mp4a", [len(s) for s in aud], [(2, 1024)],
+                    [(1, 2, 1)], [a_chunk1])
+        moov = b(b"moov", trak(1, b"vide", 1000, v_st)
+                 + trak(2, b"soun", 44100, a_st))
+        return ftyp + mdat + moov, vid, aud
+
+    def test_demux_sample_tables(self):
+        from faiss_vector_search_spark.sources import mp4
+
+        payload, vid, aud = self._build()
+        tracks = {t["track_id"]: t for t in mp4.mp4_demux(payload)}
+        v = tracks[1]
+        assert (v["handler"], v["codec"], v["timescale"]) == \
+            ("vide", "avc1", 1000)
+        assert v["n_samples"] == 5
+        # byte ranges recover the EXACT coded samples across the
+        # 3+2 chunk split
+        got = [payload[o:o + s] for o, s, _ in v["samples"]]
+        assert got == vid
+        assert [d for _, _, d in v["samples"]] == [0, 100, 200, 300, 400]
+        assert v["keyframes"] == {1, 4}
+        a = tracks[2]
+        assert a["handler"] == "soun" and a["n_samples"] == 2
+        assert [payload[o:o + s] for o, s, _ in a["samples"]] == aud
+
+    def test_rejects_non_mp4_and_fragmented(self):
+        import struct
+
+        import pytest as _pytest
+        from faiss_vector_search_spark.sources import mp4
+
+        with _pytest.raises(ValueError, match="not an MP4"):
+            mp4.mp4_demux(b"RIFF" + bytes(50))
+        frag = self._box(b"ftyp", b"isom" + bytes(8)) \
+            + self._box(b"moof", bytes(8)) + self._box(b"moov", b"")
+        _ = struct  # silence unused in this scope
+        with _pytest.raises(ValueError, match="fragmented"):
+            mp4.mp4_demux(frag)
+
+    def test_spark_frame_sampling(self, spark):
+        from faiss_vector_search_spark.sources import mp4
+
+        payload, vid, aud = self._build()
+        items = spark.createDataFrame(
+            [(1, "video", payload, {})], multimodal.ITEM_SCHEMA
+        )
+        out = mp4.mp4_sample_frames(items, every_n=2).collect()
+        # video samples 0, 2, 4 (every 2nd); audio track filtered out
+        assert [(r.frame_idx, bytes(r.frame)) for r in out] == \
+            [(0, vid[0]), (2, vid[2]), (4, vid[4])]
+        assert all(r.track_id == 1 for r in out)
+        assert [r.dts for r in out] == [0, 200, 400]
+        # stss [1,4]: 1-based samples 1 and 4 -> 0-based idx 0 is key,
+        # 2 is not, 4 is not (sample 4 is 0-based 3)
+        assert [r.keyframe for r in out] == [True, False, False]
