@@ -93,6 +93,20 @@ def main() -> None:
         ),
         "event_funnel": lambda: analytics.event_funnel(events),
         "retrieval_eval": retrieval_eval,
+        # late r6 wave
+        "chunk_search": lambda: __import__(
+            "faiss_vector_search_spark.operators.embed", fromlist=["x"]
+        ).chunk_text_search(
+            docs, RAG_QUERY, k=5, min_size=100, max_size=250, overlap=20,
+            hash_fn="xxhash64",
+        ),
+        "domain_temperature": lambda: textstats.domain_temperature_sample(
+            docs, n_total=docs.count() // 2, alpha=0.5
+        ),
+        "model_rerank": lambda: __import__(
+            "faiss_vector_search_spark.operators.rerank", fromlist=["x"]
+        ).model_rerank(docs, RAG_QUERY, k=5, shortlist=20,
+                       hash_fn="xxhash64"),
     }
     for name, fn in ops.items():
         df = fn()
@@ -133,6 +147,12 @@ def main() -> None:
             "event_funnel": not row["sort_merge_join"]
             and not row["cartesian"],
             "retrieval_eval": not row["sort_merge_join"]
+            and not row["cartesian"],
+            "chunk_search": not row["sort_merge_join"]
+            and not row["cartesian"],
+            "domain_temperature": not row["sort_merge_join"]
+            and not row["cartesian"],
+            "model_rerank": not row["sort_merge_join"]
             and not row["cartesian"],
         }
         row["gate"] = bool(gates.get(name, True))
