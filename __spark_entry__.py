@@ -4299,11 +4299,14 @@ votes AS (
   FROM ranked WHERE r <= 10 GROUP BY 1, 2
 ),
 best AS (
-  SELECT query_id, label AS pred_label, votes, row_number() OVER (
+  SELECT query_id, label AS pred_label, votes,
+         sum(votes) OVER (PARTITION BY query_id) AS n_nbrs,
+         row_number() OVER (
     PARTITION BY query_id ORDER BY votes DESC, label ASC) AS vr
   FROM votes
 )
-SELECT query_id, pred_label, votes, ROUND(votes / 10.0, 6) AS confidence
+SELECT query_id, pred_label, votes,
+       ROUND(votes / CAST(n_nbrs AS DOUBLE), 6) AS confidence
 FROM best WHERE vr = 1
 """
 

@@ -700,15 +700,22 @@ def domain_boilerplate_strip(
     hash-reduced variant; this one scopes the frequency count to the
     domain and, crucially, rebuilds documents IN-ROW:
 
-    the (domain → boilerplate-line set) table is collected per domain
-    and broadcast-joined back, and each doc filters its own line array
-    against the set inside its row — the corpus text is NEVER
-    shuffled, not even for reassembly (line_dedup pays one reassembly
-    shuffle; here only the line-hash frequency stream moves). The
-    broadcast is bounded by the boilerplate set size (lines repeated
-    ≥min_docs times — the tiny head of the line distribution); a
-    corpus whose boilerplate outgrows broadcast routes through
-    line_dedup's anti-join shape instead.
+    the (domain → boilerplate line-HASH set) table is collected per
+    domain and broadcast-joined back, and each doc filters its own
+    line array against the set inside its row — the corpus text is
+    NEVER shuffled, not even for the frequency count: lines are
+    reduced to ``xxhash64`` before the groupBy (like
+    :func:`line_dedup`), so only 8-byte hashes move. Membership is
+    probed through a per-domain ``map_from_arrays`` with
+    ``try_element_at`` — an O(1) hash lookup per line, not an
+    O(|boilerplate|) ``array_contains`` scan, so a boilerplate-heavy
+    domain (10k+ repeated lines) costs the same per line as a clean
+    one. The broadcast is bounded by the boilerplate set size (lines
+    repeated ≥min_docs times — the tiny head of the line
+    distribution); a corpus whose boilerplate outgrows broadcast
+    routes through line_dedup's anti-join shape instead. A 64-bit
+    line-hash collision within one domain could drop a content line —
+    the same accepted odds line_dedup documents (~n²/2⁶⁵ per domain).
 
     Output: every input doc — (id, domain, clean_text, n_lines,
     n_kept, n_dropped).
@@ -720,21 +727,30 @@ def domain_boilerplate_strip(
     )
     stream = base.select(
         F.col(id_col), F.col(domain_col),
-        F.explode_outer("_lines").alias("line"),
+        F.explode_outer(
+            F.transform("_lines", lambda ln: F.xxhash64(ln))
+        ).alias("_lh"),
     )
     bp = (
-        stream.groupBy(domain_col, "line")
+        stream.groupBy(domain_col, "_lh")
         .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
         .where(F.col("_nd") >= min_docs)
         .groupBy(domain_col)
-        .agg(F.array_sort(F.collect_set("line")).alias("_bp"))
+        .agg(F.collect_set("_lh").alias("_bph"))
     )
     joined = base.join(F.broadcast(bp), domain_col, "left")
+    # collect_set keys are unique by construction → map_from_arrays is
+    # safe; missing-domain rows carry a null map and try_element_at
+    # null-propagates to "keep".
+    bpm = F.when(
+        F.col("_bph").isNotNull(),
+        F.map_from_arrays(
+            F.col("_bph"), F.array_repeat(F.lit(True), F.size("_bph"))
+        ),
+    )
     kept = F.filter(
         F.col("_lines"),
-        lambda ln: ~F.coalesce(
-            F.array_contains(F.col("_bp"), ln), F.lit(False)
-        ),
+        lambda ln: F.try_element_at(bpm, F.xxhash64(ln)).isNull(),
     )
     staged = joined.select(
         F.col(id_col), F.col(domain_col),

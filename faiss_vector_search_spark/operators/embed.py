@@ -322,14 +322,20 @@ def chunk_text_search(
     metadata); the standalone `text_search` key is the whole-doc
     simplification.
 
-    Chunk identity packs (doc, chunk) into one integer key so the
-    scoring aggregation groups on a single column; the ids unpack
-    arithmetically. The k-row hit list broadcasts back onto the chunk
-    stream to recover chunk text — at query time against a 100 TB
-    corpus the chunk stream comes from the PERSISTED index
-    (index_store.save_index of this function's chunk frame), not a
-    re-chunk; the one-call form is the build+query composition the
-    oracle can gate end to end.
+    Chunk identity is a STRUCT key (doc_id, chunk_id): the scoring
+    aggregation groups on the one struct column and the ids unpack by
+    field access — no arithmetic packing, so a document with any
+    number of chunks and a doc_id of any magnitude can never alias
+    into a neighbor's key space (the old ``doc_id*100_000+chunk_id``
+    form silently collided past 100k chunks and lost precision in the
+    float unpack past ~9e10). Struct equality is a plain binary
+    comparison in Tungsten, so the groupBy/join shapes are unchanged.
+    The k-row hit list broadcasts back onto the chunk stream to
+    recover chunk text — at query time against a 100 TB corpus the
+    chunk stream comes from the PERSISTED index (index_store.
+    save_index of this function's chunk frame), not a re-chunk; the
+    one-call form is the build+query composition the oracle can gate
+    end to end.
     """
     from .chunking import chunk_greedy
 
@@ -337,7 +343,9 @@ def chunk_text_search(
         docs, min_size, max_size, overlap, id_col=id_col, text_col=text_col
     )
     keyed = chunks.select(
-        (F.col(id_col) * 100_000 + F.col("chunk_id")).alias("_ckey"),
+        F.struct(
+            F.col(id_col).alias("d"), F.col("chunk_id").alias("c")
+        ).alias("_ckey"),
         F.col("chunk"),
     )
     hits = text_search(
@@ -347,8 +355,8 @@ def chunk_text_search(
     return (
         keyed.join(F.broadcast(hits), "_ckey")
         .select(
-            (F.col("_ckey") / 100_000).cast("bigint").alias(id_col),
-            (F.col("_ckey") % 100_000).cast("int").alias("chunk_id"),
+            F.col("_ckey.d").alias(id_col),
+            F.col("_ckey.c").alias("chunk_id"),
             F.col("chunk").alias("chunk_text"),
             F.col("score"),
         )

@@ -159,8 +159,11 @@ def knn_classify(
     corpus scan, per-query rank window) with the query row itself
     excluded, then a bounded (query × label) vote rollup. Prediction
     = most votes, ties to the smaller label (deterministic);
-    ``confidence`` = votes/k. Only (query, label, votes) triples —
-    never vectors — reach the second aggregation.
+    ``confidence`` = votes / actual-neighbor-count — divided by the
+    neighbors that EXIST for the query (≤ k), not the constant k, so
+    a unanimous vote on a small corpus reads 1.0 instead of
+    understating. Only (query, label, votes) triples — never vectors —
+    reach the second aggregation.
     """
     q = F.broadcast(queries.select(query_id_col, query_vec_col))
     scored = (
@@ -188,14 +191,17 @@ def knn_classify(
     vw = Window.partitionBy(query_id_col).orderBy(
         F.col("votes").desc(), F.col(label_col).asc()
     )
+    nw = Window.partitionBy(query_id_col)
     return (
-        votes.withColumn("_vr", F.row_number().over(vw))
+        votes.withColumn("_n", F.sum("votes").over(nw))
+        .withColumn("_vr", F.row_number().over(vw))
         .where(F.col("_vr") == 1)
         .select(
             F.col(query_id_col),
             F.col(label_col).alias("pred_label"),
             F.col("votes"),
-            F.round(F.col("votes") / F.lit(float(k)), 6).alias("confidence"),
+            F.round(F.col("votes") / F.col("_n").cast("double"), 6)
+            .alias("confidence"),
         )
     )
 

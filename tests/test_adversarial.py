@@ -719,7 +719,10 @@ class TestWave6Degenerates:
         )
         (r,) = knn.knn_classify(emb, q, k=10).collect()
         assert r["pred_label"] == 3 and r["votes"] == 1
-        assert r["confidence"] == round(1 / 10, 6)
+        # confidence divides by the ACTUAL neighbor count (1 here,
+        # self excluded), not the requested k — a unanimous vote on a
+        # small corpus reads 1.0
+        assert r["confidence"] == 1.0
 
     def test_temperature_sample_empty_corpus(self, spark):
         from faiss_vector_search_spark.operators import textstats as ts

@@ -332,6 +332,36 @@ class TestChunkTextSearch:
         scores = [r["score"] for r in out]
         assert scores == sorted(scores, reverse=True)
 
+    def test_struct_key_survives_monster_doc_ids(self, spark):
+        """Adversarial: doc_ids past the old packing's safe range.
+
+        The retired ``doc_id*100_000+chunk_id`` packing overflowed
+        bigint for doc_id > ~9.2e13 and lost precision in its float
+        unpack past ~9e10.  The struct key must return EXACT ids for
+        doc_ids in that range, and two docs adjacent under the old
+        arithmetic (where (A, 100_000) == (A+1, 0)) must never swap
+        attribution.
+        """
+        from faiss_vector_search_spark.operators import embed
+
+        big_a = 92_233_720_368_547  # old packing: *1e5 overflows int64
+        big_b = big_a + 1
+        docs = spark.createDataFrame(
+            [(big_a, "alpha beta gamma delta epsilon zeta " * 8),
+             (big_b, "completely different filler material " * 8)],
+            "doc_id long, text string",
+        )
+        out = embed.chunk_text_search(
+            docs, "alpha beta gamma", k=2,
+            min_size=50, max_size=120, overlap=10,
+        ).collect()
+        assert out, "no hits"
+        assert out[0]["doc_id"] == big_a  # exact, not float-rounded
+        assert "alpha" in out[0]["chunk_text"]
+        for r in out:
+            if r["doc_id"] == big_b:
+                assert "alpha" not in r["chunk_text"]
+
     def test_hit_list_broadcasts_back(self, spark, sf_small):
         from faiss_vector_search_spark.operators import embed
 
