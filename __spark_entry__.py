@@ -4435,6 +4435,48 @@ ORDER BY step_idx
 """
 
 
+def q_event_funnel_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view→click→purchase funnel with a 48-hour conversion window:
+    later steps only count within 48h of the user's step-1 anchor
+    (integer-microsecond comparison, exact cross-engine)."""
+    return analytics.event_funnel(
+        _t(spark, sf_dir, "events"), steps=("view", "click", "purchase"),
+        horizon_s=48 * 3600,
+    )
+
+
+ORACLES["event_funnel_horizon"] = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t, min(ts) AS t0 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t, min(s1.t0) AS t0
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t
+    AND epoch_us(e.ts) <= epoch_us(s1.t0) + 172800000000 GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t, min(s2.t0) AS t0
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t
+    AND epoch_us(e.ts) <= epoch_us(s2.t0) + 172800000000 GROUP BY 1
+),
+counts AS (
+  SELECT CAST(1 AS INT) AS step_idx, 'view' AS step,
+         count(*)::BIGINT AS n_users FROM s1
+  UNION ALL SELECT 2, 'click', count(*)::BIGINT FROM s2
+  UNION ALL SELECT 3, 'purchase', count(*)::BIGINT FROM s3
+),
+first AS (SELECT n_users AS n1 FROM counts WHERE step_idx = 1)
+SELECT step_idx, step, n_users,
+       CASE WHEN f.n1 > 0 THEN ROUND(n_users / f.n1::DOUBLE, 6)
+            ELSE 0.0 END AS conversion
+FROM counts, first f
+ORDER BY step_idx
+"""
+
+
 def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Search-quality harness: BM25's ranked top-10 evaluated against
     the dense-cosine top-5 truth set — recall@10, MRR, NDCG@10 in one
@@ -4486,6 +4528,138 @@ SELECT n.n_relevant, s.n_hits,
        ROUND(coalesce(1.0 / s.fr, 0), 6) AS mrr,
        ROUND(coalesce(s.dcg, 0) / idcg.v, 6) AS ndcg_at_k
 FROM nrel n, mstats s, idcg
+"""
+
+
+# Judged query suite for the multi-query retrieval eval: 4 queries
+# over the documents vocabulary, each with unique terms (BM25's qt
+# join and the bucket counts assume no repeated query tokens).
+_EVAL_QUERIES = (
+    RAG_QUERY,
+    "table scan merge sort",
+    "hash agg row batch",
+    "spark line sort win slow",
+)
+
+
+def _suite_block(i: int, q: str) -> str:
+    """Per-query CTE block for the retrieval_eval_suite oracle —
+    the same BM25 + dense-cosine + metric CTEs as retrieval_eval,
+    name-suffixed; doc-side CTEs (toksb/dl/stats/db/dn) are shared."""
+    qt_values = ", ".join(f"('{t}')" for t in sorted(q.split()))
+    return f"""
+qt{i}(term) AS (VALUES {qt_values}),
+tf{i} AS (SELECT doc_id, term, count(*) AS tf
+          FROM toksb JOIN qt{i} USING (term) GROUP BY 1, 2),
+dfx{i} AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf{i} GROUP BY 1),
+contrib{i} AS (
+  SELECT t.doc_id, t.term,
+         ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+         * (t.tf * 2.2)
+         / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / (s.sum_dl / s.n_docs))) AS c
+  FROM tf{i} t JOIN dfx{i} d USING (term) JOIN dl l USING (doc_id), stats s
+),
+bm25_{i} AS (
+  SELECT doc_id,
+         ROUND(list_sum(list_transform(
+           list_sort(list(struct_pack(t := term, c := c))), s -> s.c)), 6) AS score
+  FROM contrib{i} GROUP BY doc_id
+),
+qb{i} AS (
+  SELECT (('0x' || substr(md5('s0:' || tok), 1, 15))::BIGINT % 64) AS bucket,
+         count(*)::BIGINT AS qcnt
+  FROM (SELECT unnest(list_filter(regexp_split_to_array(
+          lower('{q}'), '[^a-z0-9]+'), t -> t <> '')) AS tok)
+  GROUP BY 1
+),
+qn{i} AS (SELECT sum(qcnt * qcnt) AS qn2 FROM qb{i}),
+dense{i} AS (
+  SELECT d.doc_id,
+         ROUND(sum(cnt * qcnt) / (sqrt(dn.dn2::DOUBLE) * sqrt(qn.qn2::DOUBLE)), 6) AS score
+  FROM db d JOIN qb{i} USING (bucket) JOIN dn ON d.doc_id = dn.doc_id, qn{i} qn
+  GROUP BY d.doc_id, dn.dn2, qn.qn2
+),
+res{i} AS (
+  SELECT doc_id, CAST(row_number() OVER (
+    ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM (SELECT * FROM bm25_{i} ORDER BY score DESC, doc_id ASC LIMIT 10)
+),
+tr{i} AS (SELECT doc_id FROM dense{i} ORDER BY score DESC, doc_id ASC LIMIT 5),
+j{i} AS (
+  SELECT r.rank, CASE WHEN t.doc_id IS NOT NULL THEN 1 END AS rel
+  FROM res{i} r LEFT JOIN tr{i} t USING (doc_id)
+),
+mstats{i} AS (
+  SELECT sum(CASE WHEN rel = 1 THEN 1.0 / log2(rank + 1) END) AS dcg,
+         min(CASE WHEN rel = 1 THEN rank END) AS fr,
+         count(CASE WHEN rel = 1 THEN 1 END)::BIGINT AS n_hits
+  FROM j{i}
+),
+nrel{i} AS (SELECT count(*)::BIGINT AS n_relevant FROM tr{i}),
+idcg{i} AS (
+  SELECT sum(1.0 / log2(i + 1)) AS v
+  FROM nrel{i}, unnest(generate_series(1, least(n_relevant, 10))) AS t(i)
+),
+perq{i} AS (
+  SELECT 'q{i}' AS query_tag, n.n_relevant, s.n_hits,
+         ROUND(s.n_hits / n.n_relevant::DOUBLE, 6) AS recall_at_k,
+         ROUND(coalesce(1.0 / s.fr, 0), 6) AS mrr,
+         ROUND(coalesce(s.dcg, 0) / idcg{i}.v, 6) AS ndcg_at_k
+  FROM nrel{i} n, mstats{i} s, idcg{i}
+)"""
+
+
+def q_retrieval_eval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query retrieval eval: BM25 top-10 vs the dense-cosine
+    top-5 truth set for each of the 4 judged queries — per-query
+    recall@10/MRR/NDCG@10 rows plus the TREC-style macro-average row
+    (decimal-exact accumulation of the rounded per-query metrics).
+    Both retrieval stages run their ONE-corpus-pass multi-query forms
+    (bm25_search_multi / text_search_multi): the suite costs two
+    corpus scans total, not 2·|Q|."""
+    from faiss_vector_search_spark.operators import evaluate as ev
+
+    docs = _t(spark, sf_dir, "documents")
+    tagged = [(f"q{i}", q) for i, q in enumerate(_EVAL_QUERIES, 1)]
+    results = lexical.bm25_search_multi(docs, tagged, k=10).select(
+        "query_tag", "doc_id", "rank"
+    )
+    truth = embed.text_search_multi(
+        docs, tagged, dim=64, k=5, hash_fn="md5"
+    ).select("query_tag", "doc_id")
+    return ev.retrieval_metrics_by_query(results, truth, k=10)
+
+
+ORACLES["retrieval_eval_suite"] = f"""
+WITH
+toksb AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM toksb GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+db AS (
+  SELECT doc_id,
+         (('0x' || substr(md5('s0:' || tok), 1, 15))::BIGINT % 64) AS bucket,
+         count(*)::BIGINT AS cnt
+  FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+  GROUP BY 1, 2
+),
+dn AS (SELECT doc_id, sum(cnt * cnt) AS dn2 FROM db GROUP BY 1),
+{",".join(_suite_block(i, q) for i, q in enumerate(_EVAL_QUERIES, 1))},
+perq AS (
+  {" UNION ALL ".join(f"SELECT * FROM perq{i}" for i in range(1, len(_EVAL_QUERIES) + 1))}
+),
+macro AS (
+  SELECT 'MACRO' AS query_tag,
+         sum(n_relevant)::BIGINT AS n_relevant,
+         sum(n_hits)::BIGINT AS n_hits,
+         ROUND(CAST(sum(CAST(recall_at_k AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE), 6) AS recall_at_k,
+         ROUND(CAST(sum(CAST(mrr AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE), 6) AS mrr,
+         ROUND(CAST(sum(CAST(ndcg_at_k AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE), 6) AS ndcg_at_k
+  FROM perq
+)
+SELECT * FROM perq UNION ALL SELECT * FROM macro ORDER BY query_tag
 """
 
 
@@ -4918,58 +5092,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # unchanged r2-green keys, then r3 greens. Every r5-green key rotates
     # to 51+ (freshest green, nothing changed).
     return {
-        # r6 new oracle-gated operators (never driver-checked) lead
-        "c4_rules": q_c4_rules,
+        # ---- r7 window (first 50 = the driver's correctness check) ----
+        # Rotation policy (SURVEY §5): never-green first (the 2 new r7
+        # oracle-gated keys), then changed-since-last-green (the 4 keys
+        # whose operators were edited in r7: chunk_search struct key,
+        # domain_boilerplate hash+map probe, knn_classify confidence
+        # denominator, event_funnel horizon-anchor cascade), then the
+        # stalest greens: the six r3-green keys, then 38 r4-green keys.
+        # Every r5/r6 green rotates behind; rows-only keys stay last.
+        "retrieval_eval_suite": q_retrieval_eval_suite,
+        "event_funnel_horizon": q_event_funnel_horizon,
         "chunk_search": q_chunk_search,
-        "domain_temperature": q_domain_temperature,
-        "ngram_lookup": q_ngram_lookup,
-        "knn_classify": q_knn_classify,
-        "embedding_drift": q_embedding_drift,
         "domain_boilerplate": q_domain_boilerplate,
+        "knn_classify": q_knn_classify,
         "event_funnel": q_event_funnel,
-        "retrieval_eval": q_retrieval_eval,
-        # the 12 r5-stale keys (edited after their last driver green)
-        "quality_score": q_quality_score,
-        "token_count": q_token_count,
-        "doc_fingerprint": q_doc_fingerprint,
-        "semdedup": q_semdedup,
-        "merge_indexes": q_merge_indexes,
-        "hash_split": q_hash_split,
-        "domain_mix_sample": q_domain_mix_sample,
-        "char_entropy": q_char_entropy,
-        "corpus_profile": q_corpus_profile,
-        "bigram_lm_score": q_bigram_lm_score,
-        "near_dup_dedup": q_near_dup_dedup,
-        "unpivot_user_matrix": q_unpivot_user_matrix,
-        "fingerprint_overlap": q_fingerprint_overlap,
-        "fim_transform": q_fim_transform,
-        "ivf_batch_query": q_ivf_batch_query,
-        "dsir_sample": q_dsir_sample,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "dedup_keep_best": q_dedup_keep_best,
-        "dedup_clusters": q_dedup_clusters,
-        "stratified_sample": q_stratified_sample,
-        "chunk_documents_greedy": q_chunk_documents_greedy,
-        "tpch_q1": q_tpch_q1,
-        "top_customers_by_nation": q_top_customers_by_nation,
-        "part_revenue_share": q_part_revenue_share,
-        "shipping_priority": q_shipping_priority,
-        "regional_supplier_volume": q_regional_supplier_volume,
-        "events_asof_join": q_events_asof_join,
-        "order_priority_check": q_order_priority_check,
-        "events_range_join": q_events_range_join,
-        "events_sessionize": q_events_sessionize,
-        "events_tumbling": q_events_tumbling,
-        "rolling_user_activity": q_rolling_user_activity,
-        "events_hopping": q_events_hopping,
-        "customers_without_orders": q_customers_without_orders,
-        "small_quantity_revenue": q_small_quantity_revenue,
-        "pricing_rollup": q_pricing_rollup,
-        "minmax_scale_events": q_minmax_scale_events,
-        "distinct_users_by_type": q_distinct_users_by_type,
-        "knn_filtered_search": q_knn_filtered_search,
-        "min_cost_supplier": q_min_cost_supplier,
         "important_parts": q_important_parts,
         "ship_delay_priority": q_ship_delay_priority,
         "excess_parts": q_excess_parts,
@@ -4980,53 +5116,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_value_quantiles": q_event_value_quantiles,
         "tfidf_topk_terms": q_tfidf_topk_terms,
         "bigram_counts": q_bigram_counts,
-        # ---- position 51+: r4/r5 greens, freshest last ----
-        "dataset_card": q_dataset_card,
-        "cross_domain_dups": q_cross_domain_dups,
-        "split_kl": q_split_kl,
-        "self_similarity": q_self_similarity,
-        "zipf_profile": q_zipf_profile,
-        "ngram_novelty": q_ngram_novelty,
-        "curriculum_order": q_curriculum_order,
-        "ccnet_buckets": q_ccnet_buckets,
-        "maxsim_search": q_maxsim_search,
-        "matryoshka_rerank_search": q_matryoshka_rerank_search,
-        "pca_ivf_search": q_pca_ivf_search,
-        "curation_score": q_curation_score,
-        "training_triplets": q_training_triplets,
-        "token_budget_sample": q_token_budget_sample,
-        "hard_negatives": q_hard_negatives,
-        "quality_classifier": q_quality_classifier,
-        "pmi_collocations": q_pmi_collocations,
-        "domain_kl": q_domain_kl,
-        "length_batches": q_length_batches,
-        "rag_context": q_rag_context,
-        "diversified_search": q_diversified_search,
-        "fuzzy_decontaminate": q_fuzzy_decontaminate,
-        "repeated_spans": q_repeated_spans,
-        "opq_rerank_search": q_opq_rerank_search,
-        "normalize_text": q_normalize_text,
-        "strip_repeated_spans": q_strip_repeated_spans,
-        "table_profile": q_table_profile,
-        "lang_id": q_lang_id,
-        "chunk_fixed": q_chunk_fixed,
-        "pack_sequences": q_pack_sequences,
-        "knn_topk_l2": q_knn_topk_l2,
-        "knn_fixed_threshold": q_knn_fixed_threshold,
-        "knn_dynamic_threshold": q_knn_dynamic_threshold,
-        "knn_threshold_progression": q_knn_threshold_progression,
-        "knn_batch": q_knn_batch,
-        "ivf_search": q_ivf_search,
-        "vector_normalize": q_vector_normalize,
-        "index_stats": q_index_stats,
-        "add_documents": q_add_documents,
-        "embed_text": q_embed_text,
-        "text_search": q_text_search,
-        "bm25_search": q_bm25_search,
-        "hybrid_search": q_hybrid_search,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "event_type_pivot": q_event_type_pivot,
         "churned_buyers": q_churned_buyers,
         "weighted_sample": q_weighted_sample,
@@ -5046,8 +5135,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_profit_by_nation": q_promo_profit_by_nation,
         "events_grouping_sets": q_events_grouping_sets,
         "decontaminate": q_decontaminate,
-        "repetition_score": q_repetition_score,
         "redact_pii": q_redact_pii,
+        "repetition_score": q_repetition_score,
         "customer_order_distribution": q_customer_order_distribution,
         "promo_revenue_share": q_promo_revenue_share,
         "top_supplier_revenue": q_top_supplier_revenue,
@@ -5061,11 +5150,105 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_vectors": q_remove_vectors,
         "tpch_q6": q_tpch_q6,
         "large_volume_customers": q_large_volume_customers,
+        # ---- position 51+: r4/r5/r6 greens, freshest last ----
+        "dataset_card": q_dataset_card,
+        "cross_domain_dups": q_cross_domain_dups,
+        "split_kl": q_split_kl,
+        "self_similarity": q_self_similarity,
+        "zipf_profile": q_zipf_profile,
+        "ngram_novelty": q_ngram_novelty,
+        "curriculum_order": q_curriculum_order,
+        "ccnet_buckets": q_ccnet_buckets,
+        "maxsim_search": q_maxsim_search,
+        "matryoshka_rerank_search": q_matryoshka_rerank_search,
+        "curation_score": q_curation_score,
+        "training_triplets": q_training_triplets,
+        "token_budget_sample": q_token_budget_sample,
+        "hard_negatives": q_hard_negatives,
+        "quality_classifier": q_quality_classifier,
+        "pmi_collocations": q_pmi_collocations,
+        "domain_kl": q_domain_kl,
+        "length_batches": q_length_batches,
+        "rag_context": q_rag_context,
+        "diversified_search": q_diversified_search,
+        "fuzzy_decontaminate": q_fuzzy_decontaminate,
+        "repeated_spans": q_repeated_spans,
+        "opq_rerank_search": q_opq_rerank_search,
+        "normalize_text": q_normalize_text,
+        "strip_repeated_spans": q_strip_repeated_spans,
+        "table_profile": q_table_profile,
+        "pack_sequences": q_pack_sequences,
+        "knn_topk_l2": q_knn_topk_l2,
+        "knn_fixed_threshold": q_knn_fixed_threshold,
+        "knn_dynamic_threshold": q_knn_dynamic_threshold,
+        "knn_threshold_progression": q_knn_threshold_progression,
+        "knn_batch": q_knn_batch,
+        "ivf_search": q_ivf_search,
+        "vector_normalize": q_vector_normalize,
+        "index_stats": q_index_stats,
+        "add_documents": q_add_documents,
+        "embed_text": q_embed_text,
+        "text_search": q_text_search,
+        "bm25_search": q_bm25_search,
+        "hybrid_search": q_hybrid_search,
+        "curation_pipeline": q_curation_pipeline,
+        "c4_rules": q_c4_rules,
+        "domain_temperature": q_domain_temperature,
+        "ngram_lookup": q_ngram_lookup,
+        "embedding_drift": q_embedding_drift,
+        "retrieval_eval": q_retrieval_eval,
+        "quality_score": q_quality_score,
+        "domain_mix_sample": q_domain_mix_sample,
+        "corpus_profile": q_corpus_profile,
+        "bigram_lm_score": q_bigram_lm_score,
+        "unpivot_user_matrix": q_unpivot_user_matrix,
+        "fingerprint_overlap": q_fingerprint_overlap,
+        "fim_transform": q_fim_transform,
+        "ivf_batch_query": q_ivf_batch_query,
+        "dsir_sample": q_dsir_sample,
+        "chunk_documents_greedy": q_chunk_documents_greedy,
+        "knn_filtered_search": q_knn_filtered_search,
+        "lang_id": q_lang_id,
+        "chunk_fixed": q_chunk_fixed,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "nation_market_share": q_nation_market_share,
         "session_window_agg": q_session_window_agg,
         "binary_hamming_search": q_binary_hamming_search,
         "bloom_semi_join": q_bloom_semi_join,
-        "curation_pipeline": q_curation_pipeline,
+        "token_count": q_token_count,
+        "doc_fingerprint": q_doc_fingerprint,
+        "semdedup": q_semdedup,
+        "merge_indexes": q_merge_indexes,
+        "hash_split": q_hash_split,
+        "char_entropy": q_char_entropy,
+        "near_dup_dedup": q_near_dup_dedup,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_keep_best": q_dedup_keep_best,
+        "dedup_clusters": q_dedup_clusters,
+        "stratified_sample": q_stratified_sample,
+        "tpch_q1": q_tpch_q1,
+        "top_customers_by_nation": q_top_customers_by_nation,
+        "part_revenue_share": q_part_revenue_share,
+        "shipping_priority": q_shipping_priority,
+        "regional_supplier_volume": q_regional_supplier_volume,
+        "events_asof_join": q_events_asof_join,
+        "order_priority_check": q_order_priority_check,
+        "events_range_join": q_events_range_join,
+        "events_sessionize": q_events_sessionize,
+        "events_tumbling": q_events_tumbling,
+        "rolling_user_activity": q_rolling_user_activity,
+        "events_hopping": q_events_hopping,
+        "customers_without_orders": q_customers_without_orders,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        "pricing_rollup": q_pricing_rollup,
+        "minmax_scale_events": q_minmax_scale_events,
+        "distinct_users_by_type": q_distinct_users_by_type,
+        "min_cost_supplier": q_min_cost_supplier,
+        # rows-only by design (no SQL oracle exists)
+        "pca_ivf_search": q_pca_ivf_search,
         "ivf_kmeans_search": q_ivf_kmeans_search,
         "ann_lsh_search": q_ann_lsh_search,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -5077,8 +5260,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_sketch_rollup": q_distinct_sketch_rollup,
         "bigram_heavy_hitters": q_bigram_heavy_hitters,
         "ann_recall_report": q_ann_recall_report,
-        # remaining r5 additions (rows-only by design: model inference,
-        # recall curves, binary decode — no SQL oracle exists)
         "bpe_tokenize": q_bpe_tokenize,
         "embed_text_model": q_embed_text_model,
         "nprobe_recall_curve": q_nprobe_recall_curve,

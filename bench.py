@@ -560,7 +560,9 @@ def main() -> None:
         "embedding_drift": qs["embedding_drift"],
         "domain_boilerplate": qs["domain_boilerplate"],
         "event_funnel": qs["event_funnel"],
+        "event_funnel_horizon": qs["event_funnel_horizon"],
         "retrieval_eval": qs["retrieval_eval"],
+        "retrieval_eval_suite": qs["retrieval_eval_suite"],
         "chunk_search": qs["chunk_search"],
         "domain_temperature": qs["domain_temperature"],
         "model_rerank": qs["model_rerank"],

@@ -1737,12 +1737,21 @@ def event_funnel(
     type_col: str = "event_type",
     ts_col: str = "ts",
     broadcast_steps: bool = True,
+    horizon_s: float | None = None,
 ) -> DataFrame:
     """Ordered-funnel analysis: how many users progress through the
     ``steps`` sequence with STRICTLY increasing timestamps (a later
     step only counts if it happens after the user's earliest
     qualifying occurrence of the previous step) — the product-
     analytics primitive behind conversion reports.
+
+    ``horizon_s`` adds the conversion-window constraint every product
+    funnel carries: a later step only counts if it also falls within
+    ``horizon_s`` seconds of the user's STEP-1 anchor time (the
+    earliest qualifying step-1 event). The anchor rides the cascade
+    as one extra timestamp column; the comparison is integer
+    microseconds (``unix_micros``), so it is exact cross-engine.
+    ``None`` (default) keeps the unbounded funnel.
 
     Plan: a cascade of per-user conditional mins. Step 1 is one
     map-side-combinable groupBy(user); each later step filters the
@@ -1764,18 +1773,25 @@ def event_funnel(
         events.where(F.col(type_col) == steps[0])
         .groupBy(user_col)
         .agg(F.min(ts_col).alias("_t"))
+        .withColumn("_t0", F.col("_t"))
     )
     frames = [cur]
     for s in steps[1:]:
-        prev = cur.select(user_col, "_t")
+        prev = cur.select(user_col, "_t", "_t0")
         if broadcast_steps:
             prev = F.broadcast(prev)
-        nxt = (
+        stepped = (
             events.where(F.col(type_col) == s)
             .join(prev, user_col)
             .where(F.col(ts_col) > F.col("_t"))
-            .groupBy(user_col)
-            .agg(F.min(ts_col).alias("_t"))
+        )
+        if horizon_s is not None:
+            stepped = stepped.where(
+                F.unix_micros(F.col(ts_col))
+                <= F.unix_micros(F.col("_t0")) + int(horizon_s * 1_000_000)
+            )
+        nxt = stepped.groupBy(user_col).agg(
+            F.min(ts_col).alias("_t"), F.min("_t0").alias("_t0")
         )
         frames.append(nxt)
         cur = nxt

@@ -18,7 +18,7 @@ aggregation; the dense-assembly groupBy(doc_id) shuffles one row per
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hashed
@@ -299,6 +299,94 @@ def text_search(
         )
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def text_search_multi(
+    docs: DataFrame,
+    queries,
+    dim: int = 64,
+    k: int = 5,
+    hash_fn: str = "md5",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tag_col: str = "query_tag",
+) -> DataFrame:
+    """Feature-hash cosine top-k for a QUERY SET in ONE corpus pass —
+    the suite/eval-harness shape of :func:`text_search`: per-tag
+    results are hash-identical to the single-query form, but the
+    corpus tokenizes and bucket-aggregates exactly once regardless of
+    |Q|.
+
+    ``queries`` is a sequence of (tag, text). Each query's sparse
+    bucket counts are computed with the SAME Spark expressions
+    (:func:`token_buckets` on the |Q|-row query frame) and collected
+    driver-side (≤ |Q|·dim tiny rows); they come back as literal
+    bucket→count maps, so the single per-doc aggregation computes
+    every query's dot product AND the doc norm in one shuffle —
+    ``stack`` then unpivots the |Q| dot columns and a per-tag rank
+    window takes top-k over only the dot>0 survivors. Output:
+    (query_tag, id, score).
+    """
+    spark = docs.sparkSession
+    qlist = list(queries)
+    if not qlist:
+        return docs.select(F.col(id_col)).limit(0).select(
+            F.lit("").alias(tag_col), F.col(id_col), F.lit(0.0).alias("score")
+        )
+    qdf = spark.createDataFrame(qlist, f"{tag_col} string, {text_col} string")
+    qb_rows = token_buckets(qdf, dim, tag_col, text_col, hash_fn).collect()
+    per_tag: dict[str, dict[int, int]] = {t: {} for t, _ in qlist}
+    for r in qb_rows:
+        per_tag[r[tag_col]][int(r["bucket"])] = int(r["cnt"])
+    tags = sorted(t for t, m in per_tag.items() if m)  # empty queries drop
+    if not tags:
+        return docs.select(F.col(id_col)).limit(0).select(
+            F.lit("").alias(tag_col), F.col(id_col), F.lit(0.0).alias("score")
+        )
+    d = token_buckets(docs, dim, id_col, text_col, hash_fn)
+    aggs = [F.sum(F.col("cnt") * F.col("cnt")).alias("_dn2")]
+    qn2 = {}
+    for i, tag in enumerate(tags):
+        bmap = per_tag[tag]
+        qn2[tag] = sum(c * c for c in bmap.values())
+        mlit = F.create_map(
+            *[x for b_, c_ in sorted(bmap.items())
+              for x in (F.lit(b_), F.lit(c_))]
+        )
+        aggs.append(
+            F.sum(
+                F.col("cnt") * F.coalesce(mlit[F.col("bucket")], F.lit(0))
+            ).alias(f"_dot_{i}")
+        )
+    dots = d.groupBy(id_col).agg(*aggs)
+    stack_args = ", ".join(f"'{t}', _dot_{i}" for i, t in enumerate(tags))
+    long = dots.select(
+        F.col(id_col), F.col("_dn2"),
+        F.expr(f"stack({len(tags)}, {stack_args})").alias(tag_col, "dot"),
+    ).where(F.col("dot") > 0)
+    qn2_lit = F.create_map(
+        *[x for t in tags for x in (F.lit(t), F.lit(float(qn2[t])))]
+    )
+    scored = long.select(
+        F.col(tag_col),
+        F.col(id_col),
+        F.round(
+            F.col("dot")
+            / (
+                F.sqrt(F.col("_dn2").cast("double"))
+                * F.sqrt(qn2_lit[F.col(tag_col)])
+            ),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy(tag_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= k)
+        .drop("_r")
     )
 
 

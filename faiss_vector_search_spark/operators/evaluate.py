@@ -387,6 +387,99 @@ def retrieval_metrics(
     )
 
 
+def retrieval_metrics_by_query(
+    results: DataFrame,
+    truth: DataFrame,
+    k: int = 10,
+    query_col: str = "query_tag",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Suite-level retrieval evaluation — :func:`retrieval_metrics`
+    generalized to a JUDGED QUERY SET: per-query recall@k / MRR /
+    NDCG@k plus the macro-average row an eval harness actually tracks
+    (TREC-style macro averaging: every query weighs the same
+    regardless of judgment-set size).
+
+    ``results`` carries (query, id, rank); ``truth`` carries the
+    per-query relevant ids. Both are suite-bounded (|Q| top-k lists
+    and judgment sets), so every join broadcasts and the grouped
+    aggregations run on |Q|·k rows — the operator adds no
+    corpus-scale work regardless of what produced the inputs.
+
+    Determinism: per-query metrics round to 6 dp; the macro row
+    accumulates those ROUNDED values as DECIMAL(18,6) (exact sums —
+    no float summation-order drift), casts the exact sum to double
+    and divides by the query count, so the macro hash is
+    cross-engine stable. Output: one row per query (query_tag,
+    n_relevant, n_hits, recall_at_k, mrr, ndcg_at_k) + one
+    ``MACRO`` row (n_relevant/n_hits summed, metrics macro-averaged).
+    """
+    r = results.where(F.col(rank_col) <= k).select(
+        F.col(query_col), F.col(id_col),
+        F.col(rank_col).cast("int").alias("_rank"),
+    )
+    t = truth.select(query_col, id_col).withColumn("_rel", F.lit(1))
+    j = r.join(F.broadcast(t), [query_col, id_col], "left")
+    stats = j.groupBy(query_col).agg(
+        F.sum(
+            F.when(F.col("_rel") == 1,
+                   F.lit(1.0) / F.log2(F.col("_rank") + 1))
+        ).alias("_dcg"),
+        F.min(F.when(F.col("_rel") == 1, F.col("_rank"))).alias("_fr"),
+        F.count(F.when(F.col("_rel") == 1, F.lit(1))).alias("_nh"),
+    )
+    nrel = truth.groupBy(query_col).agg(
+        F.count("*").cast("bigint").alias("n_relevant")
+    )
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.col("n_relevant"), F.lit(k))),
+        F.lit(0.0),
+        lambda acc, i: acc + F.lit(1.0) / F.log2(i.cast("double") + 1),
+    )
+    empty = F.col("n_relevant") == 0
+    per = (
+        nrel.join(F.broadcast(stats), query_col, "left")
+        .select(
+            F.col(query_col),
+            "n_relevant",
+            F.coalesce(F.col("_nh"), F.lit(0)).cast("bigint")
+            .alias("n_hits"),
+            F.when(empty, F.lit(0.0)).otherwise(
+                F.round(
+                    F.coalesce(F.col("_nh"), F.lit(0))
+                    / F.col("n_relevant").cast("double"), 6
+                )
+            ).alias("recall_at_k"),
+            F.round(
+                F.coalesce(F.lit(1.0) / F.col("_fr"), F.lit(0.0)), 6
+            ).alias("mrr"),
+            F.when(empty, F.lit(0.0)).otherwise(
+                F.round(F.coalesce(F.col("_dcg"), F.lit(0.0)) / idcg, 6)
+            ).alias("ndcg_at_k"),
+        )
+    )
+
+    def _macro(c: str):
+        return F.round(
+            F.sum(F.col(c).cast("decimal(18,6)")).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias(c)
+
+    macro = per.agg(
+        F.sum("n_relevant").cast("bigint").alias("n_relevant"),
+        F.sum("n_hits").cast("bigint").alias("n_hits"),
+        _macro("recall_at_k"),
+        _macro("mrr"),
+        _macro("ndcg_at_k"),
+    ).select(
+        F.lit("MACRO").alias(query_col),
+        "n_relevant", "n_hits", "recall_at_k", "mrr", "ndcg_at_k",
+    )
+    return per.unionByName(macro).orderBy(query_col)
+
+
 def embedding_drift_report(
     emb_a: DataFrame,
     emb_b: DataFrame,

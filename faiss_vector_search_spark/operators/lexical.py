@@ -136,6 +136,133 @@ def bm25_search(
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
+def bm25_search_multi(
+    docs: DataFrame,
+    queries,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tag_col: str = "query_tag",
+) -> DataFrame:
+    """Okapi BM25 top-k for a QUERY SET in ONE corpus pass — the
+    suite/eval-harness shape of :func:`bm25_search`: per-tag results
+    are hash-identical to running the single-query form per query,
+    but the corpus tokenizes, matches, and tf/df-aggregates exactly
+    once regardless of |Q| (a 4-query suite over 100 TB costs one
+    scan, not four).
+
+    ``queries`` is a sequence of (tag, text). The union term set is
+    collected driver-side (|Q| tiny rows — the same documented
+    driver-loop bound as bm25_search's q_terms); tf/df/contrib are
+    computed per (doc, term) once since none of them depend on which
+    query a term came from, then the broadcast (tag, term) table
+    fans contributions out to tags and the per-(tag, doc) sorted
+    fold reproduces the single-query summation order. Output:
+    (query_tag, id, score, rank) with rank 1-based per tag, rows
+    with rank ≤ k.
+    """
+    spark = docs.sparkSession
+    qlist = list(queries)
+    if not qlist:
+        return docs.select(F.col(id_col)).limit(0).select(
+            F.lit("").alias(tag_col), F.col(id_col),
+            F.lit(0.0).alias("score"), F.lit(0).alias("rank"),
+        )
+    qdf = spark.createDataFrame(qlist, f"{tag_col} string, {text_col} string")
+    qterms = qdf.select(
+        F.col(tag_col), F.explode(tokens(F.col(text_col))).alias("term")
+    ).distinct()
+    all_terms = sorted({r["term"] for r in qterms.collect()})
+    if not all_terms:
+        return docs.select(F.col(id_col)).limit(0).select(
+            F.lit("").alias(tag_col), F.col(id_col),
+            F.lit(0.0).alias("score"), F.lit(0).alias("rank"),
+        )
+    qlit = F.array(*[F.lit(t) for t in all_terms])
+    tokd = docs.select(
+        F.col(id_col),
+        F.coalesce(
+            tokens(F.col(text_col)), F.array().cast("array<string>")
+        ).alias("_toks"),
+    ).select(
+        F.col(id_col), F.col("_toks"), F.size("_toks").alias("dl")
+    ).where(F.col("dl") > 0)
+    stats = F.broadcast(
+        tokd.agg(
+            F.count("*").alias("n_docs"),
+            F.sum("dl").alias("sum_dl"),
+        )
+    )
+    matched = tokd.select(
+        F.col(id_col),
+        F.col("dl"),
+        F.filter(
+            F.col("_toks"), lambda t: F.array_contains(qlit, t)
+        ).alias("_m"),
+    ).where(F.size("_m") > 0)
+    tf = (
+        matched.select(
+            F.col(id_col), F.col("dl"), F.explode("_m").alias("term")
+        )
+        .groupBy(id_col, "term", "dl")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = F.broadcast(
+        tf.groupBy("term").agg(F.count_distinct(F.col(id_col)).alias("df"))
+    )
+    contrib = (
+        tf.join(df_, "term")
+        .crossJoin(stats)
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            (
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (
+                        1.0
+                        - b
+                        + b
+                        * F.col("dl")
+                        / (F.col("sum_dl") / F.col("n_docs"))
+                    )
+                )
+            ).alias("c"),
+        )
+    )
+    tagged = contrib.join(F.broadcast(qterms), "term")
+    scored = (
+        tagged.groupBy(tag_col, id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("term", "c"))).alias("cs")
+        )
+        .select(
+            F.col(tag_col),
+            F.col(id_col),
+            F.round(
+                F.aggregate(
+                    F.col("cs"), F.lit(0.0), lambda acc, x: acc + x["c"]
+                ),
+                SCORE_DECIMALS,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(tag_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).where(F.col("rank") <= k)
+
+
 def hybrid_rrf(
     lexical: DataFrame,
     dense: DataFrame,

@@ -1,0 +1,211 @@
+"""Round-7 wave operators: the funnel conversion window and the
+multi-query (suite-level) retrieval evaluation. Both are oracle-gated
+in __spark_entry__.py; these tests pin the SEMANTICS on hand-built
+inputs (the cases a hash gate can't localize)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _ts(day, hour=0, minute=0):
+    return dt.datetime(2024, 1, day, hour, minute)
+
+
+class TestEventFunnelHorizon:
+    def _events(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, t, u, e) for i, (u, e, t) in enumerate(rows)],
+            "event_id long, ts timestamp, user_id long, event_type string",
+        )
+
+    def _counts(self, df):
+        return {r["step"]: r["n_users"] for r in df.collect()}
+
+    def test_horizon_excludes_late_steps(self, spark):
+        from faiss_vector_search_spark.operators import analytics
+
+        events = self._events(spark, [
+            # user 1: full funnel inside 48h of the view anchor
+            (1, "view", _ts(1)), (1, "click", _ts(1, 6)),
+            (1, "purchase", _ts(2)),
+            # user 2: click happens 3 days after the view anchor —
+            # ordered (so the UNBOUNDED funnel counts it) but outside
+            # the 48h window
+            (2, "view", _ts(1)), (2, "click", _ts(4)),
+            (2, "purchase", _ts(4, 6)),
+        ])
+        unbounded = self._counts(analytics.event_funnel(events))
+        assert unbounded == {"view": 2, "click": 2, "purchase": 2}
+        windowed = self._counts(
+            analytics.event_funnel(events, horizon_s=48 * 3600)
+        )
+        assert windowed == {"view": 2, "click": 1, "purchase": 1}
+
+    def test_anchor_is_earliest_step1_occurrence(self, spark):
+        from faiss_vector_search_spark.operators import analytics
+
+        # the user views on day 1 AND day 3; the click on day 4 is
+        # within 48h of the SECOND view, but the anchor is the
+        # earliest qualifying step-1 event (min ts), so it is out
+        events = self._events(spark, [
+            (1, "view", _ts(1)), (1, "view", _ts(3)),
+            (1, "click", _ts(4)),
+        ])
+        windowed = self._counts(
+            analytics.event_funnel(events, horizon_s=48 * 3600,
+                                   steps=("view", "click"))
+        )
+        assert windowed == {"view": 1, "click": 0}
+
+    def test_boundary_is_inclusive_and_order_still_strict(self, spark):
+        from faiss_vector_search_spark.operators import analytics
+
+        events = self._events(spark, [
+            # click exactly AT anchor+horizon counts (<=)
+            (1, "view", _ts(1)), (1, "click", _ts(3)),
+            # click strictly BEFORE the view never counts, even
+            # inside the window
+            (2, "click", _ts(1)), (2, "view", _ts(1, 1)),
+        ])
+        windowed = self._counts(
+            analytics.event_funnel(events, horizon_s=48 * 3600,
+                                   steps=("view", "click"))
+        )
+        assert windowed == {"view": 2, "click": 1}
+
+
+QUERIES = [("q1", "batch window vector hash fast stream"),
+           ("q2", "table scan merge sort"),
+           ("q3", "zzz_nowhere_token")]
+
+
+class TestMultiQueryRetrieval:
+    """The one-corpus-pass suite engines must be hash-identical,
+    per tag, to the single-query forms they fuse."""
+
+    def test_bm25_multi_matches_single(self, spark, sf_small):
+        from faiss_vector_search_spark.io import load_table
+        from faiss_vector_search_spark.operators import lexical
+
+        docs = load_table(spark, sf_small, "documents")
+        multi = lexical.bm25_search_multi(docs, QUERIES, k=10)
+        got = {
+            t: [(r["doc_id"], r["score"], r["rank"])
+                for r in multi.where(F.col("query_tag") == t)
+                .orderBy("rank").collect()]
+            for t, _ in QUERIES
+        }
+        for i, (tag, q) in enumerate(QUERIES):
+            single = [
+                (r["doc_id"], r["score"], j + 1)
+                for j, r in enumerate(
+                    lexical.bm25_search(docs, q, k=10)
+                    .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                    .collect()
+                )
+            ]
+            assert got[tag] == single, tag
+        assert got["q3"] == []  # no-hit query yields no rows
+
+    def test_dense_multi_matches_single(self, spark, sf_small):
+        from faiss_vector_search_spark.io import load_table
+        from faiss_vector_search_spark.operators import embed
+
+        docs = load_table(spark, sf_small, "documents")
+        multi = embed.text_search_multi(docs, QUERIES, dim=64, k=5)
+        got = {
+            t: sorted(
+                (r["doc_id"], r["score"])
+                for r in multi.where(F.col("query_tag") == t).collect()
+            )
+            for t, _ in QUERIES
+        }
+        for tag, q in QUERIES:
+            single = sorted(
+                (r["doc_id"], r["score"])
+                for r in embed.text_search(docs, q, dim=64, k=5).collect()
+            )
+            assert got[tag] == single, tag
+
+    def test_multi_is_one_corpus_aggregation(self, spark, sf_small):
+        from faiss_vector_search_spark.io import load_table
+        from faiss_vector_search_spark.operators import embed
+
+        docs = load_table(spark, sf_small, "documents")
+        df = embed.text_search_multi(docs, QUERIES[:2], dim=64, k=5)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("Initial Plan")[0]
+        # the documents parquet is scanned exactly once — the |Q| dot
+        # products ride the single bucket-count aggregation
+        assert final.count("Scan parquet") <= 1
+        assert "CartesianProduct" not in final
+
+
+class TestRetrievalMetricsByQuery:
+    def _suite(self, spark, results, truth):
+        from faiss_vector_search_spark.operators import evaluate as ev
+
+        r = spark.createDataFrame(
+            results, "query_tag string, doc_id long, rank int"
+        )
+        t = spark.createDataFrame(truth, "query_tag string, doc_id long")
+        out = ev.retrieval_metrics_by_query(r, t, k=10)
+        return {row["query_tag"]: row for row in out.collect()}
+
+    def test_per_query_and_macro(self, spark):
+        rows = self._suite(
+            spark,
+            # q1: both relevant docs retrieved at ranks 1,2 (perfect)
+            # q2: one of two relevant docs, at rank 2
+            [("q1", 10, 1), ("q1", 11, 2), ("q1", 12, 3),
+             ("q2", 20, 1), ("q2", 21, 2)],
+            [("q1", 10), ("q1", 11), ("q2", 21), ("q2", 99)],
+        )
+        assert set(rows) == {"q1", "q2", "MACRO"}
+        q1, q2, mac = rows["q1"], rows["q2"], rows["MACRO"]
+        assert (q1["n_relevant"], q1["n_hits"]) == (2, 2)
+        assert q1["recall_at_k"] == 1.0 and q1["mrr"] == 1.0
+        assert q1["ndcg_at_k"] == 1.0
+        assert (q2["n_relevant"], q2["n_hits"]) == (2, 1)
+        assert q2["recall_at_k"] == 0.5 and q2["mrr"] == 0.5
+        # q2 dcg = 1/log2(3); idcg = 1 + 1/log2(3)
+        import math
+        exp_ndcg = round(
+            (1 / math.log2(3)) / (1 + 1 / math.log2(3)), 6
+        )
+        assert q2["ndcg_at_k"] == pytest.approx(exp_ndcg, abs=1e-9)
+        # macro: counts sum, metrics average the per-query values
+        assert (mac["n_relevant"], mac["n_hits"]) == (4, 3)
+        assert mac["recall_at_k"] == 0.75 and mac["mrr"] == 0.75
+        # (1.0 + 0.386853)/2 = 0.6934265 exactly — Spark (and DuckDB)
+        # ROUND is half-up on the decimal boundary: 0.693427, NOT
+        # python's banker's 0.693426
+        assert mac["ndcg_at_k"] == 0.693427
+
+    def test_zero_hit_query_pulls_macro_down(self, spark):
+        rows = self._suite(
+            spark,
+            [("q1", 10, 1), ("q2", 20, 1)],
+            [("q1", 10), ("q2", 99)],
+        )
+        q2, mac = rows["q2"], rows["MACRO"]
+        assert q2["n_hits"] == 0 and q2["recall_at_k"] == 0.0
+        assert q2["mrr"] == 0.0 and q2["ndcg_at_k"] == 0.0
+        assert mac["recall_at_k"] == 0.5
+
+    def test_query_without_results_scores_zero(self, spark):
+        # judged query with an empty result list (retriever returned
+        # nothing): metrics are 0, not NULL, and the row still exists
+        rows = self._suite(
+            spark,
+            [("q1", 10, 1)],
+            [("q1", 10), ("q2", 50)],
+        )
+        q2 = rows["q2"]
+        assert (q2["n_hits"], q2["recall_at_k"], q2["mrr"],
+                q2["ndcg_at_k"]) == (0, 0.0, 0.0, 0.0)
+        assert rows["MACRO"]["recall_at_k"] == 0.5
