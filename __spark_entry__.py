@@ -4696,6 +4696,19 @@ def q_model_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cross_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieve → cross-encoder pair rerank: feature-hash
+    cosine shortlist, then the committed numpy PAIR head scoring
+    (query, doc) batches through one Arrow slot. Rows-only: model
+    forward has no SQL twin; shortlist-only slot + determinism +
+    bounded-interaction gates in tests/test_wave7_ops.py."""
+    from faiss_vector_search_spark.operators import rerank as rerank_mod
+
+    return rerank_mod.cross_encoder_rerank(
+        _t(spark, sf_dir, "documents"), RAG_QUERY, k=5, shortlist=20,
+    )
+
+
 def q_domain_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based domain mixing (mT5 recipe, alpha=0.5):
     per-domain quotas ∝ sqrt(n_d), IEEE-exact micro-weight integer
@@ -5273,6 +5286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_size_report": q_index_size_report,
         "model_rerank": q_model_rerank,
         "training_shards": q_training_shards,
+        "cross_rerank": q_cross_rerank,
     }
 
 

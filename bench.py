@@ -566,6 +566,7 @@ def main() -> None:
         "chunk_search": qs["chunk_search"],
         "domain_temperature": qs["domain_temperature"],
         "model_rerank": qs["model_rerank"],
+        "cross_rerank": qs["cross_rerank"],
         "training_shards": qs["training_shards"],
         "self_similarity": qs["self_similarity"],
         "dataset_card": qs["dataset_card"],

@@ -134,6 +134,26 @@ def _mlp_weights():
         return z["W1"], z["b1"], z["W2"]
 
 
+def md5_featurize(texts, dim: int):
+    """Worker-side hash featurization shared by every numpy model
+    slot: EXACTLY functions.hashing.md5_int(tok, seed=0) % dim — the
+    same bucket the JVM feature-hash embedder assigns, so a numpy
+    model's input features equal the declarative baseline's. Returns
+    the raw (len(texts), dim) count matrix (not normalized)."""
+    import hashlib
+    import re
+
+    import numpy as np
+
+    tok_re = re.compile(r"[0-9a-z]+")
+    x = np.zeros((len(texts), dim))
+    for row, t in enumerate(texts):
+        for tok in tok_re.findall((t or "").lower()):
+            h = hashlib.md5(("s0:" + tok).encode()).hexdigest()
+            x[row, int(h[:15], 16) % dim] += 1.0
+    return x
+
+
 def _embed_documents_numpy(
     docs: DataFrame, dim: int, id_col: str, text_col: str, batch_size: int
 ) -> DataFrame:
@@ -196,6 +216,21 @@ def _embed_documents_numpy(
     )
 
 
+# worker-side checkpoint cache: lives in the python WORKER process
+# (this module is imported there when the UDF closure deserializes),
+# so every task on the worker reuses one loaded model per checkpoint
+_ST_MODELS: dict = {}
+
+
+def _st_model(checkpoint: str):
+    """Load-once sentence-transformers model, keyed by checkpoint."""
+    if checkpoint not in _ST_MODELS:
+        from sentence_transformers import SentenceTransformer
+
+        _ST_MODELS[checkpoint] = SentenceTransformer(checkpoint)
+    return _ST_MODELS[checkpoint]
+
+
 def _embed_documents_st(
     docs: DataFrame, checkpoint: str, id_col: str, text_col: str,
     batch_size: int,
@@ -205,12 +240,16 @@ def _embed_documents_st(
     components/core/embedding_service.py:64-122 — batch texts →
     model.encode(batch_size=..., normalize_embeddings=True)).
 
-    The model loads ONCE per python worker (closure capture at task
-    deserialization), not per batch — on a 1000-executor cluster each
-    worker pays one checkpoint load, then streams Arrow batches
-    through it; that is the sentence-transformers serving shape.
-    Import-gated so the operator surface exists (and is covered by
-    skip-gated tests) even in environments without torch.
+    The model loads ONCE per python WORKER PROCESS — cached in a
+    module-level dict keyed by checkpoint (the standard Spark
+    worker-singleton pattern), because Spark reuses one python worker
+    across many tasks and a per-task ``SentenceTransformer(...)``
+    would re-pay the checkpoint load once per partition. On a
+    1000-executor cluster each worker pays one load, then streams
+    Arrow batches through it; that is the sentence-transformers
+    serving shape. Import-gated so the operator surface exists (and
+    is covered by skip-gated tests) even in environments without
+    torch.
     """
     try:
         from sentence_transformers import SentenceTransformer  # noqa: F401
@@ -224,9 +263,8 @@ def _embed_documents_st(
 
     def encode_batches(batches):
         import pandas as pd
-        from sentence_transformers import SentenceTransformer
 
-        model = SentenceTransformer(checkpoint)  # once per worker
+        model = _st_model(checkpoint)  # worker-singleton per checkpoint
         for pdf in batches:
             emb = model.encode(
                 [t if t is not None else "" for t in pdf[text_col]],

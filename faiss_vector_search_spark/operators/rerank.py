@@ -89,6 +89,99 @@ def mmr_rerank(
     return candidates.groupBy(query_id_col).applyInPandas(pick, schema=schema)
 
 
+def _cross_weights():
+    """Load the committed pair-head weights (128→32 tanh→1). Ships in
+    the repo like models/tiny_mlp.npz, so the pair-scorer path is
+    deterministic everywhere — the stand-in for a cross-encoder
+    checkpoint pulled from a registry."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "models", "tiny_cross.npz",
+    )
+    with np.load(path) as z:
+        return z["W1"], z["b1"], z["w2"]
+
+
+def cross_encoder_rerank(
+    docs: DataFrame,
+    query_text: str,
+    k: int = 5,
+    shortlist: int = 50,
+    dim: int = 64,
+    hash_fn: str = "md5",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_size: int = 64,
+) -> DataFrame:
+    """Two-stage retrieve→CROSS-ENCODER rerank: the pair-batch
+    variant of :func:`model_rerank`. Stage 1 is the same corpus-scale
+    feature-hash shortlist; stage 2 ships (query, doc-text) PAIR
+    batches through one Arrow ``mapInPandas`` slot and scores each
+    pair with the committed numpy pair head — score = bi-encoder
+    cosine + 0.1·MLP([u⊙q ; |u−q|]), the "cosine refined by a learned
+    interaction term" shape fine-tuned cross-encoders actually have
+    (and a deterministic stand-in: swapping a real cross-encoder is
+    the one-line ``model.predict([(q, d), ...])`` replacement inside
+    the same slot, exactly like embed's ``st:`` branch).
+
+    The scale contract is identical to model_rerank's and
+    pytest-gated the same way: the Python/model stage sees ONLY
+    shortlist-sized pair batches — the broadcast semi-join prunes the
+    corpus BEFORE Arrow, and the query featurizes once per slot, not
+    per pair. Output: (id, score_stage1, score_model, rank) — rank by
+    the pair-model score; rows-only (model forward has no SQL twin).
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from . import embed as embed_mod
+
+    stage1 = embed_mod.text_search(
+        docs, query_text, dim=dim, k=shortlist, hash_fn=hash_fn,
+        id_col=id_col, text_col=text_col,
+    ).withColumnRenamed("score", "score_stage1")
+    sub = docs.join(
+        F.broadcast(stage1.select(id_col)), id_col, "left_semi"
+    ).select(id_col, text_col)
+
+    W1, b1, w2 = _cross_weights()
+
+    def score_batches(batches):
+        import pandas as pd
+
+        q = embed_mod.md5_featurize([query_text], dim)[0]
+        qn = np.linalg.norm(q)
+        qu = q / qn if qn > 0 else q
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[lo:lo + batch_size]
+                x = embed_mod.md5_featurize(chunk[text_col].tolist(), dim)
+                xn = np.linalg.norm(x, axis=1, keepdims=True)
+                u = np.divide(x, xn, out=np.zeros_like(x), where=xn > 0)
+                pair = np.concatenate(
+                    [u * qu[None, :], np.abs(u - qu[None, :])], axis=1
+                )
+                s = u @ qu + 0.1 * (np.tanh(pair @ W1 + b1) @ w2)
+                yield pd.DataFrame(
+                    {id_col: chunk[id_col].values,
+                     "score_model": np.round(s, 6)}
+                )
+
+    scored = sub.mapInPandas(
+        score_batches, schema=f"{id_col} long, score_model double"
+    ).join(F.broadcast(stage1), id_col)
+    w = W.orderBy(F.col("score_model").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "score_stage1", "score_model",
+                F.col("rank").cast("int").alias("rank"))
+        .orderBy("rank")
+    )
+
+
 def model_rerank(
     docs: DataFrame,
     query_text: str,

@@ -12,8 +12,11 @@ per-track audits are all DEMUX-level questions; full pixel decode is
 the expensive GPU stage you run on the sampled minority.
 
 Supported: unfragmented MP4 (moov sample tables — stts/stsc/stsz/
-stco/co64/stss), any track count, 32- and 64-bit box sizes.
-Fragmented MP4 (moof) raises a clear error.
+stco/co64/stss) AND fragmented MP4 (DASH/CMAF-style moof/traf/trun
+run tables with mvex/trex defaults, tfhd overrides, tfdt decode
+times, and per-sample/first-sample sync flags), any track count,
+32- and 64-bit box sizes. Encrypted fragments (CENC ``senc``) raise
+a clear error — decryption needs keys, not a parser.
 """
 
 from __future__ import annotations
@@ -56,18 +59,15 @@ def mp4_demux(payload: bytes) -> list[dict]:
     ``track_id, handler, codec, timescale, n_samples, samples``
     (a list of (offset, size, dts) into the PAYLOAD) and
     ``keyframes`` (1-based sync-sample indexes; empty set = every
-    sample is sync, per spec)."""
+    sample is sync, per spec). Fragmented payloads (moof run tables)
+    demux through :func:`_apply_fragments` — same output contract."""
     if len(payload) < 16:
         raise ValueError("not an MP4 payload")
     try:
         top = {t for t, _, _ in _boxes(payload, 0, len(payload))}
     except ValueError as e:
         raise ValueError("not an MP4 payload (bad box structure)") from e
-    if b"moof" in top:
-        raise ValueError(
-            "fragmented MP4 (moof) unsupported by the built-in demuxer; "
-            "pass kernel= (e.g. an av-based demux) for fMP4 corpora"
-        )
+    fragmented = b"moof" in top
     if b"moov" not in top:
         raise ValueError("not an MP4 payload (no moov)")
 
@@ -157,13 +157,184 @@ def mp4_demux(payload: bytes) -> list[dict]:
                 )
                 pos += sizes[si]
                 si += 1
-        track["n_samples"] = n_samples
+        if len(samples) < n_samples and not fragmented:
+            # a truncated/inconsistent moov must fail HERE with the
+            # module's malformed-file posture, not as an IndexError
+            # deep inside a frame-sampling task
+            raise ValueError(
+                "stsz/stsc sample-count mismatch: stsz declares "
+                f"{n_samples} samples but the chunk tables cover "
+                f"{len(samples)}"
+            )
+        track["n_samples"] = len(samples)
         track["samples"] = samples
         track["keyframes"] = {
             s for (s,) in _entries(b"stss", ">I", 4)
         }
         tracks.append(track)
+    if fragmented:
+        _apply_fragments(payload, tracks)
     return tracks
+
+
+# tfhd / trun flag bits (ISO/IEC 14496-12 §8.8.7-8.8.8)
+_TFHD_BASE_OFFSET = 0x1
+_TFHD_SAMPLE_DESC = 0x2
+_TFHD_DEF_DURATION = 0x8
+_TFHD_DEF_SIZE = 0x10
+_TFHD_DEF_FLAGS = 0x20
+_TFHD_BASE_IS_MOOF = 0x20000
+_TRUN_DATA_OFFSET = 0x1
+_TRUN_FIRST_FLAGS = 0x4
+_TRUN_DURATION = 0x100
+_TRUN_SIZE = 0x200
+_TRUN_FLAGS = 0x400
+_TRUN_CTS = 0x800
+_NON_SYNC_BIT = 0x00010000
+
+
+def _apply_fragments(payload: bytes, tracks: list[dict]) -> None:
+    """Walk every moof/traf/trun and append the fragment samples to
+    the moov-declared tracks IN PLACE — (offset, size, dts) tuples
+    plus 1-based sync-sample indexes, the same contract the
+    unfragmented tables produce.
+
+    Defaults resolve per spec: per-sample trun fields, else the
+    trun's first-sample-flags (first sample only), else tfhd
+    defaults, else the mvex/trex defaults. The data base offset is
+    tfhd's explicit base-data-offset when present, else the first
+    byte of the enclosing moof (the ``default-base-is-moof`` rule —
+    also used when neither flag is set, the universal layout of
+    DASH/CMAF segments where every trun carries an explicit
+    data-offset). Encrypted fragments (a ``senc`` box in any traf)
+    raise — sample decryption needs CENC keys, not a parser.
+    """
+    by_id = {t["track_id"]: t for t in tracks}
+    # mvex/trex defaults: (duration, size, flags) per track
+    trex: dict[int, tuple[int, int, int]] = {}
+    for b0, b1 in _find(payload, 0, len(payload),
+                        (b"moov", b"mvex", b"trex")):
+        tid, _desc, dur, size, flags = struct.unpack_from(
+            ">IIIII", payload, b0 + 4)
+        trex[tid] = (dur, size, flags)
+    # running decode time per track (tfdt overrides when present)
+    tnext: dict[int, int] = {tid: 0 for tid in by_id}
+    saw_flags: set[int] = set()
+    sync: dict[int, set] = {tid: set() for tid in by_id}
+
+    # top-level walk that also tracks each box's START byte (the
+    # moof anchor per spec includes the box header, and the header
+    # can be 8 or 16 bytes)
+    top: list[tuple[bytes, int, int, int]] = []
+    pos = 0
+    end = len(payload)
+    while pos + 8 <= end:
+        size, btype = struct.unpack_from(">I4s", payload, pos)
+        hdr = 8
+        if size == 1:
+            size = struct.unpack_from(">Q", payload, pos + 8)[0]
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        top.append((btype, pos, pos + hdr, pos + size))
+        pos += size
+
+    for btype, moof_start, m0, m1 in top:
+        if btype != b"moof":
+            continue
+        for tb, t0, t1 in _boxes(payload, m0, m1):
+            if tb != b"traf":
+                continue
+            inner = {bt: (b0, b1) for bt, b0, b1 in
+                     _boxes(payload, t0, t1) if bt != b"trun"}
+            if b"senc" in inner:
+                raise ValueError(
+                    "encrypted fMP4 (CENC senc) unsupported by the "
+                    "built-in demuxer; decryption requires content keys"
+                )
+            if b"tfhd" not in inner:
+                raise ValueError("malformed fMP4: traf without tfhd")
+            b0, _ = inner[b"tfhd"]
+            tf_flags = struct.unpack_from(">I", payload, b0)[0] & 0xFFFFFF
+            tid = struct.unpack_from(">I", payload, b0 + 4)[0]
+            if tid not in by_id:
+                raise ValueError(
+                    f"malformed fMP4: traf for undeclared track {tid}")
+            pos = b0 + 8
+            base = moof_start
+            if tf_flags & _TFHD_BASE_OFFSET:
+                base = struct.unpack_from(">Q", payload, pos)[0]
+                pos += 8
+            if tf_flags & _TFHD_SAMPLE_DESC:
+                pos += 4
+            tdur, tsize, tflags = trex.get(tid, (0, 0, 0))
+            if tf_flags & _TFHD_DEF_DURATION:
+                tdur = struct.unpack_from(">I", payload, pos)[0]
+                pos += 4
+            if tf_flags & _TFHD_DEF_SIZE:
+                tsize = struct.unpack_from(">I", payload, pos)[0]
+                pos += 4
+            if tf_flags & _TFHD_DEF_FLAGS:
+                tflags = struct.unpack_from(">I", payload, pos)[0]
+                pos += 4
+                saw_flags.add(tid)
+            if b"tfdt" in inner:
+                d0, _ = inner[b"tfdt"]
+                ver = payload[d0]
+                tnext[tid] = (
+                    struct.unpack_from(">Q", payload, d0 + 4)[0]
+                    if ver == 1 else
+                    struct.unpack_from(">I", payload, d0 + 4)[0]
+                )
+            track = by_id[tid]
+            data_pos = None  # trun without data-offset continues
+            for bt, r0, r1 in _boxes(payload, t0, t1):
+                if bt != b"trun":
+                    continue
+                tr_flags = struct.unpack_from(">I", payload, r0)[0]
+                ver = payload[r0]
+                tr_bits = tr_flags & 0xFFFFFF
+                n = struct.unpack_from(">I", payload, r0 + 4)[0]
+                p = r0 + 8
+                if tr_bits & _TRUN_DATA_OFFSET:
+                    (doff,) = struct.unpack_from(">i", payload, p)
+                    p += 4
+                    data_pos = base + doff
+                elif data_pos is None:
+                    data_pos = base
+                first_flags = None
+                if tr_bits & _TRUN_FIRST_FLAGS:
+                    first_flags = struct.unpack_from(">I", payload, p)[0]
+                    p += 4
+                    saw_flags.add(tid)
+                for i in range(n):
+                    dur, size, sflags = tdur, tsize, tflags
+                    if tr_bits & _TRUN_DURATION:
+                        dur = struct.unpack_from(">I", payload, p)[0]
+                        p += 4
+                    if tr_bits & _TRUN_SIZE:
+                        size = struct.unpack_from(">I", payload, p)[0]
+                        p += 4
+                    if tr_bits & _TRUN_FLAGS:
+                        sflags = struct.unpack_from(">I", payload, p)[0]
+                        p += 4
+                        saw_flags.add(tid)
+                    elif i == 0 and first_flags is not None:
+                        sflags = first_flags
+                    if tr_bits & _TRUN_CTS:
+                        p += 4  # composition offset: presentation-only
+                    if data_pos + size > len(payload):
+                        raise ValueError(
+                            "malformed fMP4: trun sample outside payload")
+                    track["samples"].append((data_pos, size, tnext[tid]))
+                    if not (sflags & _NON_SYNC_BIT):
+                        sync[tid].add(len(track["samples"]))
+                    data_pos += size
+                    tnext[tid] += dur
+    for tid, track in by_id.items():
+        track["n_samples"] = len(track["samples"])
+        if tid in saw_flags:
+            track["keyframes"] = set(track["keyframes"]) | sync[tid]
 
 
 def mp4_sample_frames(

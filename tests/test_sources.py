@@ -783,7 +783,7 @@ class TestMp4Demux:
         assert a["handler"] == "soun" and a["n_samples"] == 2
         assert [payload[o:o + s] for o, s, _ in a["samples"]] == aud
 
-    def test_rejects_non_mp4_and_fragmented(self):
+    def test_rejects_non_mp4_and_inconsistent_tables(self):
         import struct
 
         import pytest as _pytest
@@ -791,11 +791,150 @@ class TestMp4Demux:
 
         with _pytest.raises(ValueError, match="not an MP4"):
             mp4.mp4_demux(b"RIFF" + bytes(50))
-        frag = self._box(b"ftyp", b"isom" + bytes(8)) \
-            + self._box(b"moof", bytes(8)) + self._box(b"moov", b"")
-        _ = struct  # silence unused in this scope
-        with _pytest.raises(ValueError, match="fragmented"):
-            mp4.mp4_demux(frag)
+        # stsz declaring MORE samples than the chunk tables cover must
+        # fail with the module's malformed-file posture at demux time,
+        # not as an IndexError inside a frame-sampling task
+        payload, vid, _ = self._build()
+        six = payload.replace(
+            struct.pack(">III", 0, 5, 0)[:8]
+            + struct.pack(">5I", *[len(s) for s in vid]),
+            struct.pack(">III", 0, 6, 0)[:8]
+            + struct.pack(">5I", *[len(s) for s in vid])[:20],
+        )
+        assert six != payload  # the splice actually hit
+        with _pytest.raises(ValueError, match="sample-count mismatch"):
+            mp4.mp4_demux(six)
+
+    def _build_fragmented(self):
+        """Hand-packed DASH-style fMP4: moov with EMPTY sample tables
+        + mvex/trex defaults (dur=100, flags=non-sync), then two
+        moof+mdat fragments exercising the two base-offset modes:
+
+        frag 1 — tfhd default-base-is-moof, tfdt v0 t=0, trun with
+        explicit data-offset + first-sample-flags (sync) + per-sample
+        sizes [10, 11, 12];
+        frag 2 — tfhd explicit base-data-offset + default size 9 +
+        default flags sync, tfdt v1 (64-bit) t=300, trun with
+        per-sample durations [50, 60] and a data-offset of 8
+        (mdat body relative to the explicit base = the moof start).
+
+        Returns (payload, coded_samples, expected_dts).
+        """
+        import struct
+
+        b = self._box
+
+        def full(btype, body, version=0):
+            return b(btype, bytes([version, 0, 0, 0]) + body)
+
+        def full_flags(btype, flags, body, version=0):
+            return b(btype, struct.pack(">I", (version << 24) | flags)
+                     + body)
+
+        # moov: one video track, empty tables, trex defaults
+        def stbl_empty(codec):
+            return b(b"stbl", b"".join([
+                full(b"stsd", struct.pack(">I", 1)
+                     + struct.pack(">I", 16) + codec + bytes(8)),
+                full(b"stts", struct.pack(">I", 0)),
+                full(b"stsc", struct.pack(">I", 0)),
+                full(b"stsz", struct.pack(">II", 0, 0)),
+                full(b"stco", struct.pack(">I", 0)),
+            ]))
+
+        tkhd = full(b"tkhd", struct.pack(">IIII", 0, 0, 1, 0))
+        mdhd = full(b"mdhd", struct.pack(">IIII", 0, 0, 1000, 0))
+        hdlr = full(b"hdlr", struct.pack(">I", 0) + b"vide" + bytes(13))
+        trak = b(b"trak", tkhd + b(b"mdia", mdhd + hdlr
+                                   + b(b"minf", stbl_empty(b"avc1"))))
+        # trex body: track_id, desc_idx, dur, size, flags (non-sync)
+        trex = full(b"trex", struct.pack(">IIIII", 1, 1, 100, 0,
+                                         0x00010000))
+        moov = b(b"moov", trak + b(b"mvex", trex))
+        ftyp = b(b"ftyp", b"isom" + struct.pack(">I", 0) + b"iso6")
+
+        s1 = [bytes([0xB0 + i]) * (10 + i) for i in range(3)]   # 10,11,12
+        s2 = [bytes([0xC0 + i]) * 9 for i in range(2)]
+
+        # ---- fragment 1: default-base-is-moof ----
+        mfhd = full(b"mfhd", struct.pack(">I", 1))
+        tfhd1 = full_flags(b"tfhd", 0x20000, struct.pack(">I", 1))
+        tfdt1 = full(b"tfdt", struct.pack(">I", 0), version=0)
+        # trun: data-offset | first-sample-flags | sample-size
+        trun1_body = struct.pack(">I", 3)           # sample_count
+        trun1_body += struct.pack(">i", 0)          # data offset (patched)
+        trun1_body += struct.pack(">I", 0x0)        # first flags: SYNC
+        trun1_body += b"".join(struct.pack(">I", len(s)) for s in s1)
+        trun1 = full_flags(b"trun", 0x1 | 0x4 | 0x200, trun1_body)
+        traf1 = b(b"traf", tfhd1 + tfdt1 + trun1)
+        moof1 = b(b"moof", mfhd + traf1)
+        # data offset = moof size + mdat header (8) from moof start
+        doff1 = len(moof1) + 8
+        trun1 = full_flags(
+            b"trun", 0x1 | 0x4 | 0x200,
+            struct.pack(">I", 3) + struct.pack(">i", doff1)
+            + struct.pack(">I", 0x0)
+            + b"".join(struct.pack(">I", len(s)) for s in s1))
+        moof1 = b(b"moof", mfhd + b(b"traf", tfhd1 + tfdt1 + trun1))
+        mdat1 = b(b"mdat", b"".join(s1))
+
+        # ---- fragment 2: explicit base-data-offset ----
+        base2 = len(ftyp) + len(moov) + len(moof1) + len(mdat1)
+        tfhd2 = full_flags(
+            b"tfhd", 0x1 | 0x10 | 0x20,
+            struct.pack(">I", 1) + struct.pack(">Q", base2)
+            + struct.pack(">I", 9) + struct.pack(">I", 0x0))  # size 9, SYNC
+        tfdt2 = full(b"tfdt", struct.pack(">Q", 300), version=1)
+        trun2_body = struct.pack(">I", 2)
+        trun2_body += struct.pack(">i", 0)  # patched below
+        trun2_body += b"".join(struct.pack(">I", d) for d in (50, 60))
+        trun2 = full_flags(b"trun", 0x1 | 0x100, trun2_body)
+        moof2 = b(b"moof", mfhd + b(b"traf", tfhd2 + tfdt2 + trun2))
+        doff2 = len(moof2) + 8  # mdat body relative to base2 (=moof2 start)
+        trun2 = full_flags(
+            b"trun", 0x1 | 0x100,
+            struct.pack(">I", 2) + struct.pack(">i", doff2)
+            + b"".join(struct.pack(">I", d) for d in (50, 60)))
+        moof2 = b(b"moof", mfhd + b(b"traf", tfhd2 + tfdt2 + trun2))
+        mdat2 = b(b"mdat", b"".join(s2))
+
+        payload = ftyp + moov + moof1 + mdat1 + moof2 + mdat2
+        return payload, s1 + s2, [0, 100, 200, 300, 350]
+
+    def test_fragmented_demux(self):
+        from faiss_vector_search_spark.sources import mp4
+
+        payload, coded, dts = self._build_fragmented()
+        (tr,) = mp4.mp4_demux(payload)
+        assert (tr["track_id"], tr["handler"], tr["codec"]) == \
+            (1, "vide", "avc1")
+        assert tr["n_samples"] == 5
+        assert [payload[o:o + s] for o, s, _ in tr["samples"]] == coded
+        assert [d for _, _, d in tr["samples"]] == dts
+        # sync flags: frag1 first-sample-flags marks sample 1 sync,
+        # samples 2-3 inherit the trex non-sync default; frag2's tfhd
+        # default flags mark samples 4-5 sync
+        assert tr["keyframes"] == {1, 4, 5}
+
+    def test_fragmented_spark_sampling_and_encrypted_rejection(self, spark):
+        import pytest as _pytest
+        from faiss_vector_search_spark.sources import mp4
+
+        payload, coded, dts = self._build_fragmented()
+        items = spark.createDataFrame(
+            [(7, "video", payload, {})], multimodal.ITEM_SCHEMA
+        )
+        out = mp4.mp4_sample_frames(items, every_n=2).collect()
+        assert [(r.frame_idx, bytes(r.frame)) for r in out] == \
+            [(0, coded[0]), (2, coded[2]), (4, coded[4])]
+        assert [r.dts for r in out] == [dts[0], dts[2], dts[4]]
+        assert [r.keyframe for r in out] == [True, False, True]
+        # a senc box in any traf = CENC-encrypted fragment -> clear error
+        enc = payload.replace(
+            b"tfdt", b"senc", 1  # first traf's tfdt becomes a senc box
+        )
+        with _pytest.raises(ValueError, match="encrypted fMP4"):
+            mp4.mp4_demux(enc)
 
     def test_spark_frame_sampling(self, spark):
         from faiss_vector_search_spark.sources import mp4

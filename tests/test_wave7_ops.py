@@ -145,6 +145,68 @@ class TestMultiQueryRetrieval:
         assert "CartesianProduct" not in final
 
 
+class TestCrossEncoderRerank:
+    def test_self_query_ranks_first_and_deterministic(self, spark, sf_small):
+        from faiss_vector_search_spark.io import load_table
+        from faiss_vector_search_spark.operators import rerank
+
+        docs = load_table(spark, sf_small, "documents")
+        qtext = docs.where(F.col("doc_id") == 7).first().text
+        out = rerank.cross_encoder_rerank(
+            docs, qtext, k=5, shortlist=20
+        ).collect()
+        assert out[0]["doc_id"] == 7
+        scores = [r["score_model"] for r in out]
+        assert scores == sorted(scores, reverse=True)
+        assert [r["rank"] for r in out] == [1, 2, 3, 4, 5]
+        again = rerank.cross_encoder_rerank(
+            docs, qtext, k=5, shortlist=20
+        ).collect()
+        assert list(map(tuple, out)) == list(map(tuple, again))
+
+    def test_pair_stage_sees_only_shortlist_batches(self, spark, sf_small):
+        # the scale contract: the Python pair-scoring stage consumes
+        # shortlist rows, never the corpus — the broadcast semi-join
+        # prunes BEFORE the Arrow slot
+        from faiss_vector_search_spark.io import load_table
+        from faiss_vector_search_spark.operators import embed as embed_mod
+        from faiss_vector_search_spark.operators import rerank
+
+        docs = load_table(spark, sf_small, "documents")
+        n_corpus = docs.count()
+        stage1 = embed_mod.text_search(
+            docs, "batch window vector", k=10
+        ).select("doc_id")
+        sub = docs.join(F.broadcast(stage1), "doc_id", "left_semi")
+        assert sub.count() == 10 < n_corpus
+        df = rerank.cross_encoder_rerank(
+            docs, "batch window vector", k=5, shortlist=10
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("Initial Plan")[0]
+        assert "SortMergeJoin" not in final
+        assert "CartesianProduct" not in final
+        assert len(df.collect()) == 5
+
+    def test_pair_score_is_cosine_plus_bounded_interaction(self, spark,
+                                                           sf_small):
+        # the committed pair head refines the bi-encoder cosine by a
+        # bounded interaction term — scores stay within 0.1·|w2|·1 of
+        # the stage-1 cosine on the same feature space
+        import numpy as np
+        from faiss_vector_search_spark.io import load_table
+        from faiss_vector_search_spark.operators import rerank
+
+        _, _, w2 = rerank._cross_weights()
+        bound = 0.1 * float(np.abs(w2).sum()) + 1e-9
+        docs = load_table(spark, sf_small, "documents")
+        out = rerank.cross_encoder_rerank(
+            docs, "batch window vector", k=10, shortlist=10
+        ).collect()
+        for r in out:
+            assert abs(r["score_model"] - r["score_stage1"]) <= bound
+
+
 class TestRetrievalMetricsByQuery:
     def _suite(self, spark, results, truth):
         from faiss_vector_search_spark.operators import evaluate as ev
