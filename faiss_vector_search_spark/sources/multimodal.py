@@ -7,16 +7,18 @@ Decode support comes in two tiers:
 - **Built-in pure-numpy codecs**, no external library: BMP (BI_RGB
   8/24/32 bpp — :func:`bmp_decode` / :func:`bmp_encode`), WAV (RIFF
   PCM — :func:`wav_decode`), PNG (RFC 2083 — :func:`png_decode` /
-  :func:`png_encode`), and baseline JPEG (ITU-T T.81 SOF0/SOF1
-  sequential Huffman incl. 4:2:0 — :mod:`.jpeg`). ``decode_images``,
-  ``resize_images``, and ``audio_stats`` are fully functional on
-  them in this container, end to end.
+  :func:`png_encode`), and JPEG — baseline (ITU-T T.81 SOF0/SOF1
+  sequential Huffman incl. 4:2:0) AND progressive (SOF2 spectral
+  selection + successive approximation) — :mod:`.jpeg`.
+  ``decode_images``, ``resize_images``, and ``audio_stats`` are
+  fully functional on them in this container, end to end.
 - **Built-in MP4 demux** (:mod:`.mp4` — ISO 14496-12 sample tables,
-  pure stdlib): frame sampling, timestamps, and keyframe indexes work
-  without a library (``mp4.mp4_sample_frames`` emits coded access
-  units); only PIXEL decode of those units needs a codec.
-- **Library swap-ins** for the rest (progressive/arithmetic JPEG via
-  Pillow, coded-frame pixel decode / fragmented MP4 via av): each
+  pure stdlib, unfragmented AND moof/traf fragments): frame sampling,
+  timestamps, and keyframe indexes work without a library
+  (``mp4.mp4_sample_frames`` emits coded access units); only PIXEL
+  decode of those units needs a codec.
+- **Library swap-ins** for the rest (arithmetic-coded JPEG via
+  Pillow, coded-frame pixel decode / encrypted MP4 via av): each
   operator takes a ``kernel=`` callable; the default import-tries the
   library and raises ``NotImplementedError`` when absent. The Spark
   side — schema contract, binaryFile ingest, batch shapes, explode

@@ -662,7 +662,7 @@ class TestJpegCodec:
         assert len(jpeg.jpeg_encode(img, quant=16)) < len(
             jpeg.jpeg_encode(img, quant=1))
 
-    def test_rejects_progressive_and_non_jpeg(self):
+    def test_rejects_arithmetic_and_non_jpeg(self):
         import struct
 
         import pytest as _pytest
@@ -670,12 +670,58 @@ class TestJpegCodec:
 
         with _pytest.raises(ValueError, match="not a JPEG"):
             jpeg.jpeg_decode(b"GIF89a" + bytes(50))
-        # hand-build an SOF2 (progressive) shell
-        sof2 = (b"\xff\xd8" + b"\xff\xc2"
+        # SOF9 (arithmetic sequential) stays rejected with a clear error
+        sof9 = (b"\xff\xd8" + b"\xff\xc9"
                 + struct.pack(">H", 11)
                 + struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
-        with _pytest.raises(ValueError, match="progressive"):
-            jpeg.jpeg_decode(sof2 + b"\xff\xd9")
+        with _pytest.raises(ValueError, match="arithmetic"):
+            jpeg.jpeg_decode(sof9 + b"\xff\xd9")
+
+    def test_progressive_decodes_identical_to_baseline(self):
+        """The progressive (SOF2) decode path, gated against the
+        module's independent progressive encoder: for the same image
+        and quantizer, decode(progressive) must equal
+        decode(baseline) EXACTLY — both reconstruct the same
+        quantized coefficients, just staged differently."""
+        import numpy as np
+        from faiss_vector_search_spark.sources import jpeg
+
+        cases = [
+            # flat: every AC band empty -> multi-block EOB runs
+            (np.full((40, 56, 3), 130, np.uint8), 2, False),
+            # hot pixel far into the image: ZRL + isolated coefs
+            (None, 1, False),
+            # noisy + strong quant: EOB runs + refinement bits mixed
+            (self._rng(11).normal(128, 40, (64, 80, 3))
+             .clip(0, 255).astype(np.uint8), 8, False),
+            # 4:2:0: non-interleaved AC grids differ from the padded
+            # interleaved grid per component
+            (self._rng(12).normal(128, 40, (30, 42, 3))
+             .clip(0, 255).astype(np.uint8), 4, True),
+            # grayscale: single-component (non-interleaved DC too)
+            (self._rng(13).integers(0, 256, (19, 21, 1), np.uint8)
+             .astype(np.uint8), 2, False),
+        ]
+        hot = np.full((48, 64, 1), 128, np.uint8)
+        hot[37, 53] = 255
+        cases[1] = (hot, 1, False)
+        for img, q, sub in cases:
+            base = jpeg.jpeg_decode(
+                jpeg.jpeg_encode(img, quant=q, subsample=sub))
+            prog = jpeg.jpeg_decode(
+                jpeg.jpeg_encode_progressive(img, quant=q, subsample=sub))
+            assert np.array_equal(base, prog), (img.shape, q, sub)
+
+    def test_progressive_roundtrip_near_lossless(self):
+        import numpy as np
+        from faiss_vector_search_spark.sources import jpeg
+
+        img = self._rng(21).integers(0, 256, (24, 17, 3), dtype=np.uint8)
+        enc = jpeg.jpeg_encode_progressive(img, quant=1)
+        assert b"\xff\xc2" in enc  # really SOF2
+        dec = jpeg.jpeg_decode(enc)
+        assert dec.shape == (24, 17, 3)
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
 
     def test_decode_images_and_resize_on_jpeg(self, spark):
         import numpy as np
