@@ -705,13 +705,18 @@ def domain_boilerplate_strip(
     line array against the set inside its row — the corpus text is
     NEVER shuffled, not even for the frequency count: lines are
     reduced to ``xxhash64`` before the groupBy (like
-    :func:`line_dedup`), so only 8-byte hashes move. Membership is
-    probed through a per-domain ``map_from_arrays`` with
-    ``try_element_at`` — an O(1) hash lookup per line, not an
-    O(|boilerplate|) ``array_contains`` scan, so a boilerplate-heavy
-    domain (10k+ repeated lines) costs the same per line as a clean
-    one. The broadcast is bounded by the boilerplate set size (lines
-    repeated ≥min_docs times — the tiny head of the line
+    :func:`line_dedup`), so only 8-byte hashes move. Membership runs
+    in TWO in-row steps: ``array_intersect`` of the doc's line-hash
+    array with the domain's boilerplate-hash array — Spark evaluates
+    it with a per-row hash set, O(lines + |boilerplate|) per DOC —
+    yields the doc-LOCAL dropped set, and the per-line filter probes
+    only that tiny set. A per-line probe of the domain pool itself
+    (``array_contains`` or a Spark map, whose ``element_at`` is a
+    LINEAR key scan, not a hash lookup) is O(lines × |boilerplate|):
+    measured at 10x with an 18k-line pool it never finishes, while
+    this shape runs in seconds (scripts/scale_wave7.py records the
+    numbers). The broadcast is bounded by the boilerplate set size
+    (lines repeated ≥min_docs times — the tiny head of the line
     distribution); a corpus whose boilerplate outgrows broadcast
     routes through line_dedup's anti-join shape instead. A 64-bit
     line-hash collision within one domain could drop a content line —
@@ -739,23 +744,38 @@ def domain_boilerplate_strip(
         .agg(F.collect_set("_lh").alias("_bph"))
     )
     joined = base.join(F.broadcast(bp), domain_col, "left")
-    # collect_set keys are unique by construction → map_from_arrays is
-    # safe; missing-domain rows carry a null map and try_element_at
-    # null-propagates to "keep".
-    bpm = F.when(
-        F.col("_bph").isNotNull(),
-        F.map_from_arrays(
-            F.col("_bph"), F.array_repeat(F.lit(True), F.size("_bph"))
-        ),
-    )
-    kept = F.filter(
-        F.col("_lines"),
-        lambda ln: F.try_element_at(bpm, F.xxhash64(ln)).isNull(),
-    )
-    staged = joined.select(
-        F.col(id_col), F.col(domain_col),
-        F.size("_lines").cast("bigint").alias("n_lines"),
-        kept.alias("_kept"),
+    # _drop MUST be evaluated once per ROW, not once per line element:
+    # CollapseProject inlines a deterministic single-use projection
+    # into the downstream filter lambda, where it re-runs PER ELEMENT
+    # (measured: 2k docs 11.5s, 8k docs 65s — quadratic in doc lines —
+    # vs 2.5s/1.8s with the barrier). The F.shuffle wrapper is the
+    # standard nondeterministic projection barrier: CollapseProject
+    # refuses to substitute nondeterministic expressions, and element
+    # ORDER is irrelevant to the array_contains membership probe, so
+    # the output is unchanged. Missing-domain rows: intersect with a
+    # null array is null → array_contains null-propagates → coalesce
+    # keeps the line.
+    staged = (
+        joined.withColumn(
+            "_drop",
+            F.shuffle(
+                F.array_intersect(
+                    F.transform("_lines", lambda ln: F.xxhash64(ln)),
+                    F.col("_bph"),
+                )
+            ),
+        )
+        .select(
+            F.col(id_col), F.col(domain_col),
+            F.size("_lines").cast("bigint").alias("n_lines"),
+            F.filter(
+                F.col("_lines"),
+                lambda ln: ~F.coalesce(
+                    F.array_contains(F.col("_drop"), F.xxhash64(ln)),
+                    F.lit(False),
+                ),
+            ).alias("_kept"),
+        )
     )
     return staged.select(
         id_col, domain_col,
