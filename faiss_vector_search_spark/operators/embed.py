@@ -398,6 +398,13 @@ def text_search_multi(
             ).alias(f"_dot_{i}")
         )
     dots = d.groupBy(id_col).agg(*aggs)
+    bad = [t for t in tags if "'" in t or "\\" in t]
+    if bad:
+        raise ValueError(
+            f"text_search_multi: query tags must not contain quotes or "
+            f"backslashes (they interpolate into a stack() expression): "
+            f"{bad!r}"
+        )
     stack_args = ", ".join(f"'{t}', _dot_{i}" for i, t in enumerate(tags))
     long = dots.select(
         F.col(id_col), F.col("_dn2"),
