@@ -4663,6 +4663,117 @@ SELECT * FROM perq UNION ALL SELECT * FROM macro ORDER BY query_tag
 """
 
 
+def _hyb_block(i: int) -> str:
+    """Per-query hybrid-RRF tail CTE for the hybrid_search_suite
+    oracle — fuses the bm25_{i}/dense{i} shortlists _suite_block
+    already defines (its metric CTEs go unreferenced and unevaluated
+    in this statement)."""
+    return f"""
+hyb{i} AS (
+  SELECT 'q{i}' AS query_tag, f.doc_id, f.rrf_score
+  FROM (
+    SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+           ROUND(coalesce(1.0 / (60 + l.rank_lex), 0)
+               + coalesce(1.0 / (60 + v.rank_vec), 0), 6) AS rrf_score
+    FROM
+      (SELECT doc_id, row_number() OVER (
+         ORDER BY score DESC, doc_id ASC) AS rank_lex
+       FROM (SELECT * FROM bm25_{i}
+             ORDER BY score DESC, doc_id ASC LIMIT 20)) l
+      FULL OUTER JOIN
+      (SELECT doc_id, row_number() OVER (
+         ORDER BY score DESC, doc_id ASC) AS rank_vec
+       FROM (SELECT * FROM dense{i}
+             ORDER BY score DESC, doc_id ASC LIMIT 20)) v
+      USING (doc_id)
+  ) f ORDER BY f.rrf_score DESC, f.doc_id ASC LIMIT 10
+)"""
+
+
+def q_hybrid_search_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid (BM25 + dense cosine, RRF-fused) retrieval for the
+    4-query judged suite in TWO corpus passes total: both stage-1
+    engines run their one-pass multi-query forms; the fusion joins
+    only |Q|·20-row shortlists."""
+    docs = _t(spark, sf_dir, "documents")
+    tagged = [(f"q{i}", q) for i, q in enumerate(_EVAL_QUERIES, 1)]
+    lex = lexical.bm25_search_multi(docs, tagged, k=20).select(
+        "query_tag", "doc_id", "score"
+    )
+    den = embed.text_search_multi(
+        docs, tagged, dim=64, k=20, hash_fn="md5"
+    ).select("query_tag", "doc_id", "score")
+    return lexical.hybrid_rrf_multi(lex, den, k=10)
+
+
+ORACLES["hybrid_search_suite"] = f"""
+WITH
+toksb AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM toksb GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+db AS (
+  SELECT doc_id,
+         (('0x' || substr(md5('s0:' || tok), 1, 15))::BIGINT % 64) AS bucket,
+         count(*)::BIGINT AS cnt
+  FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+  GROUP BY 1, 2
+),
+dn AS (SELECT doc_id, sum(cnt * cnt) AS dn2 FROM db GROUP BY 1),
+{",".join(_suite_block(i, q) for i, q in enumerate(_EVAL_QUERIES, 1))},
+{",".join(_hyb_block(i) for i in range(1, len(_EVAL_QUERIES) + 1))}
+{" UNION ALL ".join(f"SELECT * FROM hyb{i}" for i in range(1, len(_EVAL_QUERIES) + 1))}
+ORDER BY query_tag ASC, rrf_score DESC, doc_id ASC
+"""
+
+
+def q_knn_classify_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-weighted k-NN label prediction (votes carry the
+    similarity score, decimal-exact accumulation) for the same 4
+    query vectors as knn_classify."""
+    from faiss_vector_search_spark.operators import knn as knn_mod
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id").isin([0, 3, 7, 11])).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return knn_mod.knn_classify(emb, queries, k=10, weighted=True)
+
+
+ORACLES["knn_classify_weighted"] = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id IN (0, 3, 7, 11)
+),
+scored AS (
+  SELECT q.query_id, e.vec_id, e.label,
+         ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS r
+  FROM scored
+),
+votes AS (
+  SELECT query_id, label, count(*)::BIGINT AS votes,
+         sum(CAST(score AS DECIMAL(18,6))) AS w
+  FROM ranked WHERE r <= 10 GROUP BY 1, 2
+),
+best AS (
+  SELECT query_id, label AS pred_label, votes, w,
+         sum(w) OVER (PARTITION BY query_id) AS tw,
+         row_number() OVER (
+    PARTITION BY query_id ORDER BY w DESC, label ASC) AS vr
+  FROM votes
+)
+SELECT query_id, pred_label, votes,
+       ROUND(CAST(w AS DOUBLE), 6) AS weight,
+       ROUND(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE), 6) AS confidence
+FROM best WHERE vr = 1
+"""
+
+
 _SHARD_PATHS: dict[str, str] = {}
 
 
@@ -5113,6 +5224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # denominator, event_funnel horizon-anchor cascade), then the
         # stalest greens: the six r3-green keys, then 38 r4-green keys.
         # Every r5/r6 green rotates behind; rows-only keys stay last.
+        "hybrid_search_suite": q_hybrid_search_suite,
+        "knn_classify_weighted": q_knn_classify_weighted,
         "retrieval_eval_suite": q_retrieval_eval_suite,
         "event_funnel_horizon": q_event_funnel_horizon,
         "chunk_search": q_chunk_search,
@@ -5161,9 +5274,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_search": q_range_search,
         "vector_reconstruct": q_vector_reconstruct,
         "remove_vectors": q_remove_vectors,
+        # ---- position 51+: r4/r5/r6 greens, freshest last ----
         "tpch_q6": q_tpch_q6,
         "large_volume_customers": q_large_volume_customers,
-        # ---- position 51+: r4/r5/r6 greens, freshest last ----
         "dataset_card": q_dataset_card,
         "cross_domain_dups": q_cross_domain_dups,
         "split_kl": q_split_kl,

@@ -563,6 +563,8 @@ def main() -> None:
         "event_funnel_horizon": qs["event_funnel_horizon"],
         "retrieval_eval": qs["retrieval_eval"],
         "retrieval_eval_suite": qs["retrieval_eval_suite"],
+        "hybrid_search_suite": qs["hybrid_search_suite"],
+        "knn_classify_weighted": qs["knn_classify_weighted"],
         "chunk_search": qs["chunk_search"],
         "domain_temperature": qs["domain_temperature"],
         "model_rerank": qs["model_rerank"],

@@ -149,6 +149,7 @@ def knn_classify(
     label_col: str = "label",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    weighted: bool = False,
 ) -> DataFrame:
     """k-NN majority-vote classification over the embedding corpus —
     the label-propagation primitive behind weak labeling, data-mix
@@ -164,6 +165,16 @@ def knn_classify(
     a unanimous vote on a small corpus reads 1.0 instead of
     understating. Only (query, label, votes) triples — never vectors —
     reach the second aggregation.
+
+    ``weighted=True`` is the standard distance-weighted refinement:
+    each neighbor votes with its similarity SCORE instead of 1 —
+    closer neighbors dominate, which matters exactly when the label
+    boundary falls inside the k-neighborhood. The per-label weights
+    accumulate as DECIMAL(18,6) over the already-rounded scores
+    (exact — no float summation-order drift, so the hash gate holds),
+    the output adds a ``weight`` column, and ``confidence`` becomes
+    weight / total-weight; ties break on weight then the smaller
+    label (the decimal weight makes the tie-break exact too).
     """
     q = F.broadcast(queries.select(query_id_col, query_vec_col))
     scored = (
@@ -185,13 +196,37 @@ def knn_classify(
     neighbors = scored.withColumn("_r", F.row_number().over(w)).where(
         F.col("_r") <= k
     )
+    nw = Window.partitionBy(query_id_col)
+    if weighted:
+        votes = neighbors.groupBy(query_id_col, label_col).agg(
+            F.count("*").cast("bigint").alias("votes"),
+            F.sum(F.col("score").cast("decimal(18,6)")).alias("_w"),
+        )
+        vw = Window.partitionBy(query_id_col).orderBy(
+            F.col("_w").desc(), F.col(label_col).asc()
+        )
+        return (
+            votes.withColumn("_tw", F.sum("_w").over(nw))
+            .withColumn("_vr", F.row_number().over(vw))
+            .where(F.col("_vr") == 1)
+            .select(
+                F.col(query_id_col),
+                F.col(label_col).alias("pred_label"),
+                F.col("votes"),
+                F.round(F.col("_w").cast("double"), 6).alias("weight"),
+                F.round(
+                    F.col("_w").cast("double")
+                    / F.col("_tw").cast("double"),
+                    6,
+                ).alias("confidence"),
+            )
+        )
     votes = neighbors.groupBy(query_id_col, label_col).agg(
         F.count("*").cast("bigint").alias("votes")
     )
     vw = Window.partitionBy(query_id_col).orderBy(
         F.col("votes").desc(), F.col(label_col).asc()
     )
-    nw = Window.partitionBy(query_id_col)
     return (
         votes.withColumn("_n", F.sum("votes").over(nw))
         .withColumn("_vr", F.row_number().over(vw))

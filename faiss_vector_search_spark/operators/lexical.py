@@ -298,6 +298,57 @@ def hybrid_rrf(
     ).limit(k)
 
 
+def hybrid_rrf_multi(
+    lexical: DataFrame,
+    dense: DataFrame,
+    k: int = 10,
+    rrf_k: int = 60,
+    tag_col: str = "query_tag",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion for a QUERY SET: :func:`hybrid_rrf`
+    generalized per tag. Both inputs carry (tag, id, score) — the
+    per-tag top-k shortlists from :func:`bm25_search_multi` /
+    :func:`embed.text_search_multi` — so every frame here is
+    suite-bounded (|Q|·k rows): the rank windows, the full-outer
+    fusion join, and the per-tag top-k all run on shortlist-sized
+    data regardless of corpus size. Output: (tag, id, rrf_score),
+    top-k per tag."""
+    def ranked(df: DataFrame, name: str) -> DataFrame:
+        w = F.row_number().over(
+            Window.partitionBy(tag_col).orderBy(
+                F.col("score").desc(), F.col(id_col).asc()
+            )
+        )
+        return df.select(
+            F.col(tag_col), F.col(id_col), w.alias(f"rank_{name}")
+        )
+
+    lex = ranked(lexical, "lex")
+    den = ranked(dense, "vec")
+    fused = (
+        lex.join(den, [tag_col, id_col], "outer")
+        .select(
+            F.col(tag_col),
+            F.col(id_col),
+            F.round(
+                F.coalesce(1.0 / (rrf_k + F.col("rank_lex")), F.lit(0.0))
+                + F.coalesce(1.0 / (rrf_k + F.col("rank_vec")), F.lit(0.0)),
+                SCORE_DECIMALS,
+            ).alias("rrf_score"),
+        )
+    )
+    w2 = Window.partitionBy(tag_col).orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        fused.withColumn("_r", F.row_number().over(w2))
+        .where(F.col("_r") <= k)
+        .drop("_r")
+        .orderBy(tag_col, F.col("rrf_score").desc(), F.col(id_col).asc())
+    )
+
+
 def tfidf_topk_terms(
     docs: DataFrame,
     k: int = 5,

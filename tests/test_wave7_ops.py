@@ -145,6 +145,75 @@ class TestMultiQueryRetrieval:
         assert "CartesianProduct" not in final
 
 
+class TestHybridRrfMulti:
+    def test_matches_single_query_fusion_per_tag(self, spark, sf_small):
+        from faiss_vector_search_spark.io import load_table
+        from faiss_vector_search_spark.operators import embed, lexical
+
+        docs = load_table(spark, sf_small, "documents")
+        qs = QUERIES[:2]
+        lex = lexical.bm25_search_multi(docs, qs, k=20).select(
+            "query_tag", "doc_id", "score")
+        den = embed.text_search_multi(docs, qs, dim=64, k=20).select(
+            "query_tag", "doc_id", "score")
+        multi = lexical.hybrid_rrf_multi(lex, den, k=10)
+        got = {
+            t: [(r["doc_id"], r["rrf_score"])
+                for r in multi.where(F.col("query_tag") == t).collect()]
+            for t, _ in qs
+        }
+        for tag, q in qs:
+            single = [
+                (r["doc_id"], r["rrf_score"])
+                for r in lexical.hybrid_rrf(
+                    lexical.bm25_search(docs, q, k=20),
+                    embed.text_search(docs, q, dim=64, k=20),
+                    k=10,
+                ).collect()
+            ]
+            assert got[tag] == single, tag
+
+
+class TestKnnClassifyWeighted:
+    def test_closer_neighbor_dominates_count_tie(self, spark):
+        from faiss_vector_search_spark.operators import knn
+
+        # labels tie 1-1 on counts; the weighted vote must follow the
+        # higher-similarity neighbor (label 9), the unweighted one
+        # breaks the count tie to the smaller label (3)
+        emb = spark.createDataFrame(
+            [(0, [1.0, 0.0], 0),
+             (1, [0.99, 0.14], 9),   # closer, label 9
+             (2, [0.7, 0.71], 3)],   # farther, label 3
+            "vec_id long, embedding array<double>, label int",
+        )
+        q = emb.where(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        (u,) = knn.knn_classify(emb, q, k=2).collect()
+        assert u["pred_label"] == 3  # count tie -> smaller label
+        (w,) = knn.knn_classify(emb, q, k=2, weighted=True).collect()
+        assert w["pred_label"] == 9
+        assert w["votes"] == 1
+        assert 0.5 < w["confidence"] < 1.0
+        assert w["weight"] == pytest.approx(0.99, abs=0.02)
+
+    def test_unanimous_weighted_confidence_is_one(self, spark):
+        from faiss_vector_search_spark.operators import knn
+
+        emb = spark.createDataFrame(
+            [(0, [1.0, 0.0], 5), (1, [0.9, 0.1], 5), (2, [0.8, 0.2], 5)],
+            "vec_id long, embedding array<double>, label int",
+        )
+        q = emb.where(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        (w,) = knn.knn_classify(emb, q, k=5, weighted=True).collect()
+        assert w["pred_label"] == 5 and w["confidence"] == 1.0
+
+
 class TestCrossEncoderRerank:
     def test_self_query_ranks_first_and_deterministic(self, spark, sf_small):
         from faiss_vector_search_spark.io import load_table
