@@ -4807,6 +4807,17 @@ def q_model_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN tier of the chunk-serving flow: greedy-chunk -> embed ->
+    IVF probe-pruned top-k with chunk text attached. Rows-only: the
+    quantizer argmin tie-walk is the declared no-oracle surface;
+    full-probe==brute-force + attribution pytest-gated
+    (tests/test_wave7_ops.py)."""
+    return embed.chunk_text_search_ivf(
+        _t(spark, sf_dir, "documents"), RAG_QUERY, k=5, nlist=16, nprobe=4,
+    )
+
+
 def q_cross_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage retrieve → cross-encoder pair rerank: feature-hash
     cosine shortlist, then the committed numpy PAIR head scoring
@@ -5400,6 +5411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "model_rerank": q_model_rerank,
         "training_shards": q_training_shards,
         "cross_rerank": q_cross_rerank,
+        "chunk_search_ivf": q_chunk_search_ivf,
     }
 
 

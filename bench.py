@@ -569,6 +569,7 @@ def main() -> None:
         "domain_temperature": qs["domain_temperature"],
         "model_rerank": qs["model_rerank"],
         "cross_rerank": qs["cross_rerank"],
+        "chunk_search_ivf": qs["chunk_search_ivf"],
         "training_shards": qs["training_shards"],
         "self_similarity": qs["self_similarity"],
         "dataset_card": qs["dataset_card"],

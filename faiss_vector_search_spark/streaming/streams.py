@@ -225,37 +225,47 @@ def streaming_sessionize(
 
 
 FUNNEL_OUT_SCHEMA = "user_id bigint, steps_completed int"
-FUNNEL_STATE_SCHEMA = "step_reached int, last_ts_us bigint"
+FUNNEL_STATE_SCHEMA = "step_reached int, last_ts_us bigint, anchor_us bigint"
 
 
 def streaming_funnel(
     events: DataFrame,
     steps: tuple[str, ...] = ("view", "click", "purchase"),
+    horizon_s: float | None = None,
 ) -> DataFrame:
     """Stateful streaming twin of :func:`analytics.event_funnel`:
     per-user ordered-funnel progression maintained across
     micro-batches with ``applyInPandasWithState`` — the live
     conversion dashboard over an event stream.
 
-    State per user is two longs (highest step reached, the timestamp
-    it was reached at) — constant memory per key. Each batch replays
-    the user's new events in time order and advances the step pointer
-    greedily on strict ts increase; the greedy earliest-advance walk
-    equals the batch operator's min-cascade when each user's events
-    arrive time-ordered across micro-batches (the log-shipping
-    contract, same as streaming_sessionize). Update semantics: the
-    latest row per user is the current progress; a dashboard
-    aggregates ``steps_completed >= i`` per step.
+    State per user is three longs (highest step reached, the
+    timestamp it was reached at, the step-1 ANCHOR timestamp) —
+    constant memory per key. Each batch replays the user's new
+    events in time order and advances the step pointer greedily on
+    strict ts increase; with ``horizon_s`` set, later steps also
+    require the event to fall within the conversion window of the
+    anchor — the same integer-microsecond predicate the batch
+    operator applies. The greedy earliest-advance walk equals the
+    batch min-cascade (with or without horizon) when each user's
+    events arrive time-ordered across micro-batches (the
+    log-shipping contract, same as streaming_sessionize): the first
+    qualifying occurrence IS the conditional min under time order.
+    Update semantics: the latest row per user is the current
+    progress; a dashboard aggregates ``steps_completed >= i`` per
+    step.
     """
     import pandas as pd
 
     step_of = {s: i for i, s in enumerate(steps)}
+    horizon_us = None if horizon_s is None else int(horizon_s * 1_000_000)
 
     def update(key, pdfs, state):
         if state.exists:
-            reached, last_ts = state.get
+            reached, last_ts, anchor = state.get
+            if last_ts == -1:
+                last_ts = None
         else:
-            reached, last_ts = 0, None
+            reached, last_ts, anchor = 0, None, -1
         evs = []
         for pdf in pdfs:
             evs.extend(
@@ -266,12 +276,22 @@ def streaming_funnel(
         for ts, etype in evs:
             if reached >= len(steps):
                 break
-            if step_of.get(etype) == reached and (
-                last_ts is None or ts > last_ts
+            if step_of.get(etype) != reached:
+                continue
+            if last_ts is not None and ts <= last_ts:
+                continue
+            if (
+                reached > 0
+                and horizon_us is not None
+                and ts > anchor + horizon_us
             ):
-                reached += 1
-                last_ts = ts
-        state.update((reached, last_ts if last_ts is not None else -1))
+                continue
+            if reached == 0:
+                anchor = ts
+            reached += 1
+            last_ts = ts
+        state.update((reached, last_ts if last_ts is not None else -1,
+                      anchor))
         yield pd.DataFrame(
             {"user_id": [key[0]], "steps_completed": [reached]}
         )

@@ -503,3 +503,24 @@ def test_streaming_funnel_matches_batch(spark, sf_small, tmp_path):
     for i in (1, 2, 3):
         got_i = sum(1 for v in progress.values() if v >= i)
         assert got_i == want[i], (i, got_i, want[i])
+
+    # horizoned twin: same micro-batches, 48h conversion window —
+    # must equal the batch cascade with the same horizon (which is
+    # strictly tighter than the unbounded counts on this corpus)
+    fun_h = streams.streaming_funnel(
+        streams.stream_events(spark, str(out)), horizon_s=48 * 3600
+    )
+    streams.run_to_completion(fun_h, "stream_funnel_h", mode="update")
+    updates_h = spark.table("stream_funnel_h").toPandas()
+    progress_h = {
+        int(r.user_id): int(r.steps_completed)
+        for _, r in updates_h.iterrows()
+    }
+    want_h = {
+        r["step_idx"]: r["n_users"]
+        for r in analytics.event_funnel(src, horizon_s=48 * 3600).collect()
+    }
+    assert any(want_h[i] < want[i] for i in (2, 3))  # horizon binds
+    for i in (1, 2, 3):
+        got_i = sum(1 for v in progress_h.values() if v >= i)
+        assert got_i == want_h[i], (i, got_i, want_h[i])
