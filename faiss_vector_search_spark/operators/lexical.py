@@ -310,33 +310,31 @@ def hybrid_rrf_multi(
     generalized per tag. Both inputs carry (tag, id, score) — the
     per-tag top-k shortlists from :func:`bm25_search_multi` /
     :func:`embed.text_search_multi` — so every frame here is
-    suite-bounded (|Q|·k rows): the rank windows, the full-outer
-    fusion join, and the per-tag top-k all run on shortlist-sized
-    data regardless of corpus size. Output: (tag, id, rrf_score),
-    top-k per tag."""
-    def ranked(df: DataFrame, name: str) -> DataFrame:
+    suite-bounded (|Q|·k rows): the rank windows, the fusion, and the
+    per-tag top-k all run on shortlist-sized data regardless of
+    corpus size. The fusion is a UNION + groupBy-sum of per-retriever
+    contributions, not a full-outer join — mathematically identical
+    (coalesce(a,0)+coalesce(b,0) = Σ of present contributions; IEEE
+    addition of two terms is commutative so the hash is stable), and
+    it sidesteps the estimator trap where both shortlists descend
+    from corpus-sized aggregations, get sized at corpus scale, and a
+    full-outer join (which can never broadcast) plans as a sort-merge
+    join. Output: (tag, id, rrf_score), top-k per tag."""
+    def contrib(df: DataFrame) -> DataFrame:
         w = F.row_number().over(
             Window.partitionBy(tag_col).orderBy(
                 F.col("score").desc(), F.col(id_col).asc()
             )
         )
         return df.select(
-            F.col(tag_col), F.col(id_col), w.alias(f"rank_{name}")
+            F.col(tag_col), F.col(id_col),
+            (1.0 / (rrf_k + w)).alias("_c"),
         )
 
-    lex = ranked(lexical, "lex")
-    den = ranked(dense, "vec")
     fused = (
-        lex.join(den, [tag_col, id_col], "outer")
-        .select(
-            F.col(tag_col),
-            F.col(id_col),
-            F.round(
-                F.coalesce(1.0 / (rrf_k + F.col("rank_lex")), F.lit(0.0))
-                + F.coalesce(1.0 / (rrf_k + F.col("rank_vec")), F.lit(0.0)),
-                SCORE_DECIMALS,
-            ).alias("rrf_score"),
-        )
+        contrib(lexical).unionByName(contrib(dense))
+        .groupBy(tag_col, id_col)
+        .agg(F.round(F.sum("_c"), SCORE_DECIMALS).alias("rrf_score"))
     )
     w2 = Window.partitionBy(tag_col).orderBy(
         F.col("rrf_score").desc(), F.col(id_col).asc()

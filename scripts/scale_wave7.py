@@ -139,6 +139,15 @@ def main() -> None:
             events, horizon_s=48 * 3600),
         "cross_rerank": lambda: rerank.cross_encoder_rerank(
             docs, RAG_QUERY, k=5, shortlist=20, hash_fn="xxhash64"),
+        "hybrid_search_suite": lambda: lexical.hybrid_rrf_multi(
+            lexical.bm25_search_multi(docs, SUITE, k=20).select(
+                "query_tag", "doc_id", "score"),
+            embed.text_search_multi(
+                docs, SUITE, dim=64, k=20, hash_fn="xxhash64"
+            ).select("query_tag", "doc_id", "score"),
+            k=10),
+        "chunk_search_ivf": lambda: embed.chunk_text_search_ivf(
+            docs, RAG_QUERY, k=5, nlist=16, nprobe=4, hash_fn="xxhash64"),
         "bp_heavy_intersect": lambda: dedup.domain_boilerplate_strip(
             heavy, min_docs=3),
         # the retired engine never finishes the full 10x corpus
@@ -187,6 +196,10 @@ def main() -> None:
             "event_funnel_horizon": not row["sort_merge_join"]
             and not row["cartesian"],
             "cross_rerank": not row["sort_merge_join"]
+            and not row["cartesian"],
+            "hybrid_search_suite": not row["sort_merge_join"]
+            and not row["cartesian"],
+            "chunk_search_ivf": not row["sort_merge_join"]
             and not row["cartesian"],
             "bp_heavy_intersect": not row["sort_merge_join"]
             and not row["cartesian"] and "BroadcastHashJoin" in final,
