@@ -4757,7 +4757,7 @@ ranked AS (
 ),
 votes AS (
   SELECT query_id, label, count(*)::BIGINT AS votes,
-         sum(CAST(score AS DECIMAL(18,6))) AS w
+         sum(CAST(greatest(score, 0) AS DECIMAL(18,6))) AS w
   FROM ranked WHERE r <= 10 GROUP BY 1, 2
 ),
 best AS (
@@ -4769,7 +4769,7 @@ best AS (
 )
 SELECT query_id, pred_label, votes,
        ROUND(CAST(w AS DOUBLE), 6) AS weight,
-       ROUND(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE), 6) AS confidence
+       ROUND(CAST(w AS DOUBLE) / nullif(CAST(tw AS DOUBLE), 0), 6) AS confidence
 FROM best WHERE vr = 1
 """
 

@@ -372,6 +372,14 @@ def text_search_multi(
         return docs.select(F.col(id_col)).limit(0).select(
             F.lit("").alias(tag_col), F.col(id_col), F.lit(0.0).alias("score")
         )
+    dup_tags = sorted({t for t, _ in qlist
+                       if sum(1 for t2, _ in qlist if t2 == t) > 1})
+    if dup_tags:
+        raise ValueError(
+            f"text_search_multi: duplicate query tags {dup_tags!r} — two "
+            f"queries sharing a tag would silently merge their bucket "
+            f"counts and score BOTH wrong; give every query a unique tag"
+        )
     qdf = spark.createDataFrame(qlist, f"{tag_col} string, {text_col} string")
     qb_rows = token_buckets(qdf, dim, tag_col, text_col, hash_fn).collect()
     per_tag: dict[str, dict[int, int]] = {t: {} for t, _ in qlist}

@@ -415,11 +415,18 @@ def retrieval_metrics_by_query(
     n_relevant, n_hits, recall_at_k, mrr, ndcg_at_k) + one
     ``MACRO`` row (n_relevant/n_hits summed, metrics macro-averaged).
     """
+    # Both projections dedupe on (query, id): duplicate judgment rows
+    # would otherwise fan out the left join (n_hits double-counts and
+    # recall@k exceeds 1.0); duplicate result rows would double their
+    # rank's DCG term. Suite-bounded frames, so the distincts are free.
     r = results.where(F.col(rank_col) <= k).select(
         F.col(query_col), F.col(id_col),
         F.col(rank_col).cast("int").alias("_rank"),
+    ).distinct()
+    t = (
+        truth.select(query_col, id_col).distinct()
+        .withColumn("_rel", F.lit(1))
     )
-    t = truth.select(query_col, id_col).withColumn("_rel", F.lit(1))
     j = r.join(F.broadcast(t), [query_col, id_col], "left")
     stats = j.groupBy(query_col).agg(
         F.sum(
@@ -429,7 +436,7 @@ def retrieval_metrics_by_query(
         F.min(F.when(F.col("_rel") == 1, F.col("_rank"))).alias("_fr"),
         F.count(F.when(F.col("_rel") == 1, F.lit(1))).alias("_nh"),
     )
-    nrel = truth.groupBy(query_col).agg(
+    nrel = t.groupBy(query_col).agg(
         F.count("*").cast("bigint").alias("n_relevant")
     )
     idcg = F.aggregate(

@@ -169,12 +169,20 @@ def knn_classify(
     ``weighted=True`` is the standard distance-weighted refinement:
     each neighbor votes with its similarity SCORE instead of 1 —
     closer neighbors dominate, which matters exactly when the label
-    boundary falls inside the k-neighborhood. The per-label weights
-    accumulate as DECIMAL(18,6) over the already-rounded scores
-    (exact — no float summation-order drift, so the hash gate holds),
-    the output adds a ``weight`` column, and ``confidence`` becomes
-    weight / total-weight; ties break on weight then the smaller
-    label (the decimal weight makes the tie-break exact too).
+    boundary falls inside the k-neighborhood. A neighbor's weight is
+    ``greatest(score, 0)``: similarity weights are only well-defined
+    non-negative (with metric='ip' on unnormalized vectors a raw
+    score can be negative, which would make weight/total-weight fall
+    outside [0, 1] or divide by a zero/negative total), so
+    anti-correlated neighbors contribute zero weight — they still
+    COUNT in ``votes``, they just can't subtract mass. The per-label
+    weights accumulate as DECIMAL(18,6) over the already-rounded
+    scores (exact — no float summation-order drift, so the hash gate
+    holds), the output adds a ``weight`` column, and ``confidence``
+    becomes weight / total-weight — NULL in the degenerate all-zero-
+    weight neighborhood (no signal to apportion) rather than 0/0.
+    Ties break on weight then the smaller label (the decimal weight
+    makes the tie-break exact too).
     """
     q = F.broadcast(queries.select(query_id_col, query_vec_col))
     scored = (
@@ -200,7 +208,9 @@ def knn_classify(
     if weighted:
         votes = neighbors.groupBy(query_id_col, label_col).agg(
             F.count("*").cast("bigint").alias("votes"),
-            F.sum(F.col("score").cast("decimal(18,6)")).alias("_w"),
+            F.sum(
+                F.greatest(F.col("score"), F.lit(0.0)).cast("decimal(18,6)")
+            ).alias("_w"),
         )
         vw = Window.partitionBy(query_id_col).orderBy(
             F.col("_w").desc(), F.col(label_col).asc()
@@ -216,7 +226,8 @@ def knn_classify(
                 F.round(F.col("_w").cast("double"), 6).alias("weight"),
                 F.round(
                     F.col("_w").cast("double")
-                    / F.col("_tw").cast("double"),
+                    / F.nullif(F.col("_tw"), F.lit(0).cast("decimal(18,6)"))
+                    .cast("double"),
                     6,
                 ).alias("confidence"),
             )

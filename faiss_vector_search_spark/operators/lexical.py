@@ -170,6 +170,14 @@ def bm25_search_multi(
             F.lit("").alias(tag_col), F.col(id_col),
             F.lit(0.0).alias("score"), F.lit(0).alias("rank"),
         )
+    dup_tags = sorted({t for t, _ in qlist
+                       if sum(1 for t2, _ in qlist if t2 == t) > 1})
+    if dup_tags:
+        raise ValueError(
+            f"bm25_search_multi: duplicate query tags {dup_tags!r} — two "
+            f"queries sharing a tag would silently merge their term sets "
+            f"and score BOTH wrong; give every query a unique tag"
+        )
     qdf = spark.createDataFrame(qlist, f"{tag_col} string, {text_col} string")
     qterms = qdf.select(
         F.col(tag_col), F.explode(tokens(F.col(text_col))).alias("term")

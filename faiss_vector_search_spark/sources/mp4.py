@@ -203,11 +203,15 @@ def _apply_fragments(payload: bytes, tracks: list[dict]) -> None:
     trun's first-sample-flags (first sample only), else tfhd
     defaults, else the mvex/trex defaults. The data base offset is
     tfhd's explicit base-data-offset when present, else the first
-    byte of the enclosing moof (the ``default-base-is-moof`` rule —
-    also used when neither flag is set, the universal layout of
-    DASH/CMAF segments where every trun carries an explicit
-    data-offset). Encrypted fragments (a ``senc`` box in any traf)
-    raise — sample decryption needs CENC keys, not a parser.
+    byte of the enclosing moof when ``default-base-is-moof``
+    (0x20000) is set. When NEITHER flag is set, ISO 14496-12 §8.8.7
+    says the first traf of a moof anchors at the moof start and each
+    subsequent traf anchors at the END of the previous traf's data —
+    so multi-traf moofs without explicit trun data offsets resolve by
+    carrying the running end-of-data position across trafs (within
+    one traf, a trun without a data-offset already continues from
+    the previous trun). Encrypted fragments (a ``senc`` box in any
+    traf) raise — sample decryption needs CENC keys, not a parser.
     """
     by_id = {t["track_id"]: t for t in tracks}
     # mvex/trex defaults: (duration, size, flags) per track
@@ -219,8 +223,11 @@ def _apply_fragments(payload: bytes, tracks: list[dict]) -> None:
         trex[tid] = (dur, size, flags)
     # running decode time per track (tfdt overrides when present)
     tnext: dict[int, int] = {tid: 0 for tid in by_id}
-    saw_flags: set[int] = set()
     sync: dict[int, set] = {tid: set() for tid in by_id}
+    # moov-declared sample counts (before any fragment appends) and
+    # per-track fragment sample counts — the sync-set merge needs both
+    n_moov: dict[int, int] = {tid: len(t["samples"]) for tid, t in by_id.items()}
+    n_frag: dict[int, int] = {tid: 0 for tid in by_id}
 
     # top-level walk that also tracks each box's START byte (the
     # moof anchor per spec includes the box header, and the header
@@ -242,6 +249,10 @@ def _apply_fragments(payload: bytes, tracks: list[dict]) -> None:
     for btype, moof_start, m0, m1 in top:
         if btype != b"moof":
             continue
+        # end of the previous traf's data within THIS moof — the
+        # implicit base for a traf carrying neither base-data-offset
+        # nor default-base-is-moof (None = first traf → moof start)
+        prev_traf_end: int | None = None
         for tb, t0, t1 in _boxes(payload, m0, m1):
             if tb != b"traf":
                 continue
@@ -261,7 +272,10 @@ def _apply_fragments(payload: bytes, tracks: list[dict]) -> None:
                 raise ValueError(
                     f"malformed fMP4: traf for undeclared track {tid}")
             pos = b0 + 8
-            base = moof_start
+            if tf_flags & _TFHD_BASE_IS_MOOF or prev_traf_end is None:
+                base = moof_start
+            else:
+                base = prev_traf_end
             if tf_flags & _TFHD_BASE_OFFSET:
                 base = struct.unpack_from(">Q", payload, pos)[0]
                 pos += 8
@@ -277,7 +291,6 @@ def _apply_fragments(payload: bytes, tracks: list[dict]) -> None:
             if tf_flags & _TFHD_DEF_FLAGS:
                 tflags = struct.unpack_from(">I", payload, pos)[0]
                 pos += 4
-                saw_flags.add(tid)
             if b"tfdt" in inner:
                 d0, _ = inner[b"tfdt"]
                 ver = payload[d0]
@@ -288,6 +301,7 @@ def _apply_fragments(payload: bytes, tracks: list[dict]) -> None:
                 )
             track = by_id[tid]
             data_pos = None  # trun without data-offset continues
+            traf_end: int | None = None  # furthest data byte this traf
             for bt, r0, r1 in _boxes(payload, t0, t1):
                 if bt != b"trun":
                     continue
@@ -306,7 +320,6 @@ def _apply_fragments(payload: bytes, tracks: list[dict]) -> None:
                 if tr_bits & _TRUN_FIRST_FLAGS:
                     first_flags = struct.unpack_from(">I", payload, p)[0]
                     p += 4
-                    saw_flags.add(tid)
                 for i in range(n):
                     dur, size, sflags = tdur, tsize, tflags
                     if tr_bits & _TRUN_DURATION:
@@ -318,7 +331,6 @@ def _apply_fragments(payload: bytes, tracks: list[dict]) -> None:
                     if tr_bits & _TRUN_FLAGS:
                         sflags = struct.unpack_from(">I", payload, p)[0]
                         p += 4
-                        saw_flags.add(tid)
                     elif i == 0 and first_flags is not None:
                         sflags = first_flags
                     if tr_bits & _TRUN_CTS:
@@ -327,14 +339,30 @@ def _apply_fragments(payload: bytes, tracks: list[dict]) -> None:
                         raise ValueError(
                             "malformed fMP4: trun sample outside payload")
                     track["samples"].append((data_pos, size, tnext[tid]))
+                    n_frag[tid] += 1
                     if not (sflags & _NON_SYNC_BIT):
                         sync[tid].add(len(track["samples"]))
                     data_pos += size
                     tnext[tid] += dur
+                if data_pos is not None:
+                    traf_end = (
+                        data_pos if traf_end is None
+                        else max(traf_end, data_pos)
+                    )
+            if traf_end is not None:
+                prev_traf_end = traf_end
     for tid, track in by_id.items():
+        if not n_frag[tid]:
+            continue  # no fragment samples -> moov tables stand as-is
+        # Merging fragment sync indexes into the moov set must respect
+        # the stss convention that an EMPTY set means "every sample is
+        # sync": promoting to a non-empty set without enumerating the
+        # moov samples would silently reclassify them as non-sync.
+        moov_sync = set(track["keyframes"])
+        if not moov_sync and n_moov[tid]:
+            moov_sync = set(range(1, n_moov[tid] + 1))
         track["n_samples"] = len(track["samples"])
-        if tid in saw_flags:
-            track["keyframes"] = set(track["keyframes"]) | sync[tid]
+        track["keyframes"] = moov_sync | sync[tid]
 
 
 def mp4_sample_frames(

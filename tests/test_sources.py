@@ -998,3 +998,145 @@ class TestMp4Demux:
         # stss [1,4]: 1-based samples 1 and 4 -> 0-based idx 0 is key,
         # 2 is not, 4 is not (sample 4 is 0-based 3)
         assert [r.keyframe for r in out] == [True, False, False]
+
+    def test_multi_traf_implicit_base_and_trex_sync_default(self):
+        """ISO 14496-12 §8.8.7: with neither base-data-offset nor
+        default-base-is-moof set, the FIRST traf of a moof anchors at
+        the moof start and each LATER traf anchors at the END of the
+        previous traf's data. Also: a track whose sync flags come
+        ONLY from the trex defaults (no tfhd/trun flag boxes) must
+        still surface its fragment keyframes."""
+        import struct
+
+        from faiss_vector_search_spark.sources import mp4
+
+        b = self._box
+
+        def full(btype, body, version=0):
+            return b(btype, bytes([version, 0, 0, 0]) + body)
+
+        def full_flags(btype, flags, body, version=0):
+            return b(btype, struct.pack(">I", (version << 24) | flags) + body)
+
+        def stbl_empty():
+            return b(b"stbl", b"".join([
+                full(b"stsd", struct.pack(">I", 1)
+                     + struct.pack(">I", 16) + b"avc1" + bytes(8)),
+                full(b"stts", struct.pack(">I", 0)),
+                full(b"stsc", struct.pack(">I", 0)),
+                full(b"stsz", struct.pack(">II", 0, 0)),
+                full(b"stco", struct.pack(">I", 0)),
+            ]))
+
+        def trak(tid):
+            tkhd = full(b"tkhd", struct.pack(">IIII", 0, 0, tid, 0))
+            mdhd = full(b"mdhd", struct.pack(">IIII", 0, 0, 1000, 0))
+            hdlr = full(b"hdlr", struct.pack(">I", 0) + b"vide" + bytes(13))
+            return b(b"trak", tkhd + b(b"mdia", mdhd + hdlr
+                                       + b(b"minf", stbl_empty())))
+
+        # trex: track1 non-sync default, track2 SYNC default (flags 0)
+        trex1 = full(b"trex", struct.pack(">IIIII", 1, 1, 100, 0, 0x00010000))
+        trex2 = full(b"trex", struct.pack(">IIIII", 2, 1, 100, 0, 0x0))
+        moov = b(b"moov", trak(1) + trak(2) + b(b"mvex", trex1 + trex2))
+        ftyp = b(b"ftyp", b"isom" + struct.pack(">I", 0) + b"iso6")
+
+        s1 = [b"\xa1" * 4, b"\xa2" * 5]   # track 1: 9 bytes
+        s2 = [b"\xb1" * 3, b"\xb2" * 3]   # track 2: 6 bytes
+
+        mfhd = full(b"mfhd", struct.pack(">I", 1))
+        # traf1: NO base flags; trun carries an explicit data offset
+        # (patched to point at the mdat body, relative to moof start)
+        tfhd1 = full_flags(b"tfhd", 0x0, struct.pack(">I", 1))
+
+        def trun1(doff):
+            return full_flags(
+                b"trun", 0x1 | 0x200,
+                struct.pack(">I", 2) + struct.pack(">i", doff)
+                + b"".join(struct.pack(">I", len(s)) for s in s1))
+
+        # traf2: NO base flags and NO trun data offset -> the base must
+        # resolve to the end of traf1's data, not the moof start
+        tfhd2 = full_flags(b"tfhd", 0x0, struct.pack(">I", 2))
+        trun2 = full_flags(
+            b"trun", 0x200,
+            struct.pack(">I", 2)
+            + b"".join(struct.pack(">I", len(s)) for s in s2))
+        traf2 = b(b"traf", tfhd2 + trun2)
+        moof = b(b"moof", mfhd + b(b"traf", tfhd1 + trun1(0)) + traf2)
+        doff = len(moof) + 8
+        moof = b(b"moof", mfhd + b(b"traf", tfhd1 + trun1(doff)) + traf2)
+        mdat = b(b"mdat", b"".join(s1) + b"".join(s2))
+        payload = ftyp + moov + moof + mdat
+
+        tr1, tr2 = sorted(mp4.mp4_demux(payload),
+                          key=lambda t: t["track_id"])
+        assert [payload[o:o + s] for o, s, _ in tr1["samples"]] == s1
+        assert [payload[o:o + s] for o, s, _ in tr2["samples"]] == s2
+        # track1: trex default flags are NON-sync and nothing overrides
+        assert tr1["keyframes"] == set()
+        # track2: trex default flags are SYNC — recorded even though no
+        # tfhd/trun flag box ever appeared for the track
+        assert tr2["keyframes"] == {1, 2}
+
+    def test_fragment_sync_merge_keeps_implicit_moov_syncs(self):
+        """A moov track with NO stss (= every sample sync) that gains
+        fragment samples must keep its moov samples classified sync:
+        the merged set enumerates them instead of silently flipping
+        them non-sync when the set goes non-empty."""
+        import struct
+
+        from faiss_vector_search_spark.sources import mp4
+
+        b = self._box
+
+        def full(btype, body, version=0):
+            return b(btype, bytes([version, 0, 0, 0]) + body)
+
+        def full_flags(btype, flags, body, version=0):
+            return b(btype, struct.pack(">I", (version << 24) | flags) + body)
+
+        moov_samples = [b"\xc1" * 6, b"\xc2" * 7]
+        ftyp = b(b"ftyp", b"isom" + struct.pack(">I", 0) + b"iso6")
+        mdat0 = b(b"mdat", b"".join(moov_samples))
+        data0 = len(ftyp) + 8  # first byte of the moov-sample data
+
+        # real sample tables, NO stss box -> all samples sync per spec
+        stbl = b(b"stbl", b"".join([
+            full(b"stsd", struct.pack(">I", 1)
+                 + struct.pack(">I", 16) + b"avc1" + bytes(8)),
+            full(b"stts", struct.pack(">III", 1, 2, 100)),
+            full(b"stsc", struct.pack(">IIII", 1, 1, 2, 1)),
+            full(b"stsz", struct.pack(">II", 0, 2)
+                 + b"".join(struct.pack(">I", len(s)) for s in moov_samples)),
+            full(b"stco", struct.pack(">II", 1, data0)),
+        ]))
+        tkhd = full(b"tkhd", struct.pack(">IIII", 0, 0, 1, 0))
+        mdhd = full(b"mdhd", struct.pack(">IIII", 0, 0, 1000, 0))
+        hdlr = full(b"hdlr", struct.pack(">I", 0) + b"vide" + bytes(13))
+        trex = full(b"trex", struct.pack(">IIIII", 1, 1, 100, 0, 0x00010000))
+        moov = b(b"moov", b(b"trak", tkhd + b(b"mdia", mdhd + hdlr
+                                              + b(b"minf", stbl)))
+                 + b(b"mvex", trex))
+
+        frag = [b"\xd1" * 5]
+        mfhd = full(b"mfhd", struct.pack(">I", 1))
+        tfhd = full_flags(b"tfhd", 0x20000, struct.pack(">I", 1))
+
+        def trun(doff):
+            # first-sample-flags SYNC + per-sample size
+            return full_flags(
+                b"trun", 0x1 | 0x4 | 0x200,
+                struct.pack(">I", 1) + struct.pack(">i", doff)
+                + struct.pack(">I", 0x0)
+                + struct.pack(">I", len(frag[0])))
+
+        moof = b(b"moof", mfhd + b(b"traf", tfhd + trun(0)))
+        moof = b(b"moof", mfhd + b(b"traf", tfhd + trun(len(moof) + 8)))
+        payload = ftyp + mdat0 + moov + moof + b(b"mdat", frag[0])
+
+        (tr,) = mp4.mp4_demux(payload)
+        assert [payload[o:o + s] for o, s, _ in tr["samples"]] == \
+            moov_samples + frag
+        # moov samples 1-2 stay sync (enumerated), fragment sample 3 sync
+        assert tr["keyframes"] == {1, 2, 3}
