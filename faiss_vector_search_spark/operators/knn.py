@@ -150,15 +150,22 @@ def knn_classify(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     weighted: bool = False,
+    engine: str = "two_phase",
 ) -> DataFrame:
     """k-NN majority-vote classification over the embedding corpus —
     the label-propagation primitive behind weak labeling, data-mix
     tagging, and quality-transfer from a small labeled seed to a
     100 TB unlabeled pool.
 
-    Same plan shape as :func:`topk_join` (broadcast queries, one
-    corpus scan, per-query rank window) with the query row itself
-    excluded, then a bounded (query × label) vote rollup. Prediction
+    Neighbor selection runs TWO-PHASE by default (the
+    :func:`topk_join_two_phase` shape): each scan partition keeps its
+    local top-k per query — with the self-exclusion predicate applied
+    INSIDE the local phase — so only k×partitions×|Q| survivor rows
+    reach the per-query rank window, never a corpus-sized stream into
+    one window partition. ``engine='window'`` keeps the single-phase
+    broadcast-crossJoin + window form (the equality gate's foil and
+    the shape the DuckDB oracle mirrors). Either way the vote rollup
+    then runs on bounded (query × label) triples. Prediction
     = most votes, ties to the smaller label (deterministic);
     ``confidence`` = votes / actual-neighbor-count — divided by the
     neighbors that EXIST for the query (≤ k), not the constant k, so
@@ -184,24 +191,33 @@ def knn_classify(
     Ties break on weight then the smaller label (the decimal weight
     makes the tie-break exact too).
     """
-    q = F.broadcast(queries.select(query_id_col, query_vec_col))
-    scored = (
-        corpus.crossJoin(q)
-        .where(F.col(id_col) != F.col(query_id_col))
-        .select(
-            F.col(query_id_col),
-            F.col(id_col),
-            F.col(label_col),
-            F.round(
-                _score_col(metric, F.col(vec_col), F.col(query_vec_col)),
-                SCORE_DECIMALS,
-            ).alias("score"),
+    if engine == "two_phase":
+        pool = _two_phase_survivors(
+            corpus, queries, k, metric, id_col, vec_col,
+            query_id_col, query_vec_col,
+            exclude_self=True, carry_label=True, label_col=label_col,
         )
-    )
+    elif engine == "window":
+        q = F.broadcast(queries.select(query_id_col, query_vec_col))
+        pool = (
+            corpus.crossJoin(q)
+            .where(F.col(id_col) != F.col(query_id_col))
+            .select(
+                F.col(query_id_col),
+                F.col(id_col),
+                F.col(label_col),
+                F.round(
+                    _score_col(metric, F.col(vec_col), F.col(query_vec_col)),
+                    SCORE_DECIMALS,
+                ).alias("score"),
+            )
+        )
+    else:
+        raise ValueError(f"unknown engine: {engine}")
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col(id_col).asc()
     )
-    neighbors = scored.withColumn("_r", F.row_number().over(w)).where(
+    neighbors = pool.withColumn("_r", F.row_number().over(w)).where(
         F.col("_r") <= k
     )
     nw = Window.partitionBy(query_id_col)
@@ -359,29 +375,107 @@ def topk_join_two_phase(
     Ties resolve exactly like the single-phase path: scores rounded to
     6dp *before* selection, boundary ties to the lowest id.
     """
+    survivors = _two_phase_survivors(
+        corpus, queries, k, metric, id_col, vec_col,
+        query_id_col, query_vec_col,
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )
+
+
+def _two_phase_survivors(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    metric: str,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    exclude_self: bool = False,
+    carry_label: bool = False,
+    label_col: str = "label",
+    query_label_col: str = "query_label",
+    label_mode: str | None = None,
+) -> DataFrame:
+    """Phase 1 of every two-phase per-query top-k in this module: each
+    scan partition computes its LOCAL top-k per query (per (query,
+    side) when ``label_mode='split_side'``) with one Arrow-batched
+    numpy matmul — the corpus never shuffles; only ``k × partitions ×
+    |Q|`` survivor triples leave the scan for the global rank window.
+
+    Selection predicates apply BEFORE the local top-k, which is what
+    makes the composition exact (top-k over a union of per-partition
+    top-k's of the VALID rows == global top-k of the valid rows):
+
+    - ``exclude_self``: drop corpus rows whose id equals the query id
+      (classification / positive mining never matches the query row);
+    - ``label_mode='exclude_same'``: drop rows sharing the query's
+      label (hard-negative mining);
+    - ``label_mode='split_side'``: keep top-k per (query, SIDE) where
+      side = 'pos' when labels match else 'neg' (triplet mining) — a
+      ``side`` column is appended to the survivors;
+    - ``carry_label``: pass the corpus label through (majority vote).
+
+    Ties resolve exactly like the single-phase windows: scores round
+    to 6dp before selection, boundary ties to the lowest id
+    (np.lexsort over (id asc, score desc) == the window's ORDER BY).
+    Ids and labels must be numeric/orderable (the embeddings-table
+    contract); |Q| is driver-bounded like every query-side structure.
+    """
     import numpy as np
     import pandas as pd
 
-    qrows = queries.select(query_id_col, query_vec_col).collect()
+    need_qlabel = label_mode in ("exclude_same", "split_side")
+    qcols = [query_id_col, query_vec_col] + (
+        [query_label_col] if need_qlabel else []
+    )
+    qrows = queries.select(*qcols).collect()
     qids = [r[0] for r in qrows]
     qmat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qlabels = [r[2] for r in qrows] if need_qlabel else None
+
+    in_cols = [id_col, vec_col] + ([label_col] if (carry_label or need_qlabel) else [])
+    id_type = dict(corpus.dtypes)[id_col]
+    out_schema = f"{query_id_col} bigint, {id_col} {id_type}, score double"
+    if carry_label:
+        label_type = dict(corpus.dtypes)[label_col]
+        out_schema += f", {label_col} {label_type}"
+    if label_mode == "split_side":
+        out_schema += ", side string"
 
     def local_topk(batches):
-        cand: dict[int, tuple] = {}  # qi -> (scores, vids)
+        # (qi, side) -> (scores, vids[, labels]) running local top-k
+        cand: dict[tuple, tuple] = {}
 
-        def merge(qi, scores, vids):
-            if qi in cand:
-                s0, v0 = cand[qi]
-                scores = np.concatenate([s0, scores])
-                vids = np.concatenate([v0, vids])
+        def merge(key, scores, vids, labels):
+            if key in cand:
+                prev = cand[key]
+                scores = np.concatenate([prev[0], scores])
+                vids = np.concatenate([prev[1], vids])
+                if labels is not None:
+                    labels = np.concatenate([prev[2], labels])
             order = np.lexsort((vids, -scores))[:k]
-            cand[qi] = (scores[order], vids[order])
+            cand[key] = (
+                scores[order], vids[order],
+                labels[order] if labels is not None else None,
+            )
 
         for pdf in batches:
             if pdf.empty:
                 continue
             mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             vids = pdf[id_col].to_numpy()
+            labels = (
+                pdf[label_col].to_numpy()
+                if (carry_label or need_qlabel) else None
+            )
             if metric == "ip":
                 scores = mat @ qmat.T  # (b, nq)
             elif metric == "l2":
@@ -394,28 +488,41 @@ def topk_join_two_phase(
             else:
                 raise ValueError(f"unsupported metric: {metric}")
             scores = np.round(scores, SCORE_DECIMALS)
+            keep = labels if carry_label else None
             for qi in range(len(qids)):
-                merge(qi, scores[:, qi], vids)
-        rows = [
-            (qids[qi], int(v), float(s))
-            for qi, (ss, vv) in cand.items()
-            for s, v in zip(ss, vv)
-        ]
-        yield pd.DataFrame(rows, columns=["query_id", id_col, "score"])
+                s = scores[:, qi]
+                valid = np.ones(len(vids), dtype=bool)
+                if exclude_self:
+                    valid &= vids != qids[qi]
+                if label_mode == "exclude_same":
+                    valid &= labels != qlabels[qi]
+                if label_mode == "split_side":
+                    same = labels == qlabels[qi]
+                    for side, smask in (("pos", same), ("neg", ~same)):
+                        m = valid & smask
+                        if m.any():
+                            merge((qi, side), s[m], vids[m],
+                                  keep[m] if keep is not None else None)
+                elif valid.any():
+                    merge((qi, None), s[valid], vids[valid],
+                          keep[valid] if keep is not None else None)
+        rows = []
+        for (qi, side), (ss, vv, ll) in cand.items():
+            for j in range(len(ss)):
+                row = [qids[qi], vv[j].item(), float(ss[j])]
+                if carry_label:
+                    row.append(ll[j].item())
+                if label_mode == "split_side":
+                    row.append(side)
+                rows.append(tuple(row))
+        cols = [query_id_col, id_col, "score"]
+        if carry_label:
+            cols.append(label_col)
+        if label_mode == "split_side":
+            cols.append("side")
+        yield pd.DataFrame(rows, columns=cols)
 
-    survivors = corpus.select(id_col, vec_col).mapInPandas(
-        local_topk, schema=f"query_id bigint, {id_col} bigint, score double"
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col(id_col).asc()
-    )
-    return (
-        survivors.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            F.col("query_id").alias(query_id_col), id_col, "score", "rank"
-        )
-    )
+    return corpus.select(*in_cols).mapInPandas(local_topk, schema=out_schema)
 
 
 def dynamic_threshold_progression(
@@ -467,6 +574,7 @@ def hard_negatives(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     query_label_col: str = "query_label",
+    engine: str = "two_phase",
 ) -> DataFrame:
     """Hard-negative mining for contrastive embedding training: for
     each anchor, the top-k most-similar corpus vectors with a
@@ -474,30 +582,44 @@ def hard_negatives(
     loss (random negatives are trivially separable; the hardest
     same-looking/different-class pairs carry the gradient signal).
 
-    Same plan shape as :func:`topk_join` (broadcast anchors over one
-    corpus scan, per-anchor window) with the label-mismatch predicate
-    applied BEFORE the rank window — filtering after ranking would
-    return fewer than k negatives whenever same-label rows crowd the
-    top. The anchor row itself shares its own label, so it can never
-    be its own negative. At 100 TB: anchors cap per pass (like
-    topk_join's Q), the corpus scans once, and only (anchor, id,
-    score) triples shuffle for the window.
+    Two-phase by default (:func:`_two_phase_survivors` with
+    ``label_mode='exclude_same'``): the label-mismatch predicate
+    applies INSIDE each partition's local top-k — filtering after
+    ranking would return fewer than k negatives whenever same-label
+    rows crowd the top — and only k×partitions×|anchors| survivors
+    shuffle for the per-anchor rank window, never the corpus. The
+    anchor row itself shares its own label, so it can never be its
+    own negative. ``engine='window'`` keeps the single-phase
+    broadcast-crossJoin + window form (equality-gate foil / the
+    oracle's shape). At 100 TB: anchors cap per pass (like
+    topk_join's Q), the corpus scans once and never leaves its
+    partitions.
     """
-    a = F.broadcast(
-        anchors.select(query_id_col, query_vec_col, query_label_col)
-    )
-    scored = (
-        corpus.crossJoin(a)
-        .where(F.col(label_col) != F.col(query_label_col))
-        .select(
-            F.col(query_id_col),
-            F.col(id_col),
-            F.round(
-                _score_col(metric, F.col(vec_col), F.col(query_vec_col)),
-                SCORE_DECIMALS,
-            ).alias("score"),
+    if engine == "two_phase":
+        scored = _two_phase_survivors(
+            corpus, anchors, k, metric, id_col, vec_col,
+            query_id_col, query_vec_col,
+            label_col=label_col, query_label_col=query_label_col,
+            label_mode="exclude_same",
         )
-    )
+    elif engine == "window":
+        a = F.broadcast(
+            anchors.select(query_id_col, query_vec_col, query_label_col)
+        )
+        scored = (
+            corpus.crossJoin(a)
+            .where(F.col(label_col) != F.col(query_label_col))
+            .select(
+                F.col(query_id_col),
+                F.col(id_col),
+                F.round(
+                    _score_col(metric, F.col(vec_col), F.col(query_vec_col)),
+                    SCORE_DECIMALS,
+                ).alias("score"),
+            )
+        )
+    else:
+        raise ValueError(f"unknown engine: {engine}")
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col(id_col).asc()
     )
@@ -518,6 +640,7 @@ def training_triplets(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     query_label_col: str = "query_label",
+    engine: str = "two_phase",
 ) -> DataFrame:
     """(anchor, hardest positive, hardest negative) triplets — the
     training-pair miner for a triplet/contrastive loss: positive =
@@ -527,29 +650,46 @@ def training_triplets(
     negative margin marks the anchors currently misranked — the batch
     a hard-mining curriculum feeds first.
 
-    One corpus scan: every (anchor, candidate) scores once, a single
-    rank window per (anchor, side) picks both winners, and a
-    conditional aggregation folds the two rows per anchor into one
-    triplet. Ties break (score desc, id asc), deterministic
-    cross-engine."""
-    a = F.broadcast(
-        anchors.select(query_id_col, query_vec_col, query_label_col)
-    )
-    scored = (
-        corpus.crossJoin(a)
-        .where(F.col(id_col) != F.col(query_id_col))
-        .select(
-            F.col(query_id_col),
-            F.col(id_col),
-            F.when(F.col(label_col) == F.col(query_label_col), F.lit("pos"))
-            .otherwise(F.lit("neg"))
-            .alias("side"),
-            F.round(
-                _score_col(metric, F.col(vec_col), F.col(query_vec_col)),
-                SCORE_DECIMALS,
-            ).alias("score"),
+    One corpus scan, two-phase by default
+    (:func:`_two_phase_survivors` with ``label_mode='split_side'``):
+    each partition keeps its local best per (anchor, side) — the
+    self-exclusion and pos/neg tagging applied inside the local phase
+    — so the (anchor, side) rank window sees ≤ partitions×2×|anchors|
+    survivor rows, never the corpus, and a conditional aggregation
+    folds the two winners per anchor into one triplet.
+    ``engine='window'`` keeps the single-phase form (equality-gate
+    foil / the oracle's shape). Ties break (score desc, id asc),
+    deterministic cross-engine."""
+    if engine == "two_phase":
+        scored = _two_phase_survivors(
+            corpus, anchors, 1, metric, id_col, vec_col,
+            query_id_col, query_vec_col,
+            exclude_self=True,
+            label_col=label_col, query_label_col=query_label_col,
+            label_mode="split_side",
         )
-    )
+    elif engine == "window":
+        a = F.broadcast(
+            anchors.select(query_id_col, query_vec_col, query_label_col)
+        )
+        scored = (
+            corpus.crossJoin(a)
+            .where(F.col(id_col) != F.col(query_id_col))
+            .select(
+                F.col(query_id_col),
+                F.col(id_col),
+                F.when(F.col(label_col) == F.col(query_label_col),
+                       F.lit("pos"))
+                .otherwise(F.lit("neg"))
+                .alias("side"),
+                F.round(
+                    _score_col(metric, F.col(vec_col), F.col(query_vec_col)),
+                    SCORE_DECIMALS,
+                ).alias("score"),
+            )
+        )
+    else:
+        raise ValueError(f"unknown engine: {engine}")
     w = Window.partitionBy(query_id_col, "side").orderBy(
         F.col("score").desc(), F.col(id_col).asc()
     )

@@ -32,3 +32,69 @@ def test_two_phase_no_corpus_shuffle_before_local_topk(spark, sf_small):
     ).executedPlan().toString()
     # exactly one exchange: the k×P survivors into the ranking window
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+class TestClassifyMiningQuartetTwoPhase:
+    """The r8 scale-shape closure: knn_classify (both modes),
+    hard_negatives and training_triplets run two-phase by default —
+    each must be row-identical to its single-phase window foil, and
+    the corpus must never shuffle into a per-query window partition
+    (plan gate: at most one exchange, carrying survivors only)."""
+
+    def _queries(self, emb):
+        return emb.where(F.col("vec_id").isin([0, 3, 7, 11])).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+
+    def _anchors(self, emb):
+        return emb.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+            F.col("label").alias("query_label"),
+        )
+
+    @pytest.mark.parametrize("weighted", [False, True])
+    def test_knn_classify_engines_identical(self, spark, sf_small, weighted):
+        emb = fio.load_table(spark, sf_small, "embeddings")
+        q = self._queries(emb)
+        a = sorted(map(tuple, knn.knn_classify(
+            emb, q, k=10, weighted=weighted, engine="window").collect()))
+        b = sorted(map(tuple, knn.knn_classify(
+            emb, q, k=10, weighted=weighted, engine="two_phase").collect()))
+        assert a == b and len(a) == 4
+
+    def test_hard_negatives_engines_identical(self, spark, sf_small):
+        emb = fio.load_table(spark, sf_small, "embeddings")
+        anchors = self._anchors(emb)
+        a = sorted(map(tuple, knn.hard_negatives(
+            emb, anchors, k=5, engine="window").collect()))
+        b = sorted(map(tuple, knn.hard_negatives(
+            emb, anchors, k=5, engine="two_phase").collect()))
+        assert a == b and len(a) == 40
+
+    def test_training_triplets_engines_identical(self, spark, sf_small):
+        emb = fio.load_table(spark, sf_small, "embeddings")
+        anchors = self._anchors(emb)
+        a = sorted(map(tuple, knn.training_triplets(
+            emb, anchors, engine="window").collect()))
+        b = sorted(map(tuple, knn.training_triplets(
+            emb, anchors, engine="two_phase").collect()))
+        assert a == b and len(a) == 8
+
+    @pytest.mark.parametrize("build", [
+        lambda emb, q, a: knn.knn_classify(emb, q, k=10),
+        lambda emb, q, a: knn.knn_classify(emb, q, k=10, weighted=True),
+        lambda emb, q, a: knn.hard_negatives(emb, a, k=5),
+        lambda emb, q, a: knn.training_triplets(emb, a),
+    ], ids=["classify", "classify_weighted", "hard_negatives", "triplets"])
+    def test_no_corpus_sized_exchange_into_window(self, spark, sf_small,
+                                                  build):
+        emb = fio.load_table(spark, sf_small, "embeddings")
+        df = build(emb, self._queries(emb), self._anchors(emb))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the corpus stays in its scan partitions: no crossJoin of the
+        # corpus against the query set survives to the physical plan,
+        # and the rank window reads only the mapInPandas survivors
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "MapInPandas" in plan

@@ -290,3 +290,54 @@ def test_simhash_engines_agree_at_realistic_density(spark, realistic_docs):
     ).count()
     recall = hits / ((n // 20) * 3)
     assert recall >= 0.45, recall
+
+
+# --- VERDICT r7 #1: classify/mining quartet shuffle-volume gate ---------
+
+
+def test_classify_mining_two_phase_shuffle_volume_sf1c(spark, emb_sf1c):
+    """The r8 two-phase rewrite's scale claim, asserted at 100× the
+    oracle SF: the rows that SHUFFLE into the per-query rank window
+    are the phase-1 survivors (≤ k × partitions × |Q|), not the
+    corpus-sized N × |Q| stream the single-phase window form moves —
+    and the end-to-end result is row-identical to that foil. The
+    survivor count IS the shuffle volume driver (each survivor is one
+    fixed-width triple), so the gate records the reduction factor as
+    a committed artifact like the bucket-Gram precedent."""
+    import json
+
+    from faiss_vector_search_spark.operators import knn
+
+    emb = emb_sf1c
+    n = emb.count()
+    n_part = emb.rdd.getNumPartitions()
+    queries = emb.where(F.col("vec_id").isin([0, 3, 7, 11])).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    k, nq = 10, 4
+    surv = knn._two_phase_survivors(
+        emb, queries, k, "ip", "vec_id", "embedding",
+        "query_id", "query_vec", exclude_self=True, carry_label=True,
+    ).count()
+    single_phase_rows = n * nq  # what the window engine shuffles
+    assert surv <= k * n_part * nq
+    assert surv * 50 < single_phase_rows, (
+        f"two-phase must shuffle >=50x fewer rows: {surv} vs "
+        f"{single_phase_rows}"
+    )
+    two = sorted(map(tuple, knn.knn_classify(
+        emb, queries, k=k, engine="two_phase").collect()))
+    one = sorted(map(tuple, knn.knn_classify(
+        emb, queries, k=k, engine="window").collect()))
+    assert two == one
+
+    os.makedirs("/root/repo/artifacts/scale_rehearsal", exist_ok=True)
+    with open("/root/repo/artifacts/scale_rehearsal/"
+              "classify_two_phase_sf1c.json", "w") as fh:
+        json.dump({
+            "corpus_rows": n, "partitions": n_part, "queries": nq, "k": k,
+            "window_engine_shuffle_rows": single_phase_rows,
+            "two_phase_survivor_rows": surv,
+            "reduction_factor": round(single_phase_rows / surv, 1),
+        }, fh, indent=1)
