@@ -4807,14 +4807,31 @@ def q_model_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK_INDEX_PATHS: dict[str, str] = {}
+
+
 def q_chunk_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN tier of the chunk-serving flow: greedy-chunk -> embed ->
-    IVF probe-pruned top-k with chunk text attached. Rows-only: the
-    quantizer argmin tie-walk is the declared no-oracle surface;
-    full-probe==brute-force + attribution pytest-gated
-    (tests/test_wave7_ops.py)."""
-    return embed.chunk_text_search_ivf(
-        _t(spark, sf_dir, "documents"), RAG_QUERY, k=5, nlist=16, nprobe=4,
+    """ANN tier of the chunk-serving flow, served from the PERSISTED
+    chunk index (r7 verdict ask #2): the index builds ONCE per corpus
+    (greedy-chunk -> embed -> seeded IVF -> list_id-partitioned
+    parquet, embed.chunk_index_build) and the query path is a
+    partition-pruned probe scan with chunk text riding the index rows
+    — the reference's chunk_service -> index_service serving flow
+    made durable, instead of re-embedding the corpus per call.
+    Rows-only: the quantizer argmin tie-walk is the declared
+    no-oracle surface; full-probe==brute-force, persisted==in-memory
+    parity, PartitionFilters and byte-stable appends pytest-gated
+    (tests/test_wave7_ops.py, tests/test_chunk_index.py)."""
+    import tempfile
+
+    if sf_dir not in _CHUNK_INDEX_PATHS:
+        path = tempfile.mkdtemp(prefix="fvs_chunkidx_") + "/index"
+        embed.chunk_index_build(
+            _t(spark, sf_dir, "documents"), path, nlist=16,
+        )
+        _CHUNK_INDEX_PATHS[sf_dir] = path
+    return embed.chunk_search_persisted(
+        spark, _CHUNK_INDEX_PATHS[sf_dir], RAG_QUERY, k=5, nprobe=4,
     )
 
 

@@ -580,6 +580,166 @@ def chunk_text_search_ivf(
     )
 
 
+def _chunk_index_rows(
+    docs: DataFrame,
+    min_size: int,
+    max_size: int,
+    overlap: int,
+    dim: int,
+    hash_fn: str,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """(struct chunk key, chunk text, embedding) rows — the shared
+    build/append head of the persisted chunk index."""
+    from .chunking import chunk_greedy
+
+    chunks = chunk_greedy(
+        docs, min_size, max_size, overlap, id_col=id_col, text_col=text_col
+    )
+    keyed = chunks.select(
+        F.struct(
+            F.col(id_col).alias("d"), F.col("chunk_id").alias("c")
+        ).alias("_ckey"),
+        F.col("chunk"),
+    )
+    cemb = embed_documents(
+        keyed, dim=dim, id_col="_ckey", text_col="chunk", hash_fn=hash_fn
+    )
+    return cemb.join(keyed, "_ckey")
+
+
+def chunk_index_build(
+    docs: DataFrame,
+    path: str,
+    nlist: int = 16,
+    min_size: int = 100,
+    max_size: int = 250,
+    overlap: int = 20,
+    dim: int = 64,
+    hash_fn: str = "md5",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Build and PERSIST the chunk ANN index — the durable form of
+    :func:`chunk_text_search_ivf`'s in-memory build, and the Spark
+    re-expression of the reference's chunk_service → index_service
+    build flow (components2/faiss_retriever.py:194-296: chunk, embed,
+    add to the FAISS index, keep chunk content alongside).
+
+    Layout = ivf.save_ivf's posting-list scheme: rows (struct chunk
+    key, chunk text, embedding, list_id) partitioned by ``list_id``
+    under ``<path>/vectors`` with the seeded centroids at
+    ``<path>/_centroids``. Chunk TEXT lives in the index rows — the
+    reference stores chunk content in its index metadata for exactly
+    this reason: the serving path answers from ONE partition-pruned
+    scan, no join back to the corpus at query time. Build cost is the
+    one-time chunk+embed+assign pass a real deployment amortizes;
+    appends go through :func:`chunk_index_append` and touch only
+    their lists.
+    """
+    from . import ivf as ivf_mod
+
+    rows = _chunk_index_rows(
+        docs, min_size, max_size, overlap, dim, hash_fn, id_col, text_col
+    )
+    cents = ivf_mod.seeded_centroids(
+        rows, nlist, id_col="_ckey", vec_col="embedding"
+    )
+    ivf_mod.save_ivf(rows, cents, path, vec_col="embedding")
+
+
+def chunk_index_append(
+    spark,
+    path: str,
+    docs: DataFrame,
+    min_size: int = 100,
+    max_size: int = 250,
+    overlap: int = 20,
+    dim: int = 64,
+    hash_fn: str = "md5",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> list:
+    """Incremental add of new documents into a persisted chunk index:
+    chunk + embed the batch, assign against the SAVED centroids, and
+    append only into the touched ``list_id`` partitions
+    (lifecycle.ivf_append — untouched list directories stay
+    byte-stable, pytest-gated). Returns the touched list ids."""
+    from . import lifecycle
+
+    rows = _chunk_index_rows(
+        docs, min_size, max_size, overlap, dim, hash_fn, id_col, text_col
+    )
+    return lifecycle.ivf_append(spark, path, rows, id_col="_ckey")
+
+
+def chunk_search_persisted(
+    spark,
+    path: str,
+    query_text: str,
+    k: int = 5,
+    nprobe: int = 4,
+    dim: int = 64,
+    hash_fn: str = "md5",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Serve chunk retrieval from a PERSISTED chunk index — the query
+    path of the reference's serving flow, with FAISS's
+    scan-only-probed-posting-lists realized as parquet partition
+    pruning: the probe set becomes an ``IN`` filter on ``list_id``,
+    so the scan reads ``nprobe/nlist`` of the index files and zero
+    compute touches unprobed lists (PartitionFilters plan fact,
+    pytest-gated). Chunk text rides the index rows, so the hit list
+    needs no join back to the corpus.
+
+    Exactness contract (pytest-gated): with ``nprobe == nlist`` the
+    result equals brute-force top-k over the same chunks; at any
+    nprobe it is row-identical to the in-memory
+    :func:`chunk_text_search_ivf` engine over the same corpus and
+    parameters.
+    """
+    from . import ivf as ivf_mod
+    from ..functions import vector as V
+
+    qdf = spark.createDataFrame([(0, query_text)], f"qid int, {text_col} string")
+    qv = embed_documents(
+        qdf, dim=dim, id_col="qid", text_col=text_col, hash_fn=hash_fn
+    ).select(F.col("embedding").alias("query_vec"))
+    cents = spark.read.parquet(f"{path}/_centroids")
+    probe_ids = [
+        r.probe_cid for r in ivf_mod.probe_lists(qv, cents, nprobe).collect()
+    ]
+    index = spark.read.parquet(f"{path}/vectors").where(
+        F.col("list_id").isin(probe_ids)
+    )
+    hits = (
+        index.crossJoin(F.broadcast(qv))
+        .select(
+            F.col("_ckey"),
+            F.col("chunk"),
+            F.col("list_id").cast("int").alias("list_id"),
+            F.round(
+                V.ip_score(F.col("embedding"), F.col("query_vec")), 6
+            ).alias("score"),
+        )
+        .orderBy(
+            F.col("score").desc(),
+            F.col("_ckey.d").asc(), F.col("_ckey.c").asc(),
+        )
+        .limit(k)
+    )
+    return hits.select(
+        F.col("_ckey.d").alias(id_col),
+        F.col("_ckey.c").alias("chunk_id"),
+        F.col("chunk").alias("chunk_text"),
+        F.col("list_id"),
+        F.col("score"),
+    ).orderBy(F.col("score").desc(), F.col(id_col).asc(),
+              F.col("chunk_id").asc())
+
+
 def rag_context(
     docs: DataFrame,
     query_text: str,
