@@ -298,39 +298,50 @@ def text_search(
     Cosine is computed in *long form* on the sparse bucket counts:
     dot = Σ cnt_d·cnt_q over shared buckets, norms = √Σ cnt² — all
     integer sums, so the result is exactly reproducible cross-engine
-    (no float summation order to drift). The query side is a handful
-    of buckets → broadcast; per-doc work is one partial-aggregated
-    groupBy, no dense vectors materialized."""
+    (no float summation order to drift).
+
+    Plan shape (the r7-proven :func:`text_search_multi` engine at
+    |Q| = 1): the query's sparse bucket counts are computed with the
+    SAME Spark expressions on a 1-row frame and collected (≤ dim tiny
+    rows), then ride the plan as a LITERAL bucket→count map — so the
+    corpus side is ONE partial-aggregated groupBy computing norm and
+    dot together with zero joins (no broadcast exchange, no
+    corpus-vs-query-norm crossJoin), and the final cut compiles to
+    TakeOrderedAndProject. Results are hash-identical to the former
+    broadcast-join form (integer arithmetic, same rounding)."""
     spark = docs.sparkSession
-    d = token_buckets(docs, dim, id_col, text_col, hash_fn)
     qdf = spark.createDataFrame([(0, query_text)], f"qid int, {text_col} string")
-    qb = token_buckets(qdf, dim, "qid", text_col, hash_fn).select(
-        "bucket", F.col("cnt").alias("qcnt")
+    bmap = {
+        int(r["bucket"]): int(r["cnt"])
+        for r in token_buckets(qdf, dim, "qid", text_col, hash_fn).collect()
+    }
+    if not bmap:  # empty/stopword-only query: no bucket can match
+        return docs.select(F.col(id_col)).limit(0).select(
+            F.col(id_col), F.lit(0.0).alias("score")
+        )
+    qn2 = sum(c * c for c in bmap.values())
+    mlit = F.create_map(
+        *[x for b_, c_ in sorted(bmap.items()) for x in (F.lit(b_), F.lit(c_))]
     )
-    qn2 = qb.agg(F.sum(F.col("qcnt") * F.col("qcnt")).alias("qn2"))
-    # ONE per-doc aggregation computes both the norm and the dot: the
-    # broadcast left-join tags each (doc,bucket) with the query count
-    # (0 where the query misses), so norm+dot share a single shuffle.
+    d = token_buckets(docs, dim, id_col, text_col, hash_fn)
     dots = (
-        d.join(F.broadcast(qb), "bucket", "left")
-        .groupBy(id_col)
+        d.groupBy(id_col)
         .agg(
             F.sum(F.col("cnt") * F.col("cnt")).alias("dn2"),
             F.sum(
-                F.col("cnt") * F.coalesce(F.col("qcnt"), F.lit(0))
+                F.col("cnt") * F.coalesce(mlit[F.col("bucket")], F.lit(0))
             ).alias("dot"),
         )
         .where(F.col("dot") > 0)
     )
     return (
-        dots.crossJoin(F.broadcast(qn2))
-        .select(
+        dots.select(
             F.col(id_col),
             F.round(
                 F.col("dot")
                 / (
                     F.sqrt(F.col("dn2").cast("double"))
-                    * F.sqrt(F.col("qn2").cast("double"))
+                    * F.sqrt(F.lit(float(qn2)))
                 ),
                 6,
             ).alias("score"),

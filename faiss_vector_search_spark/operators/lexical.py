@@ -281,25 +281,29 @@ def hybrid_rrf(
     """Reciprocal-rank fusion of two ranked result sets:
     score = Σ 1/(rrf_k + rank). Rank-based, so the two retrievers'
     incomparable score scales never matter; integer ranks make the
-    fusion exactly reproducible."""
-    def ranked(df: DataFrame, name: str) -> DataFrame:
+    fusion exactly reproducible.
+
+    The fusion is a UNION + groupBy-sum of per-retriever
+    contributions, not a full-outer join — mathematically identical
+    (coalesce(a,0)+coalesce(b,0) = Σ of present contributions; IEEE
+    addition of two doubles is commutative, so the hash is stable
+    regardless of aggregation order), and it sidesteps the estimator
+    trap where both shortlists descend from corpus-sized
+    aggregations, get sized at corpus scale, and a full-outer join
+    (which can never broadcast) plans as a sort-merge join — the
+    shape :func:`hybrid_rrf_multi` proved hash-identical in r7,
+    applied to the single-query fusion here. Actual data volume is
+    only ever shortlist-sized (2·k rows into the groupBy)."""
+    def contrib(df: DataFrame) -> DataFrame:
         w = F.row_number().over(
             Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
         )
-        return df.select(F.col(id_col), w.alias(f"rank_{name}"))
+        return df.select(F.col(id_col), (1.0 / (rrf_k + w)).alias("_c"))
 
-    lex = ranked(lexical, "lex")
-    den = ranked(dense, "vec")
     fused = (
-        lex.join(den, id_col, "outer")
-        .select(
-            F.col(id_col),
-            F.round(
-                F.coalesce(1.0 / (rrf_k + F.col("rank_lex")), F.lit(0.0))
-                + F.coalesce(1.0 / (rrf_k + F.col("rank_vec")), F.lit(0.0)),
-                SCORE_DECIMALS,
-            ).alias("rrf_score"),
-        )
+        contrib(lexical).unionByName(contrib(dense))
+        .groupBy(id_col)
+        .agg(F.round(F.sum("_c"), SCORE_DECIMALS).alias("rrf_score"))
     )
     return fused.orderBy(
         F.col("rrf_score").desc(), F.col(id_col).asc()
