@@ -259,3 +259,109 @@ def test_gap_fill_stays_jvm_side(spark, sf_small):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestPlanAuditRegressionGate:
+    """r7 verdict ask #5: the committed PLAN_AUDIT.md facts are a
+    CI-enforced allowlist, not a diff a human must read. Any new
+    SortMergeJoin, any CartesianProduct, any Arrow/pandas node outside
+    the declared non-JVM stages, or an ERR row fails here the moment
+    scripts/plan_audit.py regenerates the table (the per-round
+    ritual). Live-plan spot gates below keep the r8-edited keys honest
+    between regenerations."""
+
+    # The 4 justified sort-merge joins (each a fact-fact join whose
+    # both sides descend from corpus-sized derivations, documented in
+    # PLAN_AUDIT.md / VERDICT r7): semdedup's co-partitioned
+    # intra-cluster equi-join, events_range_join's fact-fact bucket
+    # join, ann_lsh_search's band join, snapshot_diff on the PLAIN
+    # (deliberately unbucketed) store.
+    SMJ_ALLOWLIST = {
+        "semdedup", "events_range_join", "ann_lsh_search", "snapshot_diff",
+    }
+    # Declared non-JVM stages: Arrow-batched chunker / local-top-k /
+    # LSH-Gram / MMR / model slots / tokenizer / codecs — each one a
+    # documented mapInPandas|applyInPandas design decision.
+    ARROW_ALLOWLIST = {
+        "knn_classify", "knn_classify_weighted", "knn_batch",
+        "hard_negatives", "training_triplets",
+        "chunk_search", "chunk_documents_greedy", "pack_sequences",
+        "opq_rerank_search", "ann_lsh_search", "dedup_embedding_lsh",
+        "mmr_rerank", "bpe_tokenize", "bpe_fertility",
+        "embed_text_model", "multimodal_decode", "docx_ingest",
+        "model_rerank", "cross_rerank",
+    }
+
+    @pytest.fixture(scope="class")
+    def audit_rows(self):
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "..", "PLAN_AUDIT.md")
+        rows = {}
+        with open(path) as fh:
+            for line in fh:
+                if not line.startswith("| "):
+                    continue
+                cells = [c.strip() for c in line.strip().strip("|").split("|")]
+                if len(cells) != 6 or cells[0] in ("query", "---"):
+                    continue
+                rows[cells[0]] = {
+                    "exchanges": cells[1], "joins": cells[2],
+                    "props": cells[3], "codegen": cells[4],
+                    "python": cells[5],
+                }
+        assert len(rows) > 150, "PLAN_AUDIT.md did not parse"
+        return rows
+
+    def test_no_audit_errors(self, audit_rows):
+        errs = [k for k, r in audit_rows.items() if r["exchanges"] == "ERR"]
+        assert not errs, f"plan audit ERR rows: {errs}"
+
+    def test_no_cartesian_products(self, audit_rows):
+        bad = [k for k, r in audit_rows.items()
+               if "CartesianProduct" in r["joins"]]
+        assert not bad, f"CartesianProduct appeared in: {bad}"
+
+    def test_sort_merge_joins_within_allowlist(self, audit_rows):
+        smj = {k for k, r in audit_rows.items()
+               if "SortMergeJoin" in r["joins"]}
+        new = smj - self.SMJ_ALLOWLIST
+        assert not new, (
+            f"NEW SortMergeJoin in {sorted(new)} — either restore the "
+            f"broadcast/fusion shape or justify it in PLAN_AUDIT.md and "
+            f"extend the allowlist"
+        )
+
+    def test_python_nodes_within_allowlist(self, audit_rows):
+        py = {k for k, r in audit_rows.items() if r["python"] != "-"}
+        new = py - self.ARROW_ALLOWLIST
+        assert not new, (
+            f"NEW Arrow/pandas node in {sorted(new)} — hot paths must "
+            f"stay JVM-side; declare a deliberate non-JVM stage here "
+            f"only with a docstring rationale"
+        )
+
+    def test_hybrid_search_stays_fused(self, spark, sf_small):
+        """Live gate for the r8 union+groupBy-sum fusion: the RRF
+        fusion of two corpus-derived shortlists must never plan as a
+        sort-merge join again."""
+        from faiss_vector_search_spark.operators import embed, lexical
+
+        docs = fio.load_table(spark, sf_small, "documents")
+        lex = lexical.bm25_search(docs, "batch window vector", k=20)
+        den = embed.text_search(docs, "batch window vector", k=20)
+        plan = plan_of(lexical.hybrid_rrf(lex, den, k=10), "simple")
+        assert "SortMergeJoin" not in plan
+        assert "TakeOrderedAndProject" in plan
+
+    def test_text_search_is_join_free(self, spark, sf_small):
+        """Live gate for the literal-map engine: the single-query
+        retrieval plan carries no join at all — the query rides the
+        plan as a literal map, the corpus aggregates once."""
+        from faiss_vector_search_spark.operators import embed
+
+        docs = fio.load_table(spark, sf_small, "documents")
+        plan = plan_of(embed.text_search(docs, "batch window vector", k=5),
+                       "simple")
+        assert "Join" not in plan
+        assert "TakeOrderedAndProject" in plan
