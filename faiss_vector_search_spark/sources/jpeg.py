@@ -17,6 +17,17 @@ Supported subset:
   is sample replication (nearest), the T.81 Annex A default.
 - DRI/RSTn restart markers (byte realign + DC predictor + EOB-run
   reset), in sequential and progressive scans.
+- DNL (define-number-of-lines, T.81 B.2.5): a frame declaring height
+  0 in SOF takes its real line count from the DNL segment after the
+  first scan — the streaming-encoder layout crawls do contain. The
+  whole payload is in memory here, so the decoder resolves the DNL
+  height up front (segment walk that skips entropy data) instead of
+  re-sizing mid-scan.
+- EXIF orientation (APP1 TIFF tag 0x0112): :func:`jpeg_orientation`
+  parses it (both byte orders), :func:`apply_exif_orientation`
+  applies the 8 standard transposes, and ``jpeg_decode(...,
+  apply_orientation=True)`` opts in — the default leaves pixels in
+  stored order, matching what every decoder library does.
 - Rejected with a clear error: arithmetic coding (SOF9+),
   hierarchical, lossless, 12-bit precision.
 
@@ -242,13 +253,125 @@ def _decode_ac_refine(r, coef, ac_tab, ss, se, al, eobrun):
     return eobrun
 
 
-def jpeg_decode(payload: bytes) -> np.ndarray:
+def _skip_entropy(payload: bytes, pos: int) -> int:
+    """Advance past entropy-coded data: the next 0xFF followed by a
+    real marker byte (not a 0x00 stuffing byte, not RST0-7)."""
+    n = len(payload)
+    while pos + 1 < n:
+        if payload[pos] == 0xFF:
+            nxt = payload[pos + 1]
+            if nxt != 0x00 and not (0xD0 <= nxt <= 0xD7) and nxt != 0xFF:
+                return pos
+        pos += 1
+    return n
+
+
+def _find_dnl_height(payload: bytes, pos: int) -> int:
+    """Segment walk from ``pos`` to the DNL (0xDC) segment's
+    number-of-lines — the height a SOF with the streaming-encoder
+    height-0 convention defers (T.81 B.2.5). Raises when the stream
+    ends without one."""
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("bad marker alignment while seeking DNL")
+        marker = payload[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        pos += 2
+        ln = struct.unpack_from(">H", payload, pos)[0]
+        if marker == 0xDC:
+            return struct.unpack_from(">H", payload, pos + 2)[0]
+        if marker == 0xDA:  # scan header, then entropy data
+            pos = _skip_entropy(payload, pos + ln)
+            continue
+        pos += ln
+    raise ValueError("JPEG SOF declares 0 lines but carries no DNL segment")
+
+
+def apply_exif_orientation(img: np.ndarray, orientation: int) -> np.ndarray:
+    """Apply an EXIF orientation (1-8) to an (h, w, c) array — the
+    same eight transposes Pillow's ``ImageOps.exif_transpose`` maps.
+    Unknown/1 → unchanged."""
+    if orientation == 2:    # mirror horizontal
+        return img[:, ::-1]
+    if orientation == 3:    # rotate 180
+        return img[::-1, ::-1]
+    if orientation == 4:    # mirror vertical
+        return img[::-1]
+    if orientation == 5:    # transpose (main diagonal)
+        return img.swapaxes(0, 1)
+    if orientation == 6:    # rotate 90 CW to display
+        return img.swapaxes(0, 1)[:, ::-1]
+    if orientation == 7:    # transverse (other diagonal)
+        return img.swapaxes(0, 1)[::-1, ::-1]
+    if orientation == 8:    # rotate 90 CCW to display
+        return img.swapaxes(0, 1)[::-1]
+    return img
+
+
+def jpeg_orientation(payload: bytes) -> int:
+    """EXIF orientation from the APP1 segment (TIFF IFD0 tag 0x0112),
+    both byte orders; 1 (top-left, the identity) when absent or
+    malformed — a crawl pipeline must never fail an image over its
+    metadata."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            return 1
+        marker = payload[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker in (0xD9, 0xDA):  # EOI / entropy data: no EXIF ahead
+            return 1
+        pos += 2
+        ln = struct.unpack_from(">H", payload, pos)[0]
+        body = payload[pos + 2:pos + ln]
+        pos += ln
+        if marker != 0xE1 or not body.startswith(b"Exif\x00\x00"):
+            continue
+        tiff = body[6:]
+        if len(tiff) < 8:
+            return 1
+        if tiff[:2] == b"II":
+            e = "<"
+        elif tiff[:2] == b"MM":
+            e = ">"
+        else:
+            return 1
+        try:
+            if struct.unpack_from(e + "H", tiff, 2)[0] != 42:
+                return 1
+            ifd = struct.unpack_from(e + "I", tiff, 4)[0]
+            cnt = struct.unpack_from(e + "H", tiff, ifd)[0]
+            for i in range(cnt):
+                off = ifd + 2 + 12 * i
+                tag, typ, _n = struct.unpack_from(e + "HHI", tiff, off)
+                if tag == 0x0112 and typ == 3:  # Orientation, SHORT
+                    v = struct.unpack_from(e + "H", tiff, off + 8)[0]
+                    return v if 1 <= v <= 8 else 1
+        except struct.error:
+            return 1
+        return 1
+    return 1
+
+
+def jpeg_decode(payload: bytes, apply_orientation: bool = False) -> np.ndarray:
     """Baseline (SOF0/SOF1) or progressive (SOF2) JPEG → (height,
     width, channels) uint8 (grayscale → channels=1, YCbCr → RGB
     channels=3). Entropy-coded scans accumulate into per-component
     coefficient grids; dequantization + IDCT happen once at the end
     (the natural multi-scan structure, which for baseline is just the
-    single-scan special case)."""
+    single-scan special case). A SOF height of 0 resolves through the
+    post-scan DNL segment; ``apply_orientation=True`` additionally
+    applies the EXIF orientation tag to the output."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -292,6 +415,10 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
+            if h == 0:  # streaming-encoder layout: height arrives in DNL
+                h = _find_dnl_height(payload, pos + ln)
+                if h == 0:
+                    raise ValueError("JPEG DNL declares 0 lines")
             raw = []
             for i in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
@@ -324,6 +451,13 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 p += 17 + n
         elif marker == 0xDD:  # DRI
             restart = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDC:  # DNL: must agree with the height in use
+            nl = struct.unpack_from(">H", body, 0)[0]
+            if frame is not None and nl != frame[0]:
+                raise ValueError(
+                    f"JPEG DNL line count {nl} contradicts frame "
+                    f"height {frame[0]}"
+                )
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
@@ -359,14 +493,18 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                           hmax // c.hf, axis=1)
         out.append(plane[:h, :w])
     if len(out) == 1:
-        return np.clip(np.round(out[0]), 0, 255).astype(np.uint8)[..., None]
-    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
-    rgb = np.stack([
-        y + 1.402 * cr,
-        y - 0.344136 * cb - 0.714136 * cr,
-        y + 1.772 * cb,
-    ], axis=-1)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        img = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)[..., None]
+    else:
+        y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+        rgb = np.stack([
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ], axis=-1)
+        img = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    if apply_orientation:
+        img = apply_exif_orientation(img, jpeg_orientation(payload))
+    return img
 
 
 def _decode_scan(r, scan, comps, huff, restart, mcux, mcuy,

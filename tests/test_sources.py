@@ -1140,3 +1140,119 @@ class TestMp4Demux:
             moov_samples + frag
         # moov samples 1-2 stay sync (enumerated), fragment sample 3 sync
         assert tr["keyframes"] == {1, 2, 3}
+
+
+class TestJpegCrawlRealism:
+    """r7 verdict ask #7: per-scan DNL (height-0 SOF + post-scan
+    define-number-of-lines) and EXIF orientation — the two T.81/TIFF
+    layout residuals web crawls actually contain, gated on hand-packed
+    fixtures spliced from the module's independent encoder."""
+
+    def _splice_dnl(self, payload: bytes, height: int) -> bytes:
+        """Zero the SOF height and append a DNL segment before EOI."""
+        import struct
+
+        i = payload.index(b"\xff\xc0")
+        # SOF0 body: len(2) prec(1) H(2) W(2) ... -> H at i+5
+        patched = payload[:i + 5] + b"\x00\x00" + payload[i + 7:]
+        assert patched.endswith(b"\xff\xd9")
+        dnl = b"\xff\xdc" + struct.pack(">HH", 4, height)
+        return patched[:-2] + dnl + b"\xff\xd9"
+
+    def test_dnl_height_resolves(self):
+        import numpy as np
+        from faiss_vector_search_spark.sources import jpeg
+
+        img = np.random.default_rng(5).integers(
+            0, 256, (24, 17, 1), dtype=np.uint8)
+        plain = jpeg.jpeg_encode(img, quant=1)
+        dnl = self._splice_dnl(plain, 24)
+        assert dnl != plain
+        dec = jpeg.jpeg_decode(dnl)
+        assert dec.shape == (24, 17, 1)
+        assert (dec == jpeg.jpeg_decode(plain)).all()
+
+    def test_dnl_missing_is_clear_error(self):
+        import numpy as np
+        import pytest as _pytest
+        from faiss_vector_search_spark.sources import jpeg
+
+        img = np.random.default_rng(6).integers(
+            0, 256, (16, 16, 1), dtype=np.uint8)
+        payload = jpeg.jpeg_encode(img, quant=1)
+        i = payload.index(b"\xff\xc0")
+        zeroed = payload[:i + 5] + b"\x00\x00" + payload[i + 7:]
+        with _pytest.raises(ValueError, match="no DNL"):
+            jpeg.jpeg_decode(zeroed)
+
+    def test_dnl_contradicting_frame_height_rejected(self):
+        import numpy as np
+        import pytest as _pytest
+        from faiss_vector_search_spark.sources import jpeg
+
+        img = np.random.default_rng(7).integers(
+            0, 256, (16, 16, 1), dtype=np.uint8)
+        payload = jpeg.jpeg_encode(img, quant=1)
+        import struct
+
+        bad = payload[:-2] + b"\xff\xdc" + struct.pack(">HH", 4, 99) \
+            + b"\xff\xd9"
+        with _pytest.raises(ValueError, match="contradicts"):
+            jpeg.jpeg_decode(bad)
+
+    @staticmethod
+    def _app1(orientation: int, byte_order: bytes) -> bytes:
+        import struct
+
+        e = "<" if byte_order == b"II" else ">"
+        tiff = byte_order + struct.pack(e + "HI", 42, 8)
+        tiff += struct.pack(e + "H", 1)  # one IFD entry
+        tiff += struct.pack(e + "HHI", 0x0112, 3, 1)
+        tiff += struct.pack(e + "H", orientation) + b"\x00\x00"
+        tiff += struct.pack(e + "I", 0)  # next IFD
+        body = b"Exif\x00\x00" + tiff
+        return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+    @pytest.mark.parametrize("bo", [b"II", b"MM"])
+    def test_orientation_parses_both_byte_orders(self, bo):
+        import numpy as np
+        from faiss_vector_search_spark.sources import jpeg
+
+        img = np.random.default_rng(8).integers(
+            0, 256, (8, 8, 1), dtype=np.uint8)
+        payload = jpeg.jpeg_encode(img, quant=1)
+        tagged = payload[:2] + self._app1(6, bo) + payload[2:]
+        assert jpeg.jpeg_orientation(tagged) == 6
+        assert jpeg.jpeg_orientation(payload) == 1  # absent -> identity
+
+    def test_apply_orientation_geometry(self):
+        import numpy as np
+        from faiss_vector_search_spark.sources import jpeg
+
+        img = np.arange(6, dtype=np.uint8).reshape(2, 3, 1)
+        # orientation 6: stored row 0 is the RIGHT edge -> rotate CW
+        rot = jpeg.apply_exif_orientation(img, 6)
+        assert rot.shape == (3, 2, 1)
+        assert rot[0, -1, 0] == img[0, 0, 0]   # stored top-left -> top-right
+        assert (jpeg.apply_exif_orientation(img, 3)
+                == img[::-1, ::-1]).all()
+        assert (jpeg.apply_exif_orientation(img, 1) == img).all()
+        # round-trip pairs: (2,2) (3,3) (4,4) (5,5) (6,8) (7,7)
+        for a, b in [(2, 2), (3, 3), (4, 4), (5, 5), (6, 8), (8, 6), (7, 7)]:
+            back = jpeg.apply_exif_orientation(
+                jpeg.apply_exif_orientation(img, a), b)
+            assert (back == img).all(), (a, b)
+
+    def test_decode_applies_orientation_on_opt_in(self):
+        import numpy as np
+        from faiss_vector_search_spark.sources import jpeg
+
+        img = np.random.default_rng(9).integers(
+            0, 256, (16, 8, 1), dtype=np.uint8)
+        payload = jpeg.jpeg_encode(img, quant=1)
+        tagged = payload[:2] + self._app1(6, b"II") + payload[2:]
+        plain = jpeg.jpeg_decode(tagged)
+        assert plain.shape == (16, 8, 1)  # default: stored order
+        oriented = jpeg.jpeg_decode(tagged, apply_orientation=True)
+        assert oriented.shape == (8, 16, 1)
+        assert (oriented == jpeg.apply_exif_orientation(plain, 6)).all()
