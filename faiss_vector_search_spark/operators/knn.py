@@ -511,7 +511,8 @@ def _two_phase_survivors(
             for j in range(len(ss)):
                 row = [qids[qi], vv[j].item(), float(ss[j])]
                 if carry_label:
-                    row.append(ll[j].item())
+                    lv = ll[j]  # object-dtype (string labels) has no .item
+                    row.append(lv.item() if hasattr(lv, "item") else lv)
                 if label_mode == "split_side":
                     row.append(side)
                 rows.append(tuple(row))

@@ -98,3 +98,23 @@ class TestClassifyMiningQuartetTwoPhase:
         # and the rank window reads only the mapInPandas survivors
         assert "BroadcastNestedLoopJoin" not in plan
         assert "MapInPandas" in plan
+
+    def test_two_phase_carries_string_labels(self, spark):
+        """The survivors engine must pass non-numeric label columns
+        through (object-dtype arrays have no .item): classify over a
+        string-labeled corpus works identically in both engines."""
+        emb = spark.createDataFrame(
+            [(0, [1.0, 0.0], "ham"), (1, [0.9, 0.1], "spam"),
+             (2, [0.8, 0.3], "ham"), (3, [0.2, 0.9], "spam")],
+            "vec_id long, embedding array<double>, label string",
+        )
+        q = emb.where(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        a = sorted(map(tuple, knn.knn_classify(
+            emb, q, k=2, engine="window").collect()))
+        b = sorted(map(tuple, knn.knn_classify(
+            emb, q, k=2, engine="two_phase").collect()))
+        assert a == b
+        assert b[0][1] in ("ham", "spam")
