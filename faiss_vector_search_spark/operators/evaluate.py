@@ -342,11 +342,15 @@ def retrieval_metrics(
     in-row fold, no ideal-ranking sort. Output: one row —
     (n_relevant, n_hits, recall_at_k, mrr, ndcg_at_k).
     """
+    # dedupe both projections on id — duplicate judgment rows would
+    # fan out the join (n_hits double-counts, recall exceeds 1.0),
+    # same class as the suite form's r8 fix; bounded frames, free
     r = results.where(F.col(rank_col) <= k).select(
         F.col(id_col), F.col(rank_col).cast("int").alias("_rank")
-    )
+    ).distinct()
+    t = truth.select(id_col).distinct()
     j = r.join(
-        F.broadcast(truth.select(id_col).withColumn("_rel", F.lit(1))),
+        F.broadcast(t.withColumn("_rel", F.lit(1))),
         id_col, "left",
     )
     stats = j.agg(
@@ -357,7 +361,7 @@ def retrieval_metrics(
         F.min(F.when(F.col("_rel") == 1, F.col("_rank"))).alias("_fr"),
         F.count(F.when(F.col("_rel") == 1, F.lit(1))).alias("n_hits"),
     )
-    nrel = truth.agg(F.count("*").cast("bigint").alias("n_relevant"))
+    nrel = t.agg(F.count("*").cast("bigint").alias("n_relevant"))
     idcg = F.aggregate(
         F.sequence(F.lit(1), F.least(F.col("n_relevant"), F.lit(k))),
         F.lit(0.0),

@@ -75,6 +75,17 @@ class TestRetrievalMetricsJudgmentDedup:
         assert q["recall_at_k"] == pytest.approx(0.5)
         assert q["recall_at_k"] <= 1.0
 
+    def test_single_query_metrics_dedupe_too(self, spark):
+        from faiss_vector_search_spark.operators import evaluate
+
+        results = spark.createDataFrame(
+            [(10, 1), (11, 2)], "doc_id long, rank int")
+        truth = spark.createDataFrame(
+            [(10,), (10,), (12,)], "doc_id long")
+        (m,) = evaluate.retrieval_metrics(results, truth, k=10).collect()
+        assert m["n_relevant"] == 2 and m["n_hits"] == 1
+        assert m["recall_at_k"] == 0.5
+
 
 class TestMultiQueryDuplicateTags:
     def test_text_search_multi_rejects_duplicate_tags(self, spark, sf_small):
