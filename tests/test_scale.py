@@ -341,3 +341,39 @@ def test_classify_mining_two_phase_shuffle_volume_sf1c(spark, emb_sf1c):
             "two_phase_survivor_rows": surv,
             "reduction_factor": round(single_phase_rows / surv, 1),
         }, fh, indent=1)
+
+
+def test_mining_pair_engines_identical_sf1(spark, emb_sf1):
+    """hard_negatives and training_triplets: two-phase == window at
+    the 10x corpus (the boundary-tie surface grows with N; equality
+    must hold beyond the oracle SF)."""
+    from faiss_vector_search_spark.operators import knn
+
+    anchors = emb_sf1.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    for fn, kw in ((knn.hard_negatives, {"k": 5}),
+                   (knn.training_triplets, {})):
+        a = sorted(map(tuple, fn(emb_sf1, anchors,
+                                 engine="window", **kw).collect()))
+        b = sorted(map(tuple, fn(emb_sf1, anchors,
+                                 engine="two_phase", **kw).collect()))
+        assert a == b, fn.__name__
+
+
+def test_chunk_index_persisted_parity_sf1(spark, tmp_path_factory):
+    """Persisted chunk serving == the in-memory engine at the 10x
+    documents corpus, with the probe scan partition-pruned."""
+    from faiss_vector_search_spark.operators import embed
+
+    docs = _table(spark, SF1, "documents")
+    path = str(tmp_path_factory.mktemp("chunkidx_sf1") / "idx")
+    embed.chunk_index_build(docs, path, nlist=16, hash_fn="xxhash64")
+    q = "batch window vector hash fast stream"
+    got = embed.chunk_search_persisted(
+        spark, path, q, k=5, nprobe=4, hash_fn="xxhash64").collect()
+    want = embed.chunk_text_search_ivf(
+        docs, q, k=5, nlist=16, nprobe=4, hash_fn="xxhash64").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
