@@ -118,3 +118,45 @@ class TestClassifyMiningQuartetTwoPhase:
             emb, q, k=2, engine="two_phase").collect()))
         assert a == b
         assert b[0][1] in ("ham", "spam")
+
+    def test_boundary_ties_resolve_identically(self, spark):
+        """Adversarial tie surface: many corpus vectors with IDENTICAL
+        rounded scores straddling the k boundary — the local lexsort's
+        (score desc, id asc) must match the window's ORDER BY exactly,
+        in every operator of the quartet."""
+        rows = [(i, [1.0, 0.0], i % 3) for i in range(1, 40)]  # all tie
+        rows.append((0, [1.0, 0.0], 0))
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int")
+        q = emb.where(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"))
+        a_q = emb.where(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+            F.col("label").alias("query_label"))
+        for build in (
+            lambda e: knn.knn_classify(emb, q, k=7, engine=e),
+            lambda e: knn.knn_classify(emb, q, k=7, weighted=True, engine=e),
+            lambda e: knn.hard_negatives(emb, a_q, k=7, engine=e),
+            lambda e: knn.training_triplets(emb, a_q, engine=e),
+        ):
+            a = sorted(map(tuple, build("window").collect()))
+            b = sorted(map(tuple, build("two_phase").collect()))
+            assert a == b
+
+    def test_k_exceeds_corpus_and_empty_partitions(self, spark):
+        """k larger than the corpus and a corpus spread over many
+        EMPTY partitions must both survive the Arrow local phase."""
+        emb = spark.createDataFrame(
+            [(0, [1.0, 0.0], 1), (1, [0.5, 0.1], 2), (2, [0.1, 0.9], 1)],
+            "vec_id long, embedding array<double>, label int",
+        ).repartition(64)
+        q = emb.where(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"))
+        a = sorted(map(tuple, knn.knn_classify(
+            emb, q, k=50, engine="window").collect()))
+        b = sorted(map(tuple, knn.knn_classify(
+            emb, q, k=50, engine="two_phase").collect()))
+        assert a == b and len(b) == 1
