@@ -686,3 +686,60 @@ def streaming_quality_filter(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def streaming_chunk_index_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    index_path: str,
+    checkpoint: str | None = None,
+    nlist: int = 16,
+    min_size: int = 100,
+    max_size: int = 250,
+    overlap: int = 20,
+    dim: int = 64,
+    hash_fn: str = "md5",
+) -> StreamingQuery:
+    """Live chunk-index ingest: new document batches chunk, embed,
+    and land in the PERSISTED chunk ANN index — the streaming form of
+    the reference's build/add flow (build_index.py + index_service
+    ``add``: chunk_service output appended to the live FAISS index),
+    running against :func:`~..operators.embed.chunk_index_build`'s
+    durable layout instead of driver memory.
+
+    Per micro-batch: the first batch BUILDS the index (its chunks seed
+    the coarse quantizer — FAISS's train-on-first-data posture; the
+    lifecycle retrain guard exists for when later ingest drifts),
+    every later batch runs :func:`~..operators.embed.
+    chunk_index_append` — assign against the SAVED centroids, append
+    only into touched ``list_id`` partitions, struct-chunk-key
+    anti-join against just those partitions. Appends being keyed and
+    partition-local makes an at-least-once replay a no-op for chunks
+    that already landed, so a checkpointed crash-retry cannot
+    duplicate index rows; untouched lists stay byte-stable throughout.
+    Serving (:func:`~..operators.embed.chunk_search_persisted`) reads
+    the same path mid-ingest — readers see whole parquet files only.
+    """
+    from ..io import path_exists
+    from ..operators import embed as embed_mod
+
+    docs = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    params = dict(min_size=min_size, max_size=max_size, overlap=overlap,
+                  dim=dim, hash_fn=hash_fn)
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        if not path_exists(spark, f"{index_path}/_centroids"):
+            embed_mod.chunk_index_build(
+                batch, index_path, nlist=nlist, **params
+            )
+            return
+        embed_mod.chunk_index_append(spark, index_path, batch, **params)
+
+    writer = docs.writeStream.foreachBatch(ingest).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

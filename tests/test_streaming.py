@@ -524,3 +524,48 @@ def test_streaming_funnel_matches_batch(spark, sf_small, tmp_path):
     for i in (1, 2, 3):
         got_i = sum(1 for v in progress_h.values() if v >= i)
         assert got_i == want_h[i], (i, got_i, want_h[i])
+
+
+def test_streaming_chunk_index_ingest_builds_appends_dedups(
+    spark, sf_small, tmp_path
+):
+    """Streamed chunk-index ingest equals the one-shot build: batch 1
+    builds (and seeds the quantizer), batch 2 appends — including an
+    at-least-once REDELIVERY of batch-1 docs, which the struct-key
+    anti-join must no-op — and full-probe serving equals brute-force
+    over the whole corpus."""
+    from faiss_vector_search_spark.operators import embed
+
+    docs = fio.load_table(spark, sf_small, "documents")
+    src = tmp_path / "docs_in"
+    docs.where("doc_id < 250").coalesce(1).write.mode("append").parquet(str(src))
+    docs.where("doc_id >= 250").unionByName(
+        docs.where("doc_id < 50")
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    idx = str(tmp_path / "chunk_index")
+    q = streams.streaming_chunk_index_ingest(
+        spark, str(src), idx, checkpoint=str(tmp_path / "ckpt"), nlist=8
+    )
+    q.awaitTermination()
+
+    query = "batch window vector hash fast stream"
+    got = embed.chunk_search_persisted(spark, idx, query, k=5, nprobe=8)
+    want = embed.chunk_text_search(docs, query, k=5)
+    assert [(r.doc_id, r.chunk_id, r.chunk_text, r.score)
+            for r in got.collect()] == \
+        [(r.doc_id, r.chunk_id, r.chunk_text, r.score)
+         for r in want.collect()]
+
+    n = spark.read.parquet(f"{idx}/vectors").count()
+    # every chunk exactly once despite the redelivery
+    from faiss_vector_search_spark.operators.chunking import chunk_greedy
+
+    assert n == chunk_greedy(docs, 100, 250, 20).count()
+
+    # re-running the whole stream adds nothing (append-only dedup)
+    q2 = streams.streaming_chunk_index_ingest(
+        spark, str(src), idx, checkpoint=str(tmp_path / "ckpt2"), nlist=8
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(f"{idx}/vectors").count() == n
