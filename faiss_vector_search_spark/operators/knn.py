@@ -220,6 +220,20 @@ def knn_classify(
     neighbors = pool.withColumn("_r", F.row_number().over(w)).where(
         F.col("_r") <= k
     )
+    return _classify_votes(neighbors, weighted, query_id_col, label_col)
+
+
+def _classify_votes(
+    neighbors: DataFrame,
+    weighted: bool,
+    query_id_col: str,
+    label_col: str,
+) -> DataFrame:
+    """The vote rollup shared by every k-NN classification surface:
+    ``neighbors`` carries (query, label, score) rows — at most k per
+    query, produced by whichever neighbor engine (two-phase flat,
+    single-phase window, persisted-IVF probe) — and only bounded
+    (query × label) triples ever reach the second aggregation."""
     nw = Window.partitionBy(query_id_col)
     if weighted:
         votes = neighbors.groupBy(query_id_col, label_col).agg(
@@ -266,6 +280,62 @@ def knn_classify(
             .alias("confidence"),
         )
     )
+
+
+def knn_classify_persisted(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    metric: str = "ip",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    weighted: bool = False,
+) -> DataFrame:
+    """k-NN classification served from a PERSISTED IVF index
+    (ivf.save_ivf layout) — the label-propagation path a 100 TB
+    labeled pool actually runs: neighbor candidates come from
+    :func:`ivf.ivf_search_persisted_batch` (all queries share ONE
+    partition-pruned scan reading nprobe/nlist of the index files),
+    labels ride a second column-pruned (id, label) scan that
+    broadcast-joins the bounded candidate list, and the vote rollup
+    is byte-identical to :func:`knn_classify`'s
+    (:func:`_classify_votes`).
+
+    Self-exclusion stays exact: the probe fetches k+1 candidates,
+    drops rows whose id equals the query id, and re-ranks the
+    bounded remainder — if the query row was in the top k+1 the
+    remaining k are exactly the best non-self rows, and if it wasn't,
+    the global top-k already contains no self row. With
+    ``nprobe == nlist`` the prediction therefore equals the exact
+    :func:`knn_classify` (pytest-gated); at lower nprobe it is the
+    standard IVF approximation, dialed by the same recall machinery
+    as every other persisted surface (lifecycle.index_health_report).
+    """
+    from . import ivf as ivf_mod
+
+    cand = ivf_mod.ivf_search_persisted_batch(
+        spark, path, queries, nprobe=nprobe, k=k + 1, metric=metric,
+        id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+    )
+    labels = spark.read.parquet(f"{path}/vectors").select(id_col, label_col)
+    pool = labels.join(F.broadcast(cand), id_col).where(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    neighbors = (
+        pool.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= k)
+        .select(query_id_col, label_col, "score")
+    )
+    return _classify_votes(neighbors, weighted, query_id_col, label_col)
 
 
 def _threshold_hits(

@@ -160,3 +160,53 @@ class TestClassifyMiningQuartetTwoPhase:
         b = sorted(map(tuple, knn.knn_classify(
             emb, q, k=50, engine="two_phase").collect()))
         assert a == b and len(b) == 1
+
+
+class TestKnnClassifyPersisted:
+    """Persisted-IVF classification: full-probe == exact knn_classify
+    (both vote modes), candidate scan partition-pruned."""
+
+    @pytest.fixture(scope="class")
+    def idx(self, spark, sf_small, tmp_path_factory):
+        from faiss_vector_search_spark.operators import ivf as ivf_mod
+
+        emb = fio.load_table(spark, sf_small, "embeddings")
+        path = str(tmp_path_factory.mktemp("clsidx") / "ivf")
+        cents = ivf_mod.seeded_centroids(emb, 8)
+        ivf_mod.save_ivf(emb, cents, path)
+        return path
+
+    @pytest.mark.parametrize("weighted", [False, True])
+    def test_full_probe_equals_exact(self, spark, sf_small, idx, weighted):
+        emb = fio.load_table(spark, sf_small, "embeddings")
+        queries = emb.where(F.col("vec_id").isin([0, 3, 7, 11])).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        got = sorted(map(tuple, knn.knn_classify_persisted(
+            spark, idx, queries, k=10, nprobe=8, weighted=weighted
+        ).collect()))
+        want = sorted(map(tuple, knn.knn_classify(
+            emb, queries, k=10, weighted=weighted).collect()))
+        assert got == want
+
+    def test_candidate_scan_is_partition_pruned(self, spark, sf_small, idx):
+        import contextlib
+        import io as pyio
+        import re
+
+        emb = fio.load_table(spark, sf_small, "embeddings")
+        queries = emb.where(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        df = knn.knn_classify_persisted(spark, idx, queries, k=5, nprobe=2)
+        buf = pyio.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "PartitionFilters: [" in plan
+        assert not re.search(
+            r"Scan parquet[^\n]*vectors[\s\S]{0,400}PartitionFilters: \[\]",
+            plan,
+        ) or plan.count("PartitionFilters: [") >= 2
