@@ -645,9 +645,12 @@ def chunk_index_build(
     reference stores chunk content in its index metadata for exactly
     this reason: the serving path answers from ONE partition-pruned
     scan, no join back to the corpus at query time. Build cost is the
-    one-time chunk+embed+assign pass a real deployment amortizes;
-    appends go through :func:`chunk_index_append` and touch only
-    their lists.
+    one-time chunk+embed+assign pass a real deployment amortizes —
+    including one corpus-sized shuffle join reattaching chunk text to
+    the aggregated embeddings (the cost class of every index build;
+    the embedding groupBy already partitions one side by the chunk
+    key, and the SERVING path never joins). Appends go through
+    :func:`chunk_index_append` and touch only their lists.
     """
     from . import ivf as ivf_mod
 

@@ -323,7 +323,34 @@ def knn_classify_persisted(
         id_col=id_col, vec_col=vec_col,
         query_id_col=query_id_col, query_vec_col=query_vec_col,
     )
-    labels = spark.read.parquet(f"{path}/vectors").select(id_col, label_col)
+    # the label scan prunes to the SAME probed lists as the candidate
+    # scan (every candidate id lives in a probed list by construction),
+    # so both scans read nprobe/nlist of the index files; the probe
+    # set computes in one window over the broadcast centroids, the
+    # same bounded job the batch search runs
+    from ..functions import vector as V
+
+    cents = spark.read.parquet(f"{path}/_centroids")
+    pw = Window.partitionBy(query_id_col).orderBy(
+        F.col("_cdist").asc(), F.col("cid").asc()
+    )
+    probed = sorted({
+        r.cid
+        for r in queries.select(query_id_col, query_vec_col)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col(query_id_col), F.col("cid"),
+            V.l2_sq(F.col(query_vec_col), F.col("cvec")).alias("_cdist"),
+        )
+        .withColumn("_r", F.row_number().over(pw))
+        .where(F.col("_r") <= nprobe)
+        .select("cid").distinct().collect()
+    })
+    labels = (
+        spark.read.parquet(f"{path}/vectors")
+        .where(F.col("list_id").isin(probed))
+        .select(id_col, label_col)
+    )
     pool = labels.join(F.broadcast(cand), id_col).where(
         F.col(id_col) != F.col(query_id_col)
     )
