@@ -4999,6 +4999,58 @@ def q_ivf_batch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_store(spark: SparkSession, sf_dir: str) -> str:
+    """The shared per-SF persisted IVF store (same build as
+    q_ivf_batch_query's, cached for the whole process)."""
+    import tempfile
+
+    from faiss_vector_search_spark.operators import ivf as ivf_mod
+
+    if sf_dir not in _IVFIDX_PATHS:
+        emb = _t(spark, sf_dir, "embeddings")
+        path = tempfile.mkdtemp(prefix="fvs_ivfidx_entry_") + "/idx"
+        ivf_mod.save_ivf(emb, ivf_mod.seeded_centroids(emb, nlist=16), path)
+        _IVFIDX_PATHS[sf_dir] = path
+    return _IVFIDX_PATHS[sf_dir]
+
+
+def q_knn_classify_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification served from the persisted IVF store: both
+    the candidate scan and the label join-back read nprobe/nlist of
+    the index files. Rows-only: the probe set is the declared
+    approximate surface; full-probe == exact knn_classify is
+    pytest-gated (tests/test_knn_two_phase.py)."""
+    from faiss_vector_search_spark.operators import knn as knn_mod
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id").isin([0, 3, 7, 11])).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return knn_mod.knn_classify_persisted(
+        spark, _ivf_store(spark, sf_dir), queries, k=10, nprobe=4,
+    )
+
+
+def q_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS-mined hard negatives from the persisted IVF store: probe
+    a k×pool candidate pool in one pruned scan, label-filter, re-rank.
+    Rows-only: pool depth is the declared approximate surface;
+    full-probe deep-pool == exact hard_negatives is pytest-gated."""
+    from faiss_vector_search_spark.operators import knn as knn_mod
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    return knn_mod.hard_negatives_persisted(
+        spark, _ivf_store(spark, sf_dir), anchors, k=5, nprobe=4,
+        pool_mult=4,
+    )
+
+
 def q_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-call persisted-index health check (reference get_stats +
     train-when-needed, index_service.py:179-185 end to end): layout
@@ -5419,6 +5471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_shards": q_training_shards,
         "cross_rerank": q_cross_rerank,
         "chunk_search_ivf": q_chunk_search_ivf,
+        "knn_classify_ivf": q_knn_classify_ivf,
+        "hard_negatives_ivf": q_hard_negatives_ivf,
     }
 
 

@@ -365,6 +365,67 @@ def knn_classify_persisted(
     return _classify_votes(neighbors, weighted, query_id_col, label_col)
 
 
+def hard_negatives_persisted(
+    spark,
+    path: str,
+    anchors: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    pool_mult: int = 4,
+    metric: str = "ip",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Hard-negative mining served from a PERSISTED IVF index — the
+    FAISS-mined-negatives recipe every contrastive training pipeline
+    actually runs at scale: probe the index for a candidate POOL of
+    ``k × pool_mult`` per anchor (one partition-pruned scan shared by
+    all anchors), attach labels from the same probed lists, drop
+    same-label rows, re-rank the bounded remainder, keep k.
+
+    The label predicate applies AFTER the probe (the index orders by
+    similarity only), so the pool multiplier is the knob that absorbs
+    same-label crowding — with ``nprobe == nlist`` and a pool deep
+    enough to cover the crowd, the result equals the exact
+    :func:`hard_negatives` (pytest-gated); production dials both like
+    any ANN recall trade. The anchor row shares its own label, so it
+    can never survive as its own negative.
+    """
+    from . import ivf as ivf_mod
+
+    cand = ivf_mod.ivf_search_persisted_batch(
+        spark, path, anchors, nprobe=nprobe, k=k * pool_mult,
+        metric=metric, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+    )
+    labels = spark.read.parquet(f"{path}/vectors").select(id_col, label_col)
+    alab = F.broadcast(
+        anchors.select(
+            F.col(query_id_col),
+            F.col("query_label").alias("_qlab"),
+        )
+    )
+    pool = (
+        labels.join(F.broadcast(cand), id_col)
+        .join(alab, query_id_col)
+        .where(F.col(label_col) != F.col("_qlab"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        pool.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= k)
+        .select(
+            query_id_col, id_col, "score",
+            F.col("_r").cast("int").alias("rank"),
+        )
+    )
+
+
 def _threshold_hits(
     corpus: DataFrame,
     query: DataFrame,

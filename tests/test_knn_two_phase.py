@@ -210,3 +210,49 @@ class TestKnnClassifyPersisted:
             r"Scan parquet[^\n]*vectors[\s\S]{0,400}PartitionFilters: \[\]",
             plan,
         ) or plan.count("PartitionFilters: [") >= 2
+
+
+class TestHardNegativesPersisted:
+    def test_full_probe_deep_pool_equals_exact(self, spark, sf_small,
+                                               tmp_path):
+        from faiss_vector_search_spark.operators import ivf as ivf_mod
+
+        emb = fio.load_table(spark, sf_small, "embeddings")
+        path = str(tmp_path / "ivf")
+        ivf_mod.save_ivf(emb, ivf_mod.seeded_centroids(emb, 8), path)
+        anchors = emb.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+            F.col("label").alias("query_label"),
+        )
+        n = emb.count()
+        got = sorted(map(tuple, knn.hard_negatives_persisted(
+            spark, path, anchors, k=5, nprobe=8,
+            pool_mult=-(-n // 5),  # pool covers the whole corpus
+        ).collect()))
+        want = sorted(map(tuple, knn.hard_negatives(
+            emb, anchors, k=5).collect()))
+        assert got == want
+
+    def test_shallow_pool_is_subset_of_exact_negatives(self, spark,
+                                                       sf_small, tmp_path):
+        """At any pool depth the mined rows are genuinely
+        different-label and never the anchor itself."""
+        from faiss_vector_search_spark.operators import ivf as ivf_mod
+
+        emb = fio.load_table(spark, sf_small, "embeddings")
+        path = str(tmp_path / "ivf")
+        ivf_mod.save_ivf(emb, ivf_mod.seeded_centroids(emb, 8), path)
+        anchors = emb.where(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+            F.col("label").alias("query_label"),
+        )
+        mined = knn.hard_negatives_persisted(
+            spark, path, anchors, k=5, nprobe=2, pool_mult=2
+        )
+        labels = {r.vec_id: r.label for r in emb.collect()}
+        alabels = {r.query_id: r.query_label for r in anchors.collect()}
+        for r in mined.collect():
+            assert r.vec_id != r.query_id
+            assert labels[r.vec_id] != alabels[r.query_id]
