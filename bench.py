@@ -570,6 +570,8 @@ def main() -> None:
         "model_rerank": qs["model_rerank"],
         "cross_rerank": qs["cross_rerank"],
         "chunk_search_ivf": qs["chunk_search_ivf"],
+        "knn_classify_ivf": qs["knn_classify_ivf"],
+        "hard_negatives_ivf": qs["hard_negatives_ivf"],
         "training_shards": qs["training_shards"],
         "self_similarity": qs["self_similarity"],
         "dataset_card": qs["dataset_card"],

@@ -653,6 +653,7 @@ def chunk_index_build(
     :func:`chunk_index_append` and touch only their lists.
     """
     from . import ivf as ivf_mod
+    from . import lifecycle
 
     rows = _chunk_index_rows(
         docs, min_size, max_size, overlap, dim, hash_fn, id_col, text_col
@@ -661,6 +662,15 @@ def chunk_index_build(
         rows, nlist, id_col="_ckey", vec_col="embedding"
     )
     ivf_mod.save_ivf(rows, cents, path, vec_col="embedding")
+    # train watermark: lifecycle.should_retrain's drift guard works on
+    # the chunk index exactly like every other IVF-family store, so a
+    # long-running ingest (streaming_chunk_index_ingest) knows when
+    # the first-batch quantizer has been outgrown
+    spark = docs.sparkSession
+    lifecycle.write_train_meta(
+        spark, path,
+        spark.read.parquet(f"{path}/vectors").count(),
+    )
 
 
 def chunk_index_append(

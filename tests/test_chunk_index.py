@@ -108,3 +108,20 @@ def test_append_dedupes_existing_chunk_keys(spark, docs, tmp_path):
     # struct chunk key against the touched partitions)
     embed.chunk_index_append(spark, path, docs)
     assert spark.read.parquet(f"{path}/vectors").count() == n0
+
+
+def test_retrain_guard_composes_with_chunk_index(spark, docs, tmp_path):
+    """The chunk index carries the lifecycle train watermark: a small
+    seed build that then ingests a much larger corpus trips
+    should_retrain, exactly like every other IVF-family store."""
+    from faiss_vector_search_spark.operators import lifecycle
+
+    path = str(tmp_path / "idx")
+    seed = docs.where(F.col("doc_id") < 40)
+    embed.chunk_index_build(seed, path, nlist=4)
+    assert lifecycle.should_retrain(spark, path, growth_factor=4.0) is False
+
+    embed.chunk_index_append(
+        spark, path, docs.where(F.col("doc_id") >= 40)
+    )
+    assert lifecycle.should_retrain(spark, path, growth_factor=4.0) is True
