@@ -5051,6 +5051,25 @@ def q_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_triplets_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet mining from the persisted IVF store: one pruned probe
+    fetches a candidate pool per anchor, sides split by label, each
+    side re-ranks its bounded slice. Rows-only: probe + pool depth are
+    the declared approximate surface; full-probe deep-pool == exact
+    training_triplets is pytest-gated."""
+    from faiss_vector_search_spark.operators import knn as knn_mod
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    return knn_mod.training_triplets_persisted(
+        spark, _ivf_store(spark, sf_dir), anchors, nprobe=4, pool=20,
+    )
+
+
 def q_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-call persisted-index health check (reference get_stats +
     train-when-needed, index_service.py:179-185 end to end): layout
@@ -5473,6 +5492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_search_ivf": q_chunk_search_ivf,
         "knn_classify_ivf": q_knn_classify_ivf,
         "hard_negatives_ivf": q_hard_negatives_ivf,
+        "training_triplets_ivf": q_training_triplets_ivf,
     }
 
 

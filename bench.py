@@ -572,6 +572,7 @@ def main() -> None:
         "chunk_search_ivf": qs["chunk_search_ivf"],
         "knn_classify_ivf": qs["knn_classify_ivf"],
         "hard_negatives_ivf": qs["hard_negatives_ivf"],
+        "training_triplets_ivf": qs["training_triplets_ivf"],
         "training_shards": qs["training_shards"],
         "self_similarity": qs["self_similarity"],
         "dataset_card": qs["dataset_card"],

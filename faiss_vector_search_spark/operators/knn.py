@@ -426,6 +426,87 @@ def hard_negatives_persisted(
     )
 
 
+def training_triplets_persisted(
+    spark,
+    path: str,
+    anchors: DataFrame,
+    nprobe: int = 4,
+    pool: int = 20,
+    metric: str = "ip",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """(anchor, hardest positive, hardest negative) triplets mined
+    from the PERSISTED IVF index — :func:`training_triplets` at
+    serving scale: one partition-pruned probe fetches a ``pool`` of
+    candidates per anchor (both labels mixed, the index orders by
+    similarity only), labels attach from the same scan path, the
+    anchor row drops, each (anchor, side) re-ranks its bounded slice
+    and keeps its winner, and the conditional aggregation folds the
+    margin exactly like the exact miner.
+
+    Approximation surface = the probe (nprobe) and the pool depth (a
+    side whose best row is crowded past ``pool`` needs a deeper pool
+    — same dial as :func:`hard_negatives_persisted`); with full probe
+    and a corpus-deep pool the output equals the exact miner
+    (pytest-gated). Anchors missing a side in the pool surface as
+    NULL pos/neg rather than silently dropping the anchor.
+    """
+    from . import ivf as ivf_mod
+
+    cand = ivf_mod.ivf_search_persisted_batch(
+        spark, path, anchors, nprobe=nprobe, k=pool, metric=metric,
+        id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+    )
+    labels = spark.read.parquet(f"{path}/vectors").select(id_col, label_col)
+    alab = F.broadcast(
+        anchors.select(
+            F.col(query_id_col), F.col("query_label").alias("_qlab")
+        )
+    )
+    pooled = (
+        labels.join(F.broadcast(cand), id_col)
+        .join(alab, query_id_col)
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.when(F.col(label_col) == F.col("_qlab"), F.lit("pos"))
+            .otherwise(F.lit("neg"))
+            .alias("side"),
+            F.col("score"),
+        )
+    )
+    w = Window.partitionBy(query_id_col, "side").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    best = pooled.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") == 1
+    )
+    return (
+        best.groupBy(query_id_col)
+        .agg(
+            F.max(F.when(F.col("side") == "pos", F.col(id_col))).alias("pos_id"),
+            F.max(F.when(F.col("side") == "pos", F.col("score"))).alias("pos_score"),
+            F.max(F.when(F.col("side") == "neg", F.col(id_col))).alias("neg_id"),
+            F.max(F.when(F.col("side") == "neg", F.col("score"))).alias("neg_score"),
+        )
+        .select(
+            query_id_col,
+            "pos_id",
+            "pos_score",
+            "neg_id",
+            "neg_score",
+            F.round(F.col("pos_score") - F.col("neg_score"), SCORE_DECIMALS)
+            .alias("margin"),
+        )
+    )
+
+
 def _threshold_hits(
     corpus: DataFrame,
     query: DataFrame,

@@ -256,3 +256,48 @@ class TestHardNegativesPersisted:
         for r in mined.collect():
             assert r.vec_id != r.query_id
             assert labels[r.vec_id] != alabels[r.query_id]
+
+
+class TestTrainingTripletsPersisted:
+    def test_full_probe_deep_pool_equals_exact(self, spark, sf_small,
+                                               tmp_path):
+        from faiss_vector_search_spark.operators import ivf as ivf_mod
+
+        emb = fio.load_table(spark, sf_small, "embeddings")
+        path = str(tmp_path / "ivf")
+        ivf_mod.save_ivf(emb, ivf_mod.seeded_centroids(emb, 8), path)
+        anchors = emb.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+            F.col("label").alias("query_label"),
+        )
+        n = emb.count()
+        got = sorted(map(tuple, knn.training_triplets_persisted(
+            spark, path, anchors, nprobe=8, pool=n + 1).collect()))
+        want = sorted(map(tuple, knn.training_triplets(
+            emb, anchors).collect()))
+        assert got == want
+
+    def test_shallow_pool_sides_are_label_correct(self, spark, sf_small,
+                                                  tmp_path):
+        from faiss_vector_search_spark.operators import ivf as ivf_mod
+
+        emb = fio.load_table(spark, sf_small, "embeddings")
+        path = str(tmp_path / "ivf")
+        ivf_mod.save_ivf(emb, ivf_mod.seeded_centroids(emb, 8), path)
+        anchors = emb.where(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+            F.col("label").alias("query_label"),
+        )
+        out = knn.training_triplets_persisted(
+            spark, path, anchors, nprobe=2, pool=10).collect()
+        labels = {r.vec_id: r.label for r in emb.collect()}
+        alabels = {r.query_id: r.query_label for r in anchors.collect()}
+        assert len(out) == 4
+        for r in out:
+            if r.pos_id is not None:
+                assert labels[r.pos_id] == alabels[r.query_id]
+                assert r.pos_id != r.query_id
+            if r.neg_id is not None:
+                assert labels[r.neg_id] != alabels[r.query_id]
