@@ -378,6 +378,7 @@ def hard_negatives_persisted(
     label_col: str = "label",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    query_label_col: str = "query_label",
 ) -> DataFrame:
     """Hard-negative mining served from a PERSISTED IVF index — the
     FAISS-mined-negatives recipe every contrastive training pipeline
@@ -405,7 +406,7 @@ def hard_negatives_persisted(
     alab = F.broadcast(
         anchors.select(
             F.col(query_id_col),
-            F.col("query_label").alias("_qlab"),
+            F.col(query_label_col).alias("_qlab"),
         )
     )
     pool = (
@@ -438,6 +439,7 @@ def training_triplets_persisted(
     label_col: str = "label",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    query_label_col: str = "query_label",
 ) -> DataFrame:
     """(anchor, hardest positive, hardest negative) triplets mined
     from the PERSISTED IVF index — :func:`training_triplets` at
@@ -465,7 +467,7 @@ def training_triplets_persisted(
     labels = spark.read.parquet(f"{path}/vectors").select(id_col, label_col)
     alab = F.broadcast(
         anchors.select(
-            F.col(query_id_col), F.col("query_label").alias("_qlab")
+            F.col(query_id_col), F.col(query_label_col).alias("_qlab")
         )
     )
     pooled = (
