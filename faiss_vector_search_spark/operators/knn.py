@@ -679,7 +679,6 @@ def _two_phase_survivors(
     )
     qrows = queries.select(*qcols).collect()
     qids = [r[0] for r in qrows]
-    qmat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     qlabels = [r[2] for r in qrows] if need_qlabel else None
 
     in_cols = [id_col, vec_col] + ([label_col] if (carry_label or need_qlabel) else [])
@@ -690,6 +689,10 @@ def _two_phase_survivors(
         out_schema += f", {label_col} {label_type}"
     if label_mode == "split_side":
         out_schema += ", side string"
+    if not qrows:  # empty query set: empty survivors, same schema as
+        # the window engine's empty result (np.vstack of nothing throws)
+        return corpus.sparkSession.createDataFrame([], out_schema)
+    qmat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in qrows])
 
     def local_topk(batches):
         # (qi, side) -> (scores, vids[, labels]) running local top-k

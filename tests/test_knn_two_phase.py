@@ -161,6 +161,14 @@ class TestClassifyMiningQuartetTwoPhase:
             emb, q, k=50, engine="two_phase").collect()))
         assert a == b and len(b) == 1
 
+    def test_empty_query_set_returns_empty(self, spark, sf_small):
+        emb = fio.load_table(spark, sf_small, "embeddings")
+        none = emb.where(F.col("vec_id") < 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"))
+        assert knn.knn_classify(emb, none, k=5).count() == 0
+        assert knn.topk_join_two_phase(emb, none, k=5).count() == 0
+
 
 class TestKnnClassifyPersisted:
     """Persisted-IVF classification: full-probe == exact knn_classify
