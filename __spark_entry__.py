@@ -4048,6 +4048,189 @@ SELECT query_id, vec_id, score, CAST(rank AS INT) AS rank FROM (
 ) WHERE rank <= 10
 """
 
+
+# The persisted-mining oracles compose the ivf_batch_query probe
+# pipeline (seeded centroids, sql-fold assignment, per-query probes)
+# with the classify/mining tails — every stage is the hash-gated
+# fragment of an existing oracle, so the composition gates the whole
+# persisted serving path end to end.
+ORACLES["knn_classify_ivf"] = f"""
+WITH base AS (SELECT vec_id, label,
+              CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cvec
+  FROM (SELECT * FROM base ORDER BY vec_id LIMIT 16)
+),
+qs AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id IN (0, 3, 7, 11)),
+assign AS (
+  SELECT b.vec_id, b.label, b.v, c.cid AS list_id
+  FROM base b, cents c
+  QUALIFY row_number() OVER (
+    PARTITION BY b.vec_id
+    ORDER BY {_l2sq_sql('b.v', 'c.cvec')} ASC, c.cid ASC
+  ) = 1
+),
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_l2sq_sql('q.qv', 'c.cvec')} ASC, c.cid ASC
+           ) AS pr
+    FROM cents c, qs q
+  ) WHERE pr <= 4
+),
+cand AS (
+  SELECT query_id, vec_id, label, score FROM (
+    SELECT p.query_id, a.vec_id, a.label,
+           ROUND(list_dot_product(a.v, q.qv), 6) AS score,
+           row_number() OVER (
+             PARTITION BY p.query_id
+             ORDER BY ROUND(list_dot_product(a.v, q.qv), 6) DESC,
+                      a.vec_id ASC
+           ) AS r
+    FROM assign a
+    JOIN probes p ON a.list_id = p.cid
+    JOIN qs q ON q.query_id = p.query_id
+  ) WHERE r <= 11
+),
+pool AS (
+  SELECT query_id, vec_id, label, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+         ) AS r
+  FROM cand WHERE vec_id <> query_id
+),
+votes AS (
+  SELECT query_id, label, count(*)::BIGINT AS votes
+  FROM pool WHERE r <= 10 GROUP BY 1, 2
+),
+best AS (
+  SELECT query_id, label AS pred_label, votes,
+         sum(votes) OVER (PARTITION BY query_id) AS n,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY votes DESC, label ASC) AS vr
+  FROM votes
+)
+SELECT query_id, pred_label, votes,
+       ROUND(votes / CAST(n AS DOUBLE), 6) AS confidence
+FROM best WHERE vr = 1
+"""
+
+ORACLES["hard_negatives_ivf"] = f"""
+WITH base AS (SELECT vec_id, label,
+              CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cvec
+  FROM (SELECT * FROM base ORDER BY vec_id LIMIT 16)
+),
+qs AS (SELECT vec_id AS query_id, v AS qv, label AS qlab
+       FROM base WHERE vec_id < 8),
+assign AS (
+  SELECT b.vec_id, b.label, b.v, c.cid AS list_id
+  FROM base b, cents c
+  QUALIFY row_number() OVER (
+    PARTITION BY b.vec_id
+    ORDER BY {_l2sq_sql('b.v', 'c.cvec')} ASC, c.cid ASC
+  ) = 1
+),
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_l2sq_sql('q.qv', 'c.cvec')} ASC, c.cid ASC
+           ) AS pr
+    FROM cents c, qs q
+  ) WHERE pr <= 4
+),
+cand AS (
+  SELECT query_id, vec_id, label, qlab, score FROM (
+    SELECT p.query_id, a.vec_id, a.label, q.qlab,
+           ROUND(list_dot_product(a.v, q.qv), 6) AS score,
+           row_number() OVER (
+             PARTITION BY p.query_id
+             ORDER BY ROUND(list_dot_product(a.v, q.qv), 6) DESC,
+                      a.vec_id ASC
+           ) AS r
+    FROM assign a
+    JOIN probes p ON a.list_id = p.cid
+    JOIN qs q ON q.query_id = p.query_id
+  ) WHERE r <= 20
+),
+pool AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+         ) AS r
+  FROM cand WHERE label <> qlab AND vec_id <> query_id
+)
+SELECT query_id, vec_id, score, CAST(r AS INT) AS rank
+FROM pool WHERE r <= 5
+"""
+
+ORACLES["training_triplets_ivf"] = f"""
+WITH base AS (SELECT vec_id, label,
+              CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cvec
+  FROM (SELECT * FROM base ORDER BY vec_id LIMIT 16)
+),
+qs AS (SELECT vec_id AS query_id, v AS qv, label AS qlab
+       FROM base WHERE vec_id < 8),
+assign AS (
+  SELECT b.vec_id, b.label, b.v, c.cid AS list_id
+  FROM base b, cents c
+  QUALIFY row_number() OVER (
+    PARTITION BY b.vec_id
+    ORDER BY {_l2sq_sql('b.v', 'c.cvec')} ASC, c.cid ASC
+  ) = 1
+),
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_l2sq_sql('q.qv', 'c.cvec')} ASC, c.cid ASC
+           ) AS pr
+    FROM cents c, qs q
+  ) WHERE pr <= 4
+),
+cand AS (
+  SELECT query_id, vec_id, label, qlab, score FROM (
+    SELECT p.query_id, a.vec_id, a.label, q.qlab,
+           ROUND(list_dot_product(a.v, q.qv), 6) AS score,
+           row_number() OVER (
+             PARTITION BY p.query_id
+             ORDER BY ROUND(list_dot_product(a.v, q.qv), 6) DESC,
+                      a.vec_id ASC
+           ) AS r
+    FROM assign a
+    JOIN probes p ON a.list_id = p.cid
+    JOIN qs q ON q.query_id = p.query_id
+  ) WHERE r <= 20
+),
+best AS (
+  SELECT query_id, vec_id, score,
+         CASE WHEN label = qlab THEN 'pos' ELSE 'neg' END AS side,
+         row_number() OVER (
+           PARTITION BY query_id,
+                        CASE WHEN label = qlab THEN 'pos' ELSE 'neg' END
+           ORDER BY score DESC, vec_id ASC
+         ) AS rk
+  FROM cand WHERE vec_id <> query_id
+)
+SELECT query_id,
+       max(CASE WHEN side = 'pos' THEN vec_id END) AS pos_id,
+       max(CASE WHEN side = 'pos' THEN score END) AS pos_score,
+       max(CASE WHEN side = 'neg' THEN vec_id END) AS neg_id,
+       max(CASE WHEN side = 'neg' THEN score END) AS neg_score,
+       ROUND(max(CASE WHEN side = 'pos' THEN score END)
+             - max(CASE WHEN side = 'neg' THEN score END), 6) AS margin
+FROM best WHERE rk = 1
+GROUP BY query_id
+"""
+
 # distinct word 2-shingles of the token array (matches
 # functions.text.shingles_from_tokens at n=2; the WHERE already
 # guarantees len(toks) >= 2 so no empty-case guard is needed)
@@ -5017,8 +5200,8 @@ def _ivf_store(spark: SparkSession, sf_dir: str) -> str:
 def q_knn_classify_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN classification served from the persisted IVF store: both
     the candidate scan and the label join-back read nprobe/nlist of
-    the index files. Rows-only: the probe set is the declared
-    approximate surface; full-probe == exact knn_classify is
+    the index files. Oracle-gated end to end (probe pipeline + vote
+    tail in SQL); full-probe == exact knn_classify additionally
     pytest-gated (tests/test_knn_two_phase.py)."""
     from faiss_vector_search_spark.operators import knn as knn_mod
 
@@ -5035,8 +5218,8 @@ def q_knn_classify_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FAISS-mined hard negatives from the persisted IVF store: probe
     a k×pool candidate pool in one pruned scan, label-filter, re-rank.
-    Rows-only: pool depth is the declared approximate surface;
-    full-probe deep-pool == exact hard_negatives is pytest-gated."""
+    Oracle-gated end to end; full-probe deep-pool == exact
+    hard_negatives additionally pytest-gated."""
     from faiss_vector_search_spark.operators import knn as knn_mod
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -5054,9 +5237,9 @@ def q_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_training_triplets_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triplet mining from the persisted IVF store: one pruned probe
     fetches a candidate pool per anchor, sides split by label, each
-    side re-ranks its bounded slice. Rows-only: probe + pool depth are
-    the declared approximate surface; full-probe deep-pool == exact
-    training_triplets is pytest-gated."""
+    side re-ranks its bounded slice. Oracle-gated end to end;
+    full-probe deep-pool == exact training_triplets additionally
+    pytest-gated."""
     from faiss_vector_search_spark.operators import knn as knn_mod
 
     emb = _t(spark, sf_dir, "embeddings")
