@@ -5485,18 +5485,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the first 50 insertion-order keys each round (observed r2-r7; policy
     # documented in SURVEY §5). Rotation r8, standing policy (never-green
     # first, then changed-since-last-green, then stalest-green):
-    # never-green is EMPTY (all 148 gated keys driver-green through r7),
-    # so positions 1-12 are the keys whose operators were edited in r8 —
-    # the two-phase classify/mining quartet (knn.py), the RRF fusion +
-    # literal-map retrieval rewrite (hybrid_search, text_search,
-    # rag_context, diversified_search, chunk_search, hybrid_search_suite)
-    # and the judgment-dedup change (retrieval_eval, retrieval_eval_suite).
-    # Then the 7 keys whose last driver green is r4, then the stalest r5
-    # block backfills to 50. Every r6/r7 green rotates behind; rows-only
-    # keys stay last. queries_order.json is regenerated in lockstep by
-    # scripts/verify.py.
+    # positions 1-3 are the NEVER-GREEN keys (the persisted-mining trio,
+    # new this round and oracle-gated); positions 4-15 are the keys whose
+    # operators were edited in r8 — the two-phase classify/mining quartet
+    # (knn.py), the RRF fusion + literal-map retrieval rewrite
+    # (hybrid_search, text_search, rag_context, diversified_search,
+    # chunk_search, hybrid_search_suite) and the judgment-dedup change
+    # (retrieval_eval, retrieval_eval_suite). Then the 7 keys whose last
+    # driver green is r4, then the stalest r5 block backfills to 50.
+    # Every r6/r7 green rotates behind; rows-only keys stay last.
+    # queries_order.json is regenerated in lockstep by scripts/verify.py.
     return {
         # ---- r8 window (first 50 = the driver's correctness check) ----
+        "knn_classify_ivf": q_knn_classify_ivf,
+        "hard_negatives_ivf": q_hard_negatives_ivf,
+        "training_triplets_ivf": q_training_triplets_ivf,
         "knn_classify": q_knn_classify,
         "knn_classify_weighted": q_knn_classify_weighted,
         "hard_negatives": q_hard_negatives,
@@ -5544,10 +5547,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_dynamic_threshold": q_knn_dynamic_threshold,
         "knn_threshold_progression": q_knn_threshold_progression,
         "knn_batch": q_knn_batch,
+        # ---- rotated behind the window (fresher greens, then rows-only) ----
         "ivf_search": q_ivf_search,
         "vector_normalize": q_vector_normalize,
         "index_stats": q_index_stats,
-        # ---- rotated behind the window (fresher greens, then rows-only) ----
         "add_documents": q_add_documents,
         "embed_text": q_embed_text,
         "bm25_search": q_bm25_search,
@@ -5673,9 +5676,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_shards": q_training_shards,
         "cross_rerank": q_cross_rerank,
         "chunk_search_ivf": q_chunk_search_ivf,
-        "knn_classify_ivf": q_knn_classify_ivf,
-        "hard_negatives_ivf": q_hard_negatives_ivf,
-        "training_triplets_ivf": q_training_triplets_ivf,
     }
 
 
