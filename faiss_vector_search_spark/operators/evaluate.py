@@ -336,32 +336,44 @@ def retrieval_metrics(
 
     ``results`` carries (id, rank) with rank 1-based; ``truth``
     carries the relevant ids. Both are query-bounded (top-k lists and
-    judgment sets), so every join here broadcasts — the operator adds
-    no corpus-scale work regardless of what produced the inputs.
+    judgment sets), so the whole computation is bounded — and it is a
+    UNION + one grouped pass, not a join: result rows tag ``_rel=0``,
+    truth rows tag ``_rel=1``, a groupBy(id) collapses both sides to
+    one row per id (duplicate judgments and duplicate result rows
+    dedupe HERE — contradictory-rank result duplicates collapse to
+    ``min(rank)``, so n_hits/recall can never double-count and DCG
+    scores each id once at its best rank), and a global aggregate
+    reads every metric ingredient — including n_relevant — off that
+    one frame. The old left-join form consumed the truth frame TWICE
+    (join side + n_relevant count), which planned the entire upstream
+    truth engine twice; the union reads each input exactly once.
     IDCG is computed arithmetically from min(|truth|, k) — one
     in-row fold, no ideal-ranking sort. Output: one row —
     (n_relevant, n_hits, recall_at_k, mrr, ndcg_at_k).
     """
-    # dedupe both projections on id — duplicate judgment rows would
-    # fan out the join (n_hits double-counts, recall exceeds 1.0),
-    # same class as the suite form's r8 fix; bounded frames, free
     r = results.where(F.col(rank_col) <= k).select(
-        F.col(id_col), F.col(rank_col).cast("int").alias("_rank")
-    ).distinct()
-    t = truth.select(id_col).distinct()
-    j = r.join(
-        F.broadcast(t.withColumn("_rel", F.lit(1))),
-        id_col, "left",
+        F.col(id_col),
+        F.col(rank_col).cast("int").alias("_rank"),
+        F.lit(0).alias("_rel"),
     )
-    stats = j.agg(
+    t = truth.select(
+        F.col(id_col),
+        F.lit(None).cast("int").alias("_rank"),
+        F.lit(1).alias("_rel"),
+    )
+    pairs = r.unionByName(t).groupBy(id_col).agg(
+        F.min("_rank").alias("_rank"),
+        F.max("_rel").alias("_rel"),
+    )
+    hit = (F.col("_rel") == 1) & F.col("_rank").isNotNull()
+    stats = pairs.agg(
         F.sum(
-            F.when(F.col("_rel") == 1,
-                   F.lit(1.0) / F.log2(F.col("_rank") + 1))
+            F.when(hit, F.lit(1.0) / F.log2(F.col("_rank") + 1))
         ).alias("_dcg"),
         F.min(F.when(F.col("_rel") == 1, F.col("_rank"))).alias("_fr"),
-        F.count(F.when(F.col("_rel") == 1, F.lit(1))).alias("n_hits"),
+        F.count(F.when(hit, F.lit(1))).alias("n_hits"),
+        F.count(F.when(F.col("_rel") == 1, F.lit(1))).alias("n_relevant"),
     )
-    nrel = t.agg(F.count("*").cast("bigint").alias("n_relevant"))
     idcg = F.aggregate(
         F.sequence(F.lit(1), F.least(F.col("n_relevant"), F.lit(k))),
         F.lit(0.0),
@@ -371,23 +383,20 @@ def retrieval_metrics(
     # 0.0 — without the guard, sequence(1, 0) DESCENDS and the fold
     # divides by log2(1) = 0 (Infinity), and recall divides by zero
     empty = F.col("n_relevant") == 0
-    return (
-        nrel.crossJoin(F.broadcast(stats))
-        .select(
-            "n_relevant",
-            F.col("n_hits").cast("bigint").alias("n_hits"),
-            F.when(empty, F.lit(0.0)).otherwise(
-                F.round(
-                    F.col("n_hits") / F.col("n_relevant").cast("double"), 6
-                )
-            ).alias("recall_at_k"),
+    return stats.select(
+        F.col("n_relevant").cast("bigint").alias("n_relevant"),
+        F.col("n_hits").cast("bigint").alias("n_hits"),
+        F.when(empty, F.lit(0.0)).otherwise(
             F.round(
-                F.coalesce(F.lit(1.0) / F.col("_fr"), F.lit(0.0)), 6
-            ).alias("mrr"),
-            F.when(empty, F.lit(0.0)).otherwise(
-                F.round(F.coalesce(F.col("_dcg"), F.lit(0.0)) / idcg, 6)
-            ).alias("ndcg_at_k"),
-        )
+                F.col("n_hits") / F.col("n_relevant").cast("double"), 6
+            )
+        ).alias("recall_at_k"),
+        F.round(
+            F.coalesce(F.lit(1.0) / F.col("_fr"), F.lit(0.0)), 6
+        ).alias("mrr"),
+        F.when(empty, F.lit(0.0)).otherwise(
+            F.round(F.coalesce(F.col("_dcg"), F.lit(0.0)) / idcg, 6)
+        ).alias("ndcg_at_k"),
     )
 
 
@@ -407,68 +416,84 @@ def retrieval_metrics_by_query(
 
     ``results`` carries (query, id, rank); ``truth`` carries the
     per-query relevant ids. Both are suite-bounded (|Q| top-k lists
-    and judgment sets), so every join broadcasts and the grouped
-    aggregations run on |Q|·k rows — the operator adds no
-    corpus-scale work regardless of what produced the inputs.
+    and judgment sets), so the whole computation is bounded — and it
+    runs as a UNION + grouped passes, not joins: result rows tag
+    ``_rel=0``, truth rows tag ``_rel=1``, one groupBy(query, id)
+    collapses both sides (duplicate judgments and duplicate result
+    rows dedupe HERE — contradictory-rank result duplicates collapse
+    to ``min(rank)``, so n_hits/recall can never double-count and DCG
+    scores each id once at its best rank), and a groupBy(query) reads
+    every per-query ingredient — including n_relevant — off that one
+    frame. The old left-join form consumed the truth frame TWICE
+    (join side + per-query n_relevant), which planned the entire
+    upstream truth ENGINE twice; and the macro row was a second
+    aggregation branch over the per-query frame, duplicating the
+    whole tree AGAIN. Here each input is read once: an explicit
+    ``repartition(query)`` keys all grouped passes to one exchange
+    (hash(query) satisfies every downstream clustering), and the
+    macro row rides an in-row explode — each per-query row emits
+    itself under its own tag AND under 'MACRO', so one final
+    2·|Q|-row groupBy yields per-query rows (singleton groups pass
+    through exactly) and the macro average, with no second plan
+    branch.
 
     Determinism: per-query metrics round to 6 dp; the macro row
     accumulates those ROUNDED values as DECIMAL(18,6) (exact sums —
-    no float summation-order drift), casts the exact sum to double
-    and divides by the query count, so the macro hash is
-    cross-engine stable. Output: one row per query (query_tag,
+    no float summation-order drift; the singleton groups' decimal
+    round-trip is lossless on 6-dp values), casts the exact sum to
+    double and divides by the query count, so the macro hash is
+    cross-engine stable. Output: one row per JUDGED query (query_tag,
     n_relevant, n_hits, recall_at_k, mrr, ndcg_at_k) + one
-    ``MACRO`` row (n_relevant/n_hits summed, metrics macro-averaged).
+    ``MACRO`` row (n_relevant/n_hits summed, metrics macro-averaged);
+    result rows for queries absent from the judgment set drop, as in
+    the join form.
     """
-    # Both projections dedupe on (query, id): duplicate judgment rows
-    # would otherwise fan out the left join (n_hits double-counts and
-    # recall@k exceeds 1.0); duplicate result rows would double their
-    # rank's DCG term. Suite-bounded frames, so the distincts are free.
     r = results.where(F.col(rank_col) <= k).select(
         F.col(query_col), F.col(id_col),
         F.col(rank_col).cast("int").alias("_rank"),
-    ).distinct()
-    t = (
-        truth.select(query_col, id_col).distinct()
-        .withColumn("_rel", F.lit(1))
+        F.lit(0).alias("_rel"),
     )
-    j = r.join(F.broadcast(t), [query_col, id_col], "left")
-    stats = j.groupBy(query_col).agg(
+    t = truth.select(
+        F.col(query_col), F.col(id_col),
+        F.lit(None).cast("int").alias("_rank"),
+        F.lit(1).alias("_rel"),
+    )
+    pairs = (
+        r.unionByName(t)
+        .repartition(query_col)
+        .groupBy(query_col, id_col)
+        .agg(
+            F.min("_rank").alias("_rank"),
+            F.max("_rel").alias("_rel"),
+        )
+    )
+    hit = (F.col("_rel") == 1) & F.col("_rank").isNotNull()
+    stats = pairs.groupBy(query_col).agg(
         F.sum(
-            F.when(F.col("_rel") == 1,
-                   F.lit(1.0) / F.log2(F.col("_rank") + 1))
+            F.when(hit, F.lit(1.0) / F.log2(F.col("_rank") + 1))
         ).alias("_dcg"),
         F.min(F.when(F.col("_rel") == 1, F.col("_rank"))).alias("_fr"),
-        F.count(F.when(F.col("_rel") == 1, F.lit(1))).alias("_nh"),
-    )
-    nrel = t.groupBy(query_col).agg(
-        F.count("*").cast("bigint").alias("n_relevant")
-    )
+        F.count(F.when(hit, F.lit(1))).alias("_nh"),
+        F.count(F.when(F.col("_rel") == 1, F.lit(1))).alias("n_relevant"),
+    ).where(F.col("n_relevant") > 0)  # unjudged queries drop
     idcg = F.aggregate(
         F.sequence(F.lit(1), F.least(F.col("n_relevant"), F.lit(k))),
         F.lit(0.0),
         lambda acc, i: acc + F.lit(1.0) / F.log2(i.cast("double") + 1),
     )
-    empty = F.col("n_relevant") == 0
-    per = (
-        nrel.join(F.broadcast(stats), query_col, "left")
-        .select(
-            F.col(query_col),
-            "n_relevant",
-            F.coalesce(F.col("_nh"), F.lit(0)).cast("bigint")
-            .alias("n_hits"),
-            F.when(empty, F.lit(0.0)).otherwise(
-                F.round(
-                    F.coalesce(F.col("_nh"), F.lit(0))
-                    / F.col("n_relevant").cast("double"), 6
-                )
-            ).alias("recall_at_k"),
-            F.round(
-                F.coalesce(F.lit(1.0) / F.col("_fr"), F.lit(0.0)), 6
-            ).alias("mrr"),
-            F.when(empty, F.lit(0.0)).otherwise(
-                F.round(F.coalesce(F.col("_dcg"), F.lit(0.0)) / idcg, 6)
-            ).alias("ndcg_at_k"),
-        )
+    per = stats.select(
+        F.col(query_col),
+        F.col("n_relevant").cast("bigint").alias("n_relevant"),
+        F.col("_nh").cast("bigint").alias("n_hits"),
+        F.round(
+            F.col("_nh") / F.col("n_relevant").cast("double"), 6
+        ).alias("recall_at_k"),
+        F.round(
+            F.coalesce(F.lit(1.0) / F.col("_fr"), F.lit(0.0)), 6
+        ).alias("mrr"),
+        F.round(
+            F.coalesce(F.col("_dcg"), F.lit(0.0)) / idcg, 6
+        ).alias("ndcg_at_k"),
     )
 
     def _macro(c: str):
@@ -478,17 +503,23 @@ def retrieval_metrics_by_query(
             6,
         ).alias(c)
 
-    macro = per.agg(
-        F.sum("n_relevant").cast("bigint").alias("n_relevant"),
-        F.sum("n_hits").cast("bigint").alias("n_hits"),
-        _macro("recall_at_k"),
-        _macro("mrr"),
-        _macro("ndcg_at_k"),
-    ).select(
-        F.lit("MACRO").alias(query_col),
+    doubled = per.select(
+        F.explode(
+            F.array(F.col(query_col), F.lit("MACRO"))
+        ).alias(query_col),
         "n_relevant", "n_hits", "recall_at_k", "mrr", "ndcg_at_k",
     )
-    return per.unionByName(macro).orderBy(query_col)
+    return (
+        doubled.groupBy(query_col)
+        .agg(
+            F.sum("n_relevant").cast("bigint").alias("n_relevant"),
+            F.sum("n_hits").cast("bigint").alias("n_hits"),
+            _macro("recall_at_k"),
+            _macro("mrr"),
+            _macro("ndcg_at_k"),
+        )
+        .orderBy(query_col)
+    )
 
 
 def embedding_drift_report(

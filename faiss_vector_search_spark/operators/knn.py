@@ -282,6 +282,41 @@ def _classify_votes(
     )
 
 
+def _probed_list_ids(
+    spark,
+    path: str,
+    queries: DataFrame,
+    nprobe: int,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> list:
+    """The UNION of every query's nprobe nearest saved-centroid ids —
+    the partition-prune set shared by every persisted-index serving
+    surface in this module: the candidate scan reads exactly these
+    list directories, and the label join-back scans prune to the SAME
+    set (every candidate id lives in a probed list by construction, so
+    the prune is semantics-free). One bounded job: |Q| × nlist rows
+    over the broadcast centroids."""
+    from ..functions import vector as V
+
+    cents = spark.read.parquet(f"{path}/_centroids")
+    pw = Window.partitionBy(query_id_col).orderBy(
+        F.col("_cdist").asc(), F.col("cid").asc()
+    )
+    return sorted({
+        r.cid
+        for r in queries.select(query_id_col, query_vec_col)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col(query_id_col), F.col("cid"),
+            V.l2_sq(F.col(query_vec_col), F.col("cvec")).alias("_cdist"),
+        )
+        .withColumn("_r", F.row_number().over(pw))
+        .where(F.col("_r") <= nprobe)
+        .select("cid").distinct().collect()
+    })
+
+
 def knn_classify_persisted(
     spark,
     path: str,
@@ -325,27 +360,10 @@ def knn_classify_persisted(
     )
     # the label scan prunes to the SAME probed lists as the candidate
     # scan (every candidate id lives in a probed list by construction),
-    # so both scans read nprobe/nlist of the index files; the probe
-    # set computes in one window over the broadcast centroids, the
-    # same bounded job the batch search runs
-    from ..functions import vector as V
-
-    cents = spark.read.parquet(f"{path}/_centroids")
-    pw = Window.partitionBy(query_id_col).orderBy(
-        F.col("_cdist").asc(), F.col("cid").asc()
+    # so both scans read nprobe/nlist of the index files
+    probed = _probed_list_ids(
+        spark, path, queries, nprobe, query_id_col, query_vec_col
     )
-    probed = sorted({
-        r.cid
-        for r in queries.select(query_id_col, query_vec_col)
-        .crossJoin(F.broadcast(cents))
-        .select(
-            F.col(query_id_col), F.col("cid"),
-            V.l2_sq(F.col(query_vec_col), F.col("cvec")).alias("_cdist"),
-        )
-        .withColumn("_r", F.row_number().over(pw))
-        .where(F.col("_r") <= nprobe)
-        .select("cid").distinct().collect()
-    })
     labels = (
         spark.read.parquet(f"{path}/vectors")
         .where(F.col("list_id").isin(probed))
@@ -402,7 +420,17 @@ def hard_negatives_persisted(
         metric=metric, id_col=id_col, vec_col=vec_col,
         query_id_col=query_id_col, query_vec_col=query_vec_col,
     )
-    labels = spark.read.parquet(f"{path}/vectors").select(id_col, label_col)
+    # label scan pruned to the probed lists, like knn_classify_persisted
+    # (every candidate id lives in a probed list, so the prune changes
+    # bytes read, never rows joined)
+    probed = _probed_list_ids(
+        spark, path, anchors, nprobe, query_id_col, query_vec_col
+    )
+    labels = (
+        spark.read.parquet(f"{path}/vectors")
+        .where(F.col("list_id").isin(probed))
+        .select(id_col, label_col)
+    )
     alab = F.broadcast(
         anchors.select(
             F.col(query_id_col),
@@ -464,7 +492,15 @@ def training_triplets_persisted(
         id_col=id_col, vec_col=vec_col,
         query_id_col=query_id_col, query_vec_col=query_vec_col,
     )
-    labels = spark.read.parquet(f"{path}/vectors").select(id_col, label_col)
+    # label scan pruned to the probed lists, like knn_classify_persisted
+    probed = _probed_list_ids(
+        spark, path, anchors, nprobe, query_id_col, query_vec_col
+    )
+    labels = (
+        spark.read.parquet(f"{path}/vectors")
+        .where(F.col("list_id").isin(probed))
+        .select(id_col, label_col)
+    )
     alab = F.broadcast(
         anchors.select(
             F.col(query_id_col), F.col(query_label_col).alias("_qlab")
@@ -667,8 +703,10 @@ def _two_phase_survivors(
     Ties resolve exactly like the single-phase windows: scores round
     to 6dp before selection, boundary ties to the lowest id
     (np.lexsort over (id asc, score desc) == the window's ORDER BY).
-    Ids and labels must be numeric/orderable (the embeddings-table
-    contract); |Q| is driver-bounded like every query-side structure.
+    Ids and labels may be any orderable type — numeric ids ride numpy
+    dtypes, string ids ride object arrays (both schemas derive from
+    the input frames, and .item() unboxing guards on dtype); |Q| is
+    driver-bounded like every query-side structure.
     """
     import numpy as np
     import pandas as pd
@@ -683,7 +721,12 @@ def _two_phase_survivors(
 
     in_cols = [id_col, vec_col] + ([label_col] if (carry_label or need_qlabel) else [])
     id_type = dict(corpus.dtypes)[id_col]
-    out_schema = f"{query_id_col} bigint, {id_col} {id_type}, score double"
+    # query-id type derives from the QUERY frame's schema, like the
+    # corpus id's — pinning it to bigint broke string-keyed query sets
+    # at runtime (the ids rode through collect() as python strings but
+    # the declared schema rejected them)
+    q_id_type = dict(queries.dtypes)[query_id_col]
+    out_schema = f"{query_id_col} {q_id_type}, {id_col} {id_type}, score double"
     if carry_label:
         label_type = dict(corpus.dtypes)[label_col]
         out_schema += f", {label_col} {label_type}"
@@ -753,9 +796,12 @@ def _two_phase_survivors(
         rows = []
         for (qi, side), (ss, vv, ll) in cand.items():
             for j in range(len(ss)):
-                row = [qids[qi], vv[j].item(), float(ss[j])]
+                # object-dtype arrays (string ids/labels) have no .item
+                iv = vv[j]
+                row = [qids[qi], iv.item() if hasattr(iv, "item") else iv,
+                       float(ss[j])]
                 if carry_label:
-                    lv = ll[j]  # object-dtype (string labels) has no .item
+                    lv = ll[j]
                     row.append(lv.item() if hasattr(lv, "item") else lv)
                 if label_mode == "split_side":
                     row.append(side)

@@ -88,8 +88,12 @@ def bm25_search(
         .groupBy(id_col, "term", "dl")
         .agg(F.count("*").alias("tf"))
     )
+    # df = plain count over tf: tf is one row per (doc, term) by
+    # construction (dl is functionally dependent on the doc id), so
+    # count(*) == count_distinct(doc) without the two-phase distinct
+    # aggregation's extra (term, doc) exchange
     df_ = F.broadcast(
-        tf.groupBy("term").agg(F.count_distinct(F.col(id_col)).alias("df"))
+        tf.groupBy("term").agg(F.count("*").alias("df"))
     )
     contrib = (
         tf.join(df_, "term")
@@ -179,10 +183,18 @@ def bm25_search_multi(
             f"and score BOTH wrong; give every query a unique tag"
         )
     qdf = spark.createDataFrame(qlist, f"{tag_col} string, {text_col} string")
-    qterms = qdf.select(
-        F.col(tag_col), F.explode(tokens(F.col(text_col))).alias("term")
-    ).distinct()
-    all_terms = sorted({r["term"] for r in qterms.collect()})
+    # tokenize with the SAME Spark expressions, but dedupe the
+    # (tag, term) pairs driver-side: the pairs are collected anyway
+    # for the union term set, and rebuilding the broadcast frame from
+    # the deduped list drops the distinct's (tag, term) exchange —
+    # and its re-execution on the broadcast-join side
+    qpairs = sorted({
+        (r[tag_col], r["term"])
+        for r in qdf.select(
+            F.col(tag_col), F.explode(tokens(F.col(text_col))).alias("term")
+        ).collect()
+    })
+    all_terms = sorted({t for _, t in qpairs})
     if not all_terms:
         return docs.select(F.col(id_col)).limit(0).select(
             F.lit("").alias(tag_col), F.col(id_col),
@@ -217,8 +229,10 @@ def bm25_search_multi(
         .groupBy(id_col, "term", "dl")
         .agg(F.count("*").alias("tf"))
     )
+    # df = plain count over tf (one row per (doc, term) by
+    # construction) — see bm25_search: same values, one exchange fewer
     df_ = F.broadcast(
-        tf.groupBy("term").agg(F.count_distinct(F.col(id_col)).alias("df"))
+        tf.groupBy("term").agg(F.count("*").alias("df"))
     )
     contrib = (
         tf.join(df_, "term")
@@ -246,9 +260,15 @@ def bm25_search_multi(
             ).alias("c"),
         )
     )
+    qterms = spark.createDataFrame(qpairs, f"{tag_col} string, term string")
     tagged = contrib.join(F.broadcast(qterms), "term")
+    # ONE exchange for the whole per-tag tail: hash(tag) satisfies the
+    # (tag, doc) clustering the scoring aggregation needs AND the
+    # rank window's (tag) partitioning, so the explicit repartition
+    # replaces what would otherwise be two back-to-back exchanges
     scored = (
-        tagged.groupBy(tag_col, id_col)
+        tagged.repartition(tag_col)
+        .groupBy(tag_col, id_col)
         .agg(
             F.array_sort(F.collect_list(F.struct("term", "c"))).alias("cs")
         )
@@ -343,8 +363,14 @@ def hybrid_rrf_multi(
             (1.0 / (rrf_k + w)).alias("_c"),
         )
 
+    # ONE exchange for the fusion tail: the union's children are each
+    # hash(tag)-partitioned (their rank windows), but a union clears
+    # partitioning — the explicit repartition(tag) restores it once,
+    # and hash(tag) satisfies both the (tag, id) fusion groupBy and
+    # the final per-tag rank window
     fused = (
         contrib(lexical).unionByName(contrib(dense))
+        .repartition(tag_col)
         .groupBy(tag_col, id_col)
         .agg(F.round(F.sum("_c"), SCORE_DECIMALS).alias("rrf_score"))
     )

@@ -57,10 +57,17 @@ def _find(buf: bytes, start: int, end: int, path: tuple[bytes, ...]):
 def mp4_demux(payload: bytes) -> list[dict]:
     """Parse the moov sample tables: one dict per track with
     ``track_id, handler, codec, timescale, n_samples, samples``
-    (a list of (offset, size, dts) into the PAYLOAD) and
-    ``keyframes`` (1-based sync-sample indexes; empty set = every
-    sample is sync, per spec). Fragmented payloads (moof run tables)
-    demux through :func:`_apply_fragments` — same output contract."""
+    (a list of (offset, size, dts) into the PAYLOAD), ``keyframes``
+    (1-based sync-sample indexes) and ``all_sync`` (True when the
+    stss box is ABSENT, which per ISO 14496-12 §8.6.2 means every
+    sample is sync). Sync-ness is carried by the explicit flag, not
+    an empty-set sentinel: a present-but-empty stss — or a fragmented
+    track whose samples are all flagged non-sync — reports
+    ``all_sync=False`` with an empty ``keyframes`` set, i.e. NO sync
+    samples, which the sentinel could not represent. Fragmented
+    payloads (moof run tables) demux through :func:`_apply_fragments`
+    — same output contract, ``all_sync`` always False there because
+    fragment sample flags are explicit."""
     if len(payload) < 16:
         raise ValueError("not an MP4 payload")
     try:
@@ -171,6 +178,9 @@ def mp4_demux(payload: bytes) -> list[dict]:
         track["keyframes"] = {
             s for (s,) in _entries(b"stss", ">I", 4)
         }
+        # stss ABSENT = every sample is sync (spec); stss present is an
+        # explicit enumeration, even when empty (no sync samples)
+        track["all_sync"] = b"stss" not in tables
         tracks.append(track)
     if fragmented:
         _apply_fragments(payload, tracks)
@@ -355,14 +365,19 @@ def _apply_fragments(payload: bytes, tracks: list[dict]) -> None:
         if not n_frag[tid]:
             continue  # no fragment samples -> moov tables stand as-is
         # Merging fragment sync indexes into the moov set must respect
-        # the stss convention that an EMPTY set means "every sample is
-        # sync": promoting to a non-empty set without enumerating the
-        # moov samples would silently reclassify them as non-sync.
+        # the no-stss convention that every moov sample is sync:
+        # promoting to an explicit set without enumerating the moov
+        # samples would silently reclassify them as non-sync. After the
+        # merge the set is EXPLICIT (all_sync drops): a fragmented
+        # track whose samples are all flagged non-sync ends with an
+        # empty keyframes set meaning "no sync samples" — the state
+        # the old empty-set-means-all-sync sentinel couldn't represent.
         moov_sync = set(track["keyframes"])
-        if not moov_sync and n_moov[tid]:
+        if track["all_sync"] and n_moov[tid]:
             moov_sync = set(range(1, n_moov[tid] + 1))
         track["n_samples"] = len(track["samples"])
         track["keyframes"] = moov_sync | sync[tid]
+        track["all_sync"] = False
 
 
 def mp4_sample_frames(
@@ -395,11 +410,12 @@ def mp4_sample_frames(
                     if handler and tr["handler"] != handler:
                         continue
                     kf = tr["keyframes"]
+                    all_sync = tr["all_sync"]
                     for i in range(0, tr["n_samples"], every_n):
                         off, size, dts = tr["samples"][i]
                         rows.append((
                             item_id, tr["track_id"], i, dts,
-                            (i + 1) in kf if kf else True,
+                            all_sync or (i + 1) in kf,
                             raw[off:off + size],
                         ))
             yield pd.DataFrame(
