@@ -115,6 +115,17 @@ def main() -> None:
         docs = fio.load_table(spark, sf, "documents")
         return textstats.winnow_fingerprints(docs, k=8, w=4, engine="arrow")
 
+    def p_chunk_ivf_pruned(spark, sf):
+        # the contract key's per-SF chunk store, served at the
+        # production pruned-probe dial (the key itself runs full
+        # probe for the oracle gate since r9)
+        if sf not in entrymod._CHUNK_INDEX_PATHS:
+            entrymod.q_chunk_search_ivf(spark, sf)  # builds + caches
+        return embed.chunk_search_persisted(
+            spark, entrymod._CHUNK_INDEX_PATHS[sf],
+            "batch window vector hash fast stream", k=5, nprobe=4,
+        )
+
     def p_embedding_near_dup(spark, sf):
         emb = fio.load_table(spark, sf, "embeddings")
         # production sizing: bucket bits grow with log2(N) so the
@@ -570,6 +581,11 @@ def main() -> None:
         "model_rerank": qs["model_rerank"],
         "cross_rerank": qs["cross_rerank"],
         "chunk_search_ivf": qs["chunk_search_ivf"],
+        # production pruned-probe dial: the contract key serves at
+        # FULL probe since r9 (oracle-gated exactness); this measures
+        # the nprobe/nlist partition-pruned scan a deployment runs,
+        # against the same per-SF store (build amortized)
+        "chunk_search_ivf_pruned": p_chunk_ivf_pruned,
         "knn_classify_ivf": qs["knn_classify_ivf"],
         "hard_negatives_ivf": qs["hard_negatives_ivf"],
         "training_triplets_ivf": qs["training_triplets_ivf"],
