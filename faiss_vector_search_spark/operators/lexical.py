@@ -88,15 +88,18 @@ def bm25_search(
         .groupBy(id_col, "term", "dl")
         .agg(F.count("*").alias("tf"))
     )
-    # df = plain count over tf: tf is one row per (doc, term) by
-    # construction (dl is functionally dependent on the doc id), so
-    # count(*) == count_distinct(doc) without the two-phase distinct
-    # aggregation's extra (term, doc) exchange
-    df_ = F.broadcast(
-        tf.groupBy("term").agg(F.count("*").alias("df"))
-    )
+    # df(term) attaches as a WINDOW count over tf itself — tf is one
+    # row per (doc, term) by construction (dl is functionally
+    # dependent on the doc id), so count(*) over partition(term) ==
+    # count_distinct(doc). The former broadcast-join form re-planned
+    # the whole matched-corpus subtree as df's input (a THIRD corpus
+    # scan in the plan); the window moves only the hits-sized tf
+    # stream through one term-keyed exchange (the domain_kl
+    # no-rescan lesson applied to BM25).
     contrib = (
-        tf.join(df_, "term")
+        tf.withColumn(
+            "df", F.count("*").over(Window.partitionBy("term"))
+        )
         .crossJoin(stats)
         .select(
             F.col(id_col),
@@ -229,13 +232,13 @@ def bm25_search_multi(
         .groupBy(id_col, "term", "dl")
         .agg(F.count("*").alias("tf"))
     )
-    # df = plain count over tf (one row per (doc, term) by
-    # construction) — see bm25_search: same values, one exchange fewer
-    df_ = F.broadcast(
-        tf.groupBy("term").agg(F.count("*").alias("df"))
-    )
+    # df(term) as a window count over tf — see bm25_search: same
+    # values, and the former broadcast-join form re-planned the whole
+    # matched-corpus subtree as df's input (a third corpus scan)
     contrib = (
-        tf.join(df_, "term")
+        tf.withColumn(
+            "df", F.count("*").over(Window.partitionBy("term"))
+        )
         .crossJoin(stats)
         .select(
             F.col(id_col),
