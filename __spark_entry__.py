@@ -659,6 +659,19 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.decontaminate(docs, bench, n=8, hash_fn="md5")
 
 
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-side contamination attribution: per benchmark item
+    (every 50th doc, corpus = the rest), how many corpus docs share
+    an 8-gram, the total leak mass, and the worst single corpus doc —
+    the model-card contamination appendix as one query."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.contamination_report(
+        docs.where(F.col("doc_id") % 50 != 0),
+        docs.where(F.col("doc_id") % 50 == 0),
+        n=8, hash_fn="md5",
+    )
+
+
 def q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy benchmark decontamination: MinHash-banded corpus-vs-
     benchmark candidates verified with exact Jaccard (stand-in
@@ -761,6 +774,20 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier.score_quality_classifier(
         _t(spark, sf_dir, "documents"), classifier.load_model(),
         hash_fn="md5",
+    )
+
+
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit of the committed quality classifier against
+    the Gopher rule set it distilled: logit deciles × rule pass rate
+    — the threshold-picking table for model-based filtering. One
+    corpus scan (rule flags and logit are chained staged projections,
+    no signal join)."""
+    from faiss_vector_search_spark.operators import classifier
+
+    return classifier.quality_calibration_report(
+        _t(spark, sf_dir, "documents"), classifier.load_model(),
+        n_bins=10, hash_fn="md5",
     )
 
 
@@ -2543,6 +2570,30 @@ FROM hg c JOIN bench b ON c.gh = b.gh
 GROUP BY 1
 """
 
+ORACLES["contamination_report"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(toks) - 7),
+           i -> array_to_string(toks[i:i+7], ' ')))) AS g
+  FROM t WHERE len(toks) >= 8
+),
+hg AS (SELECT doc_id, {md5_int_sql("g", seed=17)} AS gh FROM grams),
+bench AS (SELECT DISTINCT doc_id AS b_id, gh FROM hg WHERE doc_id % 50 = 0),
+corp AS (SELECT doc_id AS c_id, gh FROM hg WHERE doc_id % 50 <> 0),
+pp AS (
+  SELECT b.b_id, c.c_id, count(*) AS shared
+  FROM corp c JOIN bench b ON c.gh = b.gh
+  GROUP BY 1, 2
+)
+SELECT b_id AS bench_id,
+       count(*)::BIGINT AS n_corpus_docs,
+       sum(shared)::BIGINT AS n_leak_pairs,
+       max(shared)::BIGINT AS max_shared_grams
+FROM pp GROUP BY 1
+"""
+
 ORACLES["repetition_score"] = f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 b AS (
@@ -3624,6 +3675,52 @@ qc AS (
 ORACLES["quality_classifier"] = f"""
 WITH {_quality_lr_ctes()}
 SELECT doc_id, n_tokens, logit, (logit > 0) AS keep FROM qc
+"""
+
+ORACLES["classifier_calibration"] = f"""
+WITH {_quality_lr_ctes()},
+g_t AS (
+  SELECT doc_id, {_TOKS} AS toks, string_split(text, chr(10)) AS lines
+  FROM documents
+),
+g_m AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE)
+             / len(toks) AS mean_wl,
+         len(list_filter(toks, w -> w IN
+             ('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with')))
+             AS stop_hits,
+         CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+              AS DOUBLE) / len(toks) AS alpha_ratio,
+         CAST(len(list_filter(lines, ln ->
+              ln LIKE '- %' OR ln LIKE '* %' OR ln LIKE '•%'))
+              AS DOUBLE) / len(lines) AS bullet_ratio,
+         CAST(len(list_filter(lines, ln -> ln LIKE '%...')) AS DOUBLE)
+             / len(lines) AS ellipsis_ratio
+  FROM g_t
+),
+gk AS (
+  SELECT doc_id,
+         COALESCE(n_words >= 20 AND n_words <= 100000
+          AND mean_wl >= 3.0 AND mean_wl <= 10.0
+          AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3
+          AND alpha_ratio >= 0.8 AND stop_hits >= 2, false) AS rule_keep
+  FROM g_m
+),
+binned AS (
+  SELECT qc.doc_id, qc.logit, gk.rule_keep,
+         ntile(10) OVER (ORDER BY qc.logit DESC, qc.doc_id ASC) AS decile
+  FROM qc JOIN gk USING (doc_id)
+)
+SELECT CAST(decile AS INT) AS decile,
+       count(*)::BIGINT AS n_docs,
+       ROUND(min(logit), 6) AS min_logit,
+       ROUND(CAST(sum(CAST(logit AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS mean_logit,
+       ROUND(sum(CASE WHEN rule_keep THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS gopher_pass_rate
+FROM binned GROUP BY 1 ORDER BY 1
 """
 
 ORACLES["curation_score"] = f"""
@@ -5507,12 +5604,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the first 50 insertion-order keys each round (observed r2-r8; policy
     # documented in SURVEY §5). Rotation r9, standing policy (never-green
     # first, then changed-since-last-green, then stalest-green):
-    # positions 1-2 are the NEVER-GREEN keys — bm25_index_search and
-    # chunk_search_ivf, PROMOTED from rows-only to oracle-gated this
-    # round (r8 verdict ask #1: the persisted inverted-index probe is
+    # positions 1-4 are the NEVER-GREEN keys — the two NEW r9 operators
+    # (contamination_report #208, classifier_calibration #209) and the
+    # two keys PROMOTED from rows-only to oracle-gated this round
+    # (r8 verdict ask #1: the persisted inverted-index probe is
     # score-identical to batch bm25_search, and the persisted chunk
     # index at full probe is exact, so both share their batch twins'
-    # oracles). Positions 3-14 are the keys whose operators were edited
+    # oracles). Next are the keys whose operators were edited
     # in r9 — the retrieval-metric union rewrite + min-rank collapse
     # (retrieval_eval, retrieval_eval_suite), the exchange fusions in
     # bm25_search/_multi + hybrid_rrf_multi (bm25_search, hybrid_search,
@@ -5524,6 +5622,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # regenerated in lockstep by scripts/verify.py.
     return {
         # ---- r9 window (first 50 = the driver's correctness check) ----
+        "contamination_report": q_contamination_report,
+        "classifier_calibration": q_classifier_calibration,
         "bm25_index_search": q_bm25_index_search,
         "chunk_search_ivf": q_chunk_search_ivf,
         "retrieval_eval_suite": q_retrieval_eval_suite,
@@ -5572,9 +5672,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_dedup": q_near_dup_dedup,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        # ---- rotated behind the window (fresher greens, then rows-only) ----
         "dedup_keep_best": q_dedup_keep_best,
         "dedup_clusters": q_dedup_clusters,
-        # ---- rotated behind the window (fresher greens, then rows-only) ----
         "text_search": q_text_search,
         "rag_context": q_rag_context,
         "diversified_search": q_diversified_search,

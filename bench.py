@@ -601,6 +601,17 @@ def main() -> None:
             fio.load_table(spark, sf, "documents"),
             threshold=0.8, hash_fn="xxhash64",
         ),
+        # r9 additions: contamination attribution runs the production
+        # xxhash64 gram profile; calibration scores the COMMITTED
+        # md5-trained model (the quality_classifier rationale above)
+        "contamination_report": lambda spark, sf: dedup.contamination_report(
+            fio.load_table(spark, sf, "documents").where(
+                F.col("doc_id") % 50 != 0),
+            fio.load_table(spark, sf, "documents").where(
+                F.col("doc_id") % 50 == 0),
+            n=8, hash_fn="xxhash64",
+        ),
+        "classifier_calibration": qs["classifier_calibration"],
         # production hash profile (xxhash64 split assignment)
         "split_kl": lambda spark, sf: lm_mod.split_kl_report(
             fio.load_table(spark, sf, "documents"), hash_fn="xxhash64",

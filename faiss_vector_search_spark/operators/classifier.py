@@ -154,6 +154,7 @@ def score_quality_classifier(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_fn: str = "xxhash64",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Score every document under a trained model:
     logit = bias + mean_t w[bucket(t)] + w_len·ln(n+1)/10
@@ -164,14 +165,18 @@ def score_quality_classifier(
     ``hash_fn`` must match training: ``"xxhash64"`` production,
     ``"md5"`` for the cross-engine oracle profile. Both integer folds
     (bucket units, token lengths) are exact; the float chain has a
-    fixed operation order replicated by the oracle SQL."""
+    fixed operation order replicated by the oracle SQL. ``keep_cols``
+    passes input columns through the staged projections (so a caller
+    can chain scoring onto an upstream projection of the same scan
+    instead of joining corpus-sized frames)."""
     k = int(model["n_buckets"])
     units = F.array(*[F.lit(int(u)).cast("bigint") for u in model["units"]])
     bias = float(model["bias"])
     w_len = float(model["w_len"])
     w_mwl = float(model["w_mwl"])
     staged = docs.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks"),
+        *[F.col(c) for c in keep_cols],
     )
     toks = F.col("_toks")
     usum = F.aggregate(
@@ -202,11 +207,13 @@ def score_quality_classifier(
     # phrase_search staging lesson)
     scored = staged.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         n_tok.alias("n_tokens"),
         logit.alias("logit"),
     )
     return scored.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         "n_tokens",
         "logit",
         (F.col("logit") > 0).alias("keep"),
@@ -227,3 +234,74 @@ def load_model(path: str | None = None) -> dict:
         )
     with open(path) as f:
         return json.load(f)
+
+
+def quality_calibration_report(
+    docs: DataFrame,
+    model: dict,
+    n_bins: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Calibration audit of the model-based filter against the rule
+    set it distilled (SURVEY §2 #209): bucket the corpus into
+    ``n_bins`` logit deciles and report each decile's Gopher-rule pass
+    rate — the table a pipeline owner reads to pick the filtering
+    THRESHOLD (e.g. "keep deciles whose rule agreement ≥ 90%") and to
+    detect calibration drift after retraining or corpus shift. A
+    well-ranked classifier shows pass rates falling monotonically
+    from decile 1 (highest logits) down; a flat column means the
+    model stopped separating.
+
+    Plan: gopher_rules and the classifier logit compute as CHAINED
+    staged projections over ONE corpus scan (``keep_cols``
+    passthrough — no join of two corpus-sized signal frames, so
+    nothing here can degrade to a sort-merge join); only (id, logit,
+    keep) triples enter the decile window. ntile is a global sort at
+    oracle SF — at 100 TB swap the decile edges for
+    ``percentile_approx`` cuts, the documented doc_quality_deciles
+    posture. Output: one row per decile —
+    (decile, n_docs, min_logit, mean_logit, gopher_pass_rate);
+    mean_logit accumulates the 6-dp rounded logits as DECIMAL(18,6)
+    (order-free exact sums), pass rate is an exact integer ratio.
+    """
+    from pyspark.sql import Window
+
+    from . import textstats
+
+    flagged = textstats.gopher_rules(
+        docs, id_col=id_col, text_col=text_col, keep_cols=(text_col,)
+    ).select(
+        F.col(id_col), F.col(text_col), F.col("keep").alias("_rule_keep")
+    )
+    scored = score_quality_classifier(
+        flagged, model, id_col=id_col, text_col=text_col,
+        hash_fn=hash_fn, keep_cols=("_rule_keep",),
+    )
+    w = Window.orderBy(F.col("logit").desc(), F.col(id_col).asc())
+    binned = scored.select(
+        F.col(id_col), F.col("logit"), F.col("_rule_keep")
+    ).withColumn("decile", F.ntile(n_bins).over(w))
+    return (
+        binned.groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.min("logit"), 6).alias("min_logit"),
+            F.round(
+                F.sum(F.col("logit").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_logit"),
+            F.round(
+                F.sum(F.when(F.col("_rule_keep"), 1).otherwise(0))
+                / F.count("*").cast("double"),
+                6,
+            ).alias("gopher_pass_rate"),
+        )
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_docs", "min_logit", "mean_logit", "gopher_pass_rate",
+        )
+        .orderBy("decile")
+    )

@@ -601,6 +601,78 @@ def decontaminate(
     )
 
 
+def contamination_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    hash_fn: str = "xxhash64",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-side contamination attribution (SURVEY §2 #208) —
+    the flip side of :func:`decontaminate`: instead of flagging
+    corpus documents, report PER BENCHMARK ITEM how badly it leaked
+    into the training corpus. This is the table an LLM release's
+    contamination appendix publishes (which eval items are
+    compromised, and how concentrated the leak is), and the one an
+    eval owner reads to decide which items to drop from a reported
+    score.
+
+    Output: one row per contaminated benchmark doc —
+    (bench_id, n_corpus_docs sharing ≥1 word n-gram,
+    n_leak_pairs = Σ over those docs of distinct shared grams — the
+    total leak mass, max_shared_grams = the single worst corpus
+    doc's shared-gram count — the document to eyeball first).
+    Benchmark items with no overlap produce no row (join an item
+    list for the zero-leak report).
+
+    Plan shape for 100 TB (the decontaminate posture, attribution
+    side): both sides reduce to (id, 8-byte gram hash) pairs with
+    per-doc-distinct grams; the benchmark side broadcasts, so the
+    corpus never shuffles BEFORE the contamination join — and the
+    join output is contamination-sized, so one explicit
+    ``repartition(bench id)`` keys the whole rollup tail (per-pair
+    counts, then the per-item report) to a single output-sized
+    exchange."""
+    from ..functions.hashing import hashed
+
+    def grams(df, out_id):
+        sh = _shingle_sets(df, n, id_col, text_col)
+        return sh.select(
+            F.col(id_col).alias(out_id),
+            F.explode_outer(F.col("shingles")).alias("_g"),
+        ).select(
+            out_id, hashed(F.col("_g"), seed=17, hash_fn=hash_fn).alias("g")
+        )
+
+    corpus_grams = grams(docs, "c_id")
+    bench_grams = grams(benchmark, "b_id").distinct()
+    # (b_id, c_id, g) is distinct by construction: shingle sets are
+    # per-doc distinct on both sides, so the per-pair count is exact
+    # without a dedup pass
+    pairs = corpus_grams.join(F.broadcast(bench_grams), "g")
+    per_pair = (
+        pairs.repartition("b_id")
+        .groupBy("b_id", "c_id")
+        .agg(F.count("*").alias("_shared"))
+    )
+    return (
+        per_pair.groupBy("b_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_corpus_docs"),
+            F.sum("_shared").cast("bigint").alias("n_leak_pairs"),
+            F.max("_shared").cast("bigint").alias("max_shared_grams"),
+        )
+        .select(
+            F.col("b_id").alias("bench_id"),
+            "n_corpus_docs", "n_leak_pairs", "max_shared_grams",
+        )
+        .orderBy(
+            F.col("n_leak_pairs").desc(), F.col("bench_id").asc()
+        )
+    )
+
+
 def line_dedup(
     docs: DataFrame,
     span: int = 10,

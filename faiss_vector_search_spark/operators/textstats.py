@@ -884,11 +884,15 @@ def gopher_rules(
     max_ellipsis_ratio: float = 0.3,
     min_alpha_ratio: float = 0.8,
     min_stop_hits: int = 2,
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Gopher-style heuristic quality rules (Rae et al. 2021 §A1.1,
     public): per-document boolean flags + the conjunctive keep
     decision a pretraining pipeline applies before any expensive
-    stage.
+    stage. ``keep_cols`` passes input columns through (e.g. the text
+    column, so a downstream scorer can chain off the SAME scan
+    instead of joining two corpus-sized projections — the
+    classifier-calibration composition).
 
     Rules: word-count band, mean-word-length band, bullet-line and
     ellipsis-line ratios, fraction of words containing an alphabetic
@@ -907,6 +911,7 @@ def gopher_rules(
         F.col(id_col),
         tokens(F.col(text_col)).alias("_toks"),
         F.split(F.col(text_col), "\n").alias("_lines"),
+        *[F.col(c) for c in keep_cols],
     )
     toks, lines = F.col("_toks"), F.col("_lines")
     n_words = F.size(toks)
@@ -918,6 +923,7 @@ def gopher_rules(
     # NULL metrics fail their flag via the coalesce(false) below.
     metrics = arrays.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         n_words.alias("_nw"),
         F.try_divide(
             F.aggregate(
@@ -973,6 +979,7 @@ def gopher_rules(
         keep = c if keep is None else (keep & c)
     return metrics.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         *[c.alias(name) for name, c in flags.items()],
         keep.alias("keep"),
     )
