@@ -42,6 +42,8 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from faiss_vector_search_spark import io as fio  # noqa: E402
 from faiss_vector_search_spark.operators import (  # noqa: E402
+    classifier,
+    dedup,
     embed,
     evaluate,
     lexical,
@@ -127,6 +129,14 @@ def main() -> None:
         "chunk_search_ivf_pruned": lambda: embed.chunk_search_persisted(
             spark, chunk_path, RAG_QUERY, k=5, nprobe=4,
             hash_fn="xxhash64"),
+        # r9 new operators (SURVEY #208/#209)
+        "contamination_report": lambda: dedup.contamination_report(
+            docs.where(F.col("doc_id") % 50 != 0),
+            docs.where(F.col("doc_id") % 50 == 0),
+            n=8, hash_fn="xxhash64"),
+        "classifier_calibration": lambda: (
+            classifier.quality_calibration_report(
+                docs, classifier.load_model(), n_bins=10, hash_fn="md5")),
     }
 
     for name, fn in ops.items():
@@ -169,6 +179,12 @@ def main() -> None:
             "chunk_search_ivf_pruned": not row["sort_merge_join"]
             and "PartitionFilters: [" in plan
             and "PartitionFilters: []" not in plan,
+            # benchmark side broadcasts; corpus never shuffles pre-join
+            "contamination_report": not row["sort_merge_join"]
+            and "BroadcastHashJoin" in final,
+            # both signals chain off ONE scan: join-free by construction
+            "classifier_calibration": not row["sort_merge_join"]
+            and "Join" not in final and row["scans"] <= 1,
         }
         if name in gates:
             row["gate"] = bool(gates[name])
