@@ -243,6 +243,7 @@ def quality_calibration_report(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_fn: str = "xxhash64",
+    edges: str = "exact",
 ) -> DataFrame:
     """Calibration audit of the model-based filter against the rule
     set it distilled (SURVEY §2 #209): bucket the corpus into
@@ -258,10 +259,21 @@ def quality_calibration_report(
     staged projections over ONE corpus scan (``keep_cols``
     passthrough — no join of two corpus-sized signal frames, so
     nothing here can degrade to a sort-merge join); only (id, logit,
-    keep) triples enter the decile window. ntile is a global sort at
-    oracle SF — at 100 TB swap the decile edges for
-    ``percentile_approx`` cuts, the documented doc_quality_deciles
-    posture. Output: one row per decile —
+    keep) triples enter the binning stage. ``edges`` picks it:
+
+    - ``"exact"`` (default, the oracle profile): ntile over a global
+      (logit desc, id) sort — exact equal-size deciles, cross-engine
+      deterministic, but the sort serializes through one partition;
+    - ``"approx"`` (the 100 TB profile): decile edges from ONE
+      ``percentile_approx`` sketch row (map-side-combined partials,
+      mergeable — no global sort anywhere), broadcast back and the
+      decile assigned by an in-row fold over the 9 cut points. Bucket
+      sizes are approximate near ties/sketch error but every doc is
+      binned by its own logit, so pass-rate calibration reads the
+      same; the structural gates (full partition, ordered mins,
+      signal) are pytest-asserted for both engines.
+
+    Output: one row per decile —
     (decile, n_docs, min_logit, mean_logit, gopher_pass_rate);
     mean_logit accumulates the 6-dp rounded logits as DECIMAL(18,6)
     (order-free exact sums), pass rate is an exact integer ratio.
@@ -279,10 +291,37 @@ def quality_calibration_report(
         flagged, model, id_col=id_col, text_col=text_col,
         hash_fn=hash_fn, keep_cols=("_rule_keep",),
     )
-    w = Window.orderBy(F.col("logit").desc(), F.col(id_col).asc())
-    binned = scored.select(
+    triples = scored.select(
         F.col(id_col), F.col("logit"), F.col("_rule_keep")
-    ).withColumn("decile", F.ntile(n_bins).over(w))
+    )
+    if edges == "exact":
+        w = Window.orderBy(F.col("logit").desc(), F.col(id_col).asc())
+        binned = triples.withColumn("decile", F.ntile(n_bins).over(w))
+    elif edges == "approx":
+        # decile d = 1 + #{cut points the logit is BELOW}: cuts are
+        # the descending (1-1/n .. 1/n) approx quantiles, so the
+        # highest logits land in decile 1 like the ntile form
+        cuts = F.broadcast(
+            triples.agg(
+                F.percentile_approx(
+                    "logit",
+                    [1.0 - (i + 1) / n_bins for i in range(n_bins - 1)],
+                ).alias("_cuts")
+            )
+        )
+        binned = triples.crossJoin(cuts).select(
+            F.col(id_col),
+            F.col("logit"),
+            F.col("_rule_keep"),
+            (
+                F.lit(1)
+                + F.size(
+                    F.filter(F.col("_cuts"), lambda c: F.col("logit") < c)
+                )
+            ).alias("decile"),
+        )
+    else:
+        raise ValueError(f"unknown edges engine: {edges}")
     return (
         binned.groupBy("decile")
         .agg(

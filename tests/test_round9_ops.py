@@ -114,6 +114,42 @@ class TestClassifierCalibration:
         top, bottom = sum(rates[:5]), sum(rates[5:])
         assert top > bottom
 
+    def test_approx_edges_engine(self, spark, sf_small):
+        """The 100 TB profile: decile edges from one percentile_approx
+        sketch, no global sort. Structural gates hold and the
+        calibration signal reads the same as the exact engine."""
+        docs = fio.load_table(spark, sf_small, "documents")
+        rep = classifier.quality_calibration_report(
+            docs, classifier.load_model(), n_bins=10, hash_fn="md5",
+            edges="approx",
+        ).collect()
+        n = docs.count()
+        assert sum(r["n_docs"] for r in rep) == n  # every doc binned
+        assert {r["decile"] for r in rep} <= set(range(1, 11))
+        mins = [r["min_logit"] for r in rep]
+        assert all(a >= b for a, b in zip(mins, mins[1:]))
+        rates = [r["gopher_pass_rate"] for r in rep]
+        k = len(rates) // 2
+        assert sum(rates[:k]) > sum(rates[-k:])
+        # plan: no global-sort window, no join, one scan
+        df = classifier.quality_calibration_report(
+            docs, classifier.load_model(), n_bins=10, hash_fn="md5",
+            edges="approx",
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("Initial Plan")[0]
+        # no global-sort window anywhere ("ntile" alone would also
+        # match perce-NTILE_approx)
+        assert "Window" not in final and "ntile(" not in final
+        assert "SortMergeJoin" not in final
+        assert final.count("Scan parquet") <= 2  # triples + sketch branch
+
+    def test_unknown_edges_engine_raises(self, spark, sf_small):
+        docs = fio.load_table(spark, sf_small, "documents")
+        with pytest.raises(ValueError, match="edges"):
+            classifier.quality_calibration_report(
+                docs, classifier.load_model(), edges="nope")
+
     def test_single_scan_no_join(self, spark, sf_small):
         docs = fio.load_table(spark, sf_small, "documents")
         df = classifier.quality_calibration_report(
