@@ -68,10 +68,21 @@ def bm25_search(
         F.col(id_col), F.col("_toks"), F.size("_toks").alias("dl")
     ).where(F.col("dl") > 0)  # empty docs never counted (explode_outer
     #                           + non-null filter had the same effect)
+    # the corpus-stats pass counts tokens WITHOUT building the token
+    # array: the tokenizer splits on [^a-z0-9]+ and drops empties, so
+    # the token count is exactly the number of [a-z0-9]+ runs — one
+    # regexp_count per doc instead of a second array materialization
+    # (the matched branch still builds the array once, for tf)
     stats = F.broadcast(
-        tokd.agg(
+        docs.select(
+            F.regexp_count(
+                F.lower(F.col(text_col)), F.lit("[a-z0-9]+")
+            ).alias("_dl")
+        )
+        .where(F.col("_dl") > 0)
+        .agg(
             F.count("*").alias("n_docs"),
-            F.sum("dl").alias("sum_dl"),
+            F.sum("_dl").alias("sum_dl"),
         )
     )
     matched = tokd.select(
@@ -212,10 +223,21 @@ def bm25_search_multi(
     ).select(
         F.col(id_col), F.col("_toks"), F.size("_toks").alias("dl")
     ).where(F.col("dl") > 0)
+    # the corpus-stats pass counts tokens WITHOUT building the token
+    # array: the tokenizer splits on [^a-z0-9]+ and drops empties, so
+    # the token count is exactly the number of [a-z0-9]+ runs — one
+    # regexp_count per doc instead of a second array materialization
+    # (the matched branch still builds the array once, for tf)
     stats = F.broadcast(
-        tokd.agg(
+        docs.select(
+            F.regexp_count(
+                F.lower(F.col(text_col)), F.lit("[a-z0-9]+")
+            ).alias("_dl")
+        )
+        .where(F.col("_dl") > 0)
+        .agg(
             F.count("*").alias("n_docs"),
-            F.sum("dl").alias("sum_dl"),
+            F.sum("_dl").alias("sum_dl"),
         )
     )
     matched = tokd.select(
