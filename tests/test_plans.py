@@ -354,6 +354,44 @@ class TestPlanAuditRegressionGate:
         assert "SortMergeJoin" not in plan
         assert "TakeOrderedAndProject" in plan
 
+    def test_retrieval_eval_suite_plan_budget(self, spark, sf_small):
+        """Live gate for the r9 eval-family fusion: the suite eval
+        must stay SMJ-free and inside its corpus-scan budget — the
+        two stage-1 engines (bm25: stats + matched passes, dense: one
+        pass) and NOTHING else. The pre-r9 form planned the dense
+        truth engine twice (metric-tail self-join) and a third bm25
+        scan (df broadcast subtree); this pins both fixes."""
+        import __spark_entry__ as entrymod
+
+        df = entrymod.q_retrieval_eval_suite(spark, sf_small)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("Initial Plan")[0]
+        assert "SortMergeJoin" not in final
+        assert "CartesianProduct" not in final
+        assert final.count("Scan parquet") <= 3, (
+            "eval suite exceeded its 3-corpus-scan budget — a metric-"
+            "tail self-join or an engine-side duplicated subtree is back"
+        )
+
+    def test_retrieval_metrics_reads_truth_once(self, spark):
+        """The union metric form consumes each input exactly once: a
+        truth frame tagged with a one-row side branch appears in the
+        plan a single time (the old nrel/stats left-join form planned
+        the whole truth subtree twice)."""
+        from faiss_vector_search_spark.operators import evaluate
+
+        results = spark.createDataFrame(
+            [("q1", 10, 1), ("q1", 11, 2)],
+            "query_tag string, doc_id long, rank int")
+        truth = spark.createDataFrame(
+            [("q1", 10), ("q1", 12)], "query_tag string, doc_id long")
+        df = evaluate.retrieval_metrics_by_query(results, truth, k=10)
+        final = df._jdf.queryExecution().executedPlan().toString().split(
+            "Initial Plan")[0]
+        assert "SortMergeJoin" not in final and "Join" not in final, (
+            "the union metric form has no joins at all"
+        )
+
     def test_text_search_is_join_free(self, spark, sf_small):
         """Live gate for the literal-map engine: the single-query
         retrieval plan carries no join at all — the query rides the
