@@ -482,21 +482,57 @@ def quality_deciles(
     n_buckets: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    edges: str = "exact",
 ) -> DataFrame:
     """Corpus quality profile: bucket documents into quality deciles
-    (ntile over the heuristic quality score) and report each decile's
-    population and score range — the curation dashboard that decides
-    where to draw the keep/drop threshold. Deterministic: the ntile
-    ordering is totalized with the doc id tie-break. The global sort
-    behind ntile is a single orderBy (range-partitioned at scale);
-    for a 100 TB corpus swap ntile for approx-quantile bucket edges
-    computed on a sample and assigned map-side."""
+    and report each decile's population and score range — the
+    curation dashboard that decides where to draw the keep/drop
+    threshold. ``edges`` picks the binning engine:
+
+    - ``"exact"`` (default, the oracle profile): ntile over a global
+      (quality asc, id) sort — exact equal-size deciles, totalized
+      ordering, cross-engine deterministic;
+    - ``"approx"`` (the 100 TB profile): bucket edges from ONE
+      mergeable ``percentile_approx`` sketch row broadcast back onto
+      the scan, deciles assigned by an in-row cut-point fold — no
+      global sort anywhere (the classifier-calibration posture,
+      tests/test_round9_ops.py class of gates). Bucket sizes are
+      approximate near ties/sketch error; every doc is still binned
+      by its own score, so the threshold-reading use is unchanged.
+    """
     scored = quality_score(docs, id_col=id_col, text_col=text_col)
-    w = Window.orderBy(F.col("quality").asc(), F.col(id_col).asc())
-    return (
-        scored.select(
+    if edges == "exact":
+        w = Window.orderBy(F.col("quality").asc(), F.col(id_col).asc())
+        binned = scored.select(
             id_col, "quality", F.ntile(n_buckets).over(w).alias("decile")
         )
+    elif edges == "approx":
+        # decile d = 1 + #{ascending cut points the score is ABOVE}:
+        # lowest scores land in decile 1 like the ntile form
+        cuts = F.broadcast(
+            scored.agg(
+                F.percentile_approx(
+                    "quality",
+                    [(i + 1) / n_buckets for i in range(n_buckets - 1)],
+                ).alias("_cuts")
+            )
+        )
+        binned = scored.crossJoin(cuts).select(
+            F.col(id_col),
+            F.col("quality"),
+            (
+                F.lit(1)
+                + F.size(
+                    F.filter(
+                        F.col("_cuts"), lambda c: F.col("quality") > c
+                    )
+                )
+            ).alias("decile"),
+        )
+    else:
+        raise ValueError(f"unknown edges engine: {edges}")
+    return (
+        binned
         .groupBy("decile")
         .agg(
             F.count("*").alias("n_docs"),

@@ -161,6 +161,36 @@ class TestClassifierCalibration:
         assert final.count("Scan parquet") == 1
 
 
+class TestQualityDecilesApproxEdges:
+    def test_approx_engine_structural_gates(self, spark, sf_small):
+        from faiss_vector_search_spark.operators import textstats
+
+        docs = fio.load_table(spark, sf_small, "documents")
+        rep = sorted(
+            textstats.quality_deciles(docs, edges="approx").collect(),
+            key=lambda r: r["decile"],
+        )
+        n = docs.count()
+        assert sum(r["n_docs"] for r in rep) == n
+        assert {r["decile"] for r in rep} <= set(range(1, 11))
+        mins = [r["min_q"] for r in rep]
+        assert all(a <= b for a, b in zip(mins, mins[1:]))  # ascending
+        # plan: no global-sort window, no join beyond the 1-row
+        # broadcast cut points
+        df = textstats.quality_deciles(docs, edges="approx")
+        final = df._jdf.queryExecution().executedPlan().toString().split(
+            "Initial Plan")[0]
+        assert "Window" not in final and "ntile(" not in final
+        assert "SortMergeJoin" not in final
+
+    def test_unknown_engine_raises(self, spark, sf_small):
+        from faiss_vector_search_spark.operators import textstats
+
+        docs = fio.load_table(spark, sf_small, "documents")
+        with pytest.raises(ValueError, match="edges"):
+            textstats.quality_deciles(docs, edges="nope")
+
+
 class TestKeepColsPassthrough:
     def test_gopher_rules_keep_cols(self, spark, sf_small):
         from faiss_vector_search_spark.operators import textstats
