@@ -297,6 +297,11 @@ def quality_calibration_report(
     if edges == "exact":
         w = Window.orderBy(F.col("logit").desc(), F.col(id_col).asc())
         binned = triples.withColumn("decile", F.ntile(n_bins).over(w))
+    elif edges == "approx" and n_bins == 1:
+        # degenerate single-bin audit: no cut points exist, and
+        # percentile_approx rejects an empty percentage list — bin
+        # everything into decile 1 exactly like the ntile engine
+        binned = triples.withColumn("decile", F.lit(1))
     elif edges == "approx":
         # decile d = 1 + #{cut points the logit is BELOW}: cuts are
         # the descending (1-1/n .. 1/n) approx quantiles, so the

@@ -503,14 +503,25 @@ def retrieval_metrics_by_query(
             6,
         ).alias(c)
 
+    # rollup key is (is_macro, query), NOT the bare label: a real
+    # query named 'MACRO' stays a distinct per-query row instead of
+    # silently merging into the macro-average group (the struct key
+    # cannot collide; the label column is only cosmetic output)
     doubled = per.select(
         F.explode(
-            F.array(F.col(query_col), F.lit("MACRO"))
-        ).alias(query_col),
+            F.array(
+                F.struct(
+                    F.lit(0).alias("_m"), F.col(query_col).alias("_q")
+                ),
+                F.struct(
+                    F.lit(1).alias("_m"), F.lit("MACRO").alias("_q")
+                ),
+            )
+        ).alias("_k"),
         "n_relevant", "n_hits", "recall_at_k", "mrr", "ndcg_at_k",
     )
     return (
-        doubled.groupBy(query_col)
+        doubled.groupBy("_k")
         .agg(
             F.sum("n_relevant").cast("bigint").alias("n_relevant"),
             F.sum("n_hits").cast("bigint").alias("n_hits"),
@@ -518,7 +529,11 @@ def retrieval_metrics_by_query(
             _macro("mrr"),
             _macro("ndcg_at_k"),
         )
-        .orderBy(query_col)
+        .orderBy(F.col("_k._q").asc(), F.col("_k._m").asc())
+        .select(
+            F.col("_k._q").alias(query_col),
+            "n_relevant", "n_hits", "recall_at_k", "mrr", "ndcg_at_k",
+        )
     )
 
 

@@ -450,6 +450,32 @@ def ivf_search_persisted_batch(
     Equality with the per-query :func:`ivf_search_persisted` loop and
     the partition-prune plan fact are pytest-gated.
     """
+    df, _ = ivf_search_persisted_batch_probed(
+        spark, path, queries, nprobe=nprobe, k=k, metric=metric,
+        id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+    )
+    return df
+
+
+def ivf_search_persisted_batch_probed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    nprobe: int = 4,
+    k: int = 10,
+    metric: str = "ip",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+):
+    """:func:`ivf_search_persisted_batch` plus the probe-set union it
+    already computed, as ``(topk_df, sorted_list_ids)`` — for callers
+    (the persisted k-NN classifier and miners) whose label join-back
+    scan prunes to the SAME probed lists: sharing the union keeps the
+    whole mining call at ONE bounded centroid-probe job instead of
+    re-running the crossJoin + window + collect a second time."""
     cents = spark.read.parquet(f"{path}/_centroids")
     probes = (
         queries.select(query_id_col, query_vec_col)
@@ -501,7 +527,7 @@ def ivf_search_persisted_batch(
     rw = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col(id_col).asc()
     )
-    return (
+    topk = (
         scored.withColumn("rank", F.row_number().over(rw))
         .where(F.col("rank") <= k)
         .select(
@@ -509,3 +535,4 @@ def ivf_search_persisted_batch(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+    return topk, all_lists

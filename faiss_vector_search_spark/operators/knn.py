@@ -282,41 +282,6 @@ def _classify_votes(
     )
 
 
-def _probed_list_ids(
-    spark,
-    path: str,
-    queries: DataFrame,
-    nprobe: int,
-    query_id_col: str = "query_id",
-    query_vec_col: str = "query_vec",
-) -> list:
-    """The UNION of every query's nprobe nearest saved-centroid ids —
-    the partition-prune set shared by every persisted-index serving
-    surface in this module: the candidate scan reads exactly these
-    list directories, and the label join-back scans prune to the SAME
-    set (every candidate id lives in a probed list by construction, so
-    the prune is semantics-free). One bounded job: |Q| × nlist rows
-    over the broadcast centroids."""
-    from ..functions import vector as V
-
-    cents = spark.read.parquet(f"{path}/_centroids")
-    pw = Window.partitionBy(query_id_col).orderBy(
-        F.col("_cdist").asc(), F.col("cid").asc()
-    )
-    return sorted({
-        r.cid
-        for r in queries.select(query_id_col, query_vec_col)
-        .crossJoin(F.broadcast(cents))
-        .select(
-            F.col(query_id_col), F.col("cid"),
-            V.l2_sq(F.col(query_vec_col), F.col("cvec")).alias("_cdist"),
-        )
-        .withColumn("_r", F.row_number().over(pw))
-        .where(F.col("_r") <= nprobe)
-        .select("cid").distinct().collect()
-    })
-
-
 def knn_classify_persisted(
     spark,
     path: str,
@@ -353,16 +318,14 @@ def knn_classify_persisted(
     """
     from . import ivf as ivf_mod
 
-    cand = ivf_mod.ivf_search_persisted_batch(
+    # the label scan prunes to the SAME probed lists as the candidate
+    # scan (every candidate id lives in a probed list by construction),
+    # so both scans read nprobe/nlist of the index files — and the
+    # probe union is computed ONCE, inside the batch search
+    cand, probed = ivf_mod.ivf_search_persisted_batch_probed(
         spark, path, queries, nprobe=nprobe, k=k + 1, metric=metric,
         id_col=id_col, vec_col=vec_col,
         query_id_col=query_id_col, query_vec_col=query_vec_col,
-    )
-    # the label scan prunes to the SAME probed lists as the candidate
-    # scan (every candidate id lives in a probed list by construction),
-    # so both scans read nprobe/nlist of the index files
-    probed = _probed_list_ids(
-        spark, path, queries, nprobe, query_id_col, query_vec_col
     )
     labels = (
         spark.read.parquet(f"{path}/vectors")
@@ -415,16 +378,13 @@ def hard_negatives_persisted(
     """
     from . import ivf as ivf_mod
 
-    cand = ivf_mod.ivf_search_persisted_batch(
+    # label scan pruned to the probed lists, like knn_classify_persisted
+    # (every candidate id lives in a probed list, so the prune changes
+    # bytes read, never rows joined); one shared probe job
+    cand, probed = ivf_mod.ivf_search_persisted_batch_probed(
         spark, path, anchors, nprobe=nprobe, k=k * pool_mult,
         metric=metric, id_col=id_col, vec_col=vec_col,
         query_id_col=query_id_col, query_vec_col=query_vec_col,
-    )
-    # label scan pruned to the probed lists, like knn_classify_persisted
-    # (every candidate id lives in a probed list, so the prune changes
-    # bytes read, never rows joined)
-    probed = _probed_list_ids(
-        spark, path, anchors, nprobe, query_id_col, query_vec_col
     )
     labels = (
         spark.read.parquet(f"{path}/vectors")
@@ -487,14 +447,12 @@ def training_triplets_persisted(
     """
     from . import ivf as ivf_mod
 
-    cand = ivf_mod.ivf_search_persisted_batch(
+    # label scan pruned to the probed lists, like knn_classify_persisted;
+    # one shared probe job
+    cand, probed = ivf_mod.ivf_search_persisted_batch_probed(
         spark, path, anchors, nprobe=nprobe, k=pool, metric=metric,
         id_col=id_col, vec_col=vec_col,
         query_id_col=query_id_col, query_vec_col=query_vec_col,
-    )
-    # label scan pruned to the probed lists, like knn_classify_persisted
-    probed = _probed_list_ids(
-        spark, path, anchors, nprobe, query_id_col, query_vec_col
     )
     labels = (
         spark.read.parquet(f"{path}/vectors")

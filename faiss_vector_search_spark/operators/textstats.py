@@ -506,6 +506,13 @@ def quality_deciles(
         binned = scored.select(
             id_col, "quality", F.ntile(n_buckets).over(w).alias("decile")
         )
+    elif edges == "approx" and n_buckets == 1:
+        # degenerate single-bucket profile: no cut points exist, and
+        # percentile_approx rejects an empty percentage list — emit
+        # the same all-rows-in-decile-1 frame the exact engine builds
+        binned = scored.select(
+            id_col, "quality", F.lit(1).alias("decile")
+        )
     elif edges == "approx":
         # decile d = 1 + #{ascending cut points the score is ABOVE}:
         # lowest scores land in decile 1 like the ntile form

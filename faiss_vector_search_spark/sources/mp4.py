@@ -66,8 +66,10 @@ def mp4_demux(payload: bytes) -> list[dict]:
     ``all_sync=False`` with an empty ``keyframes`` set, i.e. NO sync
     samples, which the sentinel could not represent. Fragmented
     payloads (moof run tables) demux through :func:`_apply_fragments`
-    — same output contract, ``all_sync`` always False there because
-    fragment sample flags are explicit."""
+    — same output contract, with ``all_sync`` False for any track
+    that received fragment samples (their sync-ness is explicit in
+    the run flags); a track the fragments never touched keeps its
+    moov-derived flag."""
     if len(payload) < 16:
         raise ValueError("not an MP4 payload")
     try:
