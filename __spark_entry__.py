@@ -5060,8 +5060,13 @@ _SHARD_PATHS: dict[str, str] = {}
 def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budgeted training-shard export + manifest: the hand-off
     format a training loader consumes. Returns the manifest (shard,
-    n_docs, n_tokens). Rows-only: a filesystem writer has no SQL
-    twin; budget/determinism/layout gates in tests/test_wave6_ops.py."""
+    n_docs, n_tokens). ORACLE-GATED (r10 promotion): the manifest is
+    pure arithmetic — n_shards = ceil(total_tokens/budget), shard =
+    md5-hash(id) mod n_shards — so DuckDB recomputes it exactly; the
+    filesystem layout itself (partition dirs, resume bookkeeping)
+    stays pytest-gated in tests/test_wave6_ops.py. hash_fn='md5' here
+    is the oracle profile (hash_split posture); production exports
+    dial hash_fn='xxhash64'."""
     import tempfile
 
     from faiss_vector_search_spark.operators import maintenance as mt
@@ -5070,7 +5075,7 @@ def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         _SHARD_PATHS[sf_dir] = tempfile.mkdtemp(prefix="fvs_shards_") + "/t"
     return mt.write_training_shards(
         _t(spark, sf_dir, "documents"), _SHARD_PATHS[sf_dir],
-        token_budget=5_000,
+        token_budget=5_000, hash_fn="md5",
     )
 
 
@@ -5271,6 +5276,36 @@ def q_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["bm25_index_search"] = ORACLES["bm25_search"]
 
 
+# r10 promotions — two formerly rows-only keys whose outputs are pure
+# deterministic arithmetic over `documents`:
+#
+# training_shards: the manifest is (shard, n_docs, n_tokens) with
+# n_shards = ceil(total_tokens / 5000) and shard = md5hash(id) % n
+# (entry runs the md5 oracle profile; layout stays pytest-gated)
+ORACLES["training_shards"] = f"""
+WITH toks AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n FROM documents
+),
+ns AS (SELECT CAST(ceil(sum(n) / 5000.0) AS BIGINT) AS n_shards FROM toks)
+SELECT CAST({_md5i("'s41:' || doc_id::VARCHAR")} % (SELECT n_shards FROM ns) AS INT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS n_tokens
+FROM toks GROUP BY 1
+"""
+
+# snapshot_diff: the entry derives v1 from v0 by a fixed rule (drop
+# doc_id%7==0; append ' [rev2]' when doc_id%5==0), so the change set
+# recomputes directly — removed = dropped keys, changed = surviving
+# keys whose text actually changed (a NULL text stays NULL under
+# concat, hence unchanged); no rows are added
+ORACLES["snapshot_diff"] = """
+SELECT doc_id, 'removed' AS change FROM documents WHERE doc_id % 7 = 0
+UNION ALL
+SELECT doc_id, 'changed' AS change FROM documents
+WHERE doc_id % 7 <> 0 AND doc_id % 5 = 0 AND text IS NOT NULL
+"""
+
+
 _IVFIDX_PATHS: dict[str, str] = {}
 
 
@@ -5401,8 +5436,11 @@ _SNAPDIFF_PATHS: dict[str, str] = {}
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level diff between two committed corpus snapshot versions
     (added/removed/changed by doc_id) — the lakehouse CDC read over
-    the plain-parquet versioned store. Rows-only: the manifest-pinned
-    store has no DuckDB twin; truth tables + NULL-sentinel gates in
+    the plain-parquet versioned store. ORACLE-GATED (r10 promotion):
+    v1 is derived from v0 by a deterministic rule (drop doc_id%7==0,
+    append ' [rev2]' to text when doc_id%5==0), so DuckDB recomputes
+    the change set directly from `documents` without the store; the
+    manifest-pinning/immutability mechanics stay pytest-gated in
     tests/test_maintenance.py."""
     import tempfile
 
