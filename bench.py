@@ -82,6 +82,7 @@ def main() -> None:
         lsh,
         textstats,
     )
+    from faiss_vector_search_spark.operators import classifier as clf_mod
     from faiss_vector_search_spark.operators import lm as lm_mod
     from faiss_vector_search_spark.session import get_spark
 
@@ -612,6 +613,20 @@ def main() -> None:
             n=8, hash_fn="xxhash64",
         ),
         "classifier_calibration": qs["classifier_calibration"],
+        # r10: the 100 TB dials of the two global-sort decilers —
+        # edges="approx" bins by ONE mergeable percentile_approx
+        # sketch row (no ntile window, no global sort), production
+        # xxhash64 logit; floored here so the scale path can't rot
+        "classifier_calibration_approx": lambda spark, sf:
+            clf_mod.quality_calibration_report(
+                fio.load_table(spark, sf, "documents"),
+                clf_mod.load_model(),
+                n_bins=10, hash_fn="xxhash64", edges="approx",
+            ),
+        "doc_quality_deciles_approx": lambda spark, sf:
+            textstats.quality_deciles(
+                fio.load_table(spark, sf, "documents"), edges="approx",
+            ),
         # production hash profile (xxhash64 split assignment)
         "split_kl": lambda spark, sf: lm_mod.split_kl_report(
             fio.load_table(spark, sf, "documents"), hash_fn="xxhash64",

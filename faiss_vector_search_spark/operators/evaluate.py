@@ -432,10 +432,12 @@ def retrieval_metrics_by_query(
     ``repartition(query)`` keys all grouped passes to one exchange
     (hash(query) satisfies every downstream clustering), and the
     macro row rides an in-row explode — each per-query row emits
-    itself under its own tag AND under 'MACRO', so one final
+    itself under its own tag AND under the macro tag, so one final
     2·|Q|-row groupBy yields per-query rows (singleton groups pass
     through exactly) and the macro average, with no second plan
-    branch.
+    branch. The rollup key is a (is_macro, query) STRUCT, not the
+    bare label: a real query named 'MACRO' stays its own row instead
+    of silently merging into the average (r9 ADVICE).
 
     Determinism: per-query metrics round to 6 dp; the macro row
     accumulates those ROUNDED values as DECIMAL(18,6) (exact sums —

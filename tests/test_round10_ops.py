@@ -1,0 +1,200 @@
+"""Round-10 gates: the approx-edges dials' exchange budgets and
+degenerate single-bucket profile, the MACRO-collision fix in the
+suite-level retrieval rollup, and the shared-probe-job refactor of
+the persisted IVF serving surfaces (r9 VERDICT asks #3/#4 + ADVICE)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from faiss_vector_search_spark.io import load_table
+
+
+def _final_plan(df) -> str:
+    df.collect()  # let AQE settle so the final plan is the real one
+    return df._jdf.queryExecution().executedPlan().toString().split(
+        "Initial Plan"
+    )[0]
+
+
+class TestApproxDialExchangeBudget:
+    """The 100 TB edges="approx" engines carry a CI-pinned exchange
+    budget (r9 VERDICT ask #4): sketch agg + 1-row broadcast + final
+    decile rollup and NOTHING else — a regression that re-introduces
+    a global sort or a corpus-sized join shows up here as an extra
+    exchange before it shows up as a slow bench row."""
+
+    def test_quality_deciles_approx_exchanges(self, spark, sf_small):
+        from faiss_vector_search_spark.operators import textstats
+
+        docs = load_table(spark, sf_small, "documents")
+        final = _final_plan(textstats.quality_deciles(docs, edges="approx"))
+        assert final.count("Exchange") <= 3, final
+        assert "Window" not in final and "SortMergeJoin" not in final
+        assert final.count("Scan parquet") <= 2
+
+    def test_calibration_approx_exchanges(self, spark, sf_small):
+        from faiss_vector_search_spark.operators import classifier
+
+        docs = load_table(spark, sf_small, "documents")
+        final = _final_plan(
+            classifier.quality_calibration_report(
+                docs, classifier.load_model(), n_bins=10,
+                hash_fn="md5", edges="approx",
+            )
+        )
+        assert final.count("Exchange") <= 4, final
+        assert "Window" not in final and "SortMergeJoin" not in final
+        assert final.count("Scan parquet") <= 2
+
+
+class TestApproxSingleBucket:
+    """n_buckets==1 short-circuits: percentile_approx rejects an empty
+    percentage list, so the approx engines must emit the one-bucket
+    profile directly, matching the exact (ntile) engine (r9 ADVICE)."""
+
+    def test_quality_deciles_single_bucket(self, spark, sf_small):
+        from faiss_vector_search_spark.operators import textstats
+
+        docs = load_table(spark, sf_small, "documents")
+        approx = textstats.quality_deciles(
+            docs, n_buckets=1, edges="approx"
+        ).collect()
+        exact = textstats.quality_deciles(
+            docs, n_buckets=1, edges="exact"
+        ).collect()
+        assert len(approx) == len(exact) == 1
+        a, e = approx[0], exact[0]
+        assert a["decile"] == e["decile"] == 1
+        assert a["n_docs"] == e["n_docs"]
+        assert a["min_q"] == e["min_q"] and a["max_q"] == e["max_q"]
+        assert a["avg_q"] == e["avg_q"]
+
+    def test_calibration_single_bin(self, spark, sf_small):
+        from faiss_vector_search_spark.operators import classifier
+
+        docs = load_table(spark, sf_small, "documents")
+        model = classifier.load_model()
+        approx = classifier.quality_calibration_report(
+            docs, model, n_bins=1, hash_fn="md5", edges="approx"
+        ).collect()
+        exact = classifier.quality_calibration_report(
+            docs, model, n_bins=1, hash_fn="md5", edges="exact"
+        ).collect()
+        assert len(approx) == len(exact) == 1
+        a, e = approx[0], exact[0]
+        assert a["decile"] == e["decile"] == 1
+        assert a["n_docs"] == e["n_docs"]
+        assert a["min_logit"] == e["min_logit"]
+        assert a["mean_logit"] == e["mean_logit"]
+        assert a["gopher_pass_rate"] == e["gopher_pass_rate"]
+
+
+class TestMacroCollisionGuard:
+    """A real query literally tagged 'MACRO' must stay a distinct
+    per-query row — the struct rollup key cannot merge it into the
+    macro-average group (r9 ADVICE: the old explode-into-'MACRO'
+    label silently corrupted both rows)."""
+
+    def _frames(self, spark, tags):
+        rows_r, rows_t = [], []
+        for i, tag in enumerate(tags):
+            # query i ranks docs [10i .. 10i+4]; truth = first 2 of them
+            for r in range(1, 6):
+                rows_r.append((tag, 10 * i + r, r))
+            rows_t.extend([(tag, 10 * i + 1), (tag, 10 * i + 2)])
+        results = spark.createDataFrame(
+            rows_r, "query_tag string, doc_id long, rank int"
+        )
+        truth = spark.createDataFrame(rows_t, "query_tag string, doc_id long")
+        return results, truth
+
+    def test_macro_named_query_stays_distinct(self, spark):
+        from faiss_vector_search_spark.operators import evaluate as ev
+
+        results, truth = self._frames(spark, ["q1", "MACRO", "q3"])
+        out = ev.retrieval_metrics_by_query(results, truth, k=5).collect()
+        # 3 per-query rows + 1 macro row; two rows carry the label
+        # MACRO (the real query and the average) and stay separate
+        assert len(out) == 4
+        macro_rows = [r for r in out if r["query_tag"] == "MACRO"]
+        assert len(macro_rows) == 2
+        # deterministic order: the real query (is_macro=0) sorts first
+        per_q, avg = macro_rows
+        # the real query's counters are its own (2 relevant, 2 hits);
+        # the average row sums all three queries' counters
+        assert per_q["n_relevant"] == 2 and per_q["n_hits"] == 2
+        assert avg["n_relevant"] == 6 and avg["n_hits"] == 6
+
+    def test_no_collision_output_unchanged(self, spark):
+        from faiss_vector_search_spark.operators import evaluate as ev
+
+        results, truth = self._frames(spark, ["q1", "q2"])
+        out = {
+            r["query_tag"]: r
+            for r in ev.retrieval_metrics_by_query(results, truth, k=5)
+            .collect()
+        }
+        assert set(out) == {"q1", "q2", "MACRO"}
+        assert out["MACRO"]["n_relevant"] == 4
+        # perfect retrieval of both judged docs at ranks 1-2
+        assert out["q1"]["recall_at_k"] == 1.0
+        assert out["MACRO"]["recall_at_k"] == 1.0
+
+
+class TestSharedProbeJob:
+    """ivf_search_persisted_batch_probed returns the probe union the
+    batch search already computed, so the persisted miners run ONE
+    bounded centroid job instead of two (r9 VERDICT ask #3)."""
+
+    @pytest.fixture(scope="class")
+    def store(self, spark, sf_small, tmp_path_factory):
+        from faiss_vector_search_spark.operators import ivf as ivf_mod
+
+        emb = load_table(spark, sf_small, "embeddings")
+        cents = ivf_mod.seeded_centroids(emb, nlist=8)
+        path = str(tmp_path_factory.mktemp("ivfp") / "idx")
+        ivf_mod.save_ivf(emb, cents, path)
+        return path, emb
+
+    def _queries(self, emb, qids):
+        return emb.where(F.col("vec_id").isin(qids)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+
+    def test_probed_equals_independent_union(self, spark, store):
+        from faiss_vector_search_spark.operators import ivf as ivf_mod
+
+        path, emb = store
+        queries = self._queries(emb, [0, 3, 7])
+        _, probed = ivf_mod.ivf_search_persisted_batch_probed(
+            spark, path, queries, nprobe=3, k=5
+        )
+        cents = spark.read.parquet(f"{path}/_centroids")
+        want = sorted({
+            r["probe_cid"]
+            for qid in [0, 3, 7]
+            for r in ivf_mod.probe_lists(
+                emb.where(F.col("vec_id") == qid).select(
+                    F.col("embedding").alias("query_vec")
+                ),
+                cents, 3,
+            ).collect()
+        })
+        assert probed == want
+        assert probed == sorted(set(probed))  # sorted, deduped
+
+    def test_results_match_unprobed_form(self, spark, store):
+        from faiss_vector_search_spark.operators import ivf as ivf_mod
+
+        path, emb = store
+        queries = self._queries(emb, [0, 3])
+        a = ivf_mod.ivf_search_persisted_batch(
+            spark, path, queries, nprobe=2, k=5
+        ).collect()
+        b, _ = ivf_mod.ivf_search_persisted_batch_probed(
+            spark, path, queries, nprobe=2, k=5
+        )
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b.collect()))
