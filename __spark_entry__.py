@@ -209,6 +209,36 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.col("score").cast(DBL).alias("score"))
 
 
+def q_ql_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet query-likelihood top-10 (Zhai & Lafferty 2001) — the
+    LM ranking family next to BM25, same query, same tables (SURVEY
+    §2 #210). Per-term collection stats ride the corpus-stats pass as
+    in-row array_remove aggregates: no term-keyed window anywhere."""
+    out = lexical.ql_search(
+        _t(spark, sf_dir, "documents"), RAG_QUERY, k=10, mu=1000.0
+    )
+    return out.select("doc_id", F.col("score").cast(DBL).alias("score"))
+
+
+_PERC_QUERIES = [
+    ("q_batch_window", "batch window"),
+    ("q_vector_stream", "vector stream"),
+    ("q_hash_fast_batch", "hash fast batch"),
+]
+
+
+def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing-query matching (Elasticsearch-percolator shape,
+    SURVEY §2 #211): which of the 3 stored boolean-AND topic queries
+    does each document satisfy. Stored-query side broadcasts as a
+    literal frame; per doc only tokens in the stored-term union
+    explode."""
+    return lexical.percolate(
+        _t(spark, sf_dir, "documents"), _PERC_QUERIES,
+        min_should_match=1.0,
+    )
+
+
 def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RRF fusion of BM25 and dense (feature-hash cosine) retrieval."""
     docs = _t(spark, sf_dir, "documents")
@@ -5305,6 +5335,71 @@ SELECT doc_id, 'changed' AS change FROM documents
 WHERE doc_id % 7 <> 0 AND doc_id % 5 = 0 AND text IS NOT NULL
 """
 
+# r10 new operators (SURVEY §2 #210/#211)
+#
+# ql_search: Dirichlet query-likelihood (μ=1000), rank-equivalent
+# form — matched-term fold (sorted, bm25's determinism discipline)
+# plus |q_eff|·ln(μ/(dl+μ)); ctf = corpus occurrences of each query
+# term, |q_eff| = query terms present in the collection at all
+ORACLES["ql_search"] = f"""
+WITH d AS (
+  SELECT doc_id, toks, len(toks) AS dl
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+  WHERE len(toks) > 0
+),
+qt(term) AS (VALUES {_QT_VALUES}),
+stats AS (SELECT sum(dl)::DOUBLE AS c_len FROM d),
+toksq AS (
+  SELECT doc_id, dl, u.t AS term
+  FROM d, unnest(toks) AS u(t)
+  WHERE u.t IN (SELECT term FROM qt)
+),
+ctf AS (SELECT term, count(*)::DOUBLE AS ctf FROM toksq GROUP BY 1),
+nq AS (SELECT count(*) AS n FROM ctf),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM toksq GROUP BY 1, 2, 3
+),
+contrib AS (
+  SELECT t.doc_id, t.dl, t.term,
+         ln(1 + t.tf / (1000.0 * c.ctf / s.c_len)) AS c
+  FROM tf t JOIN ctf c USING (term), stats s
+),
+scored AS (
+  SELECT doc_id,
+         ROUND(list_sum(list_transform(
+           list_sort(list(struct_pack(t := term, c := c))), s -> s.c))
+           + any_value(nq.n) * ln(1000.0 / (any_value(dl) + 1000.0)), 6)
+           AS score
+  FROM contrib, nq GROUP BY doc_id
+)
+SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+# percolate: stored boolean-AND queries vs every doc's distinct
+# token set; a doc matches a query when it contains all its terms
+_PERC_VALUES = ", ".join(
+    f"('{qid}', '{t}')"
+    for qid, qtext in _PERC_QUERIES
+    for t in sorted(set(qtext.split()))
+)
+ORACLES["percolate"] = f"""
+WITH q(query_id, term) AS (VALUES {_PERC_VALUES}),
+qn AS (SELECT query_id, count(*)::INT AS n_terms FROM q GROUP BY 1),
+dt AS (
+  SELECT doc_id, u.t AS term
+  FROM (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents),
+       unnest(toks) AS u(t)
+  WHERE u.t IN (SELECT term FROM q)
+),
+m AS (
+  SELECT q.query_id, dt.doc_id, count(*)::INT AS n_matched
+  FROM dt JOIN q USING (term) GROUP BY 1, 2
+)
+SELECT m.query_id, m.doc_id, m.n_matched, qn.n_terms
+FROM m JOIN qn USING (query_id)
+WHERE m.n_matched >= qn.n_terms
+"""
+
 
 _IVFIDX_PATHS: dict[str, str] = {}
 
@@ -5639,119 +5734,45 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's CORRECTNESS artifact checks exactly
-    # the first 50 insertion-order keys each round (observed r2-r8; policy
-    # documented in SURVEY §5). Rotation r9, standing policy (never-green
-    # first, then changed-since-last-green, then stalest-green):
-    # positions 1-4 are the NEVER-GREEN keys — the two NEW r9 operators
-    # (contamination_report #208, classifier_calibration #209) and the
-    # two keys PROMOTED from rows-only to oracle-gated this round
-    # (r8 verdict ask #1: the persisted inverted-index probe is
-    # score-identical to batch bm25_search, and the persisted chunk
-    # index at full probe is exact, so both share their batch twins'
-    # oracles). Next are the keys whose operators were edited
-    # in r9 — the retrieval-metric union rewrite + min-rank collapse
-    # (retrieval_eval, retrieval_eval_suite), the exchange fusions in
-    # bm25_search/_multi + hybrid_rrf_multi (bm25_search, hybrid_search,
-    # hybrid_search_suite), and the knn.py two-phase schema +
-    # persisted-miner label-prune changes (the classify/mining quartet
-    # and its persisted trio). Then the 10 r5-stale greens, then the
-    # stalest r6 block backfills to 50. Every r7/r8 green rotates
-    # behind; rows-only keys stay last. queries_order.json is
-    # regenerated in lockstep by scripts/verify.py.
+    # the first 50 insertion-order keys each round (observed r2-r9; policy
+    # documented in SURVEY §5). Rotation r10, standing policy with the r9
+    # verdict's explicit ask #1 leading: positions 1-4 are the four
+    # r9-EDITED stale greens (quality_classifier, gopher_quality,
+    # doc_quality_deciles, curation_score — keep_cols passthrough and the
+    # edges= engine parameter touched their code paths after their last
+    # green). Positions 5-8 are the NEVER-GREEN keys: the two NEW r10
+    # operators (ql_search #210, percolate #211) and the two keys
+    # PROMOTED from rows-only this round (r9 verdict ask #6:
+    # training_shards' manifest and snapshot_diff's fixture rule are
+    # pure deterministic arithmetic over `documents`). Next the six keys
+    # whose operators took r10 edits (the shared-probe refactor of the
+    # persisted miners + batch search, the MACRO struct-key rollup in
+    # the suite eval, and the approx-edges short-circuit in the
+    # calibration report). Then greens stalest-first: the full r6 block
+    # (21 keys), then the stalest r7s backfill to 50. Rows-only keys
+    # stay last. queries_order.json is regenerated in lockstep by
+    # scripts/verify.py.
     return {
-        # ---- r9 window (first 50 = the driver's correctness check) ----
-        "contamination_report": q_contamination_report,
-        "classifier_calibration": q_classifier_calibration,
-        "bm25_index_search": q_bm25_index_search,
-        "chunk_search_ivf": q_chunk_search_ivf,
-        "retrieval_eval_suite": q_retrieval_eval_suite,
-        "retrieval_eval": q_retrieval_eval,
-        "hybrid_search_suite": q_hybrid_search_suite,
-        "hybrid_search": q_hybrid_search,
-        "bm25_search": q_bm25_search,
-        "knn_classify": q_knn_classify,
-        "knn_classify_weighted": q_knn_classify_weighted,
-        "hard_negatives": q_hard_negatives,
-        "training_triplets": q_training_triplets,
+        # ---- r10 window (first 50 = the driver's correctness check) ----
+        "quality_classifier": q_quality_classifier,
+        "gopher_quality": q_gopher_quality,
+        "doc_quality_deciles": q_doc_quality_deciles,
+        "curation_score": q_curation_score,
+        # never-green: 2 new r10 operators + 2 promotions
+        "ql_search": q_ql_search,
+        "percolate": q_percolate,
+        "training_shards": q_training_shards,
+        "snapshot_diff": q_snapshot_diff,
+        # r10-edited operators
         "knn_classify_ivf": q_knn_classify_ivf,
         "hard_negatives_ivf": q_hard_negatives_ivf,
         "training_triplets_ivf": q_training_triplets_ivf,
-        "ivf_search": q_ivf_search,
-        "vector_normalize": q_vector_normalize,
-        "index_stats": q_index_stats,
-        "add_documents": q_add_documents,
-        "embed_text": q_embed_text,
-        "lang_id": q_lang_id,
-        "chunk_fixed": q_chunk_fixed,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "c4_rules": q_c4_rules,
-        "domain_temperature": q_domain_temperature,
-        "ngram_lookup": q_ngram_lookup,
-        "embedding_drift": q_embedding_drift,
-        "quality_score": q_quality_score,
-        "domain_mix_sample": q_domain_mix_sample,
-        "corpus_profile": q_corpus_profile,
-        "bigram_lm_score": q_bigram_lm_score,
-        "unpivot_user_matrix": q_unpivot_user_matrix,
-        "fingerprint_overlap": q_fingerprint_overlap,
-        "fim_transform": q_fim_transform,
         "ivf_batch_query": q_ivf_batch_query,
-        "dsir_sample": q_dsir_sample,
-        "chunk_documents_greedy": q_chunk_documents_greedy,
-        "knn_filtered_search": q_knn_filtered_search,
-        "token_count": q_token_count,
-        "doc_fingerprint": q_doc_fingerprint,
-        "semdedup": q_semdedup,
-        "merge_indexes": q_merge_indexes,
-        "hash_split": q_hash_split,
-        "char_entropy": q_char_entropy,
-        "near_dup_dedup": q_near_dup_dedup,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        # ---- rotated behind the window (fresher greens, then rows-only) ----
+        "retrieval_eval_suite": q_retrieval_eval_suite,
+        "classifier_calibration": q_classifier_calibration,
+        # stalest greens (r6 block, then r7s)
         "dedup_keep_best": q_dedup_keep_best,
         "dedup_clusters": q_dedup_clusters,
-        "text_search": q_text_search,
-        "rag_context": q_rag_context,
-        "diversified_search": q_diversified_search,
-        "chunk_search": q_chunk_search,
-        "tpch_q6": q_tpch_q6,
-        "large_volume_customers": q_large_volume_customers,
-        "curation_pipeline": q_curation_pipeline,
-        "nation_market_share": q_nation_market_share,
-        "session_window_agg": q_session_window_agg,
-        "binary_hamming_search": q_binary_hamming_search,
-        "bloom_semi_join": q_bloom_semi_join,
-        "dataset_card": q_dataset_card,
-        "cross_domain_dups": q_cross_domain_dups,
-        "split_kl": q_split_kl,
-        "self_similarity": q_self_similarity,
-        "zipf_profile": q_zipf_profile,
-        "ngram_novelty": q_ngram_novelty,
-        "curriculum_order": q_curriculum_order,
-        "ccnet_buckets": q_ccnet_buckets,
-        "maxsim_search": q_maxsim_search,
-        "matryoshka_rerank_search": q_matryoshka_rerank_search,
-        "curation_score": q_curation_score,
-        "token_budget_sample": q_token_budget_sample,
-        "quality_classifier": q_quality_classifier,
-        "pmi_collocations": q_pmi_collocations,
-        "domain_kl": q_domain_kl,
-        "length_batches": q_length_batches,
-        "fuzzy_decontaminate": q_fuzzy_decontaminate,
-        "repeated_spans": q_repeated_spans,
-        "opq_rerank_search": q_opq_rerank_search,
-        "normalize_text": q_normalize_text,
-        "strip_repeated_spans": q_strip_repeated_spans,
-        "table_profile": q_table_profile,
-        "pack_sequences": q_pack_sequences,
-        "knn_topk_l2": q_knn_topk_l2,
-        "knn_fixed_threshold": q_knn_fixed_threshold,
-        "knn_dynamic_threshold": q_knn_dynamic_threshold,
-        "knn_threshold_progression": q_knn_threshold_progression,
-        "knn_batch": q_knn_batch,
         "stratified_sample": q_stratified_sample,
         "tpch_q1": q_tpch_q1,
         "top_customers_by_nation": q_top_customers_by_nation,
@@ -5778,7 +5799,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ship_delay_priority": q_ship_delay_priority,
         "excess_parts": q_excess_parts,
         "knn_topk_ip": q_knn_topk_ip,
-        "gopher_quality": q_gopher_quality,
         "binary_rerank_search": q_binary_rerank_search,
         "json_props_rollup": q_json_props_rollup,
         "event_value_quantiles": q_event_value_quantiles,
@@ -5787,6 +5807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_pivot": q_event_type_pivot,
         "churned_buyers": q_churned_buyers,
         "weighted_sample": q_weighted_sample,
+        # ---- behind the window (rotates forward as greens age) ----
         "time_range_rolling": q_time_range_rolling,
         "value_rank_profile": q_value_rank_profile,
         "phrase_search": q_phrase_search,
@@ -5799,7 +5820,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_trade_volume": q_nation_trade_volume,
         "disjunctive_revenue": q_disjunctive_revenue,
         "events_gap_fill": q_events_gap_fill,
-        "doc_quality_deciles": q_doc_quality_deciles,
         "promo_profit_by_nation": q_promo_profit_by_nation,
         "events_grouping_sets": q_events_grouping_sets,
         "decontaminate": q_decontaminate,
@@ -5816,6 +5836,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_search": q_range_search,
         "vector_reconstruct": q_vector_reconstruct,
         "remove_vectors": q_remove_vectors,
+        "text_search": q_text_search,
+        "rag_context": q_rag_context,
+        "diversified_search": q_diversified_search,
+        "chunk_search": q_chunk_search,
+        "tpch_q6": q_tpch_q6,
+        "large_volume_customers": q_large_volume_customers,
+        "curation_pipeline": q_curation_pipeline,
+        "nation_market_share": q_nation_market_share,
+        "session_window_agg": q_session_window_agg,
+        "binary_hamming_search": q_binary_hamming_search,
+        "bloom_semi_join": q_bloom_semi_join,
+        "dataset_card": q_dataset_card,
+        "cross_domain_dups": q_cross_domain_dups,
+        "split_kl": q_split_kl,
+        "self_similarity": q_self_similarity,
+        "zipf_profile": q_zipf_profile,
+        "ngram_novelty": q_ngram_novelty,
+        "curriculum_order": q_curriculum_order,
+        "ccnet_buckets": q_ccnet_buckets,
+        "maxsim_search": q_maxsim_search,
+        "matryoshka_rerank_search": q_matryoshka_rerank_search,
+        "token_budget_sample": q_token_budget_sample,
+        "pmi_collocations": q_pmi_collocations,
+        "domain_kl": q_domain_kl,
+        "length_batches": q_length_batches,
+        "fuzzy_decontaminate": q_fuzzy_decontaminate,
+        "repeated_spans": q_repeated_spans,
+        "opq_rerank_search": q_opq_rerank_search,
+        "normalize_text": q_normalize_text,
+        "strip_repeated_spans": q_strip_repeated_spans,
+        "table_profile": q_table_profile,
+        "pack_sequences": q_pack_sequences,
+        "knn_topk_l2": q_knn_topk_l2,
+        "knn_fixed_threshold": q_knn_fixed_threshold,
+        "knn_dynamic_threshold": q_knn_dynamic_threshold,
+        "knn_threshold_progression": q_knn_threshold_progression,
+        "knn_batch": q_knn_batch,
+        "contamination_report": q_contamination_report,
+        "bm25_index_search": q_bm25_index_search,
+        "chunk_search_ivf": q_chunk_search_ivf,
+        "retrieval_eval": q_retrieval_eval,
+        "hybrid_search_suite": q_hybrid_search_suite,
+        "hybrid_search": q_hybrid_search,
+        "bm25_search": q_bm25_search,
+        "knn_classify": q_knn_classify,
+        "knn_classify_weighted": q_knn_classify_weighted,
+        "hard_negatives": q_hard_negatives,
+        "training_triplets": q_training_triplets,
+        "ivf_search": q_ivf_search,
+        "vector_normalize": q_vector_normalize,
+        "index_stats": q_index_stats,
+        "add_documents": q_add_documents,
+        "embed_text": q_embed_text,
+        "lang_id": q_lang_id,
+        "chunk_fixed": q_chunk_fixed,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "c4_rules": q_c4_rules,
+        "domain_temperature": q_domain_temperature,
+        "ngram_lookup": q_ngram_lookup,
+        "embedding_drift": q_embedding_drift,
+        "quality_score": q_quality_score,
+        "domain_mix_sample": q_domain_mix_sample,
+        "corpus_profile": q_corpus_profile,
+        "bigram_lm_score": q_bigram_lm_score,
+        "unpivot_user_matrix": q_unpivot_user_matrix,
+        "fingerprint_overlap": q_fingerprint_overlap,
+        "fim_transform": q_fim_transform,
+        "dsir_sample": q_dsir_sample,
+        "chunk_documents_greedy": q_chunk_documents_greedy,
+        "knn_filtered_search": q_knn_filtered_search,
+        "token_count": q_token_count,
+        "doc_fingerprint": q_doc_fingerprint,
+        "semdedup": q_semdedup,
+        "merge_indexes": q_merge_indexes,
+        "hash_split": q_hash_split,
+        "char_entropy": q_char_entropy,
+        "near_dup_dedup": q_near_dup_dedup,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        # rows-only keys (pytest-gated; never enter the driver window)
         "pca_ivf_search": q_pca_ivf_search,
         "ivf_kmeans_search": q_ivf_kmeans_search,
         "ann_lsh_search": q_ann_lsh_search,
@@ -5833,13 +5935,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nprobe_recall_curve": q_nprobe_recall_curve,
         "multimodal_decode": q_multimodal_decode,
         "docx_ingest": q_docx_ingest,
-        "snapshot_diff": q_snapshot_diff,
         "profile_delta": q_profile_delta,
         "index_health": q_index_health,
         "bpe_fertility": q_bpe_fertility,
         "index_size_report": q_index_size_report,
         "model_rerank": q_model_rerank,
-        "training_shards": q_training_shards,
         "cross_rerank": q_cross_rerank,
     }
 

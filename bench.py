@@ -627,6 +627,9 @@ def main() -> None:
             textstats.quality_deciles(
                 fio.load_table(spark, sf, "documents"), edges="approx",
             ),
+        # r10 new operators: the LM ranking family and the percolator
+        "ql_search": qs["ql_search"],
+        "percolate": qs["percolate"],
         # production hash profile (xxhash64 split assignment)
         "split_kl": lambda spark, sf: lm_mod.split_kl_report(
             fio.load_table(spark, sf, "documents"), hash_fn="xxhash64",

@@ -410,6 +410,223 @@ def hybrid_rrf_multi(
     )
 
 
+def ql_search(
+    docs: DataFrame,
+    query_text: str,
+    k: int = 10,
+    mu: float = 1000.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood top-k (Zhai & Lafferty,
+    SIGIR 2001 eq. 6) — the language-model ranking family next to
+    :func:`bm25_search`'s probabilistic one, over the same tables:
+
+        score(q,d) = Σ_{t∈q∩d} ln(1 + tf_td / (μ·ctf_t/|C|))
+                     + |q_eff| · ln(μ / (dl_d + μ))
+
+    with ctf_t the collection frequency of t, |C| the collection
+    token count, and |q_eff| the distinct query terms that occur in
+    the collection at all (the doc-independent Σ ln p(t|C) term is
+    rank-constant and dropped, the standard rank-equivalent form).
+    Like every practical top-k engine, only documents matching ≥1
+    query term are scored; query terms are deduplicated.
+
+    Scale design — this family needs PER-TERM collection statistics
+    (ctf) plus a GLOBAL scalar (|q_eff|), which the bm25 df-window
+    shape cannot deliver without a second global pass. Both instead
+    ride the corpus-stats pass as m+1 extra in-row aggregates: per
+    doc, occurrences of term t = dl − size(array_remove(toks, t)) —
+    array_remove is a plain codegen'd JVM function (no interpreted
+    lambda, §4 HOF discipline), so the stats pass stays scan-speed
+    and emits ONE broadcast row carrying |C| and every ctf_t. The
+    scoring side is bm25's: hits-only explode → (doc, term, dl) tf
+    agg → contributions resolved against the literal term→ctf map →
+    sorted-fold sum (cross-engine-deterministic double order). Two
+    corpus scans, no term-keyed window anywhere — a stopword query
+    term costs this plan nothing beyond its tf rows.
+    """
+    spark = docs.sparkSession
+    q_terms = sorted(
+        {
+            t
+            for t in spark.createDataFrame([(query_text,)], f"{text_col} string")
+            .select(F.explode(tokens(F.col(text_col))).alias("t"))
+            .toPandas()["t"]
+        }
+    )
+    if not q_terms:
+        return docs.select(F.col(id_col)).limit(0).withColumn(
+            "score", F.lit(0.0)
+        )
+    qlit = F.array(*[F.lit(t) for t in q_terms])
+    tokd = docs.select(
+        F.col(id_col),
+        F.coalesce(
+            tokens(F.col(text_col)), F.array().cast("array<string>")
+        ).alias("_toks"),
+    ).select(
+        F.col(id_col), F.col("_toks"), F.size("_toks").alias("dl")
+    ).where(F.col("dl") > 0)
+    stats = F.broadcast(
+        docs.select(
+            F.coalesce(
+                tokens(F.col(text_col)), F.array().cast("array<string>")
+            ).alias("_toks")
+        )
+        .select(F.col("_toks"), F.size("_toks").alias("_dl"))
+        .where(F.col("_dl") > 0)
+        .agg(
+            F.sum("_dl").cast("double").alias("c_len"),
+            *[
+                F.sum(
+                    F.col("_dl")
+                    - F.size(F.array_remove(F.col("_toks"), t))
+                ).cast("double").alias(f"_ctf_{i}")
+                for i, t in enumerate(q_terms)
+            ],
+        )
+    )
+    matched = tokd.select(
+        F.col(id_col),
+        F.col("dl"),
+        F.filter(
+            F.col("_toks"), lambda t: F.array_contains(qlit, t)
+        ).alias("_m"),
+    ).where(F.size("_m") > 0)
+    tf = (
+        matched.select(
+            F.col(id_col), F.col("dl"), F.explode("_m").alias("term")
+        )
+        .groupBy(id_col, "term", "dl")
+        .agg(F.count("*").alias("tf"))
+    )
+    ctf_map = F.create_map(
+        *[
+            c
+            for i, t in enumerate(q_terms)
+            for c in (F.lit(t), F.col(f"_ctf_{i}"))
+        ]
+    )
+    n_q_eff = sum(
+        (F.col(f"_ctf_{i}") > 0).cast("int") for i in range(len(q_terms))
+    )
+    contrib = tf.crossJoin(stats).select(
+        F.col(id_col),
+        F.col("term"),
+        F.col("dl"),
+        n_q_eff.alias("_nq"),
+        F.log(
+            1.0
+            + F.col("tf")
+            / (mu * F.element_at(ctf_map, F.col("term")) / F.col("c_len"))
+        ).alias("c"),
+    )
+    # sorted fold (bm25's determinism discipline), then the per-doc
+    # length term once — dl and _nq are functionally dependent on the
+    # doc id, so they ride the grouping key
+    scored = (
+        contrib.groupBy(id_col, "dl", "_nq")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("term", "c"))).alias("cs")
+        )
+        .select(
+            F.col(id_col),
+            F.round(
+                F.aggregate(
+                    F.col("cs"), F.lit(0.0), lambda acc, x: acc + x["c"]
+                )
+                + F.col("_nq") * F.log(mu / (F.col("dl") + mu)),
+                SCORE_DECIMALS,
+            ).alias("score"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def percolate(
+    docs: DataFrame,
+    queries,
+    min_should_match: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Standing-query matching (the Elasticsearch-percolator shape,
+    reversed retrieval): a bounded set of STORED queries, a corpus of
+    incoming documents, and the question "which stored queries does
+    each document satisfy" — the alerting / routing / topic-tagging
+    primitive of an ingest pipeline (route every crawl doc whose text
+    matches a monitored topic query to its consumer).
+
+    ``queries`` is a sequence of ``(query_id, query_text)`` pairs —
+    driver-held and tiny, like every query-side structure in this
+    module. Each query tokenizes with the corpus tokenizer and
+    deduplicates; a document matches when it contains at least
+    ``ceil(min_should_match × n_terms)`` of the query's distinct
+    terms (1.0 = boolean AND, the default; → 0 = boolean OR).
+
+    Scale design: the stored-query side becomes a literal (query_id,
+    term, n_terms, required) frame that BROADCASTS; the corpus stays
+    put. Per doc, only distinct tokens in the UNION of all stored
+    terms explode (in-row intersect first — the bm25 hits-only
+    discipline), so the joined stream is proportional to term hits,
+    not corpus tokens, and the one exchange is the well-distributed
+    (doc, query) match rollup. Output: one row per (query_id, doc_id)
+    match with n_matched/n_terms.
+
+    Queries with zero tokens are rejected (a match-everything query
+    is almost certainly caller error).
+    """
+    import math as _math
+    import re as _re
+
+    from ..functions.text import TOKEN_SPLIT_RE
+
+    qrows = []
+    for qid, qtext in queries:
+        terms = sorted(
+            {t for t in _re.split(TOKEN_SPLIT_RE, str(qtext).lower()) if t}
+        )
+        if not terms:
+            raise ValueError(f"stored query {qid!r} has no tokens")
+        required = max(1, _math.ceil(min_should_match * len(terms)))
+        qrows.extend((qid, t, len(terms), required) for t in terms)
+    spark = docs.sparkSession
+    qframe = F.broadcast(
+        spark.createDataFrame(
+            qrows, "query_id string, term string, n_terms int, required int"
+        )
+    )
+    all_terms = F.array(*[F.lit(t) for t in sorted({r[1] for r in qrows})])
+    hits = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_intersect(
+                F.array_distinct(
+                    F.coalesce(
+                        tokens(F.col(text_col)),
+                        F.array().cast("array<string>"),
+                    )
+                ),
+                all_terms,
+            )
+        ).alias("term"),
+    )
+    return (
+        hits.join(qframe, "term")
+        .groupBy("query_id", F.col(id_col), "n_terms", "required")
+        .agg(F.count("*").cast("int").alias("n_matched"))
+        .where(F.col("n_matched") >= F.col("required"))
+        .select(
+            "query_id",
+            F.col(id_col),
+            "n_matched",
+            F.col("n_terms"),
+        )
+        .orderBy("query_id", F.col(id_col).asc())
+    )
+
+
 def tfidf_topk_terms(
     docs: DataFrame,
     k: int = 5,

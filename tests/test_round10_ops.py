@@ -198,3 +198,128 @@ class TestSharedProbeJob:
             spark, path, queries, nprobe=2, k=5
         )
         assert sorted(map(tuple, a)) == sorted(map(tuple, b.collect()))
+
+
+class TestQLSearch:
+    """Dirichlet query-likelihood retrieval (SURVEY §2 #210)."""
+
+    def test_topk_shape_and_order(self, spark, sf_small):
+        from faiss_vector_search_spark.operators import lexical
+
+        docs = load_table(spark, sf_small, "documents")
+        rows = lexical.ql_search(docs, "batch window vector", k=10).collect()
+        assert len(rows) == 10
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_matching_beats_length_prior_alone(self, spark):
+        # a doc containing the query terms outranks a same-length doc
+        # without them (the matched fold is positive; the length term
+        # is shared)
+        from faiss_vector_search_spark.operators import lexical
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "zeta eta theta iota")],
+            "doc_id long, text string",
+        )
+        rows = lexical.ql_search(docs, "alpha beta", k=2).collect()
+        assert [r["doc_id"] for r in rows] == [1]  # only matches score
+
+    def test_tf_monotone(self, spark):
+        from faiss_vector_search_spark.operators import lexical
+
+        docs = spark.createDataFrame(
+            [(1, "alpha alpha alpha pad"), (2, "alpha pad pad pad")],
+            "doc_id long, text string",
+        )
+        rows = lexical.ql_search(docs, "alpha", k=2).collect()
+        assert rows[0]["doc_id"] == 1 and rows[0]["score"] > rows[1]["score"]
+
+    def test_empty_query(self, spark, sf_small):
+        from faiss_vector_search_spark.operators import lexical
+
+        docs = load_table(spark, sf_small, "documents")
+        assert lexical.ql_search(docs, "???", k=5).count() == 0
+
+    def test_plan_no_term_window_two_scans(self, spark, sf_small):
+        """The QL family's defining plan fact: per-term collection
+        stats ride the corpus-stats pass as in-row array_remove
+        aggregates — no term-keyed window (no stopword skew tail),
+        two corpus scans, SMJ-free."""
+        from faiss_vector_search_spark.operators import lexical
+
+        docs = load_table(spark, sf_small, "documents")
+        df = lexical.ql_search(docs, "batch window vector hash", k=10)
+        final = _final_plan(df)
+        assert "Window" not in final
+        assert "SortMergeJoin" not in final
+        assert final.count("Scan parquet") <= 2, final
+
+
+class TestPercolate:
+    """Standing-query matching (SURVEY §2 #211)."""
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "alpha beta gamma"),
+                (2, "alpha beta"),
+                (3, "beta gamma delta"),
+                (4, "epsilon zeta"),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_boolean_and_matching(self, spark):
+        from faiss_vector_search_spark.operators import lexical
+
+        out = lexical.percolate(
+            self._docs(spark),
+            [("q1", "alpha beta"), ("q2", "gamma delta")],
+        ).collect()
+        got = {(r["query_id"], r["doc_id"]) for r in out}
+        assert got == {("q1", 1), ("q1", 2), ("q2", 3)}
+        assert all(r["n_matched"] == r["n_terms"] == 2 for r in out)
+
+    def test_min_should_match_fraction(self, spark):
+        from faiss_vector_search_spark.operators import lexical
+
+        # 3-term query at msm=0.5 -> required = 2 of 3
+        out = lexical.percolate(
+            self._docs(spark),
+            [("q", "alpha beta delta")],
+            min_should_match=0.5,
+        ).collect()
+        got = {r["doc_id"]: r["n_matched"] for r in out}
+        assert got == {1: 2, 2: 2, 3: 2}
+
+    def test_duplicate_tokens_count_once(self, spark):
+        from faiss_vector_search_spark.operators import lexical
+
+        docs = spark.createDataFrame(
+            [(1, "alpha alpha alpha")], "doc_id long, text string"
+        )
+        out = lexical.percolate(
+            docs, [("q", "alpha beta")], min_should_match=0.5
+        ).collect()
+        assert len(out) == 1 and out[0]["n_matched"] == 1
+
+    def test_empty_stored_query_rejected(self, spark):
+        from faiss_vector_search_spark.operators import lexical
+
+        with pytest.raises(ValueError, match="no tokens"):
+            lexical.percolate(self._docs(spark), [("q", "???")])
+
+    def test_plan_one_scan_broadcast_only(self, spark, sf_small):
+        """One corpus scan, the stored-query side broadcasts, no SMJ
+        — the corpus never shuffles before the (doc, query) rollup."""
+        from faiss_vector_search_spark.operators import lexical
+
+        docs = load_table(spark, sf_small, "documents")
+        df = lexical.percolate(
+            docs, [("a", "batch window"), ("b", "vector stream")]
+        )
+        final = _final_plan(df)
+        assert final.count("Scan parquet") == 1, final
+        assert "SortMergeJoin" not in final
+        assert "BroadcastHashJoin" in final
