@@ -264,14 +264,17 @@ def quality_calibration_report(
     - ``"exact"`` (default, the oracle profile): ntile over a global
       (logit desc, id) sort — exact equal-size deciles, cross-engine
       deterministic, but the sort serializes through one partition;
-    - ``"approx"`` (the 100 TB profile): decile edges from ONE
-      ``percentile_approx`` sketch row (map-side-combined partials,
-      mergeable — no global sort anywhere), broadcast back and the
-      decile assigned by an in-row fold over the 9 cut points. Bucket
-      sizes are approximate near ties/sketch error but every doc is
-      binned by its own logit, so pass-rate calibration reads the
-      same; the structural gates (full partition, ordered mins,
-      signal) are pytest-asserted for both engines.
+    - ``"approx"`` (the 100 TB profile): a SINGLE-SCAN fixed-grid
+      histogram keyed on sigmoid(logit) at 4 dp — sigmoid is a
+      monotone map of the unbounded logit into (0, 1), so deciles by
+      grid cell are deciles by logit; the ≤ 10001-cell histogram
+      aggregates map-side-combinably in the same scan that computes
+      the signals, descending cumulative counts over the tiny frame
+      assign decile 1 to the highest logits, and the report
+      aggregates the histogram itself. No global sort, no second
+      corpus pass; same-cell ties cannot split across deciles. The
+      structural gates (full partition, ordered mins, signal) are
+      pytest-asserted for both engines.
 
     Output: one row per decile —
     (decile, n_docs, min_logit, mean_logit, gopher_pass_rate);
@@ -303,27 +306,59 @@ def quality_calibration_report(
         # everything into decile 1 exactly like the ntile engine
         binned = triples.withColumn("decile", F.lit(1))
     elif edges == "approx":
-        # decile d = 1 + #{cut points the logit is BELOW}: cuts are
-        # the descending (1-1/n .. 1/n) approx quantiles, so the
-        # highest logits land in decile 1 like the ntile form
-        cuts = F.broadcast(
-            triples.agg(
-                F.percentile_approx(
-                    "logit",
-                    [1.0 - (i + 1) / n_bins for i in range(n_bins - 1)],
-                ).alias("_cuts")
-            )
+        # SINGLE-SCAN fixed-grid histogram engine (r10 rework — the
+        # percentile_approx two-pass form recomputed the logit
+        # pipeline on a second corpus scan; BENCH_BASELINE r10).
+        # Logits are unbounded, but sigmoid(logit) ∈ (0, 1) is a
+        # MONOTONE transform — deciles by sigmoid grid cell ARE
+        # deciles by logit — so a 4-dp sigmoid key (≤ 10001 cells)
+        # folds the whole corpus into one map-side-combinable
+        # histogram; the DESCENDING cumulative count over that tiny
+        # frame assigns decile 1 to the highest logits like the
+        # ntile engine. One corpus scan, no global sort; same-cell
+        # ties (incl. |logit| ≳ 9, where sigmoid saturates at 4 dp)
+        # cannot split across deciles.
+        hist = triples.groupBy(
+            F.round(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("logit"))), 4
+            ).alias("_g")
+        ).agg(
+            F.count("*").alias("_n"),
+            F.min("logit").alias("_min"),
+            F.sum(F.col("logit").cast("decimal(28,6)")).alias("_sum"),
+            F.sum(
+                F.when(F.col("_rule_keep"), 1).otherwise(0)
+            ).alias("_k"),
         )
-        binned = triples.crossJoin(cuts).select(
-            F.col(id_col),
-            F.col("logit"),
-            F.col("_rule_keep"),
-            (
-                F.lit(1)
-                + F.size(
-                    F.filter(F.col("_cuts"), lambda c: F.col("logit") < c)
-                )
-            ).alias("decile"),
+        cw = Window.orderBy(F.col("_g").desc())
+        tw = cw.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        binned_h = hist.select(
+            "_n", "_min", "_sum", "_k",
+            F.least(
+                F.lit(n_bins),
+                F.ceil(
+                    F.sum("_n").over(
+                        cw.rowsBetween(Window.unboundedPreceding, 0)
+                    )
+                    * n_bins
+                    / F.sum("_n").over(tw)
+                ),
+            ).cast("int").alias("decile"),
+        )
+        return (
+            binned_h.groupBy("decile")
+            .agg(
+                F.sum("_n").cast("bigint").alias("n_docs"),
+                F.round(F.min("_min"), 6).alias("min_logit"),
+                F.round(
+                    (F.sum("_sum") / F.sum("_n")).cast("double"), 6
+                ).alias("mean_logit"),
+                F.round(
+                    F.sum("_k") / F.sum("_n").cast("double"), 6
+                ).alias("gopher_pass_rate"),
+            )
         )
     else:
         raise ValueError(f"unknown edges engine: {edges}")

@@ -492,13 +492,16 @@ def quality_deciles(
     - ``"exact"`` (default, the oracle profile): ntile over a global
       (quality asc, id) sort — exact equal-size deciles, totalized
       ordering, cross-engine deterministic;
-    - ``"approx"`` (the 100 TB profile): bucket edges from ONE
-      mergeable ``percentile_approx`` sketch row broadcast back onto
-      the scan, deciles assigned by an in-row cut-point fold — no
-      global sort anywhere (the classifier-calibration posture,
-      tests/test_round9_ops.py class of gates). Bucket sizes are
-      approximate near ties/sketch error; every doc is still binned
-      by its own score, so the threshold-reading use is unchanged.
+    - ``"approx"`` (the 100 TB profile): a SINGLE-SCAN fixed-grid
+      histogram — quality is bounded in [0, 1], so one map-side-
+      combinable groupBy on a 4-dp grid key (≤ 10001 cells) captures
+      the whole distribution; decile edges come from cumulative
+      counts over that tiny histogram and the profile aggregates the
+      histogram itself. No global sort, no second corpus pass (the
+      r9 percentile_approx two-pass form recomputed the quality
+      pipeline on a second scan and measured ~2x the exact engine —
+      BENCH_BASELINE r10). Approximation surface: documents in the
+      same 1e-4 grid cell cannot split across deciles.
     """
     scored = quality_score(docs, id_col=id_col, text_col=text_col)
     if edges == "exact":
@@ -514,27 +517,53 @@ def quality_deciles(
             id_col, "quality", F.lit(1).alias("decile")
         )
     elif edges == "approx":
-        # decile d = 1 + #{ascending cut points the score is ABOVE}:
-        # lowest scores land in decile 1 like the ntile form
-        cuts = F.broadcast(
-            scored.agg(
-                F.percentile_approx(
-                    "quality",
-                    [(i + 1) / n_buckets for i in range(n_buckets - 1)],
-                ).alias("_cuts")
-            )
+        # SINGLE-SCAN fixed-grid histogram engine (r10 rework — the
+        # percentile_approx two-pass form recomputed quality_score's
+        # text pipeline on a second corpus scan and measured ~2x the
+        # exact engine at every feasible SF): quality ∈ [0, 1] by
+        # construction, so a 4-dp grid key (≤ 10001 cells) captures
+        # the distribution in ONE map-side-combinable aggregation;
+        # decile edges are cumulative counts over the TINY histogram
+        # (a bounded single-partition window — never the corpus), and
+        # the decile profile aggregates the histogram itself. The
+        # corpus is read once and never sorted or rescanned; the
+        # approximation surface is that same-cell ties cannot split
+        # across deciles (cell width 1e-4).
+        hist = scored.groupBy(
+            F.round(F.col("quality"), 4).alias("_g")
+        ).agg(
+            F.count("*").alias("_n"),
+            F.min("quality").alias("_min"),
+            F.max("quality").alias("_max"),
+            F.sum(F.col("quality").cast("decimal(28,9)")).alias("_sum"),
         )
-        binned = scored.crossJoin(cuts).select(
-            F.col(id_col),
-            F.col("quality"),
-            (
-                F.lit(1)
-                + F.size(
-                    F.filter(
-                        F.col("_cuts"), lambda c: F.col("quality") > c
+        cw = Window.orderBy("_g")
+        tw = cw.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        binned_h = hist.select(
+            "_n", "_min", "_max", "_sum",
+            F.least(
+                F.lit(n_buckets),
+                F.ceil(
+                    F.sum("_n").over(
+                        cw.rowsBetween(Window.unboundedPreceding, 0)
                     )
-                )
-            ).alias("decile"),
+                    * n_buckets
+                    / F.sum("_n").over(tw)
+                ),
+            ).cast("int").alias("decile"),
+        )
+        return (
+            binned_h.groupBy("decile")
+            .agg(
+                F.sum("_n").cast("bigint").alias("n_docs"),
+                F.round(F.min("_min"), 6).alias("min_q"),
+                F.round(F.max("_max"), 6).alias("max_q"),
+                F.round(
+                    (F.sum("_sum") / F.sum("_n")).cast("double"), 6
+                ).alias("avg_q"),
+            )
         )
     else:
         raise ValueError(f"unknown edges engine: {edges}")

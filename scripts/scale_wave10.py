@@ -1,0 +1,132 @@
+"""Scale rehearsal for the r10 wave: the two new lexical operators
+(ql_search #210, percolate #211) and the newly bench-gated
+edges="approx" deciler dials vs their exact (global-sort) twins.
+
+The r10 claims under measurement:
+
+1. ql_search carries NO term-keyed window — per-term collection
+   frequencies and |q_eff| ride the corpus-stats pass as in-row
+   array_remove aggregates in ONE broadcast row — so its wall should
+   track bm25_search's 2-scan profile and a stopword query term adds
+   only its tf rows. Gate: ≤2 corpus scans, window-free, SMJ-free.
+2. percolate's stored-query side broadcasts and only stored-term hits
+   explode: ONE corpus scan at every SF. Gate: scans == 1, SMJ-free.
+3. The approx decilers replace the ntile global sort with the r10
+   SINGLE-SCAN fixed-grid histogram (quality grid / sigmoid-logit
+   grid): one corpus scan, map-side-combinable cells, decile edges
+   from the tiny histogram's cumulative counts. Gates: ONE corpus
+   scan, exchange budget ≤ 3, no ntile anywhere.
+
+Usage: python scripts/scale_wave10.py SF_DIR [CPUS]
+Prints one JSON line per op (same row shape as scale_wave9.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from faiss_vector_search_spark import io as fio  # noqa: E402
+from faiss_vector_search_spark.operators import (  # noqa: E402
+    classifier,
+    lexical,
+    textstats,
+)
+from faiss_vector_search_spark.session import get_spark  # noqa: E402
+
+RAG_QUERY = "batch window vector hash fast stream"
+PERC_QUERIES = [
+    ("q_batch_window", "batch window"),
+    ("q_vector_stream", "vector stream"),
+    ("q_hash_fast_batch", "hash fast batch"),
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1]
+    cpus = sys.argv[2] if len(sys.argv) > 2 else "32"
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    spark = get_spark(
+        app_name=f"wave10-{sf}", master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = fio.load_table(spark, sf_dir, "documents")
+    # the stopword variant appends a term present in EVERY doc and
+    # queries it — the adversarial case the window-free ctf design
+    # exists for (BENCH_BASELINE r10 bm25 adjudication)
+    docs_sw = docs.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" the"))
+    )
+
+    ops = {
+        "ql_search": lambda: lexical.ql_search(docs, RAG_QUERY, k=10),
+        "ql_search_stopword": lambda: lexical.ql_search(
+            docs_sw, "the " + RAG_QUERY, k=10),
+        "percolate": lambda: lexical.percolate(
+            docs, PERC_QUERIES, min_should_match=1.0),
+        "doc_quality_deciles_exact": lambda: textstats.quality_deciles(
+            docs, edges="exact"),
+        "doc_quality_deciles_approx": lambda: textstats.quality_deciles(
+            docs, edges="approx"),
+        "classifier_calibration_exact": lambda:
+            classifier.quality_calibration_report(
+                docs, classifier.load_model(), n_bins=10,
+                hash_fn="xxhash64", edges="exact"),
+        "classifier_calibration_approx": lambda:
+            classifier.quality_calibration_report(
+                docs, classifier.load_model(), n_bins=10,
+                hash_fn="xxhash64", edges="approx"),
+    }
+
+    for name, fn in ops.items():
+        df = fn()
+        df.write.mode("overwrite").format("noop").save()  # compile
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.time() - t0)
+        rows = df.count()
+        final = df._jdf.queryExecution().executedPlan().toString().split(
+            "Initial Plan")[0]
+        row = {
+            "op": name,
+            "sf": sf,
+            "sec": round(best, 3),
+            "rows": rows,
+            "exchanges": final.count("Exchange hashpartitioning")
+            + final.count("Exchange SinglePartition")
+            + final.count("Exchange rangepartitioning"),
+            "cartesian": "CartesianProduct" in final,
+            "sort_merge_join": "SortMergeJoin" in final,
+            "scans": final.count("Scan parquet"),
+            "window": "Window" in final,
+        }
+        gates = {
+            "ql_search": row["scans"] <= 2 and not row["window"],
+            "ql_search_stopword": row["scans"] <= 2 and not row["window"],
+            "percolate": row["scans"] == 1,
+            "doc_quality_deciles_approx": row["scans"] == 1
+            and row["exchanges"] <= 3,
+            "classifier_calibration_approx": row["scans"] == 1
+            and row["exchanges"] <= 3,
+        }
+        row["gate"] = (
+            "pass"
+            if not row["sort_merge_join"]
+            and not row["cartesian"]
+            and gates.get(name, True)
+            else "FAIL"
+        )
+        print(json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -19,22 +19,24 @@ def _final_plan(df) -> str:
 
 
 class TestApproxDialExchangeBudget:
-    """The 100 TB edges="approx" engines carry a CI-pinned exchange
-    budget (r9 VERDICT ask #4): sketch agg + 1-row broadcast + final
-    decile rollup and NOTHING else — a regression that re-introduces
-    a global sort or a corpus-sized join shows up here as an extra
-    exchange before it shows up as a slow bench row."""
+    """The 100 TB edges="approx" engines carry a CI-pinned plan
+    budget (r9 VERDICT ask #4, tightened by the r10 single-scan
+    histogram rework): ONE corpus scan, the grid-histogram agg, the
+    bounded cumulative window over the tiny histogram, and the final
+    decile rollup — a regression that re-introduces the ntile global
+    sort or a second corpus pass shows up here before it shows up as
+    a slow bench row."""
 
-    def test_quality_deciles_approx_exchanges(self, spark, sf_small):
+    def test_quality_deciles_approx_plan(self, spark, sf_small):
         from faiss_vector_search_spark.operators import textstats
 
         docs = load_table(spark, sf_small, "documents")
         final = _final_plan(textstats.quality_deciles(docs, edges="approx"))
+        assert final.count("Scan parquet") == 1, final
         assert final.count("Exchange") <= 3, final
-        assert "Window" not in final and "SortMergeJoin" not in final
-        assert final.count("Scan parquet") <= 2
+        assert "ntile(" not in final and "SortMergeJoin" not in final
 
-    def test_calibration_approx_exchanges(self, spark, sf_small):
+    def test_calibration_approx_plan(self, spark, sf_small):
         from faiss_vector_search_spark.operators import classifier
 
         docs = load_table(spark, sf_small, "documents")
@@ -44,9 +46,9 @@ class TestApproxDialExchangeBudget:
                 hash_fn="md5", edges="approx",
             )
         )
-        assert final.count("Exchange") <= 4, final
-        assert "Window" not in final and "SortMergeJoin" not in final
-        assert final.count("Scan parquet") <= 2
+        assert final.count("Scan parquet") == 1, final
+        assert final.count("Exchange") <= 3, final
+        assert "ntile(" not in final and "SortMergeJoin" not in final
 
 
 class TestApproxSingleBucket:

@@ -138,11 +138,12 @@ class TestClassifierCalibration:
         )
         plan = df._jdf.queryExecution().executedPlan().toString()
         final = plan.split("Initial Plan")[0]
-        # no global-sort window anywhere ("ntile" alone would also
-        # match perce-NTILE_approx)
-        assert "Window" not in final and "ntile(" not in final
+        # no ntile global sort; the only window is the bounded
+        # cumulative count over the ≤10001-cell sigmoid histogram
+        # (r10 single-scan engine), and the corpus is read ONCE
+        assert "ntile(" not in final
         assert "SortMergeJoin" not in final
-        assert final.count("Scan parquet") <= 2  # triples + sketch branch
+        assert final.count("Scan parquet") == 1
 
     def test_unknown_edges_engine_raises(self, spark, sf_small):
         docs = fio.load_table(spark, sf_small, "documents")
@@ -175,13 +176,15 @@ class TestQualityDecilesApproxEdges:
         assert {r["decile"] for r in rep} <= set(range(1, 11))
         mins = [r["min_q"] for r in rep]
         assert all(a <= b for a, b in zip(mins, mins[1:]))  # ascending
-        # plan: no global-sort window, no join beyond the 1-row
-        # broadcast cut points
+        # plan: no ntile global sort, ONE corpus scan; the only
+        # window is the bounded cumulative count over the ≤10001-cell
+        # quality-grid histogram (r10 single-scan engine)
         df = textstats.quality_deciles(docs, edges="approx")
         final = df._jdf.queryExecution().executedPlan().toString().split(
             "Initial Plan")[0]
-        assert "Window" not in final and "ntile(" not in final
+        assert "ntile(" not in final
         assert "SortMergeJoin" not in final
+        assert final.count("Scan parquet") == 1
 
     def test_unknown_engine_raises(self, spark, sf_small):
         from faiss_vector_search_spark.operators import textstats
