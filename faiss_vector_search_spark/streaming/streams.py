@@ -743,3 +743,62 @@ def streaming_chunk_index_ingest(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def streaming_percolate(
+    spark: SparkSession,
+    source_dir: str,
+    queries,
+    out_path: str,
+    min_should_match: float = 1.0,
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """Streaming percolation — the canonical deployment of
+    :func:`operators.lexical.percolate` (SURVEY §2 #211): a bounded
+    set of STANDING topic queries, a live document stream, and an
+    alert row appended to ``out_path`` for every (query, doc) match
+    as documents arrive. This is the Elasticsearch-percolator /
+    alerting shape: route every crawl document that satisfies a
+    monitored query to its consumer at ingest time, instead of
+    re-scanning the corpus per query later.
+
+    Scale posture per micro-batch: percolation is per-document
+    independent, so each batch runs the EXACT batch operator — the
+    stored-query side is a driver-held literal frame that broadcasts
+    (nothing is resolved per batch), per doc only tokens in the
+    stored-term union explode, and the one exchange is the
+    batch-sized (doc, query) rollup. Replayed batches (checkpoint
+    recovery) anti-join on (query_id, doc_id) against the alert
+    store and land as no-ops — exactly-once alerts, the
+    streaming_decontaminate convention. Batch-twin equality (union
+    of micro-batch alerts == batch percolate of the union) is the
+    pytest gate; it is exact because the operator holds no
+    cross-document state at all.
+    """
+    from ..io import path_exists
+    from ..operators import lexical
+
+    docs = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+    def alert(batch: DataFrame, batch_id: int) -> None:
+        matches = lexical.percolate(
+            batch, queries, min_should_match=min_should_match
+        )
+        if path_exists(spark, out_path):
+            seen = spark.read.parquet(out_path).select(
+                "query_id", "doc_id"
+            )
+            matches = matches.join(
+                F.broadcast(seen), on=["query_id", "doc_id"],
+                how="left_anti",
+            )
+        matches.write.mode("append").parquet(out_path)
+
+    writer = docs.writeStream.foreachBatch(alert).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

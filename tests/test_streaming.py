@@ -569,3 +569,41 @@ def test_streaming_chunk_index_ingest_builds_appends_dedups(
     )
     q2.awaitTermination()
     assert spark.read.parquet(f"{idx}/vectors").count() == n
+
+
+def test_streaming_percolate_matches_batch(spark, sf_small, tmp_path):
+    """The union of micro-batch alert rows equals batch percolation
+    over the union of batches (exact: the operator holds no
+    cross-document state); redelivered docs land as a no-op."""
+    from faiss_vector_search_spark.operators import lexical
+
+    queries = [
+        ("q_batch_window", "batch window"),
+        ("q_vector_stream", "vector stream"),
+    ]
+    docs = fio.load_table(spark, sf_small, "documents")
+    src = tmp_path / "docs_in"
+    docs.where("doc_id < 250").coalesce(1).write.mode("append").parquet(str(src))
+    docs.where("doc_id >= 250").unionByName(
+        docs.where("doc_id < 50")  # at-least-once redelivery
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    out = tmp_path / "alerts"
+    q = streams.streaming_percolate(
+        spark, str(src), queries, str(out),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    want = {
+        (r["query_id"], r["doc_id"], r["n_matched"], r["n_terms"])
+        for r in lexical.percolate(docs, queries).collect()
+    }
+    got_rows = spark.read.parquet(str(out)).collect()
+    got = {
+        (r["query_id"], r["doc_id"], r["n_matched"], r["n_terms"])
+        for r in got_rows
+    }
+    assert got == want
+    # exactly-once despite redelivery
+    assert len(got_rows) == len(got)
