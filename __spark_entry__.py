@@ -239,6 +239,20 @@ def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUZZY_QUERY = "bath windov vektor"  # one-edit typos of corpus terms
+
+
+def q_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant lexical top-10 (SURVEY §2 #212): each query term
+    expands to the corpus-vocabulary terms within one Levenshtein
+    edit (codegen'd length-window + levenshtein prefilter on the
+    token stream), then plain BM25 ranks the expanded set."""
+    out = lexical.fuzzy_search(
+        _t(spark, sf_dir, "documents"), FUZZY_QUERY, k=10, max_dist=1
+    )
+    return out.select("doc_id", F.col("score").cast(DBL).alias("score"))
+
+
 def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RRF fusion of BM25 and dense (feature-hash cosine) retrieval."""
     docs = _t(spark, sf_dir, "documents")
@@ -5375,6 +5389,42 @@ scored AS (
 SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
+# fuzzy_search: the expanded term set recomputes in SQL (vocabulary
+# terms within 1 edit of a query term, same length-window + lev
+# predicate), then the standard bm25 CTE chain scores it — variants
+# score with their own df/tf, exactly like the Spark composition
+_FUZZY_PRED = " OR ".join(
+    f"(abs(len(term) - {len(q)}) <= 1 AND levenshtein(term, '{q}') <= 1)"
+    for q in sorted(set(FUZZY_QUERY.split()))
+)
+ORACLES["fuzzy_search"] = f"""
+WITH vocab AS (
+  SELECT DISTINCT u.t AS term
+  FROM (SELECT list_distinct({_TOKS}) AS toks FROM documents),
+       unnest(toks) AS u(t)
+),
+qt AS (SELECT term FROM vocab WHERE {_FUZZY_PRED}),
+toksb AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM toksb GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toksb JOIN qt USING (term) GROUP BY 1, 2),
+dfx AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT t.doc_id, t.term,
+         ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+         * (t.tf * 2.2)
+         / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / (s.sum_dl / s.n_docs))) AS c
+  FROM tf t JOIN dfx d USING (term) JOIN dl l USING (doc_id), stats s
+),
+bm25 AS (
+  SELECT doc_id,
+         ROUND(list_sum(list_transform(
+           list_sort(list(struct_pack(t := term, c := c))), s -> s.c)), 6) AS score
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, score FROM bm25 ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
 # percolate: stored boolean-AND queries vs every doc's distinct
 # token set; a doc matches a query when it contains all its terms
 _PERC_VALUES = ", ".join(
@@ -5740,8 +5790,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r9-EDITED stale greens (quality_classifier, gopher_quality,
     # doc_quality_deciles, curation_score — keep_cols passthrough and the
     # edges= engine parameter touched their code paths after their last
-    # green). Positions 5-8 are the NEVER-GREEN keys: the two NEW r10
-    # operators (ql_search #210, percolate #211) and the two keys
+    # green). Positions 5-9 are the NEVER-GREEN keys: the three NEW
+    # r10 operators (ql_search #210, percolate #211, fuzzy_search
+    # #212) and the two keys
     # PROMOTED from rows-only this round (r9 verdict ask #6:
     # training_shards' manifest and snapshot_diff's fixture rule are
     # pure deterministic arithmetic over `documents`). Next the six keys
@@ -5761,6 +5812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-green: 2 new r10 operators + 2 promotions
         "ql_search": q_ql_search,
         "percolate": q_percolate,
+        "fuzzy_search": q_fuzzy_search,
         "training_shards": q_training_shards,
         "snapshot_diff": q_snapshot_diff,
         # r10-edited operators

@@ -627,9 +627,11 @@ def main() -> None:
             textstats.quality_deciles(
                 fio.load_table(spark, sf, "documents"), edges="approx",
             ),
-        # r10 new operators: the LM ranking family and the percolator
+        # r10 new operators: the LM ranking family, the percolator,
+        # and typo-tolerant fuzzy retrieval
         "ql_search": qs["ql_search"],
         "percolate": qs["percolate"],
+        "fuzzy_search": qs["fuzzy_search"],
         # production hash profile (xxhash64 split assignment)
         "split_kl": lambda spark, sf: lm_mod.split_kl_report(
             fio.load_table(spark, sf, "documents"), hash_fn="xxhash64",

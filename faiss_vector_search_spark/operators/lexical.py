@@ -627,6 +627,76 @@ def percolate(
     )
 
 
+def fuzzy_search(
+    docs: DataFrame,
+    query_text: str,
+    k: int = 10,
+    max_dist: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fuzzy lexical top-k (the Lucene fuzzy-query / SymSpell shape):
+    expand each query term to every CORPUS vocabulary term within
+    ``max_dist`` Levenshtein edits, then rank with plain
+    :func:`bm25_search` over the expanded term set — typo-tolerant
+    retrieval ("windov" finds "window" documents) without any index
+    beyond the corpus itself. Expanded variants score with their OWN
+    df/tf (the Lucene semantics: a variant is just another term), so
+    ``max_dist=0`` degenerates to exact BM25 (pytest-gated).
+
+    Scale design: the expansion pass explodes the corpus token
+    stream but kills it AT SCAN SPEED with a codegen'd in-row
+    predicate — a cheap length-window prefilter (|len(t) − len(q)| ≤
+    max_dist is a necessary condition for edit distance ≤ max_dist)
+    short-circuits ahead of the OR'd ``levenshtein`` calls, so
+    near-miss survivors are the only rows that reach the tiny global
+    distinct. No interpreted lambda (§4 HOF discipline: levenshtein
+    inside an array-HOF would interpret per token; the explode +
+    WHERE form stays in whole-stage codegen). The surviving
+    vocabulary is query-bounded (the edit-ball of a few terms) and
+    collects to the driver, where the expanded query plans exactly
+    like any other BM25 query — two corpus scans total for scoring.
+    """
+    spark = docs.sparkSession
+    q_terms = sorted(
+        {
+            t
+            for t in spark.createDataFrame([(query_text,)], f"{text_col} string")
+            .select(F.explode(tokens(F.col(text_col))).alias("t"))
+            .toPandas()["t"]
+        }
+    )
+    if not q_terms:
+        return docs.select(F.col(id_col)).limit(0).withColumn(
+            "score", F.lit(0.0)
+        )
+    tok = docs.select(
+        F.explode(
+            F.array_distinct(
+                F.coalesce(
+                    tokens(F.col(text_col)), F.array().cast("array<string>")
+                )
+            )
+        ).alias("t")
+    )
+    near = None
+    for q in q_terms:
+        cond = (
+            F.abs(F.length("t") - len(q)) <= max_dist
+        ) & (F.levenshtein(F.col("t"), F.lit(q)) <= max_dist)
+        near = cond if near is None else (near | cond)
+    expanded = sorted(
+        r["t"] for r in tok.where(near).distinct().collect()
+    )
+    if not expanded:
+        return docs.select(F.col(id_col)).limit(0).withColumn(
+            "score", F.lit(0.0)
+        )
+    return bm25_search(
+        docs, " ".join(expanded), k=k, id_col=id_col, text_col=text_col
+    )
+
+
 def tfidf_topk_terms(
     docs: DataFrame,
     k: int = 5,

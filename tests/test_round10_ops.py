@@ -325,3 +325,48 @@ class TestPercolate:
         assert final.count("Scan parquet") == 1, final
         assert "SortMergeJoin" not in final
         assert "BroadcastHashJoin" in final
+
+
+class TestFuzzySearch:
+    """Edit-distance query expansion + BM25 (SURVEY §2 #212)."""
+
+    def test_typo_finds_intended_docs(self, spark):
+        from faiss_vector_search_spark.operators import lexical
+
+        docs = spark.createDataFrame(
+            [(1, "window batch engine"), (2, "totally unrelated words"),
+             (3, "window window pane")],
+            "doc_id long, text string",
+        )
+        rows = lexical.fuzzy_search(docs, "windov", k=3).collect()
+        assert {r["doc_id"] for r in rows} == {1, 3}
+
+    def test_max_dist_zero_equals_bm25(self, spark, sf_small):
+        from faiss_vector_search_spark.operators import lexical
+
+        docs = load_table(spark, sf_small, "documents")
+        a = lexical.fuzzy_search(docs, "batch window", k=10, max_dist=0)
+        b = lexical.bm25_search(docs, "batch window", k=10)
+        assert [tuple(r) for r in a.collect()] == [
+            tuple(r) for r in b.collect()
+        ]
+
+    def test_variant_scores_with_own_df(self, spark):
+        # 'cat' and 'cap' both within 1 edit of query 'cat': docs
+        # containing either match, each variant scored as itself
+        from faiss_vector_search_spark.operators import lexical
+
+        docs = spark.createDataFrame(
+            [(1, "cat toy"), (2, "cap toy"), (3, "dog toy")],
+            "doc_id long, text string",
+        )
+        rows = lexical.fuzzy_search(docs, "cat", k=3).collect()
+        assert {r["doc_id"] for r in rows} == {1, 2}
+
+    def test_no_expansion_empty(self, spark):
+        from faiss_vector_search_spark.operators import lexical
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta")], "doc_id long, text string"
+        )
+        assert lexical.fuzzy_search(docs, "zzzzzzzzz", k=5).count() == 0
