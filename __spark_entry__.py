@@ -239,6 +239,17 @@ def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_prf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback top-10 (SURVEY §2 #213): BM25 →
+    top-5 feedback docs → RM1-ranked expansion terms with rank-decay
+    rational weights → weighted-BM25 re-rank."""
+    out = lexical.prf_search(
+        _t(spark, sf_dir, "documents"), RAG_QUERY, k=10,
+        fb_docs=5, fb_terms=10, lam=0.6,
+    )
+    return out.select("doc_id", F.col("score").cast(DBL).alias("score"))
+
+
 FUZZY_QUERY = "bath windov vektor"  # one-edit typos of corpus terms
 
 
@@ -5425,6 +5436,66 @@ bm25 AS (
 SELECT doc_id, score FROM bm25 ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
+# prf_search: the full feedback chain in SQL — the bm25 CTEs pick
+# the 5 feedback docs, RM1 (tf/dl sorted-fold over the feedback
+# docs, query terms excluded) ranks expansion terms, rank-decay
+# RATIONAL weights ((1-λ)·2(n-r+1)/(n(n+1)); λ/|q| for originals)
+# keep every float cross-engine-identical, and the weighted bm25
+# chain re-scores. Shares toksb/dl/stats/qt with the bm25 CTEs.
+ORACLES["prf_search"] = f"""
+WITH {_BM25_CTES},
+fb AS (SELECT doc_id FROM bm25 ORDER BY score DESC, doc_id ASC LIMIT 5),
+fbtf AS (
+  SELECT t.doc_id, t.term, l.dl, count(*) AS tf
+  FROM toksb t JOIN fb USING (doc_id) JOIN dl l USING (doc_id)
+  WHERE t.term NOT IN (SELECT term FROM qt)
+  GROUP BY 1, 2, 3
+),
+rm1 AS (
+  SELECT term,
+         list_sum(list_transform(
+           list_sort(list(struct_pack(i := doc_id, c := tf::DOUBLE / dl))),
+           x -> x.c)) AS w
+  FROM fbtf GROUP BY term
+),
+kept AS (
+  SELECT term, r FROM (
+    SELECT term, row_number() OVER (ORDER BY w DESC, term ASC) AS r
+    FROM rm1
+  ) WHERE r <= 10
+),
+nterm AS (SELECT count(*) AS n FROM kept),
+wts AS (
+  SELECT term, 0.6 / 6 AS wt FROM qt
+  UNION ALL
+  SELECT k.term,
+         (1.0 - 0.6) * 2.0 * (n.n - k.r + 1) / (n.n * (n.n + 1)) AS wt
+  FROM kept k, nterm n
+),
+tf2 AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM toksb JOIN wts USING (term) GROUP BY 1, 2
+),
+dfx2 AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf2 GROUP BY 1),
+contrib2 AS (
+  SELECT t.doc_id, t.term,
+         q.wt * (
+           ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (t.tf * 2.2)
+           / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / (s.sum_dl / s.n_docs)))
+         ) AS c
+  FROM tf2 t JOIN dfx2 d USING (term) JOIN dl l USING (doc_id)
+       JOIN wts q USING (term), stats s
+),
+prf AS (
+  SELECT doc_id,
+         ROUND(list_sum(list_transform(
+           list_sort(list(struct_pack(t := term, c := c))), s -> s.c)), 6) AS score
+  FROM contrib2 GROUP BY doc_id
+)
+SELECT doc_id, score FROM prf ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
 # percolate: stored boolean-AND queries vs every doc's distinct
 # token set; a doc matches a query when it contains all its terms
 _PERC_VALUES = ", ".join(
@@ -5790,9 +5861,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r9-EDITED stale greens (quality_classifier, gopher_quality,
     # doc_quality_deciles, curation_score — keep_cols passthrough and the
     # edges= engine parameter touched their code paths after their last
-    # green). Positions 5-9 are the NEVER-GREEN keys: the three NEW
+    # green). Positions 5-10 are the NEVER-GREEN keys: the four NEW
     # r10 operators (ql_search #210, percolate #211, fuzzy_search
-    # #212) and the two keys
+    # #212, prf_search #213) and the two keys
     # PROMOTED from rows-only this round (r9 verdict ask #6:
     # training_shards' manifest and snapshot_diff's fixture rule are
     # pure deterministic arithmetic over `documents`). Next the six keys
@@ -5813,6 +5884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ql_search": q_ql_search,
         "percolate": q_percolate,
         "fuzzy_search": q_fuzzy_search,
+        "prf_search": q_prf_search,
         "training_shards": q_training_shards,
         "snapshot_diff": q_snapshot_diff,
         # r10-edited operators

@@ -632,6 +632,7 @@ def main() -> None:
         "ql_search": qs["ql_search"],
         "percolate": qs["percolate"],
         "fuzzy_search": qs["fuzzy_search"],
+        "prf_search": qs["prf_search"],
         # production hash profile (xxhash64 split assignment)
         "split_kl": lambda spark, sf: lm_mod.split_kl_report(
             fio.load_table(spark, sf, "documents"), hash_fn="xxhash64",

@@ -627,6 +627,224 @@ def percolate(
     )
 
 
+def bm25_search_weighted(
+    docs: DataFrame,
+    term_weights: dict,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Weighted-query BM25 top-k (the Lucene boosted-term query):
+    score(d) = Σ_t w(t) · bm25_contrib(t, d) over a literal
+    ``{term: weight}`` map — the scoring engine behind
+    :func:`prf_search`'s expanded queries. Plan shape is EXACTLY
+    :func:`bm25_search`'s (hits-only explode, df as the tf window,
+    sorted fold); the weight rides the contribution as a literal-map
+    lookup, so all-1.0 weights reproduce plain BM25 bit-for-bit
+    (pytest-gated)."""
+    q_terms = sorted(term_weights)
+    if not q_terms:
+        return docs.select(F.col(id_col)).limit(0).withColumn(
+            "score", F.lit(0.0)
+        )
+    qlit = F.array(*[F.lit(t) for t in q_terms])
+    wmap = F.create_map(
+        *[c for t in q_terms for c in (F.lit(t), F.lit(float(term_weights[t])))]
+    )
+    tokd = docs.select(
+        F.col(id_col),
+        F.coalesce(
+            tokens(F.col(text_col)), F.array().cast("array<string>")
+        ).alias("_toks"),
+    ).select(
+        F.col(id_col), F.col("_toks"), F.size("_toks").alias("dl")
+    ).where(F.col("dl") > 0)
+    stats = F.broadcast(
+        docs.select(
+            F.regexp_count(
+                F.lower(F.col(text_col)), F.lit("[a-z0-9]+")
+            ).alias("_dl")
+        )
+        .where(F.col("_dl") > 0)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_dl").alias("sum_dl"),
+        )
+    )
+    matched = tokd.select(
+        F.col(id_col),
+        F.col("dl"),
+        F.filter(
+            F.col("_toks"), lambda t: F.array_contains(qlit, t)
+        ).alias("_m"),
+    ).where(F.size("_m") > 0)
+    tf = (
+        matched.select(
+            F.col(id_col), F.col("dl"), F.explode("_m").alias("term")
+        )
+        .groupBy(id_col, "term", "dl")
+        .agg(F.count("*").alias("tf"))
+    )
+    contrib = (
+        tf.withColumn(
+            "df", F.count("*").over(Window.partitionBy("term"))
+        )
+        .crossJoin(stats)
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            (
+                F.element_at(wmap, F.col("term"))
+                * (
+                    F.log(
+                        1.0
+                        + (F.col("n_docs") - F.col("df") + 0.5)
+                        / (F.col("df") + 0.5)
+                    )
+                    * (F.col("tf") * (k1 + 1))
+                    / (
+                        F.col("tf")
+                        + k1
+                        * (
+                            1.0
+                            - b
+                            + b
+                            * F.col("dl")
+                            / (F.col("sum_dl") / F.col("n_docs"))
+                        )
+                    )
+                )
+            ).alias("c"),
+        )
+    )
+    scored = (
+        contrib.groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("term", "c"))).alias("cs")
+        )
+        .select(
+            F.col(id_col),
+            F.round(
+                F.aggregate(
+                    F.col("cs"), F.lit(0.0), lambda acc, x: acc + x["c"]
+                ),
+                SCORE_DECIMALS,
+            ).alias("score"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def prf_search(
+    docs: DataFrame,
+    query_text: str,
+    k: int = 10,
+    fb_docs: int = 5,
+    fb_terms: int = 10,
+    lam: float = 0.6,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval (the Rocchio / RM3 query-
+    expansion shape — Lavrenko & Croft 2001, Anserini's BM25+RM3
+    default, reference rag_system.py's retrieve-then-refine loop):
+    run BM25, treat the top ``fb_docs`` results as relevant, mine the
+    ``fb_terms`` most characteristic NEW terms from them, and re-rank
+    with the expanded weighted query.
+
+    Expansion-term ranking is the RM1 statistic Σ_D tf(t,D)/dl(D)
+    over the feedback docs (sorted fold — deterministic double
+    order); expansion WEIGHTS are rank-decayed rationals rather than
+    the raw probabilities: the term ranked r of n gets
+    (1−λ)·2(n−r+1)/(n(n+1)) and each original query term keeps
+    λ/|q|. Rational weights make the whole pipeline cross-engine
+    hash-stable — selection depends on floats only through an ORDER
+    BY (bitwise-reproducible folds), never through a re-rounded
+    float round-trip — while keeping the relevance-feedback behavior
+    (stronger feedback terms pull more mass). λ=1 degenerates to
+    plain BM25 ranking on the original terms (pytest-gated).
+
+    Plan: two bounded driver actions (the fb top-k, the mined term
+    list — both query-sized), then ONE weighted-BM25 plan over the
+    corpus; the feedback-mining job scans only the ``fb_docs``
+    matched rows (id-pruned scan)."""
+    spark = docs.sparkSession
+    q_terms = sorted(
+        {
+            t
+            for t in spark.createDataFrame([(query_text,)], f"{text_col} string")
+            .select(F.explode(tokens(F.col(text_col))).alias("t"))
+            .toPandas()["t"]
+        }
+    )
+    if not q_terms:
+        return docs.select(F.col(id_col)).limit(0).withColumn(
+            "score", F.lit(0.0)
+        )
+    fb_ids = [
+        r[id_col]
+        for r in bm25_search(
+            docs, query_text, k=fb_docs, k1=k1, b=b,
+            id_col=id_col, text_col=text_col,
+        ).collect()
+    ]
+    if not fb_ids:
+        return docs.select(F.col(id_col)).limit(0).withColumn(
+            "score", F.lit(0.0)
+        )
+    # RM1 term mining over the feedback docs: tf/dl summed in doc-id
+    # order (sorted fold), original query terms excluded (they carry
+    # the λ mass already)
+    fbtok = docs.where(F.col(id_col).isin(fb_ids)).select(
+        F.col(id_col),
+        F.coalesce(
+            tokens(F.col(text_col)), F.array().cast("array<string>")
+        ).alias("_toks"),
+    ).select(
+        F.col(id_col), F.col("_toks"), F.size("_toks").alias("dl")
+    ).where(F.col("dl") > 0)
+    rm1 = (
+        fbtok.select(
+            F.col(id_col), F.col("dl"), F.explode("_toks").alias("term")
+        )
+        .where(~F.col("term").isin(q_terms))
+        .groupBy(id_col, "term", "dl")
+        .agg(F.count("*").alias("tf"))
+        .groupBy("term")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(id_col).alias("i"),
+                        (F.col("tf") / F.col("dl")).alias("c"),
+                    )
+                )
+            ).alias("cs")
+        )
+        .select(
+            "term",
+            F.aggregate(
+                F.col("cs"), F.lit(0.0), lambda acc, x: acc + x["c"]
+            ).alias("w"),
+        )
+        .orderBy(F.col("w").desc(), F.col("term").asc())
+        .limit(fb_terms)
+        .collect()
+    )
+    n = len(rm1)
+    weights = {t: lam / len(q_terms) for t in q_terms}
+    denom = n * (n + 1)
+    for r, row in enumerate(rm1, 1):
+        weights[row["term"]] = (1.0 - lam) * 2.0 * (n - r + 1) / denom
+    return bm25_search_weighted(
+        docs, weights, k=k, k1=k1, b=b, id_col=id_col, text_col=text_col
+    )
+
+
 def fuzzy_search(
     docs: DataFrame,
     query_text: str,

@@ -370,3 +370,67 @@ class TestFuzzySearch:
             [(1, "alpha beta")], "doc_id long, text string"
         )
         assert lexical.fuzzy_search(docs, "zzzzzzzzz", k=5).count() == 0
+
+
+class TestPRFSearch:
+    """Pseudo-relevance-feedback retrieval (SURVEY §2 #213)."""
+
+    def test_topk_shape(self, spark, sf_small):
+        from faiss_vector_search_spark.operators import lexical
+
+        docs = load_table(spark, sf_small, "documents")
+        rows = lexical.prf_search(docs, "batch window vector", k=10).collect()
+        assert len(rows) == 10
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_lam_one_is_plain_bm25_ranking(self, spark, sf_small):
+        # λ=1: expansion weights vanish, query terms carry uniform
+        # λ/|q| mass — scores scale by 1/|q| but the RANKING is bm25's
+        from faiss_vector_search_spark.operators import lexical
+
+        docs = load_table(spark, sf_small, "documents")
+        a = lexical.prf_search(docs, "batch window", k=10, lam=1.0)
+        b = lexical.bm25_search(docs, "batch window", k=10)
+        assert [r["doc_id"] for r in a.collect()] == [
+            r["doc_id"] for r in b.collect()
+        ]
+
+    def test_uniform_weighted_equals_bm25_bitwise(self, spark, sf_small):
+        from faiss_vector_search_spark.operators import lexical
+
+        docs = load_table(spark, sf_small, "documents")
+        w = lexical.bm25_search_weighted(
+            docs, {"batch": 1.0, "window": 1.0}, k=10
+        )
+        b = lexical.bm25_search(docs, "batch window", k=10)
+        assert [tuple(r) for r in w.collect()] == [
+            tuple(r) for r in b.collect()
+        ]
+
+    def test_expansion_pulls_related_docs(self, spark):
+        # feedback doc couples 'alpha' with 'omega'; expansion must
+        # surface the omega-only doc that plain bm25 cannot reach
+        from faiss_vector_search_spark.operators import lexical
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha omega omega omega"),
+                (2, "omega omega gamma"),
+                (3, "unrelated words entirely"),
+            ],
+            "doc_id long, text string",
+        )
+        plain = {r["doc_id"] for r in
+                 lexical.bm25_search(docs, "alpha", k=3).collect()}
+        prf = {r["doc_id"] for r in
+               lexical.prf_search(docs, "alpha", k=3, fb_docs=1,
+                                  fb_terms=2).collect()}
+        assert plain == {1}
+        assert 2 in prf  # reached through the expanded 'omega'
+
+    def test_empty_query(self, spark, sf_small):
+        from faiss_vector_search_spark.operators import lexical
+
+        docs = load_table(spark, sf_small, "documents")
+        assert lexical.prf_search(docs, "???", k=5).count() == 0
