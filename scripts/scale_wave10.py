@@ -71,6 +71,10 @@ def main() -> None:
             docs_sw, "the " + RAG_QUERY, k=10),
         "percolate": lambda: lexical.percolate(
             docs, PERC_QUERIES, min_should_match=1.0),
+        "fuzzy_search": lambda: lexical.fuzzy_search(
+            docs, "bath windov vektor", k=10, max_dist=1),
+        "prf_search": lambda: lexical.prf_search(
+            docs, RAG_QUERY, k=10, fb_docs=5, fb_terms=10, lam=0.6),
         "doc_quality_deciles_exact": lambda: textstats.quality_deciles(
             docs, edges="exact"),
         "doc_quality_deciles_approx": lambda: textstats.quality_deciles(
@@ -110,6 +114,10 @@ def main() -> None:
             "window": "Window" in final,
         }
         gates = {
+            # fuzzy/prf COMPOSE bm25 plans after bounded driver
+            # actions: the recorded plan is the final scoring plan
+            "fuzzy_search": row["scans"] <= 2,
+            "prf_search": row["scans"] <= 2,
             "ql_search": row["scans"] <= 2 and not row["window"],
             "ql_search_stopword": row["scans"] <= 2 and not row["window"],
             "percolate": row["scans"] == 1,
