@@ -633,6 +633,14 @@ def main() -> None:
         "percolate": qs["percolate"],
         "fuzzy_search": qs["fuzzy_search"],
         "prf_search": qs["prf_search"],
+        "ql_search_multi": lambda spark, sf: lexical.ql_search_multi(
+            fio.load_table(spark, sf, "documents"),
+            [("q1", "batch window vector hash fast stream"),
+             ("q2", "table scan merge sort"),
+             ("q3", "hash agg row batch"),
+             ("q4", "spark line sort win slow")],
+            k=10,
+        ),
         # production hash profile (xxhash64 split assignment)
         "split_kl": lambda spark, sf: lm_mod.split_kl_report(
             fio.load_table(spark, sf, "documents"), hash_fn="xxhash64",

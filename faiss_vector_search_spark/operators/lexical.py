@@ -627,6 +627,160 @@ def percolate(
     )
 
 
+def ql_search_multi(
+    docs: DataFrame,
+    queries,
+    k: int = 10,
+    mu: float = 1000.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tag_col: str = "query_tag",
+) -> DataFrame:
+    """Dirichlet query-likelihood top-k for a QUERY SET in ONE corpus
+    scoring pass — the suite shape of :func:`ql_search`, mirroring
+    :func:`bm25_search_multi`: per-tag results match the single-query
+    form (pytest equality gate) while the corpus tokenizes, matches
+    and tf-aggregates once for the union term set.
+
+    The collection statistics (|C| and every union term's ctf) come
+    from ONE bounded stats job — a single corpus pass whose 1-row
+    result COLLECTS (the probe-map convention: query-sized driver
+    state), so ctf and each tag's |q_eff| enter the scoring plan as
+    LITERALS and the scoring pass needs no stats crossJoin at all.
+    Runtime corpus passes: 2 (stats job + scoring plan), same as the
+    single-query form, independent of |Q|. Per-tag |q_eff| rides the
+    fold as a literal CASE on the tag column; the per-(tag, doc)
+    sorted fold and the one repartition(tag) exchange reproduce
+    bm25_search_multi's tail discipline. Output: (query_tag, id,
+    score, rank), rank ≤ k per tag."""
+    spark = docs.sparkSession
+    qlist = list(queries)
+    if not qlist:
+        return docs.select(F.col(id_col)).limit(0).select(
+            F.lit("").alias(tag_col), F.col(id_col),
+            F.lit(0.0).alias("score"), F.lit(0).alias("rank"),
+        )
+    dup_tags = sorted({t for t, _ in qlist
+                       if sum(1 for t2, _ in qlist if t2 == t) > 1})
+    if dup_tags:
+        raise ValueError(
+            f"ql_search_multi: duplicate query tags {dup_tags!r} — two "
+            f"queries sharing a tag would silently merge their term sets; "
+            f"give every query a unique tag"
+        )
+    qdf = spark.createDataFrame(qlist, f"{tag_col} string, {text_col} string")
+    qpairs = sorted({
+        (r[tag_col], r["term"])
+        for r in qdf.select(
+            F.col(tag_col), F.explode(tokens(F.col(text_col))).alias("term")
+        ).collect()
+    })
+    all_terms = sorted({t for _, t in qpairs})
+    if not all_terms:
+        return docs.select(F.col(id_col)).limit(0).select(
+            F.lit("").alias(tag_col), F.col(id_col),
+            F.lit(0.0).alias("score"), F.lit(0).alias("rank"),
+        )
+    srow = (
+        docs.select(
+            F.coalesce(
+                tokens(F.col(text_col)), F.array().cast("array<string>")
+            ).alias("_toks")
+        )
+        .select(F.col("_toks"), F.size("_toks").alias("_dl"))
+        .where(F.col("_dl") > 0)
+        .agg(
+            F.sum("_dl").cast("double").alias("c_len"),
+            *[
+                F.sum(
+                    F.col("_dl")
+                    - F.size(F.array_remove(F.col("_toks"), t))
+                ).cast("double").alias(f"_ctf_{i}")
+                for i, t in enumerate(all_terms)
+            ],
+        )
+        .first()
+    )
+    c_len = srow["c_len"] or 0.0
+    ctf = {t: (srow[f"_ctf_{i}"] or 0.0) for i, t in enumerate(all_terms)}
+    nq = {
+        tag: sum(
+            1 for tg, t in qpairs if tg == tag and ctf[t] > 0
+        )
+        for tag, _ in qlist
+    }
+    qlit = F.array(*[F.lit(t) for t in all_terms])
+    tokd = docs.select(
+        F.col(id_col),
+        F.coalesce(
+            tokens(F.col(text_col)), F.array().cast("array<string>")
+        ).alias("_toks"),
+    ).select(
+        F.col(id_col), F.col("_toks"), F.size("_toks").alias("dl")
+    ).where(F.col("dl") > 0)
+    matched = tokd.select(
+        F.col(id_col),
+        F.col("dl"),
+        F.filter(
+            F.col("_toks"), lambda t: F.array_contains(qlit, t)
+        ).alias("_m"),
+    ).where(F.size("_m") > 0)
+    tf = (
+        matched.select(
+            F.col(id_col), F.col("dl"), F.explode("_m").alias("term")
+        )
+        .groupBy(id_col, "term", "dl")
+        .agg(F.count("*").alias("tf"))
+    )
+    ctf_map = F.create_map(
+        *[c for t in all_terms for c in (F.lit(t), F.lit(float(ctf[t])))]
+    )
+    contrib = tf.select(
+        F.col(id_col),
+        F.col("term"),
+        F.col("dl"),
+        F.log(
+            1.0
+            + F.col("tf")
+            / (mu * F.element_at(ctf_map, F.col("term")) / F.lit(c_len))
+        ).alias("c"),
+    )
+    qterms = spark.createDataFrame(qpairs, f"{tag_col} string, term string")
+    tagged = contrib.join(F.broadcast(qterms), "term")
+    nq_expr = None
+    for tag in sorted(nq):
+        branch = F.lit(int(nq[tag]))
+        nq_expr = (
+            F.when(F.col(tag_col) == tag, branch)
+            if nq_expr is None
+            else nq_expr.when(F.col(tag_col) == tag, branch)
+        )
+    scored = (
+        tagged.repartition(tag_col)
+        .groupBy(tag_col, id_col, "dl")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("term", "c"))).alias("cs")
+        )
+        .select(
+            F.col(tag_col),
+            F.col(id_col),
+            F.round(
+                F.aggregate(
+                    F.col("cs"), F.lit(0.0), lambda acc, x: acc + x["c"]
+                )
+                + nq_expr * F.log(mu / (F.col("dl") + mu)),
+                SCORE_DECIMALS,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(tag_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).where(F.col("rank") <= k)
+
+
 def bm25_search_weighted(
     docs: DataFrame,
     term_weights: dict,

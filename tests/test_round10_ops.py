@@ -434,3 +434,45 @@ class TestPRFSearch:
 
         docs = load_table(spark, sf_small, "documents")
         assert lexical.prf_search(docs, "???", k=5).count() == 0
+
+
+class TestQLSearchMulti:
+    """One-pass multi-query QL equals the per-query loop."""
+
+    def test_equals_per_query_loop(self, spark, sf_small):
+        from faiss_vector_search_spark.operators import lexical
+
+        docs = load_table(spark, sf_small, "documents")
+        tagged = [("q1", "batch window vector"), ("q2", "hash fast"),
+                  ("q3", "stream sort merge")]
+        multi = lexical.ql_search_multi(docs, tagged, k=10).collect()
+        got = {}
+        for r in multi:
+            got.setdefault(r["query_tag"], []).append(
+                (r["rank"], r["doc_id"], r["score"])
+            )
+        for tag, text in tagged:
+            solo = lexical.ql_search(docs, text, k=10).collect()
+            want = [(i + 1, r["doc_id"], r["score"])
+                    for i, r in enumerate(solo)]
+            assert sorted(got.get(tag, [])) == want, tag
+
+    def test_duplicate_tags_rejected(self, spark, sf_small):
+        from faiss_vector_search_spark.operators import lexical
+
+        docs = load_table(spark, sf_small, "documents")
+        with pytest.raises(ValueError, match="duplicate query tags"):
+            lexical.ql_search_multi(docs, [("a", "x"), ("a", "y")])
+
+    def test_one_scoring_scan_no_window_prefold(self, spark, sf_small):
+        """The scoring plan reads the corpus once (stats collected as
+        a bounded job beforehand) and carries no term-keyed window."""
+        from faiss_vector_search_spark.operators import lexical
+
+        docs = load_table(spark, sf_small, "documents")
+        df = lexical.ql_search_multi(
+            docs, [("a", "batch window"), ("b", "vector stream")], k=5
+        )
+        final = _final_plan(df)
+        assert final.count("Scan parquet") == 1, final
+        assert "SortMergeJoin" not in final
