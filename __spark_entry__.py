@@ -220,6 +220,34 @@ def q_ql_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.col("score").cast(DBL).alias("score"))
 
 
+_QL_MULTI_QUERIES = [
+    ("q1", RAG_QUERY),
+    ("q2", "table scan merge sort"),
+    ("q3", "hash agg row batch"),
+    ("q4", "spark line sort win slow"),
+]
+
+
+def q_ql_search_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet query-likelihood for a 4-query SET in one corpus
+    scoring pass (SURVEY §2 #197 one-pass discipline applied to the
+    LM family; promoted to oracle-gated per the r10 verdict ask #5):
+    collection stats for the union term set come from ONE bounded
+    stats job, per-tag |q_eff| rides the fold as a literal CASE, and
+    the scoring pass runs once for all tags — 2 corpus scans total,
+    independent of |Q|. The oracle is the per-tag union of the
+    ql_search CTE chain."""
+    out = lexical.ql_search_multi(
+        _t(spark, sf_dir, "documents"), _QL_MULTI_QUERIES, k=10, mu=1000.0
+    )
+    return out.select(
+        "query_tag",
+        "doc_id",
+        F.col("score").cast(DBL).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 _PERC_QUERIES = [
     ("q_batch_window", "batch window"),
     ("q_vector_stream", "vector stream"),
@@ -4936,7 +4964,7 @@ idcg{i} AS (
   FROM nrel{i}, unnest(generate_series(1, least(n_relevant, 10))) AS t(i)
 ),
 perq{i} AS (
-  SELECT 'q{i}' AS query_tag, n.n_relevant, s.n_hits,
+  SELECT 'q{i}' AS query_tag, FALSE AS is_macro, n.n_relevant, s.n_hits,
          ROUND(s.n_hits / n.n_relevant::DOUBLE, 6) AS recall_at_k,
          ROUND(coalesce(1.0 / s.fr, 0), 6) AS mrr,
          ROUND(coalesce(s.dcg, 0) / idcg{i}.v, 6) AS ndcg_at_k
@@ -4983,7 +5011,7 @@ perq AS (
   {" UNION ALL ".join(f"SELECT * FROM perq{i}" for i in range(1, len(_EVAL_QUERIES) + 1))}
 ),
 macro AS (
-  SELECT 'MACRO' AS query_tag,
+  SELECT 'MACRO' AS query_tag, TRUE AS is_macro,
          sum(n_relevant)::BIGINT AS n_relevant,
          sum(n_hits)::BIGINT AS n_hits,
          ROUND(CAST(sum(CAST(recall_at_k AS DECIMAL(18,6))) AS DOUBLE)
@@ -5331,15 +5359,41 @@ def q_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["bm25_index_search"] = ORACLES["bm25_search"]
 
 
+def q_fuzzy_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant retrieval served ENTIRELY from the persisted
+    inverted index (r10 verdict ask #4, SURVEY §2 #214): the edit-
+    ball expansion probes the index's length-partitioned ``_terms``
+    dictionary (PartitionFilters prune to the query's length window —
+    no corpus vocabulary scan), then bm25_index_search scores the
+    expanded set from the pruned posting buckets. Same oracle as
+    fuzzy_search (the bm25_index_search promotion recipe): the
+    dictionary IS the corpus vocabulary and the probe engine is
+    score-identical to batch BM25, so the scan-form oracle gates the
+    whole index-serving path end to end."""
+    if sf_dir not in _LEXIDX_PATHS:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="fvs_lexidx_entry_") + "/idx"
+        lexical.lexical_index_save(_t(spark, sf_dir, "documents"), path)
+        _LEXIDX_PATHS[sf_dir] = path
+    out = lexical.fuzzy_index_search(
+        spark, _LEXIDX_PATHS[sf_dir], FUZZY_QUERY, k=10, max_dist=1,
+    )
+    return out.select("doc_id", F.col("score").cast(DBL).alias("score"))
+
+
 # r10 promotions — two formerly rows-only keys whose outputs are pure
 # deterministic arithmetic over `documents`:
 #
 # training_shards: the manifest is (shard, n_docs, n_tokens) with
 # n_shards = ceil(total_tokens / 5000) and shard = md5hash(id) % n
-# (entry runs the md5 oracle profile; layout stays pytest-gated)
+# (entry runs the md5 oracle profile; layout stays pytest-gated).
+# COALESCE pins the NULL-text semantics to the engine's (a NULL doc
+# carries 0 tokens — the r10 ADVICE divergence surface): DuckDB's
+# len(NULL) is NULL and would silently fall out of the sums.
 ORACLES["training_shards"] = f"""
 WITH toks AS (
-  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n FROM documents
+  SELECT doc_id, CAST(COALESCE(len({_TOKS}), 0) AS BIGINT) AS n FROM documents
 ),
 ns AS (SELECT CAST(ceil(sum(n) / 5000.0) AS BIGINT) AS n_shards FROM toks)
 SELECT CAST({_md5i("'s41:' || doc_id::VARCHAR")} % (SELECT n_shards FROM ns) AS INT) AS shard,
@@ -5400,6 +5454,58 @@ scored AS (
 SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
+
+def _ql_block(i: int, q: str) -> str:
+    """Per-query CTE block for the ql_search_multi oracle — the same
+    Dirichlet-QL chain as the ql_search oracle, name-suffixed; the
+    doc-side CTEs (d, stats) are shared across all tags."""
+    qt_values = ", ".join(f"('{t}')" for t in sorted(set(q.split())))
+    return f"""
+qt{i}(term) AS (VALUES {qt_values}),
+toksq{i} AS (
+  SELECT doc_id, dl, u.t AS term
+  FROM d, unnest(toks) AS u(t)
+  WHERE u.t IN (SELECT term FROM qt{i})
+),
+ctf{i} AS (SELECT term, count(*)::DOUBLE AS ctf FROM toksq{i} GROUP BY 1),
+nq{i} AS (SELECT count(*) AS n FROM ctf{i}),
+tf{i} AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM toksq{i} GROUP BY 1, 2, 3
+),
+contrib{i} AS (
+  SELECT t.doc_id, t.dl, t.term,
+         ln(1 + t.tf / (1000.0 * c.ctf / s.c_len)) AS c
+  FROM tf{i} t JOIN ctf{i} c USING (term), stats s
+),
+scored{i} AS (
+  SELECT doc_id,
+         ROUND(list_sum(list_transform(
+           list_sort(list(struct_pack(t := term, c := c))), s -> s.c))
+           + any_value(nq.n) * ln(1000.0 / (any_value(dl) + 1000.0)), 6)
+           AS score
+  FROM contrib{i}, nq{i} nq GROUP BY doc_id
+),
+ranked{i} AS (
+  SELECT 'q{i}' AS query_tag, doc_id, score, rank FROM (
+    SELECT doc_id, score, CAST(row_number() OVER (
+      ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+    FROM scored{i}
+  ) WHERE rank <= 10
+)"""
+
+
+ORACLES["ql_search_multi"] = f"""
+WITH d AS (
+  SELECT doc_id, toks, len(toks) AS dl
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+  WHERE len(toks) > 0
+),
+stats AS (SELECT sum(dl)::DOUBLE AS c_len FROM d),
+{",".join(_ql_block(i, q) for i, (_tag, q) in enumerate(_QL_MULTI_QUERIES, 1))}
+SELECT * FROM ({" UNION ALL ".join(f"SELECT * FROM ranked{i}" for i in range(1, len(_QL_MULTI_QUERIES) + 1))})
+ORDER BY query_tag, rank
+"""
+
 # fuzzy_search: the expanded term set recomputes in SQL (vocabulary
 # terms within 1 edit of a query term, same length-window + lev
 # predicate), then the standard bm25 CTE chain scores it — variants
@@ -5435,6 +5541,12 @@ bm25 AS (
 )
 SELECT doc_id, score FROM bm25 ORDER BY score DESC, doc_id ASC LIMIT 10
 """
+
+# the index-served fuzzy probe expands from the persisted _terms
+# dictionary (== the corpus vocabulary) and scores via the
+# score-identical bm25_index_search engine, so it shares the
+# scan-form oracle (the bm25_index_search promotion recipe)
+ORACLES["fuzzy_index_search"] = ORACLES["fuzzy_search"]
 
 # prf_search: the full feedback chain in SQL — the bm25 CTEs pick
 # the 5 feedback docs, RM1 (tf/dl sorted-fold over the feedback
@@ -5885,6 +5997,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate": q_percolate,
         "fuzzy_search": q_fuzzy_search,
         "prf_search": q_prf_search,
+        "ql_search_multi": q_ql_search_multi,
+        "fuzzy_index_search": q_fuzzy_index_search,
         "training_shards": q_training_shards,
         "snapshot_diff": q_snapshot_diff,
         # r10-edited operators

@@ -614,9 +614,12 @@ def main() -> None:
         ),
         "classifier_calibration": qs["classifier_calibration"],
         # r10: the 100 TB dials of the two global-sort decilers —
-        # edges="approx" bins by ONE mergeable percentile_approx
-        # sketch row (no ntile window, no global sort), production
-        # xxhash64 logit; floored here so the scale path can't rot
+        # edges="approx" bins by a SINGLE-SCAN fixed-grid histogram
+        # (quality grid / clamped-logit grid): decile edges come from
+        # cumulative counts over the tiny histogram, no ntile window,
+        # no global sort (textstats.quality_deciles /
+        # classifier.quality_calibration_report); production xxhash64
+        # logit; floored here so the scale path can't rot
         "classifier_calibration_approx": lambda spark, sf:
             clf_mod.quality_calibration_report(
                 fio.load_table(spark, sf, "documents"),
@@ -633,14 +636,14 @@ def main() -> None:
         "percolate": qs["percolate"],
         "fuzzy_search": qs["fuzzy_search"],
         "prf_search": qs["prf_search"],
-        "ql_search_multi": lambda spark, sf: lexical.ql_search_multi(
-            fio.load_table(spark, sf, "documents"),
-            [("q1", "batch window vector hash fast stream"),
-             ("q2", "table scan merge sort"),
-             ("q3", "hash agg row batch"),
-             ("q4", "spark line sort win slow")],
-            k=10,
-        ),
+        # promoted to the contract in r11 (oracle = per-tag union of
+        # the ql_search CTE chain); the bench key now measures the
+        # contract key directly
+        "ql_search_multi": qs["ql_search_multi"],
+        # r11: fuzzy served index-only — the _terms dictionary probe +
+        # pruned posting-bucket scoring (index build amortized in the
+        # entry's per-SF cache, the bm25_index_search posture)
+        "fuzzy_index_search": qs["fuzzy_index_search"],
         # production hash profile (xxhash64 split assignment)
         "split_kl": lambda spark, sf: lm_mod.split_kl_report(
             fio.load_table(spark, sf, "documents"), hash_fn="xxhash64",

@@ -265,16 +265,22 @@ def quality_calibration_report(
       (logit desc, id) sort — exact equal-size deciles, cross-engine
       deterministic, but the sort serializes through one partition;
     - ``"approx"`` (the 100 TB profile): a SINGLE-SCAN fixed-grid
-      histogram keyed on sigmoid(logit) at 4 dp — sigmoid is a
-      monotone map of the unbounded logit into (0, 1), so deciles by
-      grid cell are deciles by logit; the ≤ 10001-cell histogram
+      histogram keyed on the raw logit clamped to [-20, 20] at 3 dp
+      (≤ 40001 cells; clamp∘round is monotone, so deciles by grid
+      cell are deciles by logit — and unlike the r10 sigmoid grid the
+      resolution is UNIFORM in logit space, so a saturated classifier
+      cannot collapse its tails into single cells). The histogram
       aggregates map-side-combinably in the same scan that computes
       the signals, descending cumulative counts over the tiny frame
       assign decile 1 to the highest logits, and the report
       aggregates the histogram itself. No global sort, no second
-      corpus pass; same-cell ties cannot split across deciles. The
-      structural gates (full partition, ordered mins, signal) are
-      pytest-asserted for both engines.
+      corpus pass; same-cell (1e-3-logit) ties cannot split across
+      deciles, so tie-heavy corpora can emit < n_bins rows (each
+      emitted decile then absorbs the tied mass — callers indexing
+      deciles 1..n_bins must key by the ``decile`` VALUE, not row
+      position). The structural gates (full partition, ordered mins,
+      signal, decile balance under saturation) are pytest-asserted
+      for both engines.
 
     Output: one row per decile —
     (decile, n_docs, min_logit, mean_logit, gopher_pass_rate);
@@ -309,18 +315,30 @@ def quality_calibration_report(
         # SINGLE-SCAN fixed-grid histogram engine (r10 rework — the
         # percentile_approx two-pass form recomputed the logit
         # pipeline on a second corpus scan; BENCH_BASELINE r10).
-        # Logits are unbounded, but sigmoid(logit) ∈ (0, 1) is a
-        # MONOTONE transform — deciles by sigmoid grid cell ARE
-        # deciles by logit — so a 4-dp sigmoid key (≤ 10001 cells)
-        # folds the whole corpus into one map-side-combinable
-        # histogram; the DESCENDING cumulative count over that tiny
-        # frame assigns decile 1 to the highest logits like the
-        # ntile engine. One corpus scan, no global sort; same-cell
-        # ties (incl. |logit| ≳ 9, where sigmoid saturates at 4 dp)
-        # cannot split across deciles.
+        # Grid key = the raw logit CLAMPED to [-20, 20] and rounded
+        # to 3 dp (≤ 40001 cells) — a monotone non-decreasing map, so
+        # deciles by grid cell are deciles by logit. The r10 sigmoid
+        # grid saturated beyond |logit| ≈ 9 (cell width ~1 logit at 9,
+        # ~6 at 11), and since a cell can never split across deciles a
+        # confident classifier's tail collapsed 10%+ of the corpus
+        # into one tail decile (the r10 ADVICE finding); the clamped
+        # raw-logit grid keeps UNIFORM 1e-3 resolution across the
+        # whole practical range instead. Beyond ±20 sigmoid is within
+        # 2e-9 of its asymptote — docs there are indistinguishable to
+        # the filter, so the clamp's tie surface is semantically
+        # empty. The histogram still folds map-side-combinably in the
+        # same scan that computes the signals; the DESCENDING
+        # cumulative count over the tiny frame assigns decile 1 to
+        # the highest logits like the ntile engine. One corpus scan,
+        # no global sort; same-cell (1e-3-logit) ties cannot split
+        # across deciles — the decile-balance pytest gate bounds the
+        # resulting imbalance on a saturated distribution.
         hist = triples.groupBy(
             F.round(
-                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("logit"))), 4
+                F.greatest(
+                    F.lit(-20.0), F.least(F.lit(20.0), F.col("logit"))
+                ),
+                3,
             ).alias("_g")
         ).agg(
             F.count("*").alias("_n"),

@@ -445,10 +445,13 @@ def retrieval_metrics_by_query(
     round-trip is lossless on 6-dp values), casts the exact sum to
     double and divides by the query count, so the macro hash is
     cross-engine stable. Output: one row per JUDGED query (query_tag,
-    n_relevant, n_hits, recall_at_k, mrr, ndcg_at_k) + one
-    ``MACRO`` row (n_relevant/n_hits summed, metrics macro-averaged);
-    result rows for queries absent from the judgment set drop, as in
-    the join form.
+    is_macro=false, n_relevant, n_hits, recall_at_k, mrr, ndcg_at_k)
+    + one macro row (query_tag='MACRO', is_macro=true —
+    n_relevant/n_hits summed, metrics macro-averaged). ``is_macro``
+    exposes the struct key's flag BY VALUE (r10 ADVICE): a real query
+    named 'MACRO' is distinguishable from the average row by column,
+    never by row order. Result rows for queries absent from the
+    judgment set drop, as in the join form.
     """
     r = results.where(F.col(rank_col) <= k).select(
         F.col(query_col), F.col(id_col),
@@ -534,6 +537,11 @@ def retrieval_metrics_by_query(
         .orderBy(F.col("_k._q").asc(), F.col("_k._m").asc())
         .select(
             F.col("_k._q").alias(query_col),
+            # the struct key's macro flag, exposed BY VALUE (r10
+            # ADVICE): without it a real query tagged 'MACRO' and the
+            # macro-average row are distinguishable only by row order,
+            # which no sink guarantees
+            (F.col("_k._m") == 1).alias("is_macro"),
             "n_relevant", "n_hits", "recall_at_k", "mrr", "ndcg_at_k",
         )
     )

@@ -560,8 +560,17 @@ def write_training_shards(
     from ..functions.hashing import hashed
     from ..functions.text import tokens
 
+    # coalesce BEFORE size: size(NULL) is -1 under Spark's legacy
+    # sizeOfNull, which would silently skew total/n_shards/assignment
+    # for NULL-text docs (a NULL doc carries 0 tokens here, matching
+    # the oracle's COALESCE(len(toks), 0) semantics)
     with_n = docs.withColumn(
-        "_n_tokens", F.size(tokens(F.col(text_col))).cast("bigint")
+        "_n_tokens",
+        F.size(
+            F.coalesce(
+                tokens(F.col(text_col)), F.array().cast("array<string>")
+            )
+        ).cast("bigint"),
     )
     total = with_n.agg(F.sum("_n_tokens").alias("t")).first().t or 0
     n_shards = max(1, math.ceil(total / token_budget))

@@ -501,7 +501,12 @@ def quality_deciles(
       r9 percentile_approx two-pass form recomputed the quality
       pipeline on a second scan and measured ~2x the exact engine —
       BENCH_BASELINE r10). Approximation surface: documents in the
-      same 1e-4 grid cell cannot split across deciles.
+      same 1e-4 grid cell cannot split across deciles, so a tie-heavy
+      corpus can emit FEWER than ``n_buckets`` rows (observed 7/10 at
+      the sf10 rehearsal) — each emitted decile then absorbs the tied
+      mass. Callers must key on the ``decile`` VALUE, not assume rows
+      1..n_buckets all exist; population skew shows up directly in
+      the per-row ``n_docs``.
     """
     scored = quality_score(docs, id_col=id_col, text_col=text_col)
     if edges == "exact":
