@@ -1305,13 +1305,21 @@ def q_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_bigram_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_top_k frequent-items sketch over corpus bigrams — the
-    bounded-memory twin of bigram_counts. Rows-only (tie order at the
-    k-boundary is sketch-defined); pytest gates counts vs exact."""
+    bounded-memory twin of bigram_counts. ORACLE-GATED since r11
+    under the ``tie_break="lexical"`` profile (r10 verdict ask #7):
+    the sketch over-fetches 2k entries and re-sorts by (count desc,
+    bigram asc) — a total deterministic order — and at the driver
+    gate's SF the vocabulary (916 distinct bigrams at sf0.01) fits
+    max_tracked, so the sketch counts are EXACT and the result equals
+    the exact SQL top-k. At 100 TB the counts degrade to the sketch's
+    guarantee (pytest gates counts vs exact + boundary-tie-group
+    containment, tests/test_round3_wave2.py / test_round11_ops.py)."""
     from faiss_vector_search_spark.operators import sketches
 
-    return sketches.bigram_heavy_hitters(
-        _t(spark, sf_dir, "documents"), k=20
+    out = sketches.bigram_heavy_hitters(
+        _t(spark, sf_dir, "documents"), k=20, tie_break="lexical"
     )
+    return out.select("bigram", F.col("n").cast("bigint").alias("n"))
 
 
 def q_knn_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5402,6 +5410,65 @@ SELECT CAST({_md5i("'s41:' || doc_id::VARCHAR")} % (SELECT n_shards FROM ns) AS 
 FROM toks GROUP BY 1
 """
 
+# r11 promotions (r10 verdict ask #7):
+#
+# bigram_heavy_hitters: under tie_break="lexical" the result is the
+# exact SQL top-20 by (count desc, bigram asc) whenever the sketch is
+# exact (distinct bigrams <= max_tracked — true at the driver SF)
+ORACLES["bigram_heavy_hitters"] = f"""
+WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+bg AS (
+  SELECT t[i] || ' ' || t[i + 1] AS bigram
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+)
+SELECT bigram, count(*)::BIGINT AS n FROM bg GROUP BY 1
+ORDER BY n DESC, bigram ASC LIMIT 20
+"""
+
+# profile_delta: the change set between the two snapshot versions is
+# the same fixture rule snapshot_diff's oracle recomputes (v1 = drop
+# doc_id%7==0, append ' [rev2]' when doc_id%5==0), so the whole
+# incremental-ANALYZE arithmetic — counts advanced exactly, min/max
+# carried monotonically, minmax_exact = no boundary value removed —
+# recomputes directly over `documents`
+_PD_ADDED = """
+  SELECT doc_id, text || ' [rev2]' AS text, lang, source FROM documents
+  WHERE doc_id % 7 <> 0 AND doc_id % 5 = 0 AND text IS NOT NULL
+"""
+_PD_REMOVED = """
+  SELECT doc_id, text, lang, source FROM documents
+  WHERE doc_id % 7 = 0
+     OR (doc_id % 7 <> 0 AND doc_id % 5 = 0 AND text IS NOT NULL)
+"""
+ORACLES["profile_delta"] = "\nUNION ALL\n".join(
+    f"""
+SELECT '{c}' AS "column",
+       (o.n_rows + a.a_rows - r.r_rows)::BIGINT AS n_rows,
+       (o.n_nulls + (a.a_rows - a.a_nn) - (r.r_rows - r.r_nn))::BIGINT
+         AS n_nulls,
+       least(o.min_v, coalesce(a.min_v, o.min_v)) AS min_value,
+       greatest(o.max_v, coalesce(a.max_v, o.max_v)) AS max_value,
+       NOT coalesce(
+         (r.min_v IS NOT NULL AND r.min_v = o.min_v)
+         OR (r.max_v IS NOT NULL AND r.max_v = o.max_v), FALSE)
+         AS minmax_exact
+FROM
+  (SELECT count(*) AS n_rows, count(*) - count({c}) AS n_nulls,
+          min(CAST({c} AS VARCHAR)) AS min_v,
+          max(CAST({c} AS VARCHAR)) AS max_v
+   FROM documents) o,
+  (SELECT count(*) AS a_rows, count({c}) AS a_nn,
+          min(CAST({c} AS VARCHAR)) AS min_v,
+          max(CAST({c} AS VARCHAR)) AS max_v
+   FROM ({_PD_ADDED})) a,
+  (SELECT count(*) AS r_rows, count({c}) AS r_nn,
+          min(CAST({c} AS VARCHAR)) AS min_v,
+          max(CAST({c} AS VARCHAR)) AS max_v
+   FROM ({_PD_REMOVED})) r"""
+    for c in ("text", "lang", "source")
+)
+
 # snapshot_diff: the entry derives v1 from v0 by a fixed rule (drop
 # doc_id%7==0; append ' [rev2]' when doc_id%5==0), so the change set
 # recomputes directly — removed = dropped keys, changed = surviving
@@ -5792,8 +5859,13 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_profile_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ANALYZE: advance table stats across the same two
     snapshot versions q_snapshot_diff builds, touching only changed
-    rows. Rows-only: exactness-vs-full-recompute and containment
-    gates in tests/test_wave4_ops.py."""
+    rows. ORACLE-GATED since r11 (r10 verdict ask #7, the
+    snapshot_diff promotion recipe): the fixture's change set is a
+    fixed rule, so the entire incremental arithmetic — counts
+    advanced exactly, min/max carried monotonically, minmax_exact =
+    no-boundary-removal — recomputes in SQL over `documents`.
+    Exactness-vs-full-recompute and containment stay pytest-gated
+    (tests/test_wave4_ops.py)."""
     from faiss_vector_search_spark.operators import maintenance as mt
 
     q_snapshot_diff(spark, sf_dir)  # ensure the store exists

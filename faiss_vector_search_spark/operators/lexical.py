@@ -552,6 +552,7 @@ def percolate(
     min_should_match: float = 1.0,
     id_col: str = "doc_id",
     text_col: str = "text",
+    engine: str = "literal",
 ) -> DataFrame:
     """Standing-query matching (the Elasticsearch-percolator shape,
     reversed retrieval): a bounded set of STORED queries, a corpus of
@@ -578,9 +579,29 @@ def percolate(
 
     Queries with zero tokens are rejected (a match-everything query
     is almost certainly caller error).
+
+    ``engine`` picks how the stored-term union meets the corpus:
+
+    - ``"literal"`` (default): the union folds in as a per-row
+      literal array and each doc's distinct tokens ``array_intersect``
+      it in-row BEFORE the explode — the joined stream is
+      hits-proportional. Right for the alerting regime (tens to a few
+      hundred stored queries): the per-row intersect cost carries a
+      term-union factor, which is negligible while the union is small.
+    - ``"join"``: no literal array — every doc's distinct tokens
+      explode and the (broadcast) stored-term frame semi-filters them
+      in the join. The exploded stream is corpus-distinct-token-
+      proportional, but per-row cost is union-size-INDEPENDENT — the
+      Elasticsearch-percolator regime (1k-10k standing queries),
+      where the union approaches the vocabulary and the literal
+      intersect pays |union| per doc for almost no pruning. Identical
+      output (pytest-gated); wave-11 rehearsal records the measured
+      crossover (BENCH_BASELINE r11).
     """
     import math as _math
 
+    if engine not in ("literal", "join"):
+        raise ValueError(f"unknown engine: {engine}")
     qrows = []
     for qid, qtext in queries:
         terms = query_terms(qtext)
@@ -594,21 +615,27 @@ def percolate(
             qrows, "query_id string, term string, n_terms int, required int"
         )
     )
-    all_terms = F.array(*[F.lit(t) for t in sorted({r[1] for r in qrows})])
-    hits = docs.select(
-        F.col(id_col),
-        F.explode(
-            F.array_intersect(
-                F.array_distinct(
-                    F.coalesce(
-                        tokens(F.col(text_col)),
-                        F.array().cast("array<string>"),
-                    )
-                ),
-                all_terms,
-            )
-        ).alias("term"),
+    distinct_toks = F.array_distinct(
+        F.coalesce(
+            tokens(F.col(text_col)), F.array().cast("array<string>")
+        )
     )
+    if engine == "literal":
+        all_terms = F.array(
+            *[F.lit(t) for t in sorted({r[1] for r in qrows})]
+        )
+        hits = docs.select(
+            F.col(id_col),
+            F.explode(
+                F.array_intersect(distinct_toks, all_terms)
+            ).alias("term"),
+        )
+    else:
+        # no literal term array: the broadcast qframe semi-filters
+        # the exploded distinct tokens in the join itself
+        hits = docs.select(
+            F.col(id_col), F.explode(distinct_toks).alias("term")
+        )
     return (
         hits.join(qframe, "term")
         .groupBy("query_id", F.col(id_col), "n_terms", "required")
@@ -1580,10 +1607,15 @@ def bm25_index_search(
     )
     pred = F.col("tb").isin(buckets) & F.col("term").isin(q_terms)
     tf = spark.read.parquet(f"{path}/postings").where(pred)
-    df_ = F.broadcast(
-        tf.groupBy("term").agg(F.count_distinct(F.col(id_col)).alias("df"))
-    )
-    contrib = tf.join(df_, "term").select(
+    # df(term) as a WINDOW count over the pruned postings themselves
+    # (one row per (id, term) by the index's append contract) — the
+    # former broadcast-groupBy form re-planned the postings subtree as
+    # df's input, a second (pruned) scan in every probe plan; the r9
+    # bm25_search df-window fix, applied to the index path (r11,
+    # caught by the wave-11 scan gate). Hash-identical scores.
+    contrib = tf.withColumn(
+        "df", F.count("*").over(Window.partitionBy("term"))
+    ).select(
         F.col(id_col),
         F.col("term"),
         (

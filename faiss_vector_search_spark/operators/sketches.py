@@ -70,12 +70,29 @@ def bigram_heavy_hitters(
     k: int = 20,
     max_tracked: int = 10000,
     text_col: str = "text",
+    tie_break: str = "sketch",
 ) -> DataFrame:
     """Top-k bigrams via the approx_top_k frequent-items sketch — the
     bounded-memory scale path for corpus n-gram stats: the exact
     groupBy(bigram) shuffles |distinct bigrams| rows (unbounded), the
-    sketch shuffles one ~max_tracked-entry summary per partition."""
+    sketch shuffles one ~max_tracked-entry summary per partition.
+
+    ``tie_break``: ``"sketch"`` returns the sketch's own k-boundary
+    order (cheapest); ``"lexical"`` (the r11 oracle-gated profile)
+    over-fetches 2k entries from the sketch, re-sorts by (count desc,
+    bigram asc) and cuts at k — a TOTAL deterministic order, so when
+    the sketch is exact (distinct bigrams ≤ max_tracked, the driver-
+    gate regime; counts are exact because nothing was ever evicted)
+    the result equals the exact SQL top-k under the same tie-break,
+    provided the boundary tie group fits in the 2k over-fetch
+    (pytest-gated on the corpus). At 100 TB counts are approximate
+    and the key's guarantee degrades to the sketch's — the documented
+    frequent-items posture, unchanged."""
     from ..functions.text import tokens
+
+    if tie_break not in ("sketch", "lexical"):
+        raise ValueError(f"unknown tie_break: {tie_break}")
+    fetch = 2 * k if tie_break == "lexical" else k
 
     # stage the token array as a COLUMN before the transform: the
     # lambda's element_at(toks, i+2) is an interpreted HOF body with
@@ -93,10 +110,12 @@ def bigram_heavy_hitters(
             " ", t, F.element_at(F.col("_toks"), i + 2)
         ),
     )
-    return (
+    out = (
         staged.select(F.explode(bigrams).alias("bigram"))
         .agg(
-            F.expr(f"approx_top_k(bigram, {k}, {max_tracked})").alias("top")
+            F.expr(
+                f"approx_top_k(bigram, {fetch}, {max_tracked})"
+            ).alias("top")
         )
         .select(F.explode("top").alias("e"))
         .select(
@@ -104,3 +123,8 @@ def bigram_heavy_hitters(
             F.col("e.count").alias("n"),
         )
     )
+    if tie_break == "lexical":
+        out = out.orderBy(
+            F.col("n").desc(), F.col("bigram").asc()
+        ).limit(k)
+    return out

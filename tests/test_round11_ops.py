@@ -322,3 +322,127 @@ class TestTrainingShardsNullText:
         assert sum(r["n_docs"] for r in rows) == 3
         assert sum(r["n_tokens"] for r in rows) == 4
         assert all(r["n_tokens"] >= 0 for r in rows)
+
+
+class TestHeavyHittersLexicalTieBreak:
+    """r10 verdict ask #7 promotion: tie_break='lexical' makes the
+    sketch's top-k a TOTAL deterministic order, equal to the exact
+    top-k whenever the sketch is exact."""
+
+    def test_equals_exact_topk_under_same_tiebreak(self, spark, sf_small):
+        from faiss_vector_search_spark.functions.text import tokens
+        from faiss_vector_search_spark.operators import sketches
+
+        docs = fio.load_table(spark, sf_small, "documents")
+        got = [
+            (r["bigram"], r["n"])
+            for r in sketches.bigram_heavy_hitters(
+                docs, k=20, tie_break="lexical"
+            ).collect()
+        ]
+        staged = docs.select(tokens(F.col("text")).alias("_toks"))
+        exact = (
+            staged.select(
+                F.explode(
+                    F.transform(
+                        F.slice(
+                            F.col("_toks"), 1,
+                            F.greatest(
+                                F.size("_toks") - 1, F.lit(0)
+                            ),
+                        ),
+                        lambda t, i: F.concat_ws(
+                            " ", t, F.element_at(F.col("_toks"), i + 2)
+                        ),
+                    )
+                ).alias("bigram")
+            )
+            .groupBy("bigram")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("bigram").asc())
+            .limit(20)
+            .collect()
+        )
+        assert got == [(r["bigram"], r["n"]) for r in exact]
+
+    def test_boundary_tie_group_fits_overfetch(self, spark, sf_small):
+        """The promotion's precondition, asserted on the corpus: every
+        bigram tied with the rank-k count must fit inside the 2k
+        over-fetch, else the lexical cut could differ from exact."""
+        from faiss_vector_search_spark.functions.text import tokens
+
+        docs = fio.load_table(spark, sf_small, "documents")
+        staged = docs.select(tokens(F.col("text")).alias("_toks"))
+        counts = (
+            staged.select(
+                F.explode(
+                    F.transform(
+                        F.slice(
+                            F.col("_toks"), 1,
+                            F.greatest(F.size("_toks") - 1, F.lit(0)),
+                        ),
+                        lambda t, i: F.concat_ws(
+                            " ", t, F.element_at(F.col("_toks"), i + 2)
+                        ),
+                    )
+                ).alias("bigram")
+            )
+            .groupBy("bigram")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("bigram").asc())
+            .limit(60)
+            .collect()
+        )
+        kth = counts[19]["n"]
+        n_at_or_above = sum(1 for r in counts if r["n"] >= kth)
+        assert n_at_or_above <= 40  # the 2k over-fetch covers the cut
+
+    def test_sketch_tiebreak_unchanged_and_bad_value_raises(
+        self, spark, sf_small
+    ):
+        import pytest as _pytest
+
+        from faiss_vector_search_spark.operators import sketches
+
+        docs = fio.load_table(spark, sf_small, "documents")
+        assert sketches.bigram_heavy_hitters(docs, k=5).count() == 5
+        with _pytest.raises(ValueError):
+            sketches.bigram_heavy_hitters(docs, k=5, tie_break="x")
+
+
+class TestPercolateJoinEngine:
+    """r10 verdict ask #6: the broadcast-join term-frame variant for
+    the 1k-10k standing-query regime — identical output to the
+    literal-array form."""
+
+    def test_engines_agree(self, spark, sf_small):
+        from faiss_vector_search_spark.operators import lexical
+
+        docs = fio.load_table(spark, sf_small, "documents")
+        queries = [
+            ("q_bw", "batch window"),
+            ("q_vs", "vector stream"),
+            ("q_hfb", "hash fast batch"),
+        ]
+        for msm in (1.0, 0.5):
+            lit = {
+                tuple(r)
+                for r in lexical.percolate(
+                    docs, queries, min_should_match=msm,
+                    engine="literal",
+                ).collect()
+            }
+            join = {
+                tuple(r)
+                for r in lexical.percolate(
+                    docs, queries, min_should_match=msm, engine="join"
+                ).collect()
+            }
+            assert lit == join
+
+    def test_bad_engine_raises(self, spark, sf_small):
+        from faiss_vector_search_spark.operators import lexical
+
+        docs = fio.load_table(spark, sf_small, "documents")
+        with pytest.raises(ValueError):
+            lexical.percolate(docs, [("q", "a b")], engine="x")
