@@ -66,10 +66,11 @@ def final_summary_line(summary: dict, timings: dict[str, float],
     return line
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-
+def build_headline(cpus: str = "32") -> dict:
+    """The bench's (key -> callable(spark, sf_dir)) map, importable so
+    scripts/floor_protocol.py measures EXACTLY the bench's queries
+    under the interleaved-sanity floor protocol (r10 verdict ask #1).
+    Session-independent: every callable takes (spark, sf_dir)."""
     from pyspark.sql import functions as F
 
     import __spark_entry__ as entrymod
@@ -84,14 +85,6 @@ def main() -> None:
     )
     from faiss_vector_search_spark.operators import classifier as clf_mod
     from faiss_vector_search_spark.operators import lm as lm_mod
-    from faiss_vector_search_spark.session import get_spark
-
-    spark = get_spark(
-        app_name="fvs-bench",
-        master=f"local[{cpus}]",
-        shuffle_partitions=int(cpus),
-    )
-    spark.sparkContext.setLogLevel("ERROR")
 
     # Oracle-profile queries reused as-is (already production-shaped).
     qs = entrymod.queries()
@@ -649,6 +642,23 @@ def main() -> None:
             fio.load_table(spark, sf, "documents"), hash_fn="xxhash64",
         ),
     }
+    return headline
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from faiss_vector_search_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="fvs-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    headline = build_headline(cpus)
 
     # Scaling-sweep knobs (default: off — the driver's per-round run
     # measures every key). SPARK_GRAFT_SKIP / SPARK_GRAFT_ONLY take
