@@ -637,6 +637,9 @@ def build_headline(cpus: str = "32") -> dict:
         # pruned posting-bucket scoring (index build amortized in the
         # entry's per-SF cache, the bm25_index_search posture)
         "fuzzy_index_search": qs["fuzzy_index_search"],
+        # r11: Dirichlet QL served index-only (the LM-family twin of
+        # bm25_index_search; same amortized per-SF index)
+        "ql_index_search": qs["ql_index_search"],
         # production hash profile (xxhash64 split assignment)
         "split_kl": lambda spark, sf: lm_mod.split_kl_report(
             fio.load_table(spark, sf, "documents"), hash_fn="xxhash64",

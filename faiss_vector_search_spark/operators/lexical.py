@@ -1659,6 +1659,92 @@ def bm25_index_search(
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
+def ql_index_search(
+    spark,
+    path: str,
+    query_text: str,
+    k: int = 10,
+    mu: float = 1000.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dirichlet query-likelihood top-k served ENTIRELY from the
+    persisted inverted index — the LM-family twin of
+    :func:`bm25_index_search` (r11; completes the index-serving
+    ladder: BM25 #158, fuzzy #214, QL here). Score-identical to
+    :func:`ql_search` over the same corpus by construction: every
+    statistic the Dirichlet form needs lives in the index exactly —
+    tf/dl per (doc, term) in the postings, ctf(t) = Σ tf over the
+    term's (single-partition) postings, |C| = ``_meta.sum_dl``, and
+    |q_eff| = query terms with any posting — and the sorted
+    contribution fold is the same, so the scan-form oracle gates the
+    persisted path end to end.
+
+    Scale: ctf and |q_eff| come from ONE bounded aggregation over the
+    PRUNED postings scan (PartitionFilters to the query's term
+    buckets + pushed ``term IN``) that collects query-sized rows (the
+    probe-map convention — ql_search's stats pass costs a corpus
+    scan; this costs the query terms' posting lists); the scoring
+    plan is then a second pruned scan with ctf/|q_eff| as literals.
+    The corpus text is never read."""
+    meta = spark.read.parquet(f"{path}/_meta").first()
+    q_terms = query_terms(query_text)
+    if not q_terms:
+        raise ValueError("empty query")
+    buckets = sorted(
+        {
+            int(r.tb)
+            for r in spark.createDataFrame(
+                [(t,) for t in q_terms], "term string"
+            )
+            .select(_term_bucket(F.col("term"), meta.hash_fn).alias("tb"))
+            .collect()
+        }
+    )
+    pred = F.col("tb").isin(buckets) & F.col("term").isin(q_terms)
+    tf = spark.read.parquet(f"{path}/postings").where(pred)
+    ctf_rows = (
+        tf.groupBy("term").agg(F.sum("tf").cast("double").alias("ctf"))
+        .collect()
+    )
+    if not ctf_rows:
+        return spark.range(0).select(
+            F.col("id").alias(id_col), F.lit(0.0).alias("score")
+        )
+    ctf = {r["term"]: float(r["ctf"]) for r in ctf_rows}
+    n_q_eff = len(ctf)  # query terms with any posting
+    c_len = float(int(meta.sum_dl))
+    ctf_map = F.create_map(
+        *[c for t in sorted(ctf) for c in (F.lit(t), F.lit(ctf[t]))]
+    )
+    contrib = tf.select(
+        F.col(id_col),
+        F.col("term"),
+        F.col("dl"),
+        F.log(
+            1.0
+            + F.col("tf")
+            / (mu * F.element_at(ctf_map, F.col("term")) / F.lit(c_len))
+        ).alias("c"),
+    )
+    scored = (
+        contrib.groupBy(id_col, "dl")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("term", "c"))).alias("cs")
+        )
+        .select(
+            F.col(id_col),
+            F.round(
+                F.aggregate(
+                    F.col("cs"), F.lit(0.0), lambda acc, x: acc + x["c"]
+                )
+                + F.lit(n_q_eff) * F.log(mu / (F.col("dl") + mu)),
+                SCORE_DECIMALS,
+            ).alias("score"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
 def fuzzy_index_search(
     spark,
     path: str,

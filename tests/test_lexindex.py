@@ -161,3 +161,53 @@ class TestFuzzyIndexProbe:
             spark, path, "zzznewterms", k=5, max_dist=1
         ).collect()
         assert [r["doc_id"] for r in hit] == [900001]
+
+
+class TestQLIndexProbe:
+    """r11 #216: Dirichlet QL served from the persisted index —
+    score-identical to the scan form (same exact tf/dl/ctf/|C|
+    integers, same sorted fold)."""
+
+    def test_matches_scan_form(self, spark, built):
+        docs, path = built
+        direct = lexical.ql_search(docs, QUERY, k=10, mu=1000.0).collect()
+        probed = lexical.ql_index_search(
+            spark, path, QUERY, k=10, mu=1000.0
+        ).collect()
+        assert [(r["doc_id"], r["score"]) for r in direct] == [
+            (r["doc_id"], r["score"]) for r in probed
+        ]
+
+    def test_matches_after_append(self, spark, sf_small, tmp_path):
+        docs = fio.load_table(spark, sf_small, "documents")
+        path = str(tmp_path / "idx")
+        lexical.lexical_index_save(docs.where("doc_id % 2 = 0"), path)
+        lexical.lexical_index_append(docs.where("doc_id % 2 = 1"), path)
+        direct = lexical.ql_search(docs, QUERY, k=10).collect()
+        probed = lexical.ql_index_search(spark, path, QUERY, k=10).collect()
+        assert [(r["doc_id"], r["score"]) for r in direct] == [
+            (r["doc_id"], r["score"]) for r in probed
+        ]
+
+    def test_disjoint_query_empty_and_blank_raises(self, spark, built):
+        _docs, path = built
+        out = lexical.ql_index_search(
+            spark, path, "zzzzqqqq wwwwvvvv", k=5
+        )
+        assert out.count() == 0
+        assert out.columns == ["doc_id", "score"]
+        with pytest.raises(ValueError):
+            lexical.ql_index_search(spark, path, "   ", k=5)
+
+    def test_probe_plan_is_pruned_single_scan(self, spark, built):
+        _docs, path = built
+        df = lexical.ql_index_search(spark, path, QUERY, k=10)
+        plan = df._jdf.queryExecution().executedPlan().toString().split(
+            "Initial Plan")[0]
+        assert plan.count("Scan parquet") == 1
+        scan = next(
+            ln for ln in plan.splitlines()
+            if "Scan parquet" in ln and "postings" in ln
+        )
+        assert "PartitionFilters: [" in scan
+        assert "tb" in scan.split("PartitionFilters:")[1][:200]
