@@ -85,3 +85,38 @@ def positional_windows(toks: Column, w: int) -> Column:
             ).alias("gram"),
         ),
     )
+
+
+def token_hashes(toks: Column, seed: int = 0) -> Column:
+    """Per-token xxhash64 array — stage this as a REAL column before
+    feeding :func:`positional_window_hashes` (an inline subexpression
+    would be re-evaluated per window position by the interpreted
+    higher-order-function lambda: O(|toks|²) hash calls)."""
+    return F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed)))
+
+
+def positional_window_hashes(staged: Column, w: int) -> Column:
+    """(pos, gh) structs: the xxhash64 of every w-token window, 1-based
+    position — :func:`positional_windows` fused with the gram hash for
+    the PRODUCTION profile. ``staged`` is a materialized
+    :func:`token_hashes` column; the window hash is one fixed-width
+    ``xxhash64(h_i..h_{i+w-1})`` over w longs per position, instead of
+    allocating a w-token gram string and re-hashing ~w tokens of bytes
+    at every position. Same 64-bit gram identity (two windows collide
+    iff their token-hash tuples collide), measured ~1.4× faster per
+    corpus pass at sf0.1 — and span-dedup runs this pipeline twice
+    (dictionary pass + join-back pass), so the saving doubles. The md5
+    (oracle) profile keeps the string-gram path: its gh values are
+    pinned by the DuckDB oracle."""
+    k = F.size(staged) - (w - 1)
+    return F.transform(
+        F.when(k <= 0, F.array().cast("array<int>")).otherwise(
+            F.sequence(F.lit(1), k)
+        ),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.xxhash64(
+                *[F.element_at(staged, i + j) for j in range(w)]
+            ).alias("gh"),
+        ),
+    )
