@@ -55,9 +55,15 @@ def embed_documents(
     hash_fn: str = "md5",
     model: str = "hash",
     batch_size: int = 64,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(doc_id, embedding: array<double>) — L2-normalized like
     encode(normalize_embeddings=True).
+
+    ``keep_cols`` (model="numpy" only): extra input columns forwarded
+    through the Arrow slot unchanged — lets a two-stage caller carry
+    its stage-1 score through the model pass instead of re-joining the
+    corpus-scale stage-1 plan a second time.
 
     ``model`` selects the embedding implementation:
 
@@ -85,8 +91,10 @@ def embed_documents(
     """
     if model == "numpy":
         return _embed_documents_numpy(
-            docs, dim, id_col, text_col, batch_size
+            docs, dim, id_col, text_col, batch_size, keep_cols
         )
+    if keep_cols:
+        raise ValueError("keep_cols is only supported with model='numpy'")
     if model.startswith("st:"):
         return _embed_documents_st(
             docs, model[3:], id_col, text_col, batch_size
@@ -154,8 +162,33 @@ def md5_featurize(texts, dim: int):
     return x
 
 
+def numpy_forward(x, W1, b1, W2):
+    """The committed tiny-MLP forward pass (normalize → residual head
+    → renormalize) — module-level so the per-batch kernel and the
+    driver-side single-query path run EXACTLY the same math."""
+    import numpy as np
+
+    xn = np.linalg.norm(x, axis=1, keepdims=True)
+    x = np.divide(x, xn, out=np.zeros_like(x), where=xn > 0)
+    e = x + 0.5 * (np.tanh(x @ W1 + b1) @ W2)
+    e[(xn == 0).ravel()] = 0.0
+    en = np.linalg.norm(e, axis=1, keepdims=True)
+    return np.divide(e, en, out=np.zeros_like(e), where=en > 0)
+
+
+def query_embedding_numpy(query_text: str, dim: int = 64) -> list:
+    """One text through the numpy model ON THE DRIVER — for two-stage
+    rerankers that fold the query vector into the plan as a literal
+    instead of spending a 1-row mapInPandas stage (and its broadcast +
+    crossJoin) per call."""
+    return numpy_forward(
+        md5_featurize([query_text], dim), *_mlp_weights()
+    )[0].tolist()
+
+
 def _embed_documents_numpy(
-    docs: DataFrame, dim: int, id_col: str, text_col: str, batch_size: int
+    docs: DataFrame, dim: int, id_col: str, text_col: str,
+    batch_size: int, keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The learned-model embedding path: tokenize + featurize + MLP
     forward INSIDE the Arrow batch iterator, mirroring how a
@@ -183,19 +216,14 @@ def _embed_documents_numpy(
         return x
 
     def forward(x: "np.ndarray") -> "np.ndarray":
-        xn = np.linalg.norm(x, axis=1, keepdims=True)
-        x = np.divide(x, xn, out=np.zeros_like(x), where=xn > 0)
         # residual head: e = x + 0.5·MLP(x). A from-scratch random
         # projection would scramble cosine neighborhoods; the residual
         # keeps them correlated with the input features (pytest-gated
         # topk stability) while still exercising a real forward pass —
-        # the shape fine-tuned encoders actually have.
-        e = x + 0.5 * (np.tanh(x @ W1 + b1) @ W2)
-        # no-token rows (NULL/empty text) stay exactly zero: a zero
-        # vector scores cos=0 everywhere, so empty docs never match
-        e[(xn == 0).ravel()] = 0.0
-        en = np.linalg.norm(e, axis=1, keepdims=True)
-        return np.divide(e, en, out=np.zeros_like(e), where=en > 0)
+        # the shape fine-tuned encoders actually have. No-token rows
+        # (NULL/empty text) stay exactly zero: a zero vector scores
+        # cos=0 everywhere, so empty docs never match.
+        return numpy_forward(x, W1, b1, W2)
 
     def encode_batches(batches):
         for pdf in batches:
@@ -206,13 +234,18 @@ def _embed_documents_numpy(
             for lo in range(0, len(pdf), batch_size):
                 chunk = pdf.iloc[lo:lo + batch_size]
                 emb = forward(featurize(chunk[text_col].tolist()))
-                yield pd.DataFrame(
-                    {id_col: chunk[id_col].values,
-                     "embedding": list(emb)}
-                )
+                out = {id_col: chunk[id_col].values, "embedding": list(emb)}
+                for c in keep_cols:
+                    out[c] = chunk[c].values
+                yield pd.DataFrame(out)
 
-    return docs.select(id_col, text_col).mapInPandas(
-        encode_batches, schema=f"{id_col} long, embedding array<double>"
+    keep_schema = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in docs.schema.fields if f.name in keep_cols
+    )
+    return docs.select(id_col, text_col, *keep_cols).mapInPandas(
+        encode_batches,
+        schema=f"{id_col} long, embedding array<double>{keep_schema}",
     )
 
 

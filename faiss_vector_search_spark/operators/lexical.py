@@ -68,7 +68,7 @@ def bm25_search(
     # not corpus tokens, and the old full-corpus dl groupBy shuffle is
     # gone entirely (dl rides the tf grouping key, functionally
     # dependent on the doc id).
-    qlit = F.array(*[F.lit(t) for t in q_terms])
+    qset = list(q_terms)
     tokd = docs.select(
         F.col(id_col),
         F.coalesce(
@@ -99,7 +99,12 @@ def bm25_search(
         F.col(id_col),
         F.col("dl"),
         F.filter(
-            F.col("_toks"), lambda t: F.array_contains(qlit, t)
+            # IN on a literal term list, not array_contains: above the
+            # optimizer's inSetConversionThreshold the In folds to an
+            # InSet hash probe per token instead of a linear scan of
+            # the term array (measured 0.53->0.45 s on the 16-term
+            # suite match pass at sf0.1; identical match sets)
+            F.col("_toks"), lambda t: t.isin(*qset)
         ).alias("_m"),
     ).where(F.size("_m") > 0)
     tf = (
@@ -224,7 +229,7 @@ def bm25_search_multi(
             F.lit("").alias(tag_col), F.col(id_col),
             F.lit(0.0).alias("score"), F.lit(0).alias("rank"),
         )
-    qlit = F.array(*[F.lit(t) for t in all_terms])
+    qset = list(all_terms)
     tokd = docs.select(
         F.col(id_col),
         F.coalesce(
@@ -254,7 +259,12 @@ def bm25_search_multi(
         F.col(id_col),
         F.col("dl"),
         F.filter(
-            F.col("_toks"), lambda t: F.array_contains(qlit, t)
+            # IN on a literal term list, not array_contains: above the
+            # optimizer's inSetConversionThreshold the In folds to an
+            # InSet hash probe per token instead of a linear scan of
+            # the term array (measured 0.53->0.45 s on the 16-term
+            # suite match pass at sf0.1; identical match sets)
+            F.col("_toks"), lambda t: t.isin(*qset)
         ).alias("_m"),
     ).where(F.size("_m") > 0)
     tf = (
@@ -461,7 +471,7 @@ def ql_search(
         return docs.select(F.col(id_col)).limit(0).withColumn(
             "score", F.lit(0.0)
         )
-    qlit = F.array(*[F.lit(t) for t in q_terms])
+    qset = list(q_terms)
     tokd = docs.select(
         F.col(id_col),
         F.coalesce(
@@ -493,7 +503,12 @@ def ql_search(
         F.col(id_col),
         F.col("dl"),
         F.filter(
-            F.col("_toks"), lambda t: F.array_contains(qlit, t)
+            # IN on a literal term list, not array_contains: above the
+            # optimizer's inSetConversionThreshold the In folds to an
+            # InSet hash probe per token instead of a linear scan of
+            # the term array (measured 0.53->0.45 s on the 16-term
+            # suite match pass at sf0.1; identical match sets)
+            F.col("_toks"), lambda t: t.isin(*qset)
         ).alias("_m"),
     ).where(F.size("_m") > 0)
     tf = (
@@ -729,7 +744,7 @@ def ql_search_multi(
         )
         for tag, _ in qlist
     }
-    qlit = F.array(*[F.lit(t) for t in all_terms])
+    qset = list(all_terms)
     tokd = docs.select(
         F.col(id_col),
         F.coalesce(
@@ -742,7 +757,12 @@ def ql_search_multi(
         F.col(id_col),
         F.col("dl"),
         F.filter(
-            F.col("_toks"), lambda t: F.array_contains(qlit, t)
+            # IN on a literal term list, not array_contains: above the
+            # optimizer's inSetConversionThreshold the In folds to an
+            # InSet hash probe per token instead of a linear scan of
+            # the term array (measured 0.53->0.45 s on the 16-term
+            # suite match pass at sf0.1; identical match sets)
+            F.col("_toks"), lambda t: t.isin(*qset)
         ).alias("_m"),
     ).where(F.size("_m") > 0)
     tf = (
@@ -823,7 +843,7 @@ def bm25_search_weighted(
         return docs.select(F.col(id_col)).limit(0).withColumn(
             "score", F.lit(0.0)
         )
-    qlit = F.array(*[F.lit(t) for t in q_terms])
+    qset = list(q_terms)
     wmap = F.create_map(
         *[c for t in q_terms for c in (F.lit(t), F.lit(float(term_weights[t])))]
     )
@@ -851,7 +871,12 @@ def bm25_search_weighted(
         F.col(id_col),
         F.col("dl"),
         F.filter(
-            F.col("_toks"), lambda t: F.array_contains(qlit, t)
+            # IN on a literal term list, not array_contains: above the
+            # optimizer's inSetConversionThreshold the In folds to an
+            # InSet hash probe per token instead of a linear scan of
+            # the term array (measured 0.53->0.45 s on the 16-term
+            # suite match pass at sf0.1; identical match sets)
+            F.col("_toks"), lambda t: t.isin(*qset)
         ).alias("_m"),
     ).where(F.size("_m") > 0)
     tf = (

@@ -142,9 +142,14 @@ def cross_encoder_rerank(
         docs, query_text, dim=dim, k=shortlist, hash_fn=hash_fn,
         id_col=id_col, text_col=text_col,
     ).withColumnRenamed("score", "score_stage1")
-    sub = docs.join(
-        F.broadcast(stage1.select(id_col)), id_col, "left_semi"
-    ).select(id_col, text_col)
+    # ONE broadcast of stage1 serves both the shortlist pruning and
+    # the score_stage1 attachment (same single-plan-entry restructure
+    # as model_rerank): the pair scorer forwards score_stage1 through
+    # the Arrow slot instead of re-joining the corpus-scale stage-1
+    # plan a second time.
+    sub = docs.join(F.broadcast(stage1), id_col, "inner").select(
+        id_col, text_col, "score_stage1"
+    )
 
     W1, b1, w2 = _cross_weights()
 
@@ -166,12 +171,14 @@ def cross_encoder_rerank(
                 s = u @ qu + 0.1 * (np.tanh(pair @ W1 + b1) @ w2)
                 yield pd.DataFrame(
                     {id_col: chunk[id_col].values,
+                     "score_stage1": chunk["score_stage1"].values,
                      "score_model": np.round(s, 6)}
                 )
 
     scored = sub.mapInPandas(
-        score_batches, schema=f"{id_col} long, score_model double"
-    ).join(F.broadcast(stage1), id_col)
+        score_batches,
+        schema=f"{id_col} long, score_stage1 double, score_model double",
+    )
     w = W.orderBy(F.col("score_model").desc(), F.col(id_col).asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -221,30 +228,33 @@ def model_rerank(
         docs, query_text, dim=dim, k=shortlist, hash_fn=hash_fn,
         id_col=id_col, text_col=text_col,
     ).withColumnRenamed("score", "score_stage1")
-    sub = docs.join(
-        F.broadcast(stage1.select(id_col)), id_col, "left_semi"
+    # ONE broadcast of stage1 serves both the shortlist pruning and
+    # the score_stage1 attachment: the former semi-join + final
+    # re-join pair planned the corpus-scale stage-1 aggregation TWICE
+    # (two TakeOrdered branches over the shared exchange). The inner
+    # join attaches score_stage1 up front and the model slot forwards
+    # it (keep_cols), so stage1 enters the plan exactly once.
+    sub = docs.join(F.broadcast(stage1), id_col, "inner").select(
+        id_col, text_col, "score_stage1"
     )
     demb = embed_mod.embed_documents(
         sub, dim=dim, id_col=id_col, text_col=text_col,
         model="numpy", batch_size=batch_size,
+        keep_cols=("score_stage1",),
     )
-    spark = docs.sparkSession
-    qdf = spark.createDataFrame(
-        [(0, query_text)], f"{id_col} long, {text_col} string"
-    )
-    qemb = embed_mod.embed_documents(
-        qdf, dim=dim, id_col=id_col, text_col=text_col, model="numpy"
-    ).select(F.col("embedding").alias("_qv"))
+    # the query embeds DRIVER-side (one text through the same numpy
+    # forward the kernel runs) and folds into the plan as a literal:
+    # the former 1-row createDataFrame → mapInPandas → broadcast →
+    # crossJoin chain spent a whole Python stage per call on it
+    qv = embed_mod.query_embedding_numpy(query_text, dim)
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
     from ..functions import vector as V
 
-    rescored = (
-        demb.crossJoin(F.broadcast(qemb))
-        .select(
-            F.col(id_col),
-            F.round(V.ip_score(F.col("embedding"), F.col("_qv")), 6)
-            .alias("score_model"),
-        )
-        .join(F.broadcast(stage1), id_col)
+    rescored = demb.select(
+        F.col(id_col),
+        F.col("score_stage1"),
+        F.round(V.ip_score(F.col("embedding"), qlit), 6)
+        .alias("score_model"),
     )
     w = W.orderBy(F.col("score_model").desc(), F.col(id_col).asc())
     return (
