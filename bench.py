@@ -586,10 +586,16 @@ def build_headline(cpus: str = "32") -> dict:
         "training_shards": qs["training_shards"],
         "self_similarity": qs["self_similarity"],
         "dataset_card": qs["dataset_card"],
-        # production hash profile for the winnow pipeline
+        # production hash profile for the winnow pipeline; engine=
+        # "arrow" (r11) runs the SAME xxhash64 family vectorized
+        # (functions/xxh.py reproduces Spark's XXH64 bit-for-bit;
+        # output byte-identical, gated in tests/test_opt_r11.py) —
+        # the in-row form paid one interpreted hash expression per
+        # char position, 2.6 s of the key's 2.45-2.62 s at sf0.1
         "fingerprint_overlap": lambda spark, sf: textstats.fingerprint_overlap_search(
             fio.load_table(spark, sf, "documents"),
             query_doc_id=7, gram=8, w=4, min_shared=2, hash_fn="xxhash64",
+            engine="arrow",
         ),
         "cross_domain_dups": lambda spark, sf: dedup.cross_domain_dup_report(
             fio.load_table(spark, sf, "documents"),

@@ -1,0 +1,245 @@
+"""Round-11 optimization gates: every engine/plan rewrite this round
+must produce BYTE-IDENTICAL output to the form it replaced. These
+tests pin that equality on the sf0.001 fixtures plus adversarial
+inputs, so a future edit cannot silently trade correctness for speed.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from faiss_vector_search_spark import io as fio
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return fio.load_table(spark, SF, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return fio.load_table(spark, SF, "embeddings")
+
+
+class TestSparkXxhash64Replica:
+    """functions/xxh.py must equal F.xxhash64 bit-for-bit — the
+    foundation under the vectorized winnow engine."""
+
+    CASES = [
+        "", "x", "abcdefgh", "sevench", "12345678",
+        "abcdefghijklmnopqrstuvwxyz0123456789ABCDEF",
+        "exactly32bytes_exactly32bytes_32",
+        "ünïcødé-grams", "emoji \U0001f600 tail", "a" * 100,
+    ]
+
+    def test_matches_spark_expression(self, spark):
+        from faiss_vector_search_spark.functions.xxh import (
+            spark_xxhash64_str,
+        )
+
+        df = spark.createDataFrame([(s,) for s in self.CASES], "s string")
+        rows = df.select(
+            "s",
+            F.xxhash64("s", F.lit(11)).alias("h11"),
+            F.xxhash64("s", F.lit(0)).alias("h0"),
+        ).collect()
+        for r in rows:
+            assert spark_xxhash64_str(r.s, 11) == r.h11, repr(r.s)
+            assert spark_xxhash64_str(r.s, 0) == r.h0, repr(r.s)
+
+    def test_vectorized_fixed_matches_reference(self):
+        import numpy as np
+
+        from faiss_vector_search_spark.functions.xxh import (
+            xxh64_bytes,
+            xxh64_fixed_np,
+            xxh64_int_chain,
+            xxh64_int_chain_np,
+        )
+
+        data = b"the quick brown fox jumps over the lazy dog 0123456789"
+        for k in (1, 3, 4, 5, 8, 11, 16, 31):
+            arr = np.frombuffer(data, dtype=np.uint8)
+            grams = np.lib.stride_tricks.sliding_window_view(arr, k)
+            h1 = xxh64_fixed_np(grams, 42)
+            want = [
+                xxh64_bytes(data[i:i + k], 42)
+                for i in range(len(data) - k + 1)
+            ]
+            assert [int(x) for x in h1] == want, f"k={k}"
+            chained = xxh64_int_chain_np(h1, 11)
+            want2 = [xxh64_int_chain(h, 11) for h in want]
+            assert [int(x) for x in chained] == want2, f"k={k} chain"
+
+
+class TestWinnowArrowXxEngine:
+    """winnow_fp_sets_arrow_xx == the SQL xxhash64 winnow, as SETS per
+    doc, on the corpus fixture and adversarial shapes."""
+
+    def _sets(self, df):
+        return {
+            r[0]: sorted(set(r[1])) if r[1] is not None else []
+            for r in df.collect()
+        }
+
+    def test_corpus_fingerprints_identical(self, spark, docs):
+        from faiss_vector_search_spark.operators import textstats
+
+        a = self._sets(
+            textstats.winnow_fp_sets(docs, 8, 4, "doc_id", "text", "xxhash64")
+        )
+        b = self._sets(
+            textstats.winnow_fp_sets_arrow_xx(docs, 8, 4, "doc_id", "text")
+        )
+        assert a == b
+
+    def test_adversarial_shapes(self, spark):
+        from faiss_vector_search_spark.operators import textstats
+
+        adv = [
+            (1, None), (2, ""), (3, "short"), (4, "x" * 7), (5, "x" * 8),
+            (6, "ünïcødé gräms ünïcødé gräms and more of them here"),
+            (7, "mixed ascii then ünïcødé tail"), (8, "a" * 300),
+        ]
+        df = spark.createDataFrame(adv, "doc_id long, text string")
+        from_sql = self._sets(
+            textstats.winnow_fp_sets(df, 8, 4, "doc_id", "text", "xxhash64")
+        )
+        from_arrow = self._sets(
+            textstats.winnow_fp_sets_arrow_xx(df, 8, 4, "doc_id", "text")
+        )
+        assert from_sql == from_arrow
+
+    def test_overlap_search_engines_equal(self, spark, docs):
+        from faiss_vector_search_spark.operators import textstats
+
+        kw = dict(query_doc_id=7, gram=8, w=4, min_shared=2,
+                  hash_fn="xxhash64")
+        a = [tuple(r) for r in textstats.fingerprint_overlap_search(
+            docs, engine="sql", **kw).collect()]
+        b = [tuple(r) for r in textstats.fingerprint_overlap_search(
+            docs, engine="arrow", **kw).collect()]
+        assert a == b and len(a) > 0
+
+    def test_arrow_rejects_md5(self, docs):
+        from faiss_vector_search_spark.operators import textstats
+
+        with pytest.raises(ValueError, match="oracle profile"):
+            textstats.fingerprint_overlap_search(
+                docs, query_doc_id=7, hash_fn="md5", engine="arrow"
+            )
+
+
+class TestSpanWindowHashes:
+    """The xxhash64 token-hash-combine window hasher must find the
+    same spans as the string-gram form it replaced."""
+
+    def test_repeated_spans_same_as_string_grams(self, spark, docs):
+        from faiss_vector_search_spark.functions.hashing import hashed
+        from faiss_vector_search_spark.functions.text import (
+            positional_windows,
+            tokens,
+        )
+        from faiss_vector_search_spark.operators import dedup
+
+        tokd = docs.select(
+            F.col("doc_id"), tokens(F.col("text")).alias("_toks")
+        ).where(F.size("_toks") >= 8)
+        wins_str = tokd.select(
+            F.col("doc_id"),
+            F.explode(positional_windows(F.col("_toks"), 8)).alias("t"),
+        ).select(
+            F.col("doc_id"),
+            F.col("t.pos").cast("bigint").alias("pos"),
+            hashed(F.col("t.gram"), seed=0, hash_fn="xxhash64").alias("gh"),
+        )
+        rep = (wins_str.groupBy("gh").agg(F.count("*").alias("c"))
+               .where("c >= 2").select("gh"))
+        want = sorted(
+            map(tuple, wins_str.join(rep, "gh")
+                .select("doc_id", "pos").collect())
+        )
+        got_wins = dedup._span_window_hashes(
+            docs.select(
+                F.col("doc_id"), tokens(F.col("text")).alias("_toks")
+            ).where(F.size("_toks") >= 8),
+            8, "doc_id", "xxhash64",
+        )
+        rep2 = (got_wins.groupBy("gh").agg(F.count("*").alias("c"))
+                .where("c >= 2").select("gh"))
+        got = sorted(
+            map(tuple, got_wins.join(rep2, "gh")
+                .select("doc_id", "pos").collect())
+        )
+        assert want == got and len(got) > 0
+
+
+class TestPcaAssignArrow:
+    """pca_ivf_search engine='arrow' (fused BLAS project+assign) must
+    return the same rows as the declarative engine."""
+
+    def test_engines_equal_full_and_partial_probe(self, spark, emb):
+        from faiss_vector_search_spark.operators import transform
+
+        q = emb.where(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("query_vec")
+        )
+        for nprobe, shortlist in ((16, 100), (4, 50)):
+            a = [tuple(r) for r in transform.pca_ivf_search(
+                emb, q, out_dim=16, nlist=16, nprobe=nprobe, k=10,
+                shortlist=shortlist, engine="sql").collect()]
+            b = [tuple(r) for r in transform.pca_ivf_search(
+                emb, q, out_dim=16, nlist=16, nprobe=nprobe, k=10,
+                shortlist=shortlist, engine="arrow").collect()]
+            assert a == b and len(a) == 10
+
+
+class TestTermMatchInSet:
+    """The IN-list term match must select exactly the docs/terms the
+    array_contains form selected (BM25 scores are downstream of the
+    match set, so score equality covers it)."""
+
+    def test_bm25_multi_matches_single(self, spark, docs):
+        from faiss_vector_search_spark.operators import lexical
+
+        queries = [("a", "batch window vector"), ("b", "hash fast stream")]
+        multi = lexical.bm25_search_multi(docs, queries, k=10)
+        for tag, qtext in queries:
+            single = [
+                (r["doc_id"], r["score"])
+                for r in lexical.bm25_search(docs, qtext, k=10).collect()
+            ]
+            got = [
+                (r["doc_id"], r["score"])
+                for r in multi.where(F.col("query_tag") == tag)
+                .orderBy("rank").collect()
+            ]
+            assert single == got
+
+
+class TestRerankSinglePlanEntry:
+    """model_rerank / cross_encoder_rerank keep their output contract
+    after the stage-1 single-plan-entry restructure."""
+
+    def test_model_rerank_rows(self, spark, docs):
+        from faiss_vector_search_spark.operators import rerank
+
+        out = rerank.model_rerank(
+            docs, "batch window vector hash fast stream", k=5, shortlist=20
+        ).collect()
+        assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+        assert all(r["score_stage1"] is not None for r in out)
+        scores = [r["score_model"] for r in out]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_cross_rerank_rows(self, spark, docs):
+        from faiss_vector_search_spark.operators import rerank
+
+        out = rerank.cross_encoder_rerank(
+            docs, "batch window vector hash fast stream", k=5, shortlist=20
+        ).collect()
+        assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+        assert all(r["score_stage1"] is not None for r in out)
