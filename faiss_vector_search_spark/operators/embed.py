@@ -524,21 +524,36 @@ def chunk_text_search(
     """
     from .chunking import chunk_greedy
 
-    chunks = chunk_greedy(
-        docs, min_size, max_size, overlap, id_col=id_col, text_col=text_col
-    )
-    keyed = chunks.select(
-        F.struct(
-            F.col(id_col).alias("d"), F.col("chunk_id").alias("c")
-        ).alias("_ckey"),
-        F.col("chunk"),
-    )
+    def keyed_chunks(side):
+        return chunk_greedy(
+            side, min_size, max_size, overlap, id_col=id_col,
+            text_col=text_col,
+        ).select(
+            F.struct(
+                F.col(id_col).alias("d"), F.col("chunk_id").alias("c")
+            ).alias("_ckey"),
+            F.col("chunk"),
+        )
+
     hits = text_search(
-        keyed, query_text, dim=dim, k=k, hash_fn=hash_fn,
+        keyed_chunks(docs), query_text, dim=dim, k=k, hash_fn=hash_fn,
         id_col="_ckey", text_col="chunk",
     )
+    # text recovery re-chunks ONLY the k hit documents: the semi-join
+    # on the (broadcast, k-row) hit list prunes the doc scan BEFORE the
+    # chunker, where the former join-back branch re-ran the Arrow
+    # chunker over the whole corpus to keep k rows of it (chunking is
+    # per-doc, so the subset's chunks are identical). At query time
+    # against a persisted chunk index this branch is an id-lookup; the
+    # one-call form now approximates that cost instead of a second
+    # corpus pass.
+    hit_docs = docs.join(
+        F.broadcast(hits.select(F.col("_ckey.d").alias(id_col))),
+        id_col,
+        "left_semi",
+    )
     return (
-        keyed.join(F.broadcast(hits), "_ckey")
+        keyed_chunks(hit_docs).join(F.broadcast(hits), "_ckey")
         .select(
             F.col("_ckey.d").alias(id_col),
             F.col("_ckey.c").alias("chunk_id"),

@@ -160,10 +160,15 @@ class TestSoleReturnedSupplier:
         }
         assert got == expected
 
-    def test_plan_has_semi_and_anti_joins(self, tabs):
+    def test_plan_single_scan_no_self_joins(self, tabs):
+        # r11 rewrite: the EXISTS + NOT EXISTS self-join pair is a
+        # per-order decision, so the plan is ONE lineitem scan feeding
+        # stacked aggregations — no semi/anti self-joins, no repeated
+        # scans (the former shape read lineitem three times)
         df = analytics.sole_returned_supplier(tabs["lineitem"], tabs["supplier"])
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "LeftSemi" in plan and "LeftAnti" in plan
+        assert "LeftSemi" not in plan and "LeftAnti" not in plan
+        assert plan.count("Scan parquet") <= 2  # lineitem + supplier
 
 
 class TestLineDedup:
