@@ -27,12 +27,18 @@ from ..functions.text import tokens
 PROB_DECIMALS = 8
 
 
-def _transitions(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, prev, cur) rows: in-row zip of the token array with its
-    own tail — no self-join, one explode. The token array stages as a
-    real column first: the zip references it four times (two slices,
-    two sizes), and interpreted higher-order args get no CSE, so the
-    inline expression re-tokenized per reference."""
+def _transitions(
+    docs: DataFrame, id_col: str, text_col: str,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, [extra...], prev, cur) rows: in-row zip of the token array
+    with its own tail — no self-join, one explode. The token array
+    stages as a real column first: the zip references it four times
+    (two slices, two sizes), and interpreted higher-order args get no
+    CSE, so the inline expression re-tokenized per reference.
+    ``extra_cols`` ride along unchanged (doc-functional metadata like
+    the domain), so a grouped consumer can keep them without a
+    corpus-vs-corpus join back to the source frame."""
     toks = F.col("_toks")
     pairs = F.zip_with(
         F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
@@ -40,10 +46,13 @@ def _transitions(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
     )
     return docs.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+        F.col(id_col), *extra_cols, tokens(F.col(text_col)).alias("_toks")
     ).select(
-        F.col(id_col), F.explode(pairs).alias("t")
-    ).select(id_col, F.col("t.prev").alias("prev"), F.col("t.cur").alias("cur"))
+        F.col(id_col), *extra_cols, F.explode(pairs).alias("t")
+    ).select(
+        id_col, *extra_cols,
+        F.col("t.prev").alias("prev"), F.col("t.cur").alias("cur"),
+    )
 
 
 def bigram_lm_train(
@@ -89,6 +98,7 @@ def bigram_lm_score(
     text_col: str = "text",
     unseen_prob: float = 0.0,
     broadcast_model: bool = True,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Mean transition probability per document under a trained bigram
     model — higher = more fluent under the training distribution; the
@@ -101,17 +111,22 @@ def bigram_lm_score(
     bigrams are Zipf-bounded); pass ``broadcast_model=False`` to let
     the optimizer shuffle co-partitioned on the bigram key when the
     vocabulary is genuinely huge."""
+    # extra_cols are doc-functional metadata (e.g. the domain): they
+    # ride the explode and join the grouping key, so a consumer that
+    # needs (fluency, domain) avoids a corpus-vs-corpus join back to
+    # the source frame (the pre-r11 ccnet_buckets shape)
     m = F.broadcast(model) if broadcast_model else model
-    trans = _transitions(docs, id_col, text_col)
+    trans = _transitions(docs, id_col, text_col, extra_cols)
     scored = trans.join(m, on=["prev", "cur"], how="left").select(
         F.col(id_col),
+        *extra_cols,
         F.coalesce(
             F.col("prob"),
             F.lit(unseen_prob).cast(f"decimal(12,{PROB_DECIMALS})"),
         ).alias("prob"),
     )
     return (
-        scored.groupBy(id_col)
+        scored.groupBy(id_col, *extra_cols)
         .agg(
             F.count("*").cast("bigint").alias("n_transitions"),
             F.round(

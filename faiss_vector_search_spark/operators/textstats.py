@@ -677,14 +677,32 @@ def repetition_score(
     toks = tokens(F.col(text_col))
     base = docs.select(F.col(id_col), toks.alias("toks")).where(
         F.size("toks") >= 3
-    )
+    ).withColumn("_sorted", F.array_sort(F.col("toks")))
     dist = F.array_distinct(F.col("toks"))
     n_toks = F.size("toks").cast("double")
-    top_cnt = F.array_max(
-        F.transform(
-            dist,
-            lambda d: F.size(F.filter(F.col("toks"), lambda t: t == d)),
-        )
+    # r11: max token frequency == LONGEST RUN of the sorted array —
+    # an O(T log T) sort + one O(T) fold, replacing the r7 form's
+    # O(distinct x T) per-token membership scans (1.17 -> 0.98 s at
+    # sf0.1; same integer count, so identical rounded ratios and the
+    # quadratic DuckDB oracle twin still compares equal). Tokens are
+    # non-empty by construction, so the '' sentinel never matches.
+    top_cnt = F.aggregate(
+        F.col("_sorted"),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(t == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     ).cast("double")
     g3 = F.transform(
         F.sequence(F.lit(0), F.size("toks") - 3),
@@ -1513,8 +1531,13 @@ def ccnet_buckets(
         id_col=id_col,
         text_col=text_col,
     )
-    fl = lm.bigram_lm_score(docs, model, id_col=id_col, text_col=text_col)
-    j = docs.select(id_col, domain_col).join(fl, on=id_col)
+    # domain rides the scoring aggregation (extra_cols) instead of a
+    # corpus-vs-corpus join back onto docs — one fewer corpus-sized
+    # join input; fluency/tercile values unchanged
+    j = lm.bigram_lm_score(
+        docs, model, id_col=id_col, text_col=text_col,
+        extra_cols=(domain_col,),
+    )
     w = Window.partitionBy(domain_col).orderBy(
         F.col("fluency").desc(), F.col(id_col).asc()
     )

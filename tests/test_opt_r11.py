@@ -220,6 +220,77 @@ class TestTermMatchInSet:
             assert single == got
 
 
+class TestRepetitionRunLength:
+    """The sorted-run top-token count must equal the per-distinct
+    membership-scan count it replaced (same integers => same rounded
+    ratios)."""
+
+    def test_matches_quadratic_form(self, spark, docs):
+        from faiss_vector_search_spark.functions.text import tokens
+        from faiss_vector_search_spark.operators import textstats
+
+        toks = tokens(F.col("text"))
+        base = docs.select(F.col("doc_id"), toks.alias("toks")).where(
+            F.size("toks") >= 3
+        )
+        dist = F.array_distinct(F.col("toks"))
+        quad = base.select(
+            "doc_id",
+            F.array_max(
+                F.transform(
+                    dist,
+                    lambda d: F.size(
+                        F.filter(F.col("toks"), lambda t: t == d)
+                    ),
+                )
+            ).alias("top_cnt"),
+        )
+        want = {r["doc_id"]: r["top_cnt"] for r in quad.collect()}
+        got = {
+            r["doc_id"]: round(r["top_token_ratio"] * r["n_tokens"])
+            for r in textstats.repetition_score(docs).collect()
+        }
+        assert want == got and len(got) > 0
+
+    def test_degenerate_runs(self, spark):
+        from faiss_vector_search_spark.operators import textstats
+
+        df = spark.createDataFrame(
+            [(1, "a a a a a"), (2, "a b c a b a"), (3, "x y z")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in textstats.repetition_score(df).collect()}
+        assert out[1]["top_token_ratio"] == 1.0
+        assert out[2]["top_token_ratio"] == 0.5
+        assert round(out[3]["top_token_ratio"], 6) == round(1 / 3, 6)
+
+
+class TestCcnetExtraCols:
+    """ccnet_buckets' domain now rides the LM aggregation instead of a
+    corpus-vs-corpus id join — rows must match the join form."""
+
+    def test_matches_join_form(self, spark, docs):
+        from pyspark.sql import Window
+
+        from faiss_vector_search_spark.operators import lm, textstats
+
+        model = lm.bigram_lm_train(docs)
+        fl = lm.bigram_lm_score(docs, model)
+        j = docs.select("doc_id", "source").join(fl, on="doc_id")
+        w = Window.partitionBy("source").orderBy(
+            F.col("fluency").desc(), F.col("doc_id").asc()
+        )
+        tl = F.ntile(3).over(w)
+        want = sorted(map(tuple, j.select(
+            F.col("doc_id"), F.col("source"), F.col("fluency"),
+            tl.cast("int").alias("tercile"),
+            F.when(tl == 1, "head").when(tl == 2, "middle")
+            .otherwise("tail").alias("bucket"),
+        ).collect()))
+        got = sorted(map(tuple, textstats.ccnet_buckets(docs).collect()))
+        assert want == got and len(got) > 0
+
+
 class TestRerankSinglePlanEntry:
     """model_rerank / cross_encoder_rerank keep their output contract
     after the stage-1 single-plan-entry restructure."""
