@@ -566,6 +566,57 @@ def near_dup_dedup(
     )
 
 
+def _gram_hash_pairs(
+    df: DataFrame, n: int, seed: int, id_col: str, text_col: str,
+    hash_fn: str, out_id: str,
+) -> DataFrame:
+    """(out_id, g) distinct-gram-hash pairs per doc — the shared
+    corpus/benchmark reduction of the decontamination family. The md5
+    (oracle) profile keeps the string-shingle pipeline; the xxhash64
+    production profile hashes each token once and combines n token
+    hashes per window (functions.text.positional_window_hashes), with
+    the per-doc distinct applied to the HASHES — same 64-bit gram
+    identity, no per-position gram-string allocation (the span-dedup
+    r11 hasher, seeded by the family's seed)."""
+    from ..functions.hashing import hashed
+    from ..functions.text import (
+        positional_window_hashes,
+        token_hashes,
+        tokens,
+    )
+
+    if hash_fn == "xxhash64":
+        # same staging discipline as _shingle_sets: the length filter
+        # runs on the token column, so the hash/window transforms are
+        # built once per surviving row
+        tokd = df.select(
+            F.col(id_col).alias(out_id),
+            tokens(F.col(text_col)).alias("_tk"),
+        ).where(F.size("_tk") >= n)
+        th = tokd.select(
+            F.col(out_id), token_hashes(F.col("_tk"), seed=seed).alias("_th")
+        )
+        ghs = th.select(
+            F.col(out_id),
+            F.array_distinct(
+                F.transform(
+                    positional_window_hashes(F.col("_th"), n),
+                    lambda t: t["gh"],
+                )
+            ).alias("_ghs"),
+        )
+        return ghs.select(
+            F.col(out_id), F.explode_outer("_ghs").alias("g")
+        )
+    sh = _shingle_sets(df, n, id_col, text_col)
+    return sh.select(
+        F.col(id_col).alias(out_id),
+        F.explode_outer(F.col("shingles")).alias("_g"),
+    ).select(
+        out_id, hashed(F.col("_g"), seed=seed, hash_fn=hash_fn).alias("g")
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -585,20 +636,14 @@ def decontaminate(
     rows, not billions) and BROADCASTS, so the corpus never
     shuffles — contamination detection costs one scan plus a
     broadcast hash join on 8-byte hashes. ``hash_fn="md5"`` is the
-    cross-engine oracle profile; xxhash64 is the production path."""
-    from ..functions.hashing import hashed
-
-    def grams(df, out_id):
-        sh = _shingle_sets(df, n, id_col, text_col)
-        return sh.select(
-            F.col(id_col).alias(out_id),
-            F.explode_outer(F.col("shingles")).alias("_g"),
-        ).select(
-            out_id, hashed(F.col("_g"), seed=17, hash_fn=hash_fn).alias("g")
-        )
-
-    corpus_grams = grams(docs, "c_id")
-    bench_grams = grams(benchmark, "b_id").distinct()
+    cross-engine oracle profile; xxhash64 is the production path
+    (token-hash-combined window hashes — see :func:`_gram_hash_pairs`)."""
+    corpus_grams = _gram_hash_pairs(
+        docs, n, 17, id_col, text_col, hash_fn, "c_id"
+    )
+    bench_grams = _gram_hash_pairs(
+        benchmark, n, 17, id_col, text_col, hash_fn, "b_id"
+    ).distinct()
     return (
         corpus_grams.join(F.broadcast(bench_grams), "g")
         .groupBy(F.col("c_id").alias(id_col))
@@ -642,19 +687,12 @@ def contamination_report(
     ``repartition(bench id)`` keys the whole rollup tail (per-pair
     counts, then the per-item report) to a single output-sized
     exchange."""
-    from ..functions.hashing import hashed
-
-    def grams(df, out_id):
-        sh = _shingle_sets(df, n, id_col, text_col)
-        return sh.select(
-            F.col(id_col).alias(out_id),
-            F.explode_outer(F.col("shingles")).alias("_g"),
-        ).select(
-            out_id, hashed(F.col("_g"), seed=17, hash_fn=hash_fn).alias("g")
-        )
-
-    corpus_grams = grams(docs, "c_id")
-    bench_grams = grams(benchmark, "b_id").distinct()
+    corpus_grams = _gram_hash_pairs(
+        docs, n, 17, id_col, text_col, hash_fn, "c_id"
+    )
+    bench_grams = _gram_hash_pairs(
+        benchmark, n, 17, id_col, text_col, hash_fn, "b_id"
+    ).distinct()
     # (b_id, c_id, g) is distinct by construction: shingle sets are
     # per-doc distinct on both sides, so the per-pair count is exact
     # without a dedup pass

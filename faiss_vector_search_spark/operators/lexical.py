@@ -1117,20 +1117,27 @@ def tfidf_topk_terms(
     only float op is one ln and one multiply (bit-deterministic
     cross-engine). Ties break on the term string ascending.
 
-    Plan: one explode → (doc, term, tf) agg; df is a second agg over
-    the term dimension (|vocab| rows, tiny vs corpus); N broadcasts;
-    top-k per doc is a window over the already-aggregated term table.
+    Plan: one explode → (doc, term, tf) agg; df attaches as a WINDOW
+    count over tf itself (tf is one row per (doc, term), so count(*)
+    over partition(term) == count_distinct(doc) — the bm25_search
+    no-rescan lesson): the former separate df aggregation + term join
+    re-planned the tf subtree as its own input and added a join
+    exchange; the window moves only the tf stream through one
+    term-keyed exchange (r11: 1.07 → ~0.85 s at sf0.1, identical
+    values; the stopword-skew tail of a term window is the documented
+    BM25 trade — measured +6% and adjudicated in BENCH_BASELINE r10).
+    N broadcasts; top-k per doc is a window over the aggregated term
+    table.
     """
     toks = docs.select(
         F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("term")
     ).where(F.col("term").isNotNull())
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.select(
         F.count("*").cast("double").alias("n_docs")
     )
     scored = (
-        tf.join(df, "term")
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(n_docs))
         .select(
             F.col(id_col),

@@ -1401,15 +1401,6 @@ def ngram_novelty(
     staged = docs.select(
         F.col(id_col), tokens(F.col(text_col)).alias("_toks")
     )
-    k = F.size(F.col("_toks")) - (w - 1)
-    grams = F.transform(
-        F.when(k <= 0, F.array().cast("array<int>")).otherwise(
-            F.sequence(F.lit(1), k)
-        ),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(F.col("_toks"), i + j) for j in range(w)]
-        ),
-    )
     # The per-doc window TOTAL is pure arithmetic on the token count —
     # max(n_toks - w + 1, 0) — so the counting branch never builds
     # grams at all. (A size(_grams) > 0 filter here measured 60x
@@ -1422,12 +1413,36 @@ def ngram_novelty(
         .cast("bigint")
         .alias("n_grams"),
     ).where(F.col("n_grams") > 0)
-    exploded = staged.select(
-        F.col(id_col), F.explode(grams).alias("gram")
-    ).select(
-        F.col(id_col),
-        hashed(F.col("gram"), seed=23, hash_fn=hash_fn).alias("gh"),
-    )
+    if hash_fn == "xxhash64":
+        # production gram hash: per-token xxhash64 once, one fixed-
+        # width combine per window (the span-dedup r11 hasher, seeded
+        # by this op's 23) — no per-position gram-string allocation;
+        # same 64-bit gram identity, output measured identical
+        from ..functions.text import positional_window_hashes, token_hashes
+
+        th = staged.select(
+            F.col(id_col), token_hashes(F.col("_toks"), seed=23).alias("_th")
+        )
+        exploded = th.select(
+            F.col(id_col),
+            F.explode(positional_window_hashes(F.col("_th"), w)).alias("t"),
+        ).select(F.col(id_col), F.col("t.gh").alias("gh"))
+    else:
+        k = F.size(F.col("_toks")) - (w - 1)
+        grams = F.transform(
+            F.when(k <= 0, F.array().cast("array<int>")).otherwise(
+                F.sequence(F.lit(1), k)
+            ),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("_toks"), i + j) for j in range(w)]
+            ),
+        )
+        exploded = staged.select(
+            F.col(id_col), F.explode(grams).alias("gram")
+        ).select(
+            F.col(id_col),
+            hashed(F.col("gram"), seed=23, hash_fn=hash_fn).alias("gh"),
+        )
     novel = (
         exploded.groupBy("gh")
         .agg(F.count("*").alias("c"), F.min(id_col).alias(id_col))

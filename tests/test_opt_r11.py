@@ -291,6 +291,80 @@ class TestCcnetExtraCols:
         assert want == got and len(got) > 0
 
 
+class TestGramHashPairs:
+    """The decontamination family's token-hash-combined gram pairs
+    must select the same (doc, gram) identity as the string-shingle
+    form they replaced on the xxhash64 profile."""
+
+    def test_decontaminate_matches_string_shingles(self, spark, docs):
+        from faiss_vector_search_spark.functions.hashing import hashed
+        from faiss_vector_search_spark.operators import dedup
+
+        bench = docs.where(F.col("doc_id") % 20 == 7).select(
+            "doc_id", "text"
+        )
+
+        def old_grams(df, out_id, n=8):
+            sh = dedup._shingle_sets(df, n, "doc_id", "text")
+            return sh.select(
+                F.col("doc_id").alias(out_id),
+                F.explode_outer(F.col("shingles")).alias("_g"),
+            ).select(
+                out_id,
+                hashed(F.col("_g"), seed=17, hash_fn="xxhash64").alias("g"),
+            )
+
+        cg = old_grams(docs, "c_id")
+        bg = old_grams(bench, "b_id").distinct()
+        want = sorted(map(tuple, (
+            cg.join(F.broadcast(bg), "g")
+            .groupBy(F.col("c_id").alias("doc_id"))
+            .agg(
+                F.count_distinct("g").alias("n_shared_grams"),
+                F.count_distinct("b_id").alias("n_benchmark_docs"),
+            )
+        ).collect()))
+        got = sorted(map(tuple, dedup.decontaminate(
+            docs, bench, n=8, hash_fn="xxhash64").collect()))
+        assert want == got and len(got) > 0
+
+
+class TestTfidfWindowDf:
+    """tfidf's df-as-window must equal the former df-aggregation+join
+    form."""
+
+    def test_window_df_values(self, spark, docs):
+        from pyspark.sql import Window
+
+        from faiss_vector_search_spark.functions.text import tokens
+        from faiss_vector_search_spark.operators import lexical
+
+        toks = docs.select(
+            F.col("doc_id"),
+            F.explode_outer(tokens(F.col("text"))).alias("term"),
+        ).where(F.col("term").isNotNull())
+        tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+        dfr = tf.groupBy("term").agg(F.count("*").alias("df"))
+        n_docs = docs.select(F.count("*").cast("double").alias("n_docs"))
+        scored = tf.join(dfr, "term").crossJoin(F.broadcast(n_docs)).select(
+            F.col("doc_id"), "term", "tf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
+        w = Window.partitionBy("doc_id").orderBy(
+            F.col("tfidf").desc(), F.col("term").asc()
+        )
+        want = sorted(map(tuple, scored.withColumn(
+            "rk", F.row_number().over(w)).where("rk <= 5").select(
+            "doc_id", "term", "tf", "tfidf",
+            F.col("rk").cast("int").alias("rk")).collect()))
+        got = sorted(map(tuple, lexical.tfidf_topk_terms(
+            docs, k=5).collect()))
+        assert want == got and len(got) > 0
+
+
 class TestRerankSinglePlanEntry:
     """model_rerank / cross_encoder_rerank keep their output contract
     after the stage-1 single-plan-entry restructure."""
