@@ -95,6 +95,23 @@ def token_hashes(toks: Column, seed: int = 0) -> Column:
     return F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed)))
 
 
+def window_hashes(staged: Column, w: int) -> Column:
+    """array<bigint> of the xxhash64 of every w-token window —
+    :func:`positional_window_hashes` without the position struct, for
+    consumers that only need gram identity (novelty, decontamination):
+    no per-window struct allocation. ``staged`` is a materialized
+    :func:`token_hashes` column."""
+    k = F.size(staged) - (w - 1)
+    return F.transform(
+        F.when(k <= 0, F.array().cast("array<int>")).otherwise(
+            F.sequence(F.lit(1), k)
+        ),
+        lambda i: F.xxhash64(
+            *[F.element_at(staged, i + j) for j in range(w)]
+        ),
+    )
+
+
 def positional_window_hashes(staged: Column, w: int) -> Column:
     """(pos, gh) structs: the xxhash64 of every w-token window, 1-based
     position — :func:`positional_windows` fused with the gram hash for

@@ -579,11 +579,7 @@ def _gram_hash_pairs(
     identity, no per-position gram-string allocation (the span-dedup
     r11 hasher, seeded by the family's seed)."""
     from ..functions.hashing import hashed
-    from ..functions.text import (
-        positional_window_hashes,
-        token_hashes,
-        tokens,
-    )
+    from ..functions.text import token_hashes, tokens, window_hashes
 
     if hash_fn == "xxhash64":
         # same staging discipline as _shingle_sets: the length filter
@@ -598,12 +594,7 @@ def _gram_hash_pairs(
         )
         ghs = th.select(
             F.col(out_id),
-            F.array_distinct(
-                F.transform(
-                    positional_window_hashes(F.col("_th"), n),
-                    lambda t: t["gh"],
-                )
-            ).alias("_ghs"),
+            F.array_distinct(window_hashes(F.col("_th"), n)).alias("_ghs"),
         )
         return ghs.select(
             F.col(out_id), F.explode_outer("_ghs").alias("g")

@@ -1418,15 +1418,15 @@ def ngram_novelty(
         # width combine per window (the span-dedup r11 hasher, seeded
         # by this op's 23) — no per-position gram-string allocation;
         # same 64-bit gram identity, output measured identical
-        from ..functions.text import positional_window_hashes, token_hashes
+        from ..functions.text import token_hashes, window_hashes
 
         th = staged.select(
             F.col(id_col), token_hashes(F.col("_toks"), seed=23).alias("_th")
         )
         exploded = th.select(
             F.col(id_col),
-            F.explode(positional_window_hashes(F.col("_th"), w)).alias("t"),
-        ).select(F.col(id_col), F.col("t.gh").alias("gh"))
+            F.explode(window_hashes(F.col("_th"), w)).alias("gh"),
+        )
     else:
         k = F.size(F.col("_toks")) - (w - 1)
         grams = F.transform(

@@ -290,6 +290,11 @@ class TestPlanAuditRegressionGate:
         "mmr_rerank", "bpe_tokenize", "bpe_fertility",
         "embed_text_model", "multimodal_decode", "docx_ingest",
         "model_rerank", "cross_rerank",
+        # r11: fused BLAS projection+assignment kernel — the
+        # declarative form re-evaluated the interpreted PCA folds per
+        # downstream reference (1.94 s of 2.28 s at sf0.1); rationale
+        # in transform.pca_assign_arrow's docstring
+        "pca_ivf_search",
     }
 
     @pytest.fixture(scope="class")
