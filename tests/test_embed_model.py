@@ -38,19 +38,35 @@ def test_numpy_model_schema_and_norms(docs):
 
 
 def test_numpy_model_batch_size_invariance(docs):
-    """encode(batch_size=7) == encode(batch_size=64) bit-exactly: the
+    """encode(batch_size=7) == encode(batch_size=64) per row: the
     forward pass must be row-independent regardless of where the
-    micro-batch boundaries fall."""
+    micro-batch boundaries fall. Tolerance 1e-12, not bit equality:
+    BLAS GEMM picks kernels (and therefore dot-product summation
+    order) by matrix SHAPE, so a 7-row and a 64-row chunk of the same
+    rows can differ in the last ulp on some BLAS builds — r11 measured
+    max |Δ| = 1.1e-16 on this box with byte-identical forward code at
+    both chunk sizes (and the same 1-ulp drift reproduces at the
+    pre-r11 commit, so this is an environment property, not a code
+    regression). Semantic row-independence — no cross-row state, no
+    boundary effects — is what the gate pins."""
     a = _vecs(embed.embed_documents(docs, model="numpy", batch_size=7))
     b = _vecs(embed.embed_documents(docs, model="numpy", batch_size=64))
-    assert a == b
+    assert set(a) == set(b)
+    for k in a:
+        assert len(a[k]) == len(b[k])
+        assert all(abs(x - y) < 1e-12 for x, y in zip(a[k], b[k])), k
 
 
 def test_numpy_model_partitioning_invariance(docs):
-    """1 partition vs 8: same vectors — no cross-partition state."""
+    """1 partition vs 8: same vectors — no cross-partition state.
+    Same 1e-12 tolerance as the batch-size gate (partitioning changes
+    the tail chunk shapes, and BLAS kernels are shape-dependent)."""
     a = _vecs(embed.embed_documents(docs.repartition(1), model="numpy"))
     b = _vecs(embed.embed_documents(docs.repartition(8), model="numpy"))
-    assert a == b
+    assert set(a) == set(b)
+    for k in a:
+        assert len(a[k]) == len(b[k])
+        assert all(abs(x - y) < 1e-12 for x, y in zip(a[k], b[k])), k
 
 
 def test_numpy_model_rejects_unknown_model(docs):
