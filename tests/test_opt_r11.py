@@ -365,6 +365,33 @@ class TestTfidfWindowDf:
         assert want == got and len(got) > 0
 
 
+class TestLshStreamedVerify:
+    """The bucket-sorted mapInPandas verify must emit exactly the
+    applyInPandas-era pair set — including when an Arrow batch
+    boundary SPLITS a (table, bucket) group (forced here by a tiny
+    maxRecordsPerBatch)."""
+
+    def test_pair_set_equal_under_batch_splits(self, spark, emb):
+        from faiss_vector_search_spark.operators import lsh
+
+        key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+        old = spark.conf.get(key, None)
+        spark.conf.set(key, "7")  # groups of ~10+ rows must span batches
+        try:
+            a = sorted(map(tuple, lsh.near_dup_lsh(
+                emb, threshold=0.45, dim=64, n_bits=4,
+                engine="sql").collect()))
+            b = sorted(map(tuple, lsh.near_dup_lsh(
+                emb, threshold=0.45, dim=64, n_bits=4,
+                engine="arrow").collect()))
+        finally:
+            if old is not None:
+                spark.conf.set(key, old)
+            else:
+                spark.conf.unset(key)
+        assert a == b and len(b) > 0
+
+
 class TestRerankSinglePlanEntry:
     """model_rerank / cross_encoder_rerank keep their output contract
     after the stage-1 single-plan-entry restructure."""
