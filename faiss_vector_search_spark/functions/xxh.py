@@ -119,15 +119,42 @@ def _navalanche(h: "np.ndarray") -> "np.ndarray":
 
 def xxh64_fixed_np(grams: "np.ndarray", seed: int) -> "np.ndarray":
     """Vectorized XXH64 over an (npos, k) uint8 matrix of FIXED-length
-    byte strings, k < 32 (no 32-byte stripe loop). Returns unsigned
-    u64 per row — identical to :func:`xxh64_bytes` row-wise
-    (pytest-gated)."""
+    byte strings, any k (k >= 32 runs the 4-lane stripe accumulator).
+    Returns unsigned u64 per row — identical to :func:`xxh64_bytes`
+    row-wise (pytest-gated)."""
     npos, k = grams.shape
-    if k >= 32:
-        raise ValueError("xxh64_fixed_np handles k < 32 only")
     with np.errstate(over="ignore"):
-        h = np.full(npos, (seed + _P5 + k) & _M, dtype=np.uint64)
         i = 0
+        if k >= 32:
+            v1 = np.full(npos, (seed + _P1 + _P2) & _M, dtype=np.uint64)
+            v2 = np.full(npos, (seed + _P2) & _M, dtype=np.uint64)
+            v3 = np.full(npos, seed & _M, dtype=np.uint64)
+            v4 = np.full(npos, (seed - _P1) & _M, dtype=np.uint64)
+            lanes = [v1, v2, v3, v4]
+            while i + 32 <= k:
+                for lane in range(4):
+                    w = (
+                        np.ascontiguousarray(
+                            grams[:, i + 8 * lane:i + 8 * lane + 8]
+                        )
+                        .view("<u8")
+                        .ravel()
+                    )
+                    lanes[lane] = (
+                        _nrotl(lanes[lane] + w * _NP2, 31) * _NP1
+                    )
+                i += 32
+            v1, v2, v3, v4 = lanes
+            h = (
+                _nrotl(v1, 1) + _nrotl(v2, 7)
+                + _nrotl(v3, 12) + _nrotl(v4, 18)
+            )
+            for v in lanes:
+                kk = _nrotl(v * _NP2, 31) * _NP1
+                h = (h ^ kk) * _NP1 + _NP4
+            h = h + np.uint64(k)
+        else:
+            h = np.full(npos, (seed + _P5 + k) & _M, dtype=np.uint64)
         while i + 8 <= k:
             w = np.ascontiguousarray(grams[:, i:i + 8]).view("<u8").ravel()
             k1 = _nrotl(w * _NP2, 31) * _NP1
@@ -152,3 +179,30 @@ def xxh64_int_chain_np(h1: "np.ndarray", value: int) -> "np.ndarray":
         k1 = np.uint64(value & 0xFFFFFFFF) * _NP1
         h = (_nrotl(h ^ k1, 23) * _NP2) + _NP3
         return _navalanche(h).view(np.int64)
+
+
+def xxh64_bytes_many_np(items: list, seed: int) -> "np.ndarray":
+    """Vectorized XXH64 over a batch of VARIABLE-length byte strings:
+    bucket by length, hash each length class through
+    :func:`xxh64_fixed_np` (one (m, L) uint8 matrix per distinct L).
+    Distinct lengths are few in word-shingle workloads, so nearly the
+    whole batch hashes in a handful of vectorized passes. Returns
+    unsigned u64 per item, identical to :func:`xxh64_bytes` item-wise
+    (pytest-gated)."""
+    n = len(items)
+    out = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    lens = np.fromiter((len(b) for b in items), dtype=np.int64, count=n)
+    for length in np.unique(lens):
+        idx = np.nonzero(lens == length)[0]
+        if length == 0:
+            out[idx] = np.uint64(
+                xxh64_bytes(b"", seed)
+            )
+            continue
+        mat = np.frombuffer(
+            b"".join(items[i] for i in idx), dtype=np.uint8
+        ).reshape(-1, int(length))
+        out[idx] = xxh64_fixed_np(mat, seed)
+    return out

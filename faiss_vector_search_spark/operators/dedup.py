@@ -130,12 +130,42 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_fn: str = "md5",
+    engine: str = "auto",
 ) -> DataFrame:
     """(id, sig_0..sig_{H-1}): per-seed min-hash over the doc's
-    shingle set. One explode + H min-aggregations — map-side
+    shingle set.
+
+    ``engine="sql"``: one explode + H min-aggregations — map-side
     combinable, and the grouping key is the bare id (grouping by the
     shingle *array* would hash the whole array per exploded row);
-    shuffle carries H longs per doc."""
+    shuffle carries H longs per doc. The H ``xxhash64(s, lit(i))``
+    aggregate children each re-hash the full shingle string (no
+    common-subexpression elimination across aggregate functions), so
+    every shingle's bytes are hashed H times.
+
+    ``engine="arrow"`` (the ``hash_fn="xxhash64"`` production path,
+    picked by ``"auto"``): per-doc signatures in ONE ``mapInPandas``
+    over the (id, tokens) frame — shingle byte strings are SLICES of
+    each doc's space-joined token buffer (no per-position string
+    allocation, in the JVM or in Python), each shingle's bytes hash
+    ONCE (vectorized XXH64, functions/xxh.py), the H seeds are cheap
+    int-chain finalizers on that 64-bit value, and the per-doc min is
+    a ``np.minimum.reduceat``. BIT-IDENTICAL signatures to the sql
+    form (pytest-gated), no explode and NO exchange at all. md5 stays
+    the sql/oracle pipeline."""
+    if engine == "auto":
+        engine = "arrow" if hash_fn == "xxhash64" else "sql"
+    if engine == "arrow":
+        if hash_fn != "xxhash64":
+            raise ValueError(
+                "arrow minhash engine implements the xxhash64 family only"
+            )
+        tokd = docs.select(
+            F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+        ).where(F.size("_toks") >= n)
+        return _minhash_signatures_arrow(tokd, n, num_hashes, id_col)
+    if engine != "sql":
+        raise ValueError(f"unknown minhash engine: {engine}")
     sh = _shingle_sets(docs, n, id_col, text_col)
     # explode_outer, NOT explode: plain explode makes Catalyst infer a
     # `size(shingles) > 0 AND isnotnull(shingles)` filter and push it
@@ -147,6 +177,119 @@ def minhash_signatures(
         for i in range(num_hashes)
     ]
     return exploded.groupBy(id_col).agg(*aggs)
+
+
+def _minhash_signatures_arrow(
+    tokd: DataFrame, n: int, num_hashes: int, id_col: str
+) -> DataFrame:
+    """Arrow kernel for :func:`minhash_signatures` (xxhash64 family):
+    (id, tokens) -> (id, sig_0..sig_{H-1}), bit-identical to
+    ``min(xxhash64(shingle, lit(i)))`` over the
+    :func:`_shingle_sets` shingles.
+
+    The shingle strings are never built: a doc's n-token shingles are
+    CONTIGUOUS BYTE SLICES of its space-joined token stream, so the
+    batch assembles one byte buffer, recovers token boundaries from
+    the separator positions, derives every shingle's (offset, length)
+    arithmetically, and hashes each length class as one vectorized
+    gather + XXH64 pass. Duplicate shingles hash redundantly instead
+    of being distinct'd — the per-seed MIN is identical over multiset
+    and set. Tokens are ASCII by construction (``[a-z0-9]+`` on the
+    lowered text); a non-ASCII token falls the whole doc back to the
+    pure-python reference of the same bits."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.xxh import (
+        xxh64_bytes,
+        xxh64_fixed_np,
+        xxh64_int_chain_np,
+    )
+
+    schema = f"{id_col} long, " + ", ".join(
+        f"sig_{i} long" for i in range(num_hashes)
+    )
+    seeds = list(range(num_hashes))
+
+    def doc_base_fallback(toks) -> "np.ndarray":
+        return np.array(
+            [
+                xxh64_bytes(
+                    " ".join(toks[j:j + n]).encode("utf-8"), 42
+                )
+                for j in range(len(toks) - (n - 1))
+            ],
+            dtype=np.uint64,
+        )
+
+    def kernel(batches):
+        for pdf in batches:
+            nrows = len(pdf)
+            if nrows == 0:
+                continue
+            rows = pdf["_toks"].values
+            doc_strs = [" ".join(r) for r in rows]
+            ascii_ok = all(s.isascii() for s in doc_strs)
+            counts = np.fromiter(
+                (len(r) - (n - 1) for r in rows), dtype=np.int64,
+                count=nrows,
+            )
+            if ascii_ok:
+                buf = np.frombuffer(
+                    "".join(doc_strs).encode("ascii"), dtype=np.uint8
+                )
+                dlen = np.fromiter(
+                    (len(s) for s in doc_strs), dtype=np.int64,
+                    count=nrows,
+                )
+                g = np.zeros(nrows, dtype=np.int64)
+                np.cumsum(dlen[:-1], out=g[1:])
+                # token starts: each doc start + every position after
+                # a separator byte (tokens are [a-z0-9]+, so every
+                # 0x20 in the buffer is a separator)
+                ts = np.sort(
+                    np.concatenate([g, np.flatnonzero(buf == 32) + 1])
+                )
+                tok_end = np.concatenate(
+                    [ts[1:], np.array([len(buf)], dtype=np.int64)]
+                ) - 1
+                tokc = counts + (n - 1)
+                doc_last = np.cumsum(tokc) - 1
+                tok_end[doc_last] += 1
+                # shingle j of doc i spans token (base_i + j) ..
+                # (base_i + j + n - 1) — all offsets arithmetic
+                tok_base = np.zeros(nrows, dtype=np.int64)
+                np.cumsum(tokc[:-1], out=tok_base[1:])
+                s_base = np.zeros(nrows, dtype=np.int64)
+                np.cumsum(counts[:-1], out=s_base[1:])
+                S = int(counts.sum())
+                doc_of = np.repeat(np.arange(nrows), counts)
+                within = np.arange(S) - np.repeat(s_base, counts)
+                ft = tok_base[doc_of] + within
+                sh_start = ts[ft]
+                sh_len = tok_end[ft + (n - 1)] - sh_start
+                base = np.empty(S, dtype=np.uint64)
+                for length in np.unique(sh_len):
+                    idx = np.nonzero(sh_len == length)[0]
+                    mat = buf[
+                        sh_start[idx][:, None]
+                        + np.arange(int(length), dtype=np.int64)
+                    ]
+                    base[idx] = xxh64_fixed_np(mat, 42)
+            else:
+                base = np.concatenate(
+                    [doc_base_fallback(list(r)) for r in rows]
+                )
+            starts = np.zeros(nrows, dtype=np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            data = {id_col: pdf[id_col].values}
+            for i in seeds:
+                data[f"sig_{i}"] = np.minimum.reduceat(
+                    xxh64_int_chain_np(base, i), starts
+                )
+            yield pd.DataFrame(data)
+
+    return tokd.mapInPandas(kernel, schema=schema)
 
 
 def _band_structs(bands: int, rows_per_band: int, hash_fn: str):
@@ -185,14 +328,20 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_fn: str = "md5",
+    engine: str = "auto",
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, verified with exact
     Jaccard. rows/band = num_hashes/bands; a pair collides with
     probability 1-(1-j^r)^b — at 16/4 the 0.8-Jaccard collision
     probability is ≈0.93, and every surviving pair is *verified*, so
-    precision is exact and only recall is probabilistic."""
+    precision is exact and only recall is probabilistic. ``engine``
+    picks the signature stage (see :func:`minhash_signatures`); the
+    arrow kernel is bit-identical, so the candidate and output pair
+    sets cannot move."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, n, num_hashes, id_col, text_col, hash_fn)
+    sig = minhash_signatures(
+        docs, n, num_hashes, id_col, text_col, hash_fn, engine=engine
+    )
 
     band_structs = _band_structs(bands, rows_per_band, hash_fn)
     # Band join + pair dedup on (id, band, bval) triples ONLY — the
@@ -219,7 +368,21 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sh = _shingle_sets(docs, n, id_col, text_col)
+    # r12: the exact-Jaccard verify needs shingles for CANDIDATE docs
+    # only, so the corpus prefilters to candidate ids before the
+    # shingle build (the chunk_search hit-docs recipe) — the former
+    # full-corpus build ran the tokenize+shingle pipeline over every
+    # doc TWICE (sh_a and sh_b branches) for an output-sized join.
+    # cand sits behind its dropDuplicates exchange, so all three
+    # readers reuse one band-join evaluation (ReusedExchange).
+    cand_ids = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .union(cand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sh = _shingle_sets(
+        docs.join(cand_ids, id_col, "leftsemi"), n, id_col, text_col
+    )
     return (
         cand.join(sh.select(F.col(id_col).alias("doc_a"),
                             F.col("shingles").alias("sh_a")), "doc_a")
@@ -245,17 +408,41 @@ def simhash(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_fn: str = "md5",
+    engine: str = "auto",
 ) -> DataFrame:
     """(id, simhash): 60-bit SimHash over the distinct-token set.
     bit_j = sign of Σ_tokens (±1 by bit j of the token hash).
 
-    One aggregation with 60 conditional sums (one per bit), NOT a
-    per-bit explode: exploding 60 mask rows per token multiplies the
-    shuffle by 60×; conditional sums keep it at one row per token in
-    and one row per doc out, all map-side combinable.
-    ``explode_outer`` + null-filter on the token explode so Catalyst
-    doesn't re-evaluate the tokenizer inside an inferred pre-filter.
-    """
+    ``engine="sql"``: one aggregation with 60 conditional sums (one
+    per bit), NOT a per-bit explode: exploding 60 mask rows per token
+    multiplies the shuffle by 60×; conditional sums keep it at one
+    row per token in and one row per doc out, all map-side
+    combinable. ``explode_outer`` + null-filter on the token explode
+    so Catalyst doesn't re-evaluate the tokenizer inside an inferred
+    pre-filter.
+
+    ``engine="arrow"`` (the ``hash_fn="xxhash64"`` production path,
+    picked by ``"auto"``): per-doc simhash in ONE ``mapInPandas`` —
+    tokens hash vectorized (functions/xxh.py), the 60 bit sums are
+    one ``np.unpackbits`` + per-doc ``reduceat``, and the majority
+    vote is exact integer arithmetic. BIT-IDENTICAL simhash values
+    to the sql aggregation (pytest-gated): no explode, no 61-column
+    per-doc shuffle, no exchange at all. md5 stays the sql/oracle
+    pipeline."""
+    if engine == "auto":
+        engine = "arrow" if hash_fn == "xxhash64" else "sql"
+    if engine == "arrow":
+        if hash_fn != "xxhash64":
+            raise ValueError(
+                "arrow simhash engine implements the xxhash64 family only"
+            )
+        tokd = docs.select(
+            F.col(id_col),
+            F.array_distinct(tokens(F.col(text_col))).alias("_dtoks"),
+        ).where(F.size("_dtoks") > 0)
+        return _simhash_arrow(tokd, id_col)
+    if engine != "sql":
+        raise ValueError(f"unknown simhash engine: {engine}")
     toks = (
         docs.select(
             F.col(id_col),
@@ -284,6 +471,59 @@ def simhash(
     return bit_sums.select(F.col(id_col), sim.alias("simhash"))
 
 
+def _simhash_arrow(tokd: DataFrame, id_col: str) -> DataFrame:
+    """Arrow kernel for :func:`simhash` (xxhash64 family): (id,
+    distinct tokens) -> (id, simhash), bit-identical to the 60-way
+    conditional-sum aggregation. Each token's bytes hash once
+    (vectorized XXH64 + the seed-7 int chain); the per-doc bit sums
+    come from one ``np.unpackbits`` over the hash words and a single
+    ``np.add.reduceat`` per batch."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.xxh import xxh64_bytes_many_np, xxh64_int_chain_np
+
+    def kernel(batches):
+        for pdf in batches:
+            nrows = len(pdf)
+            if nrows == 0:
+                continue
+            rows = pdf["_dtoks"].values
+            counts = np.fromiter(
+                (len(r) for r in rows), dtype=np.int64, count=nrows
+            )
+            flat = [t.encode("utf-8") for r in rows for t in r]
+            h = xxh64_int_chain_np(
+                xxh64_bytes_many_np(flat, 42), 7
+            ).view(np.uint64)
+            # (n_tokens, 64) bit matrix: little-endian byte view +
+            # unpackbits(bitorder="little") puts bit j at column j
+            bits = np.unpackbits(
+                h.astype("<u8").view(np.uint8).reshape(-1, 8),
+                axis=1, bitorder="little",
+            )
+            starts = np.zeros(nrows, dtype=np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            bsum = np.add.reduceat(
+                bits.astype(np.int64), starts, axis=0
+            )
+            # majority vote: bit j set iff 2·Σbit_j − n > 0
+            maj = (2 * bsum[:, :SIMHASH_BITS]
+                   > counts[:, None]).astype(np.uint64)
+            sim = (maj << np.arange(SIMHASH_BITS, dtype=np.uint64)).sum(
+                axis=1, dtype=np.uint64
+            ).view(np.int64)
+            yield pd.DataFrame({id_col: pdf[id_col].values,
+                                "simhash": sim})
+
+    # output schema follows the input id type (the semdedup arrow
+    # engine's convention)
+    id_type = tokd.schema[id_col].dataType.simpleString()
+    return tokd.mapInPandas(
+        kernel, schema=f"{id_col} {id_type}, simhash long"
+    )
+
+
 def simhash_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
@@ -293,6 +533,7 @@ def simhash_pairs(
     hash_fn: str = "md5",
     engine: str = "combinatorial",
     blocks: int = 6,
+    sig_engine: str = "auto",
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming. Both
     engines are EXACT (identical output — the r6 realistic-corpus and
@@ -324,9 +565,11 @@ def simhash_pairs(
       MinHash-LSH path (16.2 s) at its hamming≤3 operating point.
 
     Requires max_hamming < bands (pigeonhole) / < blocks
-    (combinatorial) for exactness.
+    (combinatorial) for exactness. ``sig_engine`` picks the simhash
+    signature stage (see :func:`simhash`); the arrow kernel is
+    bit-identical, so the candidate and output pair sets cannot move.
     """
-    sh = simhash(docs, id_col, text_col, hash_fn)
+    sh = simhash(docs, id_col, text_col, hash_fn, engine=sig_engine)
     if engine == "combinatorial":
         import itertools
 
@@ -726,14 +969,18 @@ def line_dedup(
     cross-document repetition filter (nav bars, license headers,
     cookie banners) that exact whole-doc dedup cannot catch.
 
-    Plan shape for 100 TB: lines reduce to 8-byte hashes for the
-    frequency count; only the DROP set (lines above the threshold —
-    the boilerplate, a tiny fraction of distinct lines) flows into
-    the anti-join against the line stream, so the reassembly shuffle
-    carries each document's own lines exactly once and the frequency
-    side never carries text. Output: (id, clean_text, n_lines,
-    n_kept, n_dropped) for every input document, including fully-
-    boilerplate ones (empty clean_text)."""
+    Plan shape for 100 TB (r12 — decide with small rows, move big
+    rows once, guide §8): lines reduce to (id, pos, 8-byte hash)
+    triples for BOTH the frequency count and the drop decision; the
+    DROP set (lines above the threshold) inner-joins the hash stream,
+    so the only doc-keyed shuffles carry *dropped positions* (integer
+    rows, sized by the boilerplate occurrences) — the reassembly is
+    an IN-ROW filter of each doc's own line array against its dropped
+    positions, so line text never crosses an exchange for the rebuild
+    (the r11 form shuffled every kept line into a collect_list and
+    the reassembled text into the final join). Output: (id,
+    clean_text, n_lines, n_kept, n_dropped) for every input document,
+    including fully-boilerplate ones (empty clean_text)."""
     toks = tokens(F.col(text_col))
     n_lines = F.ceil(F.size("toks") / F.lit(span)).cast("int")
     base = docs.select(F.col(id_col), toks.alias("toks")).select(
@@ -751,45 +998,63 @@ def line_dedup(
         .alias("lines"),
         n_lines.alias("n_lines"),
     )
-    lines = base.select(
+    # hash stream: (id, pos, lh) — posexplode_outer keeps a NULL row
+    # per tokenless doc, whose lh (hash of NULL) groups all tokenless
+    # docs together exactly like the line strings did
+    stream = base.select(
+        F.col(id_col), F.posexplode_outer("lines").alias("pos", "line")
+    ).select(
         F.col(id_col),
-        F.col("n_lines"),
-        F.posexplode_outer("lines").alias("pos", "line"),
+        F.col("pos"),
+        hashed(F.col("line"), seed=23, hash_fn=hash_fn).alias("lh"),
     )
     drop = (
-        lines.select(
-            F.col(id_col), hashed(F.col("line"), seed=23, hash_fn=hash_fn).alias("lh")
-        )
-        .groupBy("lh")
+        stream.groupBy("lh")
         .agg(F.count_distinct(F.col(id_col)).alias("n_docs_with"))
         .where(F.col("n_docs_with") > max_docs)
         .select("lh")
     )
-    kept = lines.withColumn(
-        "lh", hashed(F.col("line"), seed=23, hash_fn=hash_fn)
-    ).join(drop, "lh", "left_anti")
-    clean = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda s: s["line"],
-            ),
-            " ",
-        ).alias("clean_text"),
-        F.count("*").cast("bigint").alias("n_kept"),
-    )
-    return (
-        base.select(id_col, "n_lines")
-        .join(clean, id_col, "left_outer")
-        .select(
-            F.col(id_col),
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-            F.col("n_lines").cast("bigint").alias("n_lines"),
-            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
-            (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
-            .cast("bigint")
-            .alias("n_dropped"),
+    # dropped positions per contaminated doc: collect_list skips the
+    # NULL pos of tokenless docs, count(*) keeps it — n_kept below
+    # must count surviving stream rows (the r11 form's semantics,
+    # where a tokenless doc's NULL row counted as kept when sole)
+    dropped = (
+        stream.join(drop, "lh")
+        .groupBy(id_col)
+        .agg(
+            F.collect_list("pos").alias("_dp"),
+            F.count(F.lit(1)).alias("_n_drop_rows"),
         )
+    )
+    joined = base.join(dropped, id_col, "left_outer")
+    pos_lines = F.when(
+        F.size("lines") == 0,
+        F.array().cast("array<struct<line:string,p:int>>"),
+    ).otherwise(
+        F.zip_with(
+            F.col("lines"),
+            F.sequence(F.lit(0), F.size("lines") - 1),
+            lambda ln, p: F.struct(ln.alias("line"), p.alias("p")),
+        )
+    )
+    kept = F.filter(
+        pos_lines,
+        lambda s: ~F.array_contains(
+            F.coalesce(F.col("_dp"), F.array().cast("array<int>")),
+            s["p"],
+        ),
+    )
+    n_kept = F.greatest(F.size("lines"), F.lit(1)) - F.coalesce(
+        F.col("_n_drop_rows"), F.lit(0)
+    )
+    return joined.select(
+        F.col(id_col),
+        F.array_join(
+            F.transform(kept, lambda s: s["line"]), " "
+        ).alias("clean_text"),
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        n_kept.cast("bigint").alias("n_kept"),
+        (F.col("n_lines") - n_kept).cast("bigint").alias("n_dropped"),
     )
 
 
@@ -953,7 +1218,13 @@ def semdedup(
         id_col, normalize(F.col(vec_col)).alias("_vn"), "list_id"
     )
     if pair_engine == "arrow":
-        dup = _semdedup_dup_arrow(assigned, threshold, id_col)
+        # the per-cluster kernel already sees every cluster member, so
+        # it emits the KEPT rows directly — the r11 shape returned the
+        # dropped ids and anti-joined them back onto a SECOND
+        # evaluation of the whole assignment pipeline (one more
+        # corpus-scale Arrow pass + an id-keyed join for a decision
+        # the kernel had already made)
+        return _semdedup_keep_arrow(assigned, threshold, id_col)
     elif pair_engine == "sql":
         a = assigned.select(
             F.col(id_col).alias("id_a"),
@@ -982,18 +1253,21 @@ def semdedup(
     )
 
 
-def _semdedup_dup_arrow(
+def _semdedup_keep_arrow(
     assigned: DataFrame, threshold: float, id_col: str
 ) -> DataFrame:
-    """Dropped-id set via per-cluster Gram matmuls: for each cluster,
-    cos = Vn @ Vn.T in one BLAS call; a row is dropped iff any
-    strictly-lower id in its cluster has ROUND(cos, 6) ≥ threshold.
+    """KEPT (id, list_id) rows via per-cluster Gram matmuls: for each
+    cluster, cos = Vn @ Vn.T in one BLAS call; a row is dropped iff
+    any strictly-lower id in its cluster has ROUND(cos, 6) ≥
+    threshold — the survivors come straight out of the kernel (same
+    keep rule and float math as the r11 dropped-id form, which then
+    re-ran the whole assignment pipeline for an anti-join).
     Arrow-batched, cluster-parallel; memory per task is |C|² doubles,
     bounded by the √N nlist sizing."""
     import numpy as np
     import pandas as pd
 
-    def find_dups(pdf: pd.DataFrame) -> pd.DataFrame:
+    def find_keepers(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
@@ -1007,13 +1281,17 @@ def _semdedup_dup_arrow(
         lower = np.tril(np.ones_like(cos, dtype=bool), k=-1)
         masked = np.where(lower, cos, -np.inf)
         hit = (masked >= threshold).any(axis=1)
-        return pd.DataFrame({id_col: ids[hit]})
+        return pd.DataFrame({
+            id_col: ids[~hit],
+            "list_id": pdf["list_id"].to_numpy()[order][~hit],
+        })
 
     # output schema follows the input id type (string doc ids must
     # survive the arrow engine exactly like the sql engine)
     id_type = assigned.schema[id_col].dataType.simpleString()
+    list_type = assigned.schema["list_id"].dataType.simpleString()
     return assigned.groupBy("list_id").applyInPandas(
-        find_dups, schema=f"{id_col} {id_type}"
+        find_keepers, schema=f"{id_col} {id_type}, list_id {list_type}"
     )
 
 
@@ -1103,7 +1381,18 @@ def repeated_spans(
     tokd = docs.select(
         F.col(id_col), tokens(F.col(text_col)).alias("_toks")
     ).where(F.size("_toks") >= w)
-    wins = _span_window_hashes(tokd, w, id_col, hash_fn)
+    # r12: the triples stage behind ONE explicit gh exchange that both
+    # consumers (dictionary groupBy, join-back) re-read via
+    # ReusedExchange — the former shape re-ran scan+tokenize+window-
+    # hash once per consumer (measured: repeated_spans 1.78→1.34 s at
+    # sf0.1, 7.9→7.0 at sf1; strip 2.60→2.06 / 8.0→4.7). Trade:
+    # the dictionary count loses map-side partial aggregation, so the
+    # exchange carries one 24-byte row per window occurrence instead
+    # of per distinct gram — acceptable because 8-token grams are
+    # orders flatter than single terms (the bm25 df-window skew note
+    # does NOT transfer), and a genuinely hot boilerplate gram is
+    # bounded by the corpus' boilerplate mass, not vocabulary shape.
+    wins = _span_window_hashes(tokd, w, id_col, hash_fn).repartition("gh")
     repeated = (
         wins.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -1173,7 +1462,14 @@ def fuzzy_decontaminate(
         .select(id_col, bench_id)
         .dropDuplicates([id_col, bench_id])
     )
-    sh_d = _shingle_sets(docs, n, id_col, text_col)
+    # r12: verify-side corpus shingles build for CANDIDATE docs only
+    # (the minhash_lsh_pairs recipe) — contaminated docs are a tiny
+    # fraction of the corpus, so the former full-corpus shingle build
+    # fed an output-sized join
+    sh_d = _shingle_sets(
+        docs.join(cand.select(id_col).distinct(), id_col, "leftsemi"),
+        n, id_col, text_col,
+    )
     sh_b = _shingle_sets(benchmark, n, id_col, text_col).select(
         F.col(id_col).alias(bench_id), F.col("shingles").alias("sh_b")
     )
@@ -1242,9 +1538,16 @@ def strip_repeated_spans(
             tokens(F.col(text_col)), F.array().cast("array<string>")
         ).alias("_toks"),
     )
-    wins = _span_window_hashes(
-        tokd.where(F.size("_toks") >= w), w, id_col, hash_fn
-    ).withColumn("okey", F.col(id_col) * 1_000_000 + F.col("pos"))
+    # r12: staged behind one gh exchange shared by the owner
+    # dictionary and the join-back (ReusedExchange) — see
+    # repeated_spans above for the measured deltas and the skew note.
+    wins = (
+        _span_window_hashes(
+            tokd.where(F.size("_toks") >= w), w, id_col, hash_fn
+        )
+        .withColumn("okey", F.col(id_col) * 1_000_000 + F.col("pos"))
+        .repartition("gh")
+    )
     owners = (
         wins.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("cnt"), F.min("okey").alias("own"))

@@ -194,6 +194,14 @@ def _embed_documents_numpy(
     forward INSIDE the Arrow batch iterator, mirroring how a
     sentence-transformers worker consumes text batches. Weights load
     once per python worker (closure capture), not per batch."""
+    missing = [c for c in keep_cols if c not in docs.columns]
+    if missing:
+        # fail at plan-build time with the column named — silently
+        # dropping it from the schema surfaced as an opaque
+        # executor-side KeyError (ADVICE r11)
+        raise ValueError(
+            f"keep_cols not in docs: {missing} (have {docs.columns})"
+        )
     import hashlib
     import re
 

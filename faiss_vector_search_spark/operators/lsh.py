@@ -270,7 +270,13 @@ def near_dup_lsh(
     if engine == "arrow":
         b = raw_buckets
         if max_bucket_size is not None:
-            b = cap_bucket_size(b, max_bucket_size)
+            # the cap's count branch and the verify both consume the
+            # bucket frame — stage it behind the same explicit
+            # exchange the sql path uses so the signature mapInPandas
+            # runs ONCE (ReusedExchange), not once per consumer
+            # (r12, the ADVICE r11 duplication note)
+            b = cap_bucket_size(b.repartition("table", "bucket"),
+                                max_bucket_size)
         return _near_dup_buckets_arrow(b, emb, threshold, id_col, vec_col)
     buckets = raw_buckets.repartition("table", "bucket")
     if max_bucket_size is not None:

@@ -308,7 +308,13 @@ def pca_ivf_search(
     interpreted projection folds inside every assignment/scoring
     reference (measured 1.94 s of the 2.28 s total at sf0.1); "sql"
     keeps the all-declarative pipeline (bit-deterministic fold order,
-    the profile the r5–r10 plan audits documented)."""
+    the profile the r5–r10 plan audits documented). NOTE (ADVICE
+    r11): with "arrow", BUILDING the returned DataFrame is eager —
+    ``pca_assign_arrow`` collects the trained centroids (bounded:
+    nlist rows) at construction time, the same driver-held-quantizer
+    posture FAISS uses; callers that need a fully-lazy plan use
+    "sql". The engines' assignments can differ on exact float
+    argmin ties (equality pytest-gated at both fixture SFs)."""
     from . import ivf as ivf_mod
     from .knn import topk
 

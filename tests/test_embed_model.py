@@ -48,7 +48,12 @@ def test_numpy_model_batch_size_invariance(docs):
     both chunk sizes (and the same 1-ulp drift reproduces at the
     pre-r11 commit, so this is an environment property, not a code
     regression). Semantic row-independence — no cross-row state, no
-    boundary effects — is what the gate pins."""
+    boundary effects — is what the gate pins. The relaxation stays
+    contained because every consumer of the numpy embedding rounds
+    scores to 6 dp before comparison/ranking (model_rerank,
+    cross_rerank, chunk_search et al.), which absorbs last-ulp
+    drift; a consumer that compared raw floats across partitionings
+    would need the bit gate back (ADVICE r11)."""
     a = _vecs(embed.embed_documents(docs, model="numpy", batch_size=7))
     b = _vecs(embed.embed_documents(docs, model="numpy", batch_size=64))
     assert set(a) == set(b)
