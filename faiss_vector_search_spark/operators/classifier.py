@@ -148,37 +148,18 @@ def train_quality_classifier(
     }
 
 
-def score_quality_classifier(
-    docs: DataFrame,
-    model: dict,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    hash_fn: str = "xxhash64",
-    keep_cols: tuple = (),
-) -> DataFrame:
-    """Score every document under a trained model:
-    logit = bias + mean_t w[bucket(t)] + w_len·ln(n+1)/10
-    + w_mwl·(sum_len/n)/10. Returns (id, n_tokens, logit,
-    keep = logit > 0). Zero-token docs score the bare bias (a real
-    pipeline rejects them elsewhere; they are not dropped here).
-
-    ``hash_fn`` must match training: ``"xxhash64"`` production,
-    ``"md5"`` for the cross-engine oracle profile. Both integer folds
-    (bucket units, token lengths) are exact; the float chain has a
-    fixed operation order replicated by the oracle SQL. ``keep_cols``
-    passes input columns through the staged projections (so a caller
-    can chain scoring onto an upstream projection of the same scan
-    instead of joining corpus-sized frames)."""
+def logit_exprs(toks, model: dict, hash_fn: str = "xxhash64") -> tuple:
+    """(n_tokens, logit) Column pair over a STAGED token-array column
+    — exposed (r12) so pipelines can fold the classifier score into an
+    existing projection of the same scan instead of a second corpus
+    scan + id join (the quality_exprs convention). ``toks`` MUST be a
+    staged real column: the aggregate folds below reference it
+    repeatedly and are interpreted HOFs with no CSE."""
     k = int(model["n_buckets"])
     units = F.array(*[F.lit(int(u)).cast("bigint") for u in model["units"]])
     bias = float(model["bias"])
     w_len = float(model["w_len"])
     w_mwl = float(model["w_mwl"])
-    staged = docs.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("_toks"),
-        *[F.col(c) for c in keep_cols],
-    )
-    toks = F.col("_toks")
     usum = F.aggregate(
         toks,
         F.lit(0).cast("bigint"),
@@ -201,6 +182,35 @@ def score_quality_classifier(
             6,
         )
     )
+    return n_tok, logit
+
+
+def score_quality_classifier(
+    docs: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+    keep_cols: tuple = (),
+) -> DataFrame:
+    """Score every document under a trained model:
+    logit = bias + mean_t w[bucket(t)] + w_len·ln(n+1)/10
+    + w_mwl·(sum_len/n)/10. Returns (id, n_tokens, logit,
+    keep = logit > 0). Zero-token docs score the bare bias (a real
+    pipeline rejects them elsewhere; they are not dropped here).
+
+    ``hash_fn`` must match training: ``"xxhash64"`` production,
+    ``"md5"`` for the cross-engine oracle profile. Both integer folds
+    (bucket units, token lengths) are exact; the float chain has a
+    fixed operation order replicated by the oracle SQL. ``keep_cols``
+    passes input columns through the staged projections (so a caller
+    can chain scoring onto an upstream projection of the same scan
+    instead of joining corpus-sized frames)."""
+    staged = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks"),
+        *[F.col(c) for c in keep_cols],
+    )
+    n_tok, logit = logit_exprs(F.col("_toks"), model, hash_fn)
     # logit STAGES before keep derives from it: the aggregate folds are
     # interpreted HOFs with no CSE, so referencing the expression twice
     # in one projection would run both folds twice per row (the

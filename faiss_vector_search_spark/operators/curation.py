@@ -46,27 +46,46 @@ def curation_score(
     When a signal is constant across the corpus (max == min) its
     normalized value pins to 0.5 — it contributes its weight's
     midpoint instead of a 0/0."""
-    # r11 note: a chained single-branch form (quality + logit staged on
-    # one scan, riding the LM aggregation as extra grouping columns)
-    # was measured 1.34 → 1.94 s at sf0.1 and REJECTED: CollapseProject
-    # inlines the single-use classifier fold into the post-explode
-    # projection, re-evaluating it per TRANSITION row. The id joins
-    # stay — they move only (id, double) pairs.
+    # r11 note: a chained single-branch form (quality + logit riding
+    # the LM aggregation as extra grouping columns) was measured
+    # 1.34 → 1.94 s at sf0.1 and REJECTED: CollapseProject inlines the
+    # single-use classifier fold into the post-explode projection,
+    # re-evaluating it per TRANSITION row. r12 takes the safe half of
+    # that idea: quality and logit are BOTH per-doc projections over
+    # the same token array, so they fuse onto ONE staged scan (no
+    # explode anywhere near them — the staged _toks column is multiply
+    # referenced, which keeps CollapseProject from inlining it). The
+    # LM branch keeps its own documented plan; one id join remains
+    # instead of two, moving only (id, double, double) rows.
+    from ..functions.text import tokens
+
     w_q, w_f, w_c = (float(w) for w in weights)
-    q = textstats_mod.quality_score(docs, id_col=id_col, text_col=text_col)
-    q = q.select(F.col(id_col), F.col("quality"))
+    staged = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        tokens(F.col(text_col)).alias("_toks"),
+    )
+    n_tokens, quality = textstats_mod.quality_exprs(
+        F.col(text_col), F.col("_toks")
+    )
+    _, logit = classifier_mod.logit_exprs(
+        F.col("_toks"),
+        model if model is not None else classifier_mod.load_model(),
+        hash_fn,
+    )
+    qc = staged.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        quality.alias("quality"),
+        logit.alias("logit"),
+    ).where(F.col("n_tokens") > 0).select(
+        F.col(id_col), "quality", "logit"
+    )
     lm_model = lm_mod.bigram_lm_train(docs, id_col=id_col, text_col=text_col)
     f = lm_mod.bigram_lm_score(
         docs, lm_model, id_col=id_col, text_col=text_col
     ).select(F.col(id_col), F.col("fluency"))
-    c = classifier_mod.score_quality_classifier(
-        docs,
-        model if model is not None else classifier_mod.load_model(),
-        id_col=id_col,
-        text_col=text_col,
-        hash_fn=hash_fn,
-    ).select(F.col(id_col), F.col("logit"))
-    joined = q.join(f, id_col).join(c, id_col)
+    joined = qc.join(f, id_col)
     mm = F.broadcast(
         joined.agg(
             F.min("quality").alias("q_min"),

@@ -45,6 +45,70 @@ def query_terms(query_text: str) -> list[str]:
     )
 
 
+def _attach_df(
+    tf: DataFrame,
+    id_col: str = "doc_id",
+    df_engine: str = "window",
+    hot_min_df: int = 100_000,
+    n_salt: int = 64,
+) -> DataFrame:
+    """Attach df(term) to a one-row-per-(doc, term) tf frame.
+
+    ``df_engine="window"`` (default, the r11 form): ``count(*) over
+    (partition by term)`` — ONE term-keyed exchange, the tf subtree
+    planned once. Its documented trade (BENCH_BASELINE r10, +6% at
+    100×): a hot term's entire (doc, term) row set lands in one
+    sorted window partition, linear in corpus size for a stopword.
+
+    ``df_engine="twotier"`` (r12, guide §2.2 salting — the VERDICT
+    r11 scale-proofing ask): a SEPARATE map-side-combinable per-term
+    count finds terms with df ≥ ``hot_min_df`` and BROADCASTS their
+    exact counts; the window then runs over (term, salt) where salt
+    spreads ONLY the hot terms' rows across ``n_salt`` partitions
+    (tail rows keep salt 0, so their window count is still the exact
+    df), and each row's df is ``coalesce(broadcast_df, window_df)``.
+    Every window partition is now bounded by max(hot_min_df,
+    rows/n_salt-per-hot-term); the price is one extra evaluation of
+    the tf subtree for the hot-term count (map-side collapsed, tiny
+    shuffle) — which is why this is a switch and not the default:
+    at bench scale the extra pass costs more than the sort it saves,
+    at 100 TB with a stopword-shaped vocabulary the unbounded window
+    partition is the thing that falls over. Same df values row for
+    row either way (pytest equality gate).
+
+    NOTE a staged-repartition + count + join-back form (no sort, one
+    exchange) was tried first and REJECTED: column pruning gives the
+    count branch a term-only exchange, so AQE cannot reuse it against
+    the full-row probe exchange and the whole tf subtree re-evaluates
+    (measured: 4 corpus scans in the eval-suite plan vs its pinned
+    3-scan budget)."""
+    if df_engine == "window":
+        return tf.withColumn(
+            "df", F.count("*").over(Window.partitionBy("term"))
+        )
+    if df_engine != "twotier":
+        raise ValueError(f"unknown df_engine: {df_engine}")
+    hot = F.broadcast(
+        tf.groupBy("term")
+        .agg(F.count("*").alias("_hot_df"))
+        .where(F.col("_hot_df") >= hot_min_df)
+    )
+    salted = tf.join(hot, "term", "left").withColumn(
+        "_salt",
+        F.when(
+            F.col("_hot_df").isNotNull(),
+            F.pmod(F.col(id_col).cast("bigint"), F.lit(n_salt)),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    return (
+        salted.withColumn(
+            "_wdf", F.count("*").over(Window.partitionBy("term", "_salt"))
+        )
+        .withColumn("df", F.coalesce(F.col("_hot_df"), F.col("_wdf")))
+        .drop("_hot_df", "_salt", "_wdf")
+    )
+
+
 def bm25_search(
     docs: DataFrame,
     query_text: str,
@@ -53,6 +117,7 @@ def bm25_search(
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    df_engine: str = "window",
 ) -> DataFrame:
     """Okapi BM25 top-k: idf = ln(1 + (N-df+0.5)/(df+0.5)),
     tf-saturated and length-normalized."""
@@ -114,18 +179,16 @@ def bm25_search(
         .groupBy(id_col, "term", "dl")
         .agg(F.count("*").alias("tf"))
     )
-    # df(term) attaches as a WINDOW count over tf itself — tf is one
-    # row per (doc, term) by construction (dl is functionally
-    # dependent on the doc id), so count(*) over partition(term) ==
-    # count_distinct(doc). The former broadcast-join form re-planned
-    # the whole matched-corpus subtree as df's input (a THIRD corpus
-    # scan in the plan); the window moves only the hits-sized tf
-    # stream through one term-keyed exchange (the domain_kl
-    # no-rescan lesson applied to BM25).
+    # df(term) over tf itself — tf is one row per (doc, term) by
+    # construction (dl is functionally dependent on the doc id), so a
+    # per-term count == count_distinct(doc). The r9 broadcast-join
+    # form re-planned the whole matched-corpus subtree as df's input
+    # (a THIRD corpus scan); the r11 window form moved only the
+    # hits-sized tf stream through one term-keyed exchange but sorted
+    # a hot term's full posting list in one window partition; r12
+    # keeps that single exchange and drops the sort (_attach_df).
     contrib = (
-        tf.withColumn(
-            "df", F.count("*").over(Window.partitionBy("term"))
-        )
+        _attach_df(tf, id_col, df_engine)
         .crossJoin(stats)
         .select(
             F.col(id_col),
@@ -178,6 +241,7 @@ def bm25_search_multi(
     id_col: str = "doc_id",
     text_col: str = "text",
     tag_col: str = "query_tag",
+    df_engine: str = "window",
 ) -> DataFrame:
     """Okapi BM25 top-k for a QUERY SET in ONE corpus pass — the
     suite/eval-harness shape of :func:`bm25_search`: per-tag results
@@ -274,13 +338,11 @@ def bm25_search_multi(
         .groupBy(id_col, "term", "dl")
         .agg(F.count("*").alias("tf"))
     )
-    # df(term) as a window count over tf — see bm25_search: same
-    # values, and the former broadcast-join form re-planned the whole
-    # matched-corpus subtree as df's input (a third corpus scan)
+    # df(term) via the staged-exchange count + join-back — see
+    # bm25_search/_attach_df: same values, one term exchange, no
+    # hot-term window sort
     contrib = (
-        tf.withColumn(
-            "df", F.count("*").over(Window.partitionBy("term"))
-        )
+        _attach_df(tf, id_col, df_engine)
         .crossJoin(stats)
         .select(
             F.col(id_col),
@@ -630,26 +692,27 @@ def percolate(
             qrows, "query_id string, term string, n_terms int, required int"
         )
     )
-    distinct_toks = F.array_distinct(
-        F.coalesce(
-            tokens(F.col(text_col)), F.array().cast("array<string>")
-        )
+    toks = F.coalesce(
+        tokens(F.col(text_col)), F.array().cast("array<string>")
     )
     if engine == "literal":
         all_terms = F.array(
             *[F.lit(t) for t in sorted({r[1] for r in qrows})]
         )
+        # array_intersect output is already DISTINCT (in first-array
+        # order), so intersecting the raw token array is identical to
+        # intersecting array_distinct(toks) — one O(tokens) hash pass
+        # per doc saved (r12)
         hits = docs.select(
             F.col(id_col),
-            F.explode(
-                F.array_intersect(distinct_toks, all_terms)
-            ).alias("term"),
+            F.explode(F.array_intersect(toks, all_terms)).alias("term"),
         )
     else:
         # no literal term array: the broadcast qframe semi-filters
-        # the exploded distinct tokens in the join itself
+        # the exploded distinct tokens in the join itself (distinct is
+        # REQUIRED here — each matched term must count once)
         hits = docs.select(
-            F.col(id_col), F.explode(distinct_toks).alias("term")
+            F.col(id_col), F.explode(F.array_distinct(toks)).alias("term")
         )
     return (
         hits.join(qframe, "term")
@@ -829,6 +892,7 @@ def bm25_search_weighted(
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    df_engine: str = "window",
 ) -> DataFrame:
     """Weighted-query BM25 top-k (the Lucene boosted-term query):
     score(d) = Σ_t w(t) · bm25_contrib(t, d) over a literal
@@ -887,9 +951,7 @@ def bm25_search_weighted(
         .agg(F.count("*").alias("tf"))
     )
     contrib = (
-        tf.withColumn(
-            "df", F.count("*").over(Window.partitionBy("term"))
-        )
+        _attach_df(tf, id_col, df_engine)
         .crossJoin(stats)
         .select(
             F.col(id_col),
@@ -1110,6 +1172,7 @@ def tfidf_topk_terms(
     k: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    df_engine: str = "window",
 ) -> DataFrame:
     """Top-k TF-IDF terms per document — the keyword-extraction step
     of a corpus-analysis pipeline. idf = ln((N+1)/(df+1)) (smoothed,
@@ -1137,7 +1200,10 @@ def tfidf_topk_terms(
         F.count("*").cast("double").alias("n_docs")
     )
     scored = (
-        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+        # vocabulary-wide df: no broadcast — the df table is the whole
+        # vocabulary; shuffled-hash join against the same staged term
+        # exchange (_attach_df docstring)
+        _attach_df(tf, id_col, df_engine)
         .crossJoin(F.broadcast(n_docs))
         .select(
             F.col(id_col),
@@ -1617,6 +1683,7 @@ def bm25_index_search(
     k1: float = 1.2,
     b: float = 0.75,
     id_col: str = "doc_id",
+    df_engine: str = "window",
 ) -> DataFrame:
     """BM25 top-k against a persisted inverted index — byte-identical
     scores to :func:`bm25_search` over the same corpus (same exact
@@ -1639,15 +1706,14 @@ def bm25_index_search(
     )
     pred = F.col("tb").isin(buckets) & F.col("term").isin(q_terms)
     tf = spark.read.parquet(f"{path}/postings").where(pred)
-    # df(term) as a WINDOW count over the pruned postings themselves
-    # (one row per (id, term) by the index's append contract) — the
-    # former broadcast-groupBy form re-planned the postings subtree as
-    # df's input, a second (pruned) scan in every probe plan; the r9
-    # bm25_search df-window fix, applied to the index path (r11,
-    # caught by the wave-11 scan gate). Hash-identical scores.
-    contrib = tf.withColumn(
-        "df", F.count("*").over(Window.partitionBy("term"))
-    ).select(
+    # df(term) over the pruned postings themselves (one row per
+    # (id, term) by the index's append contract) — the former
+    # broadcast-groupBy form re-planned the postings subtree as df's
+    # input, a second (pruned) scan in every probe plan; r11 used a
+    # term window, r12 the staged-exchange count + join-back
+    # (_attach_df: same single term exchange, no hot-term window
+    # sort). Hash-identical scores.
+    contrib = _attach_df(tf, id_col, df_engine).select(
         F.col(id_col),
         F.col("term"),
         (

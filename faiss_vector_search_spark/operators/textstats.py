@@ -310,6 +310,15 @@ def winnow_fp_sets_arrow_xx(
             ).min(axis=1)
         return np.unique(h).tolist()
 
+    # r12 note: a cross-doc batched fast lane (one concatenated
+    # buffer, one xxh64_fixed_np pass over every position, global
+    # lexsort for per-doc distincts) was measured and REJECTED:
+    # 1.34 → 1.50 s at sf0.1 (pure-numpy isolation: 1.50 vs 2.06 s
+    # per 10k-doc batch). The 20-op XXH64 chain is memory-bandwidth
+    # bound on a multi-MB batch matrix, while the per-doc (~500×8)
+    # matrices stay L1/L2-resident across the whole chain — the
+    # opposite economics of the poly winnow kernel below, whose
+    # batching DID win (see _winnow_arrow).
     def kernel(batches):
         for pdf in batches:
             yield pd.DataFrame(
@@ -409,25 +418,98 @@ def winnow_numpy_doc(text: str, k: int, w: int):
 def _winnow_arrow(
     docs: DataFrame, k: int, w: int, id_col: str, text_col: str
 ) -> DataFrame:
-    """Arrow engine for :func:`winnow_fingerprints`: the per-doc
-    kernel above, batched. NULL text mirrors the sql path's shape
-    (one NULL fingerprint row)."""
+    """Arrow engine for :func:`winnow_fingerprints`. r12: docs with
+    >= k UTF-16 units batch ACROSS docs — one concatenated unit
+    buffer, k shifted multiply-add passes for every gram hash of
+    every doc (no (S,k) materialization), one padded global
+    sliding-min, one lexsort for the per-doc distinct count/min/max —
+    instead of a python call + stride setup per doc.
+    :func:`winnow_numpy_doc` stays the bit-identical slow lane
+    (NULL / short docs) and the pytest reference. NULL text mirrors
+    the sql path's shape (one NULL fingerprint row)."""
+    import numpy as np
     import pandas as pd
+
+    B = np.uint64(1000003)
 
     def kernel(batches):
         for pdf in batches:
-            ids, ns, mns, mxs = [], [], [], []
-            for i, t in zip(pdf[id_col].values, pdf[text_col].values):
-                fps = winnow_numpy_doc(t, k, w)
-                ids.append(i)
-                if not fps:  # NULL text: [null] after distinct in sql
-                    ns.append(1)
-                    mns.append(None)
-                    mxs.append(None)
+            ids = pdf[id_col].values
+            texts = pdf[text_col].values
+            nrows = len(pdf)
+            ns = np.empty(nrows, dtype=np.int64)
+            mns = [None] * nrows
+            mxs = [None] * nrows
+            units_list = [None] * nrows
+            fast = []
+            for i, t in enumerate(texts):
+                if t is None:
+                    ns[i] = 1  # NULL text: [null] after distinct in sql
+                    continue
+                u = np.frombuffer(
+                    t.encode("utf-16-le"), dtype=np.uint16
+                )
+                if len(u) >= k:
+                    fast.append(i)
+                    units_list[i] = u
                 else:
-                    ns.append(len(fps))
-                    mns.append(fps[0])
-                    mxs.append(fps[-1])
+                    fps = winnow_numpy_doc(t, k, w)
+                    ns[i] = len(fps)
+                    mns[i] = fps[0]
+                    mxs[i] = fps[-1]
+            if fast:
+                nf = len(fast)
+                lens = np.fromiter(
+                    (len(units_list[i]) for i in fast),
+                    dtype=np.int64, count=nf,
+                )
+                npos = lens - (k - 1)
+                U = np.concatenate(
+                    [units_list[i] for i in fast]
+                ).astype(np.uint64)
+                g = np.zeros(nf, dtype=np.int64)
+                np.cumsum(lens[:-1], out=g[1:])
+                S = int(npos.sum())
+                doc_of = np.repeat(np.arange(nf), npos)
+                s_base = np.zeros(nf, dtype=np.int64)
+                np.cumsum(npos[:-1], out=s_base[1:])
+                starts = g[doc_of] + (np.arange(S) - np.repeat(s_base, npos))
+                with np.errstate(over="ignore"):
+                    pows = B ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+                    h = np.zeros(S, dtype=np.uint64)
+                    for t_off in range(k):
+                        h += U[starts + t_off] * pows[t_off]
+                    h ^= h >> np.uint64(33)
+                    h *= np.uint64(0xFF51AFD7ED558CCD)
+                    h ^= h >> np.uint64(33)
+                if w > 1:
+                    ins = np.arange(S) + np.repeat(
+                        np.arange(nf) * (w - 1), npos
+                    )
+                    padded = np.full(
+                        S + nf * (w - 1), np.iinfo(np.uint64).max,
+                        dtype=np.uint64,
+                    )
+                    padded[ins] = h
+                    h = np.lib.stride_tricks.sliding_window_view(
+                        padded, w
+                    ).min(axis=1)[ins]
+                h = h.view(np.int64)
+                order = np.lexsort((h, doc_of))
+                sd = doc_of[order]
+                sw = h[order]
+                keep = np.ones(S, dtype=bool)
+                keep[1:] = (sd[1:] != sd[:-1]) | (sw[1:] != sw[:-1])
+                ud = sd[keep]
+                uw = sw[keep]
+                seg = np.zeros(nf, dtype=np.int64)
+                seg[1:] = np.flatnonzero(np.diff(ud)) + 1
+                cnt = np.diff(np.append(seg, len(ud)))
+                for local_i in range(nf):
+                    i = fast[local_i]
+                    ns[i] = cnt[local_i]
+                    mns[i] = int(uw[seg[local_i]])
+                    mxs[i] = int(uw[seg[local_i] + cnt[local_i] - 1])
             yield pd.DataFrame(
                 {id_col: pd.Series(ids, dtype="int64"),
                  "n_fingerprints": pd.Series(ns, dtype="int64"),
