@@ -6065,46 +6065,89 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's CORRECTNESS artifact checks exactly
-    # the first 50 insertion-order keys each round (observed r2-r10; policy
-    # documented in SURVEY §5). Rotation r11, per the r10 verdict's ask #2:
-    # no stale never-green keys remained, so positions 1-5 are this
-    # round's NEW/PROMOTED never-green keys (ql_search_multi #215,
-    # fuzzy_index_search #214, ql_index_search #216, and the two
-    # rows-only promotions
-    # bigram_heavy_hitters + profile_delta), then the keys
-    # whose operator code took r11 edits (training_shards NULL-coalesce;
-    # retrieval_eval_suite is_macro schema; classifier_calibration
-    # engine file; the query_terms driver-side tokenization unification
-    # across bm25_search/ql/prf/fuzzy/percolate and the bm25_index df-
-    # window fix, which together touch every bm25-composing key:
-    # bm25_search, bm25_index_search, ql_search, prf_search,
-    # fuzzy_search, percolate, hybrid_search, retrieval_eval). Then the
-    # 30 stalest greens - the full r7 block (last-green histogram after
-    # r10: r7:30, r8:37, r9:44, r10:50) - and 4 stalest-r8 keys backfill
-    # to 50. Rows-only keys stay last. queries_order.json is regenerated
-    # in lockstep by scripts/verify.py.
+    # the first 50 insertion-order keys each round (observed r2-r11; policy
+    # documented in SURVEY §5). Rotation r12, per the r11 verdict's ask #2:
+    # positions 1-11 are the 11 keys whose computation changed in r11 but
+    # whose window slot had already rotated (tfidf_topk_terms,
+    # dedup_simhash, strip/repeated_spans, chunk_search, ccnet_buckets,
+    # fingerprint_overlap, contamination_report, ngram_novelty,
+    # hybrid_search_suite, curation_score); then every declared key whose
+    # operator code took r12 edits (span triple staging, verify-side
+    # candidate semi-joins, line_dedup in-row rebuild, percolate
+    # projection, the df_engine threading through the bm25 family,
+    # classifier logit_exprs refactor, curation fused scan); then the 24
+    # stalest greens (the full remaining r8-green block — last-green
+    # histogram after r11: r8:33, r9:40, r10:43, r11:50). Rows-only keys
+    # stay last. queries_order.json is regenerated in lockstep by
+    # scripts/verify.py.
     return {
-        # ---- r11 window (first 50 = the driver's correctness check) ----
-        # never-green first: 2 NEW keys + 2 PROMOTED rows-only keys
+        # ---- r12 window (first 50 = the driver's correctness check) ----
+        # Rotation r12, per the r11 verdict's ask #2: positions 1-11 are
+        # the 11 keys whose computation changed in r11 but missed the r11
+        # window; then every declared key whose operator code took r12
+        # edits (span staging, verify semi-joins, line_dedup rebuild,
+        # percolate projection, df_engine threading, logit_exprs refactor,
+        # curation fuse); then the stalest greens (the remaining r8-green
+        # block). Rows-only keys stay last. queries_order.json regenerates
+        # in lockstep via scripts/verify.py.
+        "tfidf_topk_terms": q_tfidf_topk_terms,
+        "dedup_simhash": q_dedup_simhash,
+        "strip_repeated_spans": q_strip_repeated_spans,
+        "repeated_spans": q_repeated_spans,
+        "chunk_search": q_chunk_search,
+        "ccnet_buckets": q_ccnet_buckets,
+        "fingerprint_overlap": q_fingerprint_overlap,
+        "contamination_report": q_contamination_report,
+        "ngram_novelty": q_ngram_novelty,
+        "hybrid_search_suite": q_hybrid_search_suite,
+        "curation_score": q_curation_score,
+        "line_dedup": q_line_dedup,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
+        "near_dup_dedup": q_near_dup_dedup,
+        "fuzzy_decontaminate": q_fuzzy_decontaminate,
+        "semdedup": q_semdedup,
+        "percolate": q_percolate,
+        "bm25_search": q_bm25_search,
+        "bm25_index_search": q_bm25_index_search,
+        "retrieval_eval_suite": q_retrieval_eval_suite,
+        "retrieval_eval": q_retrieval_eval,
+        "hybrid_search": q_hybrid_search,
+        "prf_search": q_prf_search,
+        "fuzzy_search": q_fuzzy_search,
+        "classifier_calibration": q_classifier_calibration,
+        "knn_batch": q_knn_batch,
+        "rag_context": q_rag_context,
+        "diversified_search": q_diversified_search,
+        "tpch_q6": q_tpch_q6,
+        "large_volume_customers": q_large_volume_customers,
+        "curation_pipeline": q_curation_pipeline,
+        "nation_market_share": q_nation_market_share,
+        "session_window_agg": q_session_window_agg,
+        "binary_hamming_search": q_binary_hamming_search,
+        "bloom_semi_join": q_bloom_semi_join,
+        "dataset_card": q_dataset_card,
+        "cross_domain_dups": q_cross_domain_dups,
+        "split_kl": q_split_kl,
+        "self_similarity": q_self_similarity,
+        "zipf_profile": q_zipf_profile,
+        "curriculum_order": q_curriculum_order,
+        "maxsim_search": q_maxsim_search,
+        "matryoshka_rerank_search": q_matryoshka_rerank_search,
+        "token_budget_sample": q_token_budget_sample,
+        "pmi_collocations": q_pmi_collocations,
+        "domain_kl": q_domain_kl,
+        "length_batches": q_length_batches,
+        "opq_rerank_search": q_opq_rerank_search,
+        "normalize_text": q_normalize_text,
+        # ---- behind the window (rotates forward as greens age) ----
         "ql_search_multi": q_ql_search_multi,
         "fuzzy_index_search": q_fuzzy_index_search,
         "ql_index_search": q_ql_index_search,
         "bigram_heavy_hitters": q_bigram_heavy_hitters,
         "profile_delta": q_profile_delta,
-        # r11-edited operators (query_terms unification touched the
-        # whole bm25-composing family; is_macro/coalesce/df-window edits)
         "training_shards": q_training_shards,
-        "retrieval_eval_suite": q_retrieval_eval_suite,
-        "classifier_calibration": q_classifier_calibration,
-        "bm25_search": q_bm25_search,
-        "bm25_index_search": q_bm25_index_search,
         "ql_search": q_ql_search,
-        "prf_search": q_prf_search,
-        "fuzzy_search": q_fuzzy_search,
-        "percolate": q_percolate,
-        "hybrid_search": q_hybrid_search,
-        "retrieval_eval": q_retrieval_eval,
-        # stalest greens: the full r7 block (30 keys)
         "time_range_rolling": q_time_range_rolling,
         "value_rank_profile": q_value_rank_profile,
         "phrase_search": q_phrase_search,
@@ -6126,7 +6169,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue_share": q_promo_revenue_share,
         "top_supplier_revenue": q_top_supplier_revenue,
         "sole_returned_supplier": q_sole_returned_supplier,
-        "line_dedup": q_line_dedup,
         "sq_search": q_sq_search,
         "returned_item_report": q_returned_item_report,
         "supplier_count_by_part": q_supplier_count_by_part,
@@ -6135,24 +6177,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_vectors": q_remove_vectors,
         "churned_buyers": q_churned_buyers,
         "weighted_sample": q_weighted_sample,
-        # r8 backfill to 50
         "text_search": q_text_search,
         "knn_topk_l2": q_knn_topk_l2,
         "knn_fixed_threshold": q_knn_fixed_threshold,
         "knn_dynamic_threshold": q_knn_dynamic_threshold,
-        # ---- behind the window (rotates forward as greens age) ----
-        "knn_batch": q_knn_batch,
         "quality_classifier": q_quality_classifier,
         "gopher_quality": q_gopher_quality,
         "doc_quality_deciles": q_doc_quality_deciles,
-        "curation_score": q_curation_score,
         "snapshot_diff": q_snapshot_diff,
         "knn_classify_ivf": q_knn_classify_ivf,
         "hard_negatives_ivf": q_hard_negatives_ivf,
         "training_triplets_ivf": q_training_triplets_ivf,
         "ivf_batch_query": q_ivf_batch_query,
         "dedup_keep_best": q_dedup_keep_best,
-        "dedup_clusters": q_dedup_clusters,
         "stratified_sample": q_stratified_sample,
         "tpch_q1": q_tpch_q1,
         "top_customers_by_nation": q_top_customers_by_nation,
@@ -6182,44 +6219,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_rerank_search": q_binary_rerank_search,
         "json_props_rollup": q_json_props_rollup,
         "event_value_quantiles": q_event_value_quantiles,
-        "tfidf_topk_terms": q_tfidf_topk_terms,
         "bigram_counts": q_bigram_counts,
         "event_type_pivot": q_event_type_pivot,
-        "rag_context": q_rag_context,
-        "diversified_search": q_diversified_search,
-        "chunk_search": q_chunk_search,
-        "tpch_q6": q_tpch_q6,
-        "large_volume_customers": q_large_volume_customers,
-        "curation_pipeline": q_curation_pipeline,
-        "nation_market_share": q_nation_market_share,
-        "session_window_agg": q_session_window_agg,
-        "binary_hamming_search": q_binary_hamming_search,
-        "bloom_semi_join": q_bloom_semi_join,
-        "dataset_card": q_dataset_card,
-        "cross_domain_dups": q_cross_domain_dups,
-        "split_kl": q_split_kl,
-        "self_similarity": q_self_similarity,
-        "zipf_profile": q_zipf_profile,
-        "ngram_novelty": q_ngram_novelty,
-        "curriculum_order": q_curriculum_order,
-        "ccnet_buckets": q_ccnet_buckets,
-        "maxsim_search": q_maxsim_search,
-        "matryoshka_rerank_search": q_matryoshka_rerank_search,
-        "token_budget_sample": q_token_budget_sample,
-        "pmi_collocations": q_pmi_collocations,
-        "domain_kl": q_domain_kl,
-        "length_batches": q_length_batches,
-        "fuzzy_decontaminate": q_fuzzy_decontaminate,
-        "repeated_spans": q_repeated_spans,
-        "opq_rerank_search": q_opq_rerank_search,
-        "normalize_text": q_normalize_text,
-        "strip_repeated_spans": q_strip_repeated_spans,
         "table_profile": q_table_profile,
         "pack_sequences": q_pack_sequences,
         "knn_threshold_progression": q_knn_threshold_progression,
-        "contamination_report": q_contamination_report,
         "chunk_search_ivf": q_chunk_search_ivf,
-        "hybrid_search_suite": q_hybrid_search_suite,
         "knn_classify": q_knn_classify,
         "knn_classify_weighted": q_knn_classify_weighted,
         "hard_negatives": q_hard_negatives,
@@ -6233,7 +6238,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_fixed": q_chunk_fixed,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "c4_rules": q_c4_rules,
         "domain_temperature": q_domain_temperature,
         "ngram_lookup": q_ngram_lookup,
@@ -6243,19 +6247,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_profile": q_corpus_profile,
         "bigram_lm_score": q_bigram_lm_score,
         "unpivot_user_matrix": q_unpivot_user_matrix,
-        "fingerprint_overlap": q_fingerprint_overlap,
         "fim_transform": q_fim_transform,
         "dsir_sample": q_dsir_sample,
         "chunk_documents_greedy": q_chunk_documents_greedy,
         "knn_filtered_search": q_knn_filtered_search,
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
-        "semdedup": q_semdedup,
         "merge_indexes": q_merge_indexes,
         "hash_split": q_hash_split,
         "char_entropy": q_char_entropy,
-        "near_dup_dedup": q_near_dup_dedup,
-        "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         # rows-only keys (pytest-gated; never enter the driver window)
         "pca_ivf_search": q_pca_ivf_search,

