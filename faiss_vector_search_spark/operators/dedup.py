@@ -1381,25 +1381,60 @@ def repeated_spans(
     tokd = docs.select(
         F.col(id_col), tokens(F.col(text_col)).alias("_toks")
     ).where(F.size("_toks") >= w)
-    # r12: the triples stage behind ONE explicit gh exchange that both
-    # consumers (dictionary groupBy, join-back) re-read via
-    # ReusedExchange — the former shape re-ran scan+tokenize+window-
-    # hash once per consumer (measured: repeated_spans 1.78→1.34 s at
-    # sf0.1, 7.9→7.0 at sf1; strip 2.60→2.06 / 8.0→4.7). Trade:
-    # the dictionary count loses map-side partial aggregation, so the
-    # exchange carries one 24-byte row per window occurrence instead
-    # of per distinct gram — acceptable because 8-token grams are
-    # orders flatter than single terms (the bm25 df-window skew note
-    # does NOT transfer), and a genuinely hot boilerplate gram is
-    # bounded by the corpus' boilerplate mass, not vocabulary shape.
-    wins = _span_window_hashes(tokd, w, id_col, hash_fn).repartition("gh")
+    # r12: the triples reduce to (gh, okey = id·10⁶ + pos) and stage
+    # behind ONE explicit gh exchange; BOTH consumers (dictionary
+    # groupBy, join-back) read exactly (gh, okey), so their exchanges
+    # canonicalize identically and the tokenize+window-hash subtree
+    # runs ONCE (ReusedExchange) — and the explicit shuffle also
+    # redistributes the explode output across all cores instead of
+    # the input-file task count (measured together: repeated_spans
+    # 1.78→1.34 s at sf0.1, 7.9→7.0 at sf1; strip 2.60→2.06 /
+    # 8.0→4.7; the okey unification landed after those numbers and is
+    # A/B'd under the bench harness in OPTIMIZATION_r12.md). (id, pos)
+    # reconstruct by exact integer arithmetic above the join
+    # (non-negative ids, pos < 10⁶ — the strip_repeated_spans okey
+    # contract). Trade: the dictionary count loses map-side partial
+    # aggregation, so the exchange carries one 16-byte row per window
+    # occurrence instead of per distinct gram — acceptable because
+    # 8-token grams are orders flatter than single terms, and a
+    # genuinely hot boilerplate gram is bounded by the corpus'
+    # boilerplate mass, not vocabulary shape.
+    okey = (F.col(id_col) * 1_000_000 + F.col("pos")).alias("okey")
+    wins = (
+        _span_window_hashes(tokd, w, id_col, hash_fn)
+        .select("gh", okey)
+        # no-op for the corpus contract (ids non-null): this mirrors
+        # the not-null constraints Catalyst infers on the join-back
+        # branch, so BOTH consumers' subtrees canonicalize identically
+        # below the exchange — without it only the probe side carries
+        # the inferred filters and the shuffle is re-computed instead
+        # of reused (verified: FileScans 3→2, ReusedQueryStage 1)
+        .where(
+            F.col("okey").isNotNull()
+            & F.expr("(okey div 1000000)").isNotNull()
+        )
+        .repartition("gh")
+    )
     repeated = (
         wins.groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        # count("okey"), not count(*): okey is non-null below (the
+        # mirror filter), so the value is identical — but the column
+        # reference PINS okey into this branch's projection, keeping
+        # both consumers' exchange subtrees canonically identical
+        # (ColumnPruning would otherwise drop okey here and fork the
+        # exchange, re-computing the tokenize subtree per consumer).
+        .agg(F.count("okey").alias("cnt"))
         .where(F.col("cnt") >= min_count)
         .select("gh")
     )
-    hits = wins.join(repeated, "gh").select(id_col, "pos")
+    id_type = docs.schema[id_col].dataType
+    hits = (
+        wins.join(repeated, "gh")
+        .select(
+            F.expr("okey div 1000000").cast(id_type).alias(id_col),
+            F.pmod(F.col("okey"), F.lit(1_000_000)).alias("pos"),
+        )
+    )
     rn = F.row_number().over(
         Window.partitionBy(id_col).orderBy(F.col("pos").asc())
     )
@@ -1538,14 +1573,29 @@ def strip_repeated_spans(
             tokens(F.col(text_col)), F.array().cast("array<string>")
         ).alias("_toks"),
     )
-    # r12: staged behind one gh exchange shared by the owner
-    # dictionary and the join-back (ReusedExchange) — see
-    # repeated_spans above for the measured deltas and the skew note.
+    # r12: the triples reduce to (gh, okey) and stage behind one gh
+    # exchange; both consumers (owner dictionary, join-back) read
+    # exactly (gh, okey), so the exchanges canonicalize identically
+    # and the tokenize+window-hash subtree runs ONCE (ReusedExchange)
+    # — see repeated_spans for the measured deltas and the skew note.
+    # (id, pos) reconstruct above the join by exact integer
+    # arithmetic (non-negative ids, pos < 10⁶ — the okey contract in
+    # this docstring).
     wins = (
         _span_window_hashes(
             tokd.where(F.size("_toks") >= w), w, id_col, hash_fn
         )
-        .withColumn("okey", F.col(id_col) * 1_000_000 + F.col("pos"))
+        .select(
+            "gh",
+            (F.col(id_col) * 1_000_000 + F.col("pos")).alias("okey"),
+        )
+        # no-op under the non-null-id contract; mirrors the inferred
+        # join-back constraints so both consumers reuse one exchange
+        # (see repeated_spans)
+        .where(
+            F.col("okey").isNotNull()
+            & F.expr("(okey div 1000000)").isNotNull()
+        )
         .repartition("gh")
     )
     owners = (
@@ -1554,10 +1604,14 @@ def strip_repeated_spans(
         .where(F.col("cnt") >= min_count)
         .select("gh", "own")
     )
+    id_type = docs.schema[id_col].dataType
     redundant = (
         wins.join(owners, "gh")
         .where(F.col("okey") != F.col("own"))
-        .select(id_col, "pos")
+        .select(
+            F.expr("okey div 1000000").cast(id_type).alias(id_col),
+            F.pmod(F.col("okey"), F.lit(1_000_000)).alias("pos"),
+        )
     )
     rn = F.row_number().over(
         Window.partitionBy(id_col).orderBy(F.col("pos").asc())
