@@ -310,20 +310,73 @@ def winnow_fp_sets_arrow_xx(
             ).min(axis=1)
         return np.unique(h).tolist()
 
-    # r12 note: a cross-doc batched fast lane (one concatenated
-    # buffer, one xxh64_fixed_np pass over every position, global
-    # lexsort for per-doc distincts) was measured and REJECTED:
-    # 1.34 → 1.50 s at sf0.1 (pure-numpy isolation: 1.50 vs 2.06 s
-    # per 10k-doc batch). The 20-op XXH64 chain is memory-bandwidth
-    # bound on a multi-MB batch matrix, while the per-doc (~500×8)
-    # matrices stay L1/L2-resident across the whole chain — the
-    # opposite economics of the poly winnow kernel below, whose
-    # batching DID win (see _winnow_arrow).
+    # r12: the ASCII len>=k fast lane hashes docs in CHUNKS of 32 —
+    # one concatenated buffer per chunk, one vectorized XXH64 pass
+    # over every position (virtual sliding view, boundary positions
+    # hashed-and-discarded), one padded sliding-min; per-doc distinct
+    # stays a small C call per doc. 32 docs ≈ 15k positions keeps the
+    # whole 20-op hash chain L2-resident while amortizing numpy
+    # per-op overhead ~32× (pure-numpy isolation, 10k docs: per-doc
+    # 1.56 s, chunk32 0.61 s; a WHOLE-batch version was tried first
+    # and REJECTED at 2.06 s — a multi-MB working set turns the chain
+    # memory-bandwidth-bound). doc_fps stays the bit-identical slow
+    # lane (NULL / short / non-ASCII docs) and the pytest reference.
+    _CH = 32
+    imax = np.iinfo(np.int64).max
+
     def kernel(batches):
         for pdf in batches:
+            texts = pdf[text_col].values
+            nrows = len(pdf)
+            out = [None] * nrows
+            fast = [
+                i for i, t in enumerate(texts)
+                if t is not None and len(t) >= k and k < 32 and t.isascii()
+            ]
+            fastset = set(fast)
+            for i in range(nrows):
+                if i not in fastset:
+                    out[i] = doc_fps(texts[i])
+            for c0 in range(0, len(fast), _CH):
+                idxs = fast[c0:c0 + _CH]
+                nf = len(idxs)
+                lens = np.fromiter(
+                    (len(texts[i]) for i in idxs), dtype=np.int64, count=nf
+                )
+                npos = lens - (k - 1)
+                buf = np.frombuffer(
+                    "".join(texts[i] for i in idxs).encode("ascii"),
+                    dtype=np.uint8,
+                )
+                g = np.zeros(nf, dtype=np.int64)
+                np.cumsum(lens[:-1], out=g[1:])
+                S = int(npos.sum())
+                s_base = np.zeros(nf, dtype=np.int64)
+                np.cumsum(npos[:-1], out=s_base[1:])
+                doc_of = np.repeat(np.arange(nf), npos)
+                starts = g[doc_of] + (
+                    np.arange(S) - np.repeat(s_base, npos)
+                )
+                grams = np.lib.stride_tricks.sliding_window_view(buf, k)
+                h_all = xxh64_int_chain_np(xxh64_fixed_np(grams, 42), seed)
+                h = h_all[starts]
+                if w > 1:
+                    ins = np.arange(S) + np.repeat(
+                        np.arange(nf) * (w - 1), npos
+                    )
+                    padded = np.full(
+                        S + nf * (w - 1), imax, dtype=np.int64
+                    )
+                    padded[ins] = h
+                    h = np.lib.stride_tricks.sliding_window_view(
+                        padded, w
+                    ).min(axis=1)[ins]
+                for li in range(nf):
+                    out[idxs[li]] = np.unique(
+                        h[s_base[li]:s_base[li] + npos[li]]
+                    ).tolist()
             yield pd.DataFrame(
-                {id_col: pdf[id_col].values,
-                 "fps": [doc_fps(t) for t in pdf[text_col].values]}
+                {id_col: pdf[id_col].values, "fps": out}
             )
 
     return docs.select(id_col, text_col).mapInPandas(
@@ -419,18 +472,22 @@ def _winnow_arrow(
     docs: DataFrame, k: int, w: int, id_col: str, text_col: str
 ) -> DataFrame:
     """Arrow engine for :func:`winnow_fingerprints`. r12: docs with
-    >= k UTF-16 units batch ACROSS docs — one concatenated unit
-    buffer, k shifted multiply-add passes for every gram hash of
-    every doc (no (S,k) materialization), one padded global
-    sliding-min, one lexsort for the per-doc distinct count/min/max —
-    instead of a python call + stride setup per doc.
-    :func:`winnow_numpy_doc` stays the bit-identical slow lane
-    (NULL / short docs) and the pytest reference. NULL text mirrors
-    the sql path's shape (one NULL fingerprint row)."""
+    >= k UTF-16 units vectorize ACROSS docs in CHUNKS of 32 — one
+    concatenated unit buffer per chunk, k shifted multiply-add passes
+    for every gram hash of every doc (no (S,k) materialization), one
+    padded sliding-min; per-doc distinct count/min/max stay small C
+    calls. 32 docs keeps the working set L2-resident while amortizing
+    numpy per-op overhead (pure-numpy isolation, 10k docs: per-doc
+    loop 1.56 s, whole-batch 3.39 s, chunk32 0.79 s — the same cache
+    economics as the XXH64 winnow kernel). :func:`winnow_numpy_doc`
+    stays the bit-identical slow lane (NULL / short docs) and the
+    pytest reference. NULL text mirrors the sql path's shape (one
+    NULL fingerprint row)."""
     import numpy as np
     import pandas as pd
 
     B = np.uint64(1000003)
+    _CH = 32
 
     def kernel(batches):
         for pdf in batches:
@@ -457,59 +514,55 @@ def _winnow_arrow(
                     ns[i] = len(fps)
                     mns[i] = fps[0]
                     mxs[i] = fps[-1]
-            if fast:
-                nf = len(fast)
-                lens = np.fromiter(
-                    (len(units_list[i]) for i in fast),
-                    dtype=np.int64, count=nf,
-                )
-                npos = lens - (k - 1)
-                U = np.concatenate(
-                    [units_list[i] for i in fast]
-                ).astype(np.uint64)
-                g = np.zeros(nf, dtype=np.int64)
-                np.cumsum(lens[:-1], out=g[1:])
-                S = int(npos.sum())
-                doc_of = np.repeat(np.arange(nf), npos)
-                s_base = np.zeros(nf, dtype=np.int64)
-                np.cumsum(npos[:-1], out=s_base[1:])
-                starts = g[doc_of] + (np.arange(S) - np.repeat(s_base, npos))
-                with np.errstate(over="ignore"):
-                    pows = B ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                pows = B ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+                for c0 in range(0, len(fast), _CH):
+                    idxs = fast[c0:c0 + _CH]
+                    nf = len(idxs)
+                    lens = np.fromiter(
+                        (len(units_list[i]) for i in idxs),
+                        dtype=np.int64, count=nf,
+                    )
+                    npos = lens - (k - 1)
+                    U = np.concatenate(
+                        [units_list[i] for i in idxs]
+                    ).astype(np.uint64)
+                    g = np.zeros(nf, dtype=np.int64)
+                    np.cumsum(lens[:-1], out=g[1:])
+                    S = int(npos.sum())
+                    doc_of = np.repeat(np.arange(nf), npos)
+                    s_base = np.zeros(nf, dtype=np.int64)
+                    np.cumsum(npos[:-1], out=s_base[1:])
+                    starts = g[doc_of] + (
+                        np.arange(S) - np.repeat(s_base, npos)
+                    )
                     h = np.zeros(S, dtype=np.uint64)
                     for t_off in range(k):
                         h += U[starts + t_off] * pows[t_off]
                     h ^= h >> np.uint64(33)
                     h *= np.uint64(0xFF51AFD7ED558CCD)
                     h ^= h >> np.uint64(33)
-                if w > 1:
-                    ins = np.arange(S) + np.repeat(
-                        np.arange(nf) * (w - 1), npos
-                    )
-                    padded = np.full(
-                        S + nf * (w - 1), np.iinfo(np.uint64).max,
-                        dtype=np.uint64,
-                    )
-                    padded[ins] = h
-                    h = np.lib.stride_tricks.sliding_window_view(
-                        padded, w
-                    ).min(axis=1)[ins]
-                h = h.view(np.int64)
-                order = np.lexsort((h, doc_of))
-                sd = doc_of[order]
-                sw = h[order]
-                keep = np.ones(S, dtype=bool)
-                keep[1:] = (sd[1:] != sd[:-1]) | (sw[1:] != sw[:-1])
-                ud = sd[keep]
-                uw = sw[keep]
-                seg = np.zeros(nf, dtype=np.int64)
-                seg[1:] = np.flatnonzero(np.diff(ud)) + 1
-                cnt = np.diff(np.append(seg, len(ud)))
-                for local_i in range(nf):
-                    i = fast[local_i]
-                    ns[i] = cnt[local_i]
-                    mns[i] = int(uw[seg[local_i]])
-                    mxs[i] = int(uw[seg[local_i] + cnt[local_i] - 1])
+                    if w > 1:
+                        ins = np.arange(S) + np.repeat(
+                            np.arange(nf) * (w - 1), npos
+                        )
+                        padded = np.full(
+                            S + nf * (w - 1), np.iinfo(np.uint64).max,
+                            dtype=np.uint64,
+                        )
+                        padded[ins] = h
+                        h = np.lib.stride_tricks.sliding_window_view(
+                            padded, w
+                        ).min(axis=1)[ins]
+                    h = h.view(np.int64)
+                    for li in range(nf):
+                        fps = np.unique(
+                            h[s_base[li]:s_base[li] + npos[li]]
+                        )
+                        i = idxs[li]
+                        ns[i] = len(fps)
+                        mns[i] = int(fps[0])
+                        mxs[i] = int(fps[-1])
             yield pd.DataFrame(
                 {id_col: pd.Series(ids, dtype="int64"),
                  "n_fingerprints": pd.Series(ns, dtype="int64"),
