@@ -278,6 +278,14 @@ class TestPlanAuditRegressionGate:
     # (deliberately unbucketed) store.
     SMJ_ALLOWLIST = {
         "semdedup", "events_range_join", "ann_lsh_search", "snapshot_diff",
+        # r12: the verify-side candidate prefilter (docs leftsemi
+        # candidate-ids before the shingle build — dedup.py
+        # minhash_lsh_pairs/fuzzy_decontaminate) plans as SMJ in the
+        # static AQE-off audit because the candidate set's size is
+        # unknown at plan time; at runtime AQE broadcasts it (verified
+        # on executed plans at sf0.001-1). SMJ is the correct fallback
+        # when candidates are too large to broadcast at 100 TB.
+        "dedup_minhash_lsh", "fuzzy_decontaminate", "cross_domain_dups",
     }
     # Declared non-JVM stages: Arrow-batched chunker / local-top-k /
     # LSH-Gram / MMR / model slots / tokenizer / codecs — each one a
