@@ -124,15 +124,36 @@ def query_probe_buckets(
     shuffle at build) while recall is recovered at query time from
     (1 + multiprobe) probes per table. At 100 TB the corpus-side cost
     is the one that matters, so this is the right direction to spend."""
+    pairs = _probe_pairs(
+        query, dim, n_tables, n_bits, seed, multiprobe, query_vec_col
+    )
+    spark = query.sparkSession
+    if not pairs:
+        # empty query set → empty probe set; the bucket join then
+        # yields an empty result, matching the old lsh_buckets-based
+        # path's behavior
+        return spark.createDataFrame([], "table int, bucket bigint")
+    return spark.createDataFrame(pairs, "table int, bucket bigint")
+
+
+def _probe_pairs(
+    query: DataFrame,
+    dim: int,
+    n_tables: int,
+    n_bits: int,
+    seed: int,
+    multiprobe: int,
+    query_vec_col: str,
+) -> list:
+    """The sorted, deduplicated (table, bucket) probe pairs of
+    :func:`query_probe_buckets`, as driver-side values — query-sized
+    state (the probe-map convention), usable both as a literal frame
+    and inside the fused candidate kernel of :func:`ann_lsh_search`."""
     planes = _planes(dim, n_tables, n_bits, seed)
     weights = (1 << np.arange(n_bits)).astype(np.int64)
-    spark = query.sparkSession
     qrows = [r[query_vec_col] for r in query.select(query_vec_col).collect()]
     if not qrows:
-        # empty query set → empty probe set (np.vstack would raise);
-        # the bucket join then yields an empty result, matching the
-        # old lsh_buckets-based path's behavior
-        return spark.createDataFrame([], "table int, bucket bigint")
+        return []
     qv = np.vstack(qrows).astype(np.float64)
     margins = qv @ planes.T  # (q, L*B)
     rows = []
@@ -145,9 +166,7 @@ def query_probe_buckets(
             # flip bits in increasing |margin| order, one at a time
             for b in np.argsort(np.abs(m[t]))[:multiprobe]:
                 rows.append((t, home ^ int(weights[b])))
-    return spark.createDataFrame(
-        sorted(set(rows)), "table int, bucket bigint"
-    )
+    return sorted(set(rows))
 
 
 def ann_lsh_search(
@@ -175,19 +194,67 @@ def ann_lsh_search(
     from ..functions import vector as V
 
     if corpus_buckets is None:
-        corpus_buckets = lsh_buckets(
-            corpus, dim, n_tables, n_bits, seed, id_col, vec_col
+        # Fused candidate kernel: the query's probe set is driver-side
+        # literal state (query-sized, same collect query_probe_buckets
+        # already does), so the SAME matmul pass that hashed the corpus
+        # can ALSO decide bucket membership in-kernel and emit only the
+        # candidate (id, vector) rows. Versus the bucket-join form this
+        # removes, per search: the L-fold (id, table, bucket) row
+        # blow-up out of the Arrow stage, the broadcast bucket join,
+        # the candidate distinct exchange (each corpus row emits at
+        # most once per batch by construction), and the second corpus
+        # scan + semi-join that re-attached vectors to candidate ids
+        # (plan before/after: plans/r12/ann_lsh_search_*.txt). The
+        # bucket math is byte-identical to lsh_buckets + the
+        # query_probe_buckets join (equality gate in test_opt_r12);
+        # scoring below is untouched JVM ip_score on the original
+        # float vectors, which round-trip Arrow exactly.
+        probe_pairs = _probe_pairs(
+            query, dim, n_tables, n_bits, seed, multiprobe, query_vec_col
         )
-    query_buckets = query_probe_buckets(
-        query, dim, n_tables, n_bits, seed, multiprobe, query_vec_col
-    )
+        by_table: dict[int, list] = {}
+        for t, b in probe_pairs:
+            by_table.setdefault(t, []).append(b)
+        probes = {
+            t: np.asarray(bs, dtype=np.int64) for t, bs in by_table.items()
+        }
+        planes = _planes(dim, n_tables, n_bits, seed)
+        weights = (1 << np.arange(n_bits)).astype(np.int64)
+        vec_type = corpus.schema[vec_col].dataType.simpleString()
 
-    cand_ids = (
-        corpus_buckets.join(F.broadcast(query_buckets), ["table", "bucket"])
-        .select(id_col)
-        .distinct()
-    )
-    cands = corpus.join(cand_ids, id_col, "leftsemi")
+        def cand_kernel(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if pdf.empty or not probes:
+                    continue
+                mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+                bits = (mat @ planes.T) > 0  # (n, L*B)
+                buckets = (
+                    bits.reshape(len(pdf), n_tables, n_bits) @ weights
+                )  # (n, L)
+                mask = np.zeros(len(pdf), dtype=bool)
+                for t, bs in probes.items():
+                    mask |= np.isin(buckets[:, t], bs)
+                if not mask.any():
+                    continue
+                yield pdf.loc[mask, [id_col, vec_col]]
+
+        cands = corpus.select(id_col, vec_col).mapInPandas(
+            cand_kernel, schema=f"{id_col} bigint, {vec_col} {vec_type}"
+        )
+    else:
+        query_buckets = query_probe_buckets(
+            query, dim, n_tables, n_bits, seed, multiprobe, query_vec_col
+        )
+        cand_ids = (
+            corpus_buckets.join(
+                F.broadcast(query_buckets), ["table", "bucket"]
+            )
+            .select(id_col)
+            .distinct()
+        )
+        cands = corpus.join(cand_ids, id_col, "leftsemi")
     return (
         cands.crossJoin(F.broadcast(query.select(query_vec_col)))
         .select(

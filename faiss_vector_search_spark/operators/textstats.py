@@ -170,6 +170,7 @@ def quality_score(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """Heuristic quality score in [0,1]: length, stopword ratio,
     punctuation penalty, mean-word-length band — the standard cheap
@@ -178,15 +179,24 @@ def quality_score(
     Two-projection shape: the token array is staged as a real column
     first so the four token-consuming score terms read it instead of
     re-running split+filter per term (CollapseProject keeps the
-    non-cheap duplicate staged)."""
+    non-cheap duplicate staged).
+
+    ``extra_cols``: doc-functional passenger columns carried through
+    both projections unchanged (the lm.py extra_cols convention) — a
+    consumer that only needs to ATTACH a column it already has on the
+    doc row (e.g. the domain for curriculum interleaving) rides the
+    one scan instead of paying a corpus self-join on the id."""
+    passengers = [F.col(c) for c in extra_cols]
     staged = docs.select(
         F.col(id_col),
+        *passengers,
         F.col(text_col),
         tokens(F.col(text_col)).alias("_toks"),
     )
     n_tokens, quality = quality_exprs(F.col(text_col), F.col("_toks"))
     return staged.select(
         F.col(id_col),
+        *passengers,
         n_tokens.alias("n_tokens"),
         quality.alias("quality"),
     ).where(F.col("n_tokens") > 0)
@@ -1623,8 +1633,16 @@ def curriculum_order(
     which reproduces ORDER BY (rank, domain) exactly — gated against
     the oracle's literal global-sort formulation.
     """
-    scored = quality_score(docs, id_col=id_col, text_col=text_col)
-    j = docs.select(id_col, domain_col).join(scored, on=id_col)
+    # domain rides the quality scan as a passenger column (extra_cols)
+    # instead of a corpus self-join on the id: the r11 plan carried a
+    # second parquet scan + BroadcastHashJoin purely to re-attach a
+    # column the doc row already had (guide §2.4 — remove shuffles/
+    # joins outright). Output rows identical: the inner join on a
+    # unique id against a per-row projection of the same frame is
+    # exactly "filter to n_tokens > 0 and keep domain".
+    j = quality_score(
+        docs, id_col=id_col, text_col=text_col, extra_cols=(domain_col,)
+    )
     w = Window.partitionBy(domain_col).orderBy(
         F.col("quality").desc(), F.col(id_col).asc()
     )
@@ -1634,9 +1652,14 @@ def curriculum_order(
         F.col("quality"),
         F.row_number().over(w).alias("rank"),
     )
+    # per-domain counts need no window and no rank: count the ranked
+    # frame's INPUT (same cardinality — row_number is 1:1). This
+    # driver-bounded collect (domain vocabulary) runs at plan-build
+    # time; counting pre-window keeps it a scan + map-side-combinable
+    # aggregation instead of re-running the join+window pipeline.
     counts = sorted(
         (r[0], r[1])
-        for r in ranked.groupBy(domain_col).count().collect()
+        for r in j.groupBy(domain_col).count().collect()
     )
     r = F.col("rank")
     pos = F.lit(1).cast("long")

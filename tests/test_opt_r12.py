@@ -493,3 +493,160 @@ class TestLineDedupInRowRebuild:
         for rows in cases:
             d = spark.createDataFrame(rows, "doc_id long, text string")
             self._assert_equal(d)
+
+
+class TestCurriculumJoinElimination:
+    """curriculum_order's domain column now rides the quality scan as
+    an extra_cols passenger instead of a corpus self-join on the id:
+    the output must equal the r11 join-based formulation row-for-row
+    (and quality_score's default-signature output must be untouched)."""
+
+    @staticmethod
+    def _old_curriculum_order(docs, id_col="doc_id", text_col="text",
+                              domain_col="source"):
+        from pyspark.sql import Window
+
+        from faiss_vector_search_spark.operators import textstats
+
+        scored = textstats.quality_score(
+            docs, id_col=id_col, text_col=text_col
+        )
+        j = docs.select(id_col, domain_col).join(scored, on=id_col)
+        w = Window.partitionBy(domain_col).orderBy(
+            F.col("quality").desc(), F.col(id_col).asc()
+        )
+        ranked = j.select(
+            F.col(id_col), F.col(domain_col), F.col("quality"),
+            F.row_number().over(w).alias("rank"),
+        )
+        counts = sorted(
+            (r[0], r[1])
+            for r in ranked.groupBy(domain_col).count().collect()
+        )
+        r = F.col("rank")
+        pos = F.lit(1).cast("long")
+        for dom, c in counts:
+            pos = pos + F.least(F.lit(int(c)), r - 1)
+            pos = pos + F.when(
+                (F.col(domain_col) > dom) & (F.lit(int(c)) >= r), 1
+            ).otherwise(0)
+        return ranked.select(
+            pos.cast("bigint").alias("pos"),
+            F.col(id_col), F.col(domain_col), F.col("quality"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+
+    def test_corpus_equality(self, docs):
+        import pandas as pd
+
+        from faiss_vector_search_spark.operators import textstats
+
+        a = (textstats.curriculum_order(docs).toPandas()
+             .sort_values("pos").reset_index(drop=True))
+        b = (self._old_curriculum_order(docs).toPandas()
+             .sort_values("pos").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_adversarial_shapes(self, spark):
+        import pandas as pd
+
+        from faiss_vector_search_spark.operators import textstats
+
+        rows = [
+            (1, "alpha beta gamma delta words here ok", "web"),
+            (2, "", "web"),                      # zero tokens: dropped
+            (3, None, "books"),                  # NULL text: dropped
+            (4, "the of and to in quality text sample", "books"),
+            (5, "zz", "code"),                   # singleton domain
+            (6, "the and of to a in is it", "web"),
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        a = (textstats.curriculum_order(d).toPandas()
+             .sort_values("pos").reset_index(drop=True))
+        b = (self._old_curriculum_order(d).toPandas()
+             .sort_values("pos").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+        # interleave invariant: pos is a permutation of 1..n
+        assert sorted(a["pos"].tolist()) == list(range(1, len(a) + 1))
+
+    def test_quality_score_default_signature_unchanged(self, docs):
+        from faiss_vector_search_spark.operators import textstats
+
+        out = textstats.quality_score(docs)
+        assert out.columns == ["doc_id", "n_tokens", "quality"]
+
+
+class TestAnnLshFusedCandidates:
+    """ann_lsh_search's fused candidate kernel (corpus_buckets=None)
+    must return exactly the bucket-join path's rows: same planes, same
+    bucket math, same probe set — only the plan shape changed (no
+    bucket blow-up, no broadcast join, no distinct, no second corpus
+    scan). The join path stays live for standing corpus_buckets."""
+
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        return fio.load_table(spark, SF, "embeddings")
+
+    @pytest.fixture(scope="class")
+    def query(self, spark, emb):
+        row = emb.orderBy("vec_id").first()
+        return spark.createDataFrame(
+            [(list(row["embedding"]),)], "query_vec array<float>"
+        )
+
+    def _both(self, emb, query, **kw):
+        from faiss_vector_search_spark.operators import lsh
+
+        fused = lsh.ann_lsh_search(emb, query, **kw)
+        buckets = lsh.lsh_buckets(
+            emb,
+            dim=kw.get("dim", 64),
+            n_tables=kw.get("n_tables", 24),
+            n_bits=kw.get("n_bits", 4),
+            seed=kw.get("seed", 42),
+        )
+        joined = lsh.ann_lsh_search(
+            emb, query, corpus_buckets=buckets, **kw
+        )
+        return fused, joined
+
+    def test_equality_home_buckets(self, emb, query):
+        import pandas as pd
+
+        fused, joined = self._both(emb, query, k=10, dim=64)
+        pd.testing.assert_frame_equal(fused.toPandas(), joined.toPandas())
+
+    def test_equality_multiprobe(self, emb, query):
+        import pandas as pd
+
+        fused, joined = self._both(
+            emb, query, k=10, dim=64, multiprobe=2, n_tables=8
+        )
+        pd.testing.assert_frame_equal(fused.toPandas(), joined.toPandas())
+
+    def test_empty_query(self, spark, emb):
+        from faiss_vector_search_spark.operators import lsh
+
+        q0 = spark.createDataFrame([], "query_vec array<float>")
+        assert lsh.ann_lsh_search(emb, q0, k=10, dim=64).count() == 0
+
+    def test_fused_candidate_set_matches_bucket_join(self, emb, query):
+        """The kernel's candidate ids equal the bucket-join candidate
+        ids exactly (not just the top-k survivors)."""
+        from faiss_vector_search_spark.operators import lsh
+
+        pairs = lsh._probe_pairs(query, 64, 24, 4, 42, 0, "query_vec")
+        buckets = lsh.lsh_buckets(emb, dim=64)
+        qb = query.sparkSession.createDataFrame(
+            pairs, "table int, bucket bigint"
+        )
+        join_ids = sorted(
+            r[0] for r in buckets.join(qb, ["table", "bucket"])
+            .select("vec_id").distinct().collect()
+        )
+        # drive the fused kernel's candidate frame via its public
+        # surface: top-k with k >= |candidates| returns every candidate
+        fused_all = lsh.ann_lsh_search(emb, query, k=len(join_ids) + 50,
+                                       dim=64)
+        fused_ids = sorted(r["vec_id"] for r in fused_all.collect())
+        assert fused_ids == join_ids
